@@ -1,0 +1,213 @@
+"""Engine orchestration — the reference's three entry points, Spark-first.
+
+  -seed      → :meth:`Engine.seed`          (§3.1: discover + bootstrap state)
+  -bq        → :meth:`Engine.create_sinks`  (§3.2: sink DDL + current-state views)
+  -cdc       → :meth:`Engine.run_cycle` / :meth:`Engine.run`  (§3.3: capture loop)
+
+The data plane is pure DataFrame (scan→filter→project→append, no shuffle);
+the control plane (controller, state commits, per-table fan-out) is
+driver-side Python exactly as it is driver-side Go in the reference
+(cdc.go:16-145). Failure isolation matches cdc.go:128-131: a failed table
+stream logs, skips its watermark commit (so its window is re-captured next
+cycle), and never aborts the cycle.
+
+Per-table concurrency (W4, cdc.go:115-140): tables are submitted to a
+bounded thread pool; each thread only *drives* a Spark job, so N threads =
+N concurrent Spark jobs sharing the executor pool — Spark's scheduler does
+what the reference's sizedwaitgroup + Benthos threads did.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import logging
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import schema as sch
+from .controller import next_window
+from .sources import read_parquet_normalized
+from .session import EngineConfig
+from .sinks import append_snapshot
+from .snapshot import build_capture
+from .state import StateStore, TableState
+from .views import latest_per_key_window
+
+log = logging.getLogger("leftshove_spark")
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: EngineConfig | None = None,
+        state_path: str | None = None,
+        sink_root: str = "/tmp/leftshove_spark_sink",
+    ):
+        self.spark = spark
+        self.config = config or EngineConfig()
+        self.state = StateStore(state_path)
+        self.sink_root = sink_root
+
+    # ------------------------------------------------------------------ seed
+    def seed(
+        self,
+        sources: list[dict],
+        now: datetime | None = None,
+    ) -> list[TableState]:
+        """§3.1 ``-seed`` analog. Each source dict: ``{name, path, nms_column,
+        pkey_column?, dsn?}``.
+
+        Per table (seed.go:10-62 → postgres.go:117-269): infer schema
+        (getTableSchemaJSON), initial watermark = MIN(nms)−ε so the first
+        window's strict lower bound doesn't exclude the oldest row
+        (getTableSeedNMS, postgres.go:186-199), row count (A5,
+        postgres.go:137-156), pkey, then upsert state (W6). Schema read +
+        one tiny agg per table; no shuffle.
+        """
+        now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+        seeded = []
+        for src in sources:
+            df = read_parquet_normalized(self.spark, src["path"])
+            nms_col = src["nms_column"]
+            # MIN(nms) (A1); subtract 1µs because F1's lower bound is strict
+            # — the reference seeds with MIN itself and relies on its first
+            # window being (MIN, hi], which would skip rows AT the minimum;
+            # we keep capture-everything semantics instead.
+            row = df.agg(
+                F.min(nms_col).alias("lo"), F.count(F.lit(1)).alias("n")
+            ).collect()[0]
+            src_schema = sch.infer_schema(df)
+            st = TableState(
+                name=src["name"],
+                dsn=str(src.get("dsn", "0")),
+                nms_column=nms_col,
+                pkey_column=src.get("pkey_column"),
+                nms=row["lo"] - __import__("datetime").timedelta(microseconds=1)
+                if row["lo"]
+                else now,
+                last_row_count=0,  # 0 so the first cycle sees the full backlog
+                source_schema_json=sch.schema_to_json(src_schema),
+                sink_schema_json=sch.schema_to_json(sch.sink_schema(src_schema)),
+                path=src["path"],
+            )
+            self.state.upsert(st)
+            seeded.append(st)
+            log.info("seeded %s nms=%s rows=%s", st.name, st.nms, row["n"])
+        return seeded
+
+    # ---------------------------------------------------------- create_sinks
+    def create_sinks(self) -> None:
+        """§3.2 ``-bq`` analog: ensure each ``<t>_cdc`` sink exists with the
+        translated schema (D1–D4), diff cached vs live schema (D6), and
+        register the current-state view (D5). Driver-only; no shuffle."""
+        os.makedirs(self.sink_root, exist_ok=True)
+        for st in self.state.all():
+            path = self.sink_path(st)
+            expected = sch.schema_from_json(st.sink_schema_json)
+            if not os.path.exists(path):
+                # CREATE TABLE with explicit schema (D4): write an empty
+                # frame so the sink exists with the right shape.
+                empty = self.spark.createDataFrame([], expected)
+                empty.write.mode("overwrite").parquet(path)
+            else:
+                live = self.spark.read.parquet(path).schema
+                if not sch.schemas_equal(live, expected):
+                    # reference only logs drift (bigquery.go:97-99)
+                    log.warning(
+                        "schema drift on %s: %s", st.name, sch.diff_schemas(live, expected)
+                    )
+            self.refresh_view(st)
+
+    def sink_path(self, st: TableState) -> str:
+        return os.path.join(self.sink_root, f"{st.name}_cdc")
+
+    def refresh_view(self, st: TableState) -> None:
+        """Register ``<t>`` = latest-per-pkey view over ``<t>_cdc`` (D5,
+        bigquery.go:187-207); only when a pkey is known, as in
+        bigquery.go:101-110."""
+        if not st.pkey_column:
+            return
+        cdc = self.spark.read.parquet(self.sink_path(st))
+        latest_per_key_window(cdc, st.pkey_column).createOrReplaceTempView(st.name)
+
+    # -------------------------------------------------------------- run_cycle
+    def capture_table(
+        self, st: TableState, now: datetime, snapshot_at: datetime | None = None
+    ) -> int | None:
+        """One table's capture: controller → build_capture → append → commit.
+        Returns rows captured, or None on skip. Watermark commits ONLY
+        after the sink write returns (W5)."""
+        src = read_parquet_normalized(self.spark, st.path)
+        current_count = src.count()  # A5 analog (parquet footer count — cheap)
+        decision = next_window(
+            now,
+            st.nms,
+            st.last_shoved_on,
+            st.last_row_count,
+            current_count,
+            replication_buffer_secs=self.config.replication_buffer_secs,
+            batch_count=self.config.batch_count,
+            backlog_batches=self.config.backlog_batches,
+            max_step_hours=self.config.max_step_hours,
+        )
+        if decision.skip:
+            log.info("cycle %s: skip", st.name)
+            return None
+        cap = build_capture(
+            src,
+            st.nms_column,
+            decision.lo,
+            decision.hi,
+            munge_to_null=self.config.munge_invalid_ts_to_null,
+            munge_to_min=self.config.munge_invalid_ts_to_min,
+            min_ts=self.config.munge_min_timestamp,
+            snapshot_at=snapshot_at,
+        )
+        append_snapshot(
+            cap,
+            self.sink_path(st),
+            max_records_per_file=max(self.config.batch_count * 64, 1_000_000),
+        )
+        # W5: commit only after a successful write. Row count from the
+        # sink-side is not re-counted (the write succeeded); state carries
+        # the source count for the next controller decision.
+        self.state.commit_watermark(st.name, st.dsn, decision.hi, current_count, now)
+        log.info(
+            "cycle %s: case=%s window=(%s, %s]", st.name, decision.case.value,
+            decision.lo, decision.hi,
+        )
+        return current_count
+
+    def run_cycle(self, now: datetime | None = None, snapshot_at: datetime | None = None) -> dict[str, int | None]:
+        """One CDC cycle over all tracked tables (cdc.go:16-145) with W4
+        bounded fan-out. Returns {table: captured_source_count|None}."""
+        now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+        results: dict[str, int | None] = {}
+        workers = max(1, self.config.concurrent_streams)
+
+        def one(st: TableState):
+            try:
+                return st.name, self.capture_table(st, now, snapshot_at)
+            except Exception as e:  # failure isolation (cdc.go:128-131)
+                log.error("stream %s failed: %s — watermark NOT committed", st.name, e)
+                return st.name, None
+
+        if workers == 1:
+            for st in self.state.all():
+                name, n = one(st)
+                results[name] = n
+        else:
+            with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+                for name, n in ex.map(one, self.state.all()):
+                    results[name] = n
+        for st in self.state.all():
+            self.refresh_view(st)
+        return results
+
+    def current_state(self, table: str) -> DataFrame:
+        """Read the current-state view — what reference users query."""
+        return self.spark.table(table)

@@ -1,0 +1,558 @@
+"""Query registry — every operator from SURVEY.md §2 (+ §7 Phase-5
+extensions) as a named (PySpark builder, DuckDB oracle SQL) pair.
+
+Contract (driver): ``QUERIES[name](spark, sf_dir) -> DataFrame`` and
+``ORACLES[name]`` = ANSI SQL DuckDB runs over the same parquet (views
+pre-registered per table name). The driver compares row count + schema +
+order-insensitive value hash, sorting columns by name — so every computed
+column is aliased identically on both sides.
+
+Determinism rules used throughout:
+- snapshot stamps use fixed literals (the runtime engine path uses
+  ``current_timestamp()``; tests must be reproducible).
+- float aggregates are rounded on BOTH sides (doubles summed in different
+  partition orders differ at ~1e-12 relative; rounding absorbs it).
+- list aggregations are sorted before serialization.
+- arithmetic on float columns casts to double FIRST on both sides so both
+  engines compute identical IEEE doubles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import views
+from .operators import relational as R
+from .snapshot import (
+    build_capture,
+    munge_timestamp_to_min,
+    munge_timestamp_to_null,
+    window_predicate,
+)
+from .sources import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _dec4(c: str):
+    """Exact decimal view of a 2-decimal monetary double. Both engines cast
+    double→decimal(18,4) with identical round-half-up, and all downstream
+    arithmetic is exact — eliminating the cross-engine half-cent rounding
+    ambiguity that double sums hit (monetary data lands on exact .005
+    boundaries constantly)."""
+    return F.col(c).cast("decimal(18,4)")
+
+
+def _disc_price():
+    """l_extendedprice * (1 - l_discount) in exact decimal, re-scaled to 6."""
+    one = F.lit(1).cast("decimal(18,4)")
+    return (_dec4("l_extendedprice") * (one - _dec4("l_discount"))).cast("decimal(18,6)")
+
+
+# SQL twin of _disc_price()
+_DISC_PRICE_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))"
+)
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# =========================================================================
+# J3 — current-state dedup view (the flagship; bigquery.go:187-207)
+# =========================================================================
+
+@_q(
+    "j3_dedup_latest_window",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def j3_dedup_latest_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Latest event per user — window form of the reference's current-state
+    view (J3). One shuffle on the key; the right plan at 100 TB."""
+    ev = load_table(spark, sf, "events")
+    return views.latest_per_key_window(ev, "user_id", order_col="ts", tiebreak_cols=["event_id"])
+
+
+@_q(
+    "j3_dedup_latest_semijoin",
+    """
+    SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props
+    FROM events e
+    JOIN (SELECT user_id, max(ts) AS ts FROM events GROUP BY user_id) m
+      ON e.user_id = m.user_id AND e.ts = m.ts
+    """,
+)
+def j3_dedup_latest_semijoin(spark: SparkSession, sf: str) -> DataFrame:
+    """Tuple-IN form, literal translation of bigquery.go:190-192 (keeps
+    ties at max). Kept for parity; the window form is preferred."""
+    ev = load_table(spark, sf, "events")
+    out = views.latest_per_key_semijoin(ev, "user_id", order_col="ts")
+    return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+# =========================================================================
+# F1–F6 — the capture projection/filter surface (postgres.go:43-115)
+# =========================================================================
+
+@_q(
+    "f1_window_predicate",
+    """
+    SELECT * FROM events
+    WHERE ts > TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def f1_window_predicate(spark: SparkSession, sf: str) -> DataFrame:
+    """F1 — the half-open NMS window (postgres.go:52-53). Pushed to the
+    parquet scan (row-group min/max skipping)."""
+    ev = load_table(spark, sf, "events")
+    return ev.filter(window_predicate("ts", datetime(2024, 1, 10), datetime(2024, 1, 20)))
+
+
+@_q(
+    "f4_munge_ts_null",
+    """
+    SELECT event_id,
+           CASE WHEN ts < TIMESTAMP '2024-01-05 00:00:00' THEN NULL ELSE ts END AS ts
+    FROM events
+    """,
+)
+def f4_munge_ts_null(spark: SparkSession, sf: str) -> DataFrame:
+    """F4 — invalid-timestamp munge to NULL (postgres.go:72-92)."""
+    ev = load_table(spark, sf, "events")
+    return ev.select("event_id", munge_timestamp_to_null("ts", "2024-01-05 00:00:00").alias("ts"))
+
+
+@_q(
+    "f5_munge_ts_min",
+    """
+    SELECT event_id,
+           CASE WHEN ts < TIMESTAMP '2024-01-05 00:00:00'
+                THEN TIMESTAMP '2024-01-05 00:00:00' ELSE ts END AS ts
+    FROM events
+    """,
+)
+def f5_munge_ts_min(spark: SparkSession, sf: str) -> DataFrame:
+    """F5 — clamp to the configured minimum (postgres.go:80-100)."""
+    ev = load_table(spark, sf, "events")
+    return ev.select("event_id", munge_timestamp_to_min("ts", "2024-01-05 00:00:00").alias("ts"))
+
+
+@_q(
+    "f3_array_to_json",
+    """
+    SELECT vec_id,
+           CAST(to_json(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS VARCHAR)
+             AS embedding_json
+    FROM embeddings
+    """,
+)
+def f3_array_to_json(spark: SparkSession, sf: str) -> DataFrame:
+    """F3 — array→JSON rewrite (postgres.go:59-60): the stringified form
+    arrays take at the reference's NDJSON boundary. Values quantized to
+    integers (double IEEE math on both sides) so the serialization is
+    engine-independent."""
+    em = load_table(spark, sf, "embeddings")
+    quantized = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+    return em.select("vec_id", F.to_json(quantized).alias("embedding_json"))
+
+
+@_q(
+    "f2_f6_capture_projection",
+    """
+    SELECT event_id,
+           CASE WHEN ts < TIMESTAMP '2024-01-05 00:00:00' THEN NULL ELSE ts END AS ts,
+           user_id, event_type, value, props,
+           TIMESTAMP '2026-01-01 00:00:00' AS snapshot_tm
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-25 00:00:00'
+    """,
+)
+def f2_f6_capture_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """F2+F4+F6 composed — one full capture SELECT exactly as the generated
+    snapshot query shapes it (postgres.go:43-115): every column in ordinal
+    order, munging applied, snapshot_tm appended. Fixed stamp for
+    determinism (runtime uses now(), postgres.go:50)."""
+    ev = load_table(spark, sf, "events")
+    return build_capture(
+        ev,
+        "ts",
+        datetime(2024, 1, 5),
+        datetime(2024, 1, 25),
+        munge_to_null=True,
+        min_ts="2024-01-05 00:00:00",
+        snapshot_at=datetime(2026, 1, 1),
+    )
+
+
+# =========================================================================
+# CDC end-to-end semantics: at-least-once + dedup (W5/W7 + J3)
+# =========================================================================
+
+@_q(
+    "cdc_at_least_once_dedup",
+    """
+    WITH w1 AS (
+      SELECT *, TIMESTAMP '2026-01-01 00:00:00' AS snapshot_tm FROM events
+      WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+    ), w2 AS (
+      SELECT *, TIMESTAMP '2026-01-02 00:00:00' AS snapshot_tm FROM events
+      WHERE ts > TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+    ), cdc AS (
+      SELECT * FROM w1 UNION ALL SELECT * FROM w2
+    )
+    SELECT event_id, ts, user_id, event_type, value, props, snapshot_tm FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY snapshot_tm DESC) AS rn
+      FROM cdc
+    ) WHERE rn = 1
+    """,
+)
+def cdc_at_least_once_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's delivery model in one query (SURVEY.md §2.10 W5): a
+    failed commit re-captures an overlapping window ⇒ duplicate rows in
+    the append-only sink; the current-state view (J3) resolves them to
+    exactly-once semantics. Window 2 deliberately overlaps window 1 on
+    (01-10, 01-15]."""
+    ev = load_table(spark, sf, "events")
+    lo = datetime(2023, 1, 1)
+    w1 = build_capture(ev, "ts", lo, datetime(2024, 1, 15), snapshot_at=datetime(2026, 1, 1))
+    w2 = build_capture(
+        ev, "ts", datetime(2024, 1, 10), datetime(2024, 2, 1), snapshot_at=datetime(2026, 1, 2)
+    )
+    cdc = w1.unionAll(w2)
+    return views.latest_per_key_window(cdc, "event_id", order_col="snapshot_tm")
+
+
+# =========================================================================
+# J1/J2 — equi-joins (postgres.go:124-128, 168-173) recast on TPC-H dims
+# =========================================================================
+
+@_q(
+    "j1_left_join_orders_customer",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def j1_left_join_orders_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 — left equi-join, dimension side broadcast (customer is the
+    dimension: at 100 TB the orders fact never shuffles for this)."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    return R.left_equi_join(
+        o, c, on=o.o_custkey == c.c_custkey, broadcast_right=True
+    ).select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+@_q(
+    "j2_inner_join_lineitem_orders",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, o.o_orderdate, o.o_orderpriority
+    FROM lineitem l INNER JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    """,
+)
+def j2_inner_join_lineitem_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """J2 — inner equi-join fact⋈fact. No broadcast hint: both sides scale
+    with SF, so this is a shuffle (sort-merge / AQE-chosen) join on the
+    natural key; the o_orderstatus filter pushes to the orders scan first."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "O")
+    return R.inner_equi_join(li, o, on=li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "o_orderdate", "o_orderpriority"
+    )
+
+
+# =========================================================================
+# A1–A5 aggregates, O1 sort, F7/F8 filters
+# =========================================================================
+
+@_q("a1_min_watermark", "SELECT min(ts) AS min_nms FROM events")
+def a1_min_watermark(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 — seed watermark MIN(nms) (postgres.go:193); answered from
+    parquet footer stats under aggregate pushdown."""
+    return R.min_watermark(load_table(spark, sf, "events"), "ts")
+
+
+@_q("a2_max_group_by", "SELECT user_id, max(ts) AS max_ts FROM events GROUP BY user_id")
+def a2_max_group_by(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 — MAX per key (the dedup view's inner aggregate, bigquery.go:190)."""
+    return R.max_per_key(load_table(spark, sf, "events"), "user_id", "ts")
+
+
+@_q("a5_row_count", "SELECT count(*) AS n FROM events")
+def a5_row_count(spark: SparkSession, sf: str) -> DataFrame:
+    """A5 — row count (reference estimates from pg_class, postgres.go:144-149;
+    parquet metadata count is exact at the same cost)."""
+    return R.row_count(load_table(spark, sf, "events"))
+
+
+@_q(
+    "a3_agg_string_list",
+    """
+    SELECT l_orderkey,
+           string_agg(CAST(l_linenumber AS VARCHAR), ', ' ORDER BY CAST(l_linenumber AS VARCHAR))
+             AS agg_list
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def a3_agg_string_list(spark: SparkSession, sf: str) -> DataFrame:
+    """A3 — ARRAY_TO_STRING(ARRAY_AGG(...)) GROUP BY (postgres.go:47-49)."""
+    return R.agg_string_list(load_table(spark, sf, "lineitem"), ["l_orderkey"], "l_linenumber")
+
+
+@_q(
+    "a4_agg_json_list",
+    """
+    SELECT event_type, CAST(to_json(list_sort(list(event_id))) AS VARCHAR) AS agg_json
+    FROM events GROUP BY event_type
+    """,
+)
+def a4_agg_json_list(spark: SparkSession, sf: str) -> DataFrame:
+    """A4 — array_agg(...) serialized as one JSON doc per group
+    (postgres.go:166-178)."""
+    return R.agg_json_list(load_table(spark, sf, "events"), ["event_type"], "event_id")
+
+
+@_q(
+    "o1_order_by_projection",
+    """
+    SELECT event_id, event_type, ts FROM events ORDER BY event_type, event_id
+    """,
+)
+def o1_order_by_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """O1 — deterministic ORDER BY (postgres.go:66). Global sort = range
+    partition + local sort; fine for bounded outputs, avoided in the data
+    plane otherwise."""
+    ev = load_table(spark, sf, "events")
+    return ev.select("event_id", "event_type", "ts").orderBy("event_type", "event_id")
+
+
+@_q(
+    "f8_anti_membership",
+    """
+    SELECT event_id, event_type FROM events WHERE event_type NOT IN ('error', 'signup')
+    """,
+)
+def f8_anti_membership(spark: SparkSession, sf: str) -> DataFrame:
+    """F8 — exclusion-list filter (unlogged-table exclusion analog,
+    postgres.go:227-237)."""
+    ev = load_table(spark, sf, "events")
+    return R.anti_membership(ev, "event_type", ["error", "signup"]).select(
+        "event_id", "event_type"
+    )
+
+
+# =========================================================================
+# C battery — every scalar the reference computes (SURVEY.md §2.8)
+# =========================================================================
+
+@_q(
+    "c_scalar_battery",
+    """
+    SELECT l_orderkey, l_linenumber,
+           concat(l_returnflag, '_', l_linestatus) AS flag_status,
+           CAST(l_orderkey AS VARCHAR) AS okey_str,
+           (l_returnflag LIKE 'A%') AS flag_like_a,
+           CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS qty_class,
+           round(l_extendedprice * (1 - l_discount), 4) AS disc_price,
+           TIMESTAMP '2024-03-01 00:00:00' AS fixed_ts,
+           CAST(to_json(struct_pack(l_orderkey := l_orderkey, l_linenumber := l_linenumber))
+                AS VARCHAR) AS row_json
+    FROM lineitem
+    """,
+)
+def c_scalar_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """C1/C3/C4/C7/C8/C9/C10 in one projection (SURVEY.md §2.8): concat,
+    cast, LIKE, CASE WHEN, arithmetic, to_timestamp literal,
+    row_to_json(struct). All JVM-side codegen expressions."""
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat(F.col("l_returnflag"), F.lit("_"), F.col("l_linestatus")).alias("flag_status"),
+        F.col("l_orderkey").cast("string").alias("okey_str"),
+        F.col("l_returnflag").like("A%").alias("flag_like_a"),
+        F.when(F.col("l_quantity") > 25, "big").otherwise("small").alias("qty_class"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("disc_price"),
+        F.to_timestamp(F.lit("2024-03-01 00:00:00"), "yyyy-MM-dd HH:mm:ss").alias("fixed_ts"),
+        F.to_json(F.struct("l_orderkey", "l_linenumber")).alias("row_json"),
+    )
+
+
+# =========================================================================
+# Headline analytics (bench queries) — TPC-H-style over the star schema
+# =========================================================================
+
+@_q(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(sum({_DISC_PRICE_SQL}) AS DECIMAL(18,2)) AS sum_disc_price,
+           CAST(sum({_DISC_PRICE_SQL} * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DECIMAL(18,2))
+             AS sum_charge,
+           CAST(avg(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS avg_qty,
+           CAST(avg(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS avg_price,
+           CAST(avg(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape — the pricing-summary scan+agg. Map-side partial
+    aggregation over ~4 groups: the shuffle moves O(groups×partitions)
+    rows regardless of SF, which is why this is the throughput headline.
+    Monetary math in exact decimal (see _dec4)."""
+    li = load_table(spark, sf, "lineitem")
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(datetime(2000, 9, 2)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec4("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(_dec4("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(_disc_price()).cast("decimal(18,2)").alias("sum_disc_price"),
+            F.sum(_disc_price() * (one + _dec4("l_tax"))).cast("decimal(18,2)").alias("sum_charge"),
+            F.avg(_dec4("l_quantity")).cast("decimal(18,4)").alias("avg_qty"),
+            F.avg(_dec4("l_extendedprice")).cast("decimal(18,4)").alias("avg_price"),
+            F.avg(_dec4("l_discount")).cast("decimal(18,4)").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,2)) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape — selective dim filter broadcast into a fact join.
+    customer(filtered) is broadcast; orders⋈lineitem shuffles on
+    o_orderkey which is also the aggregation key, so the groupBy reuses
+    the join's partitioning (no extra shuffle)."""
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit(datetime(1998, 3, 15))
+    )
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(datetime(1998, 3, 15))
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_disc_price()).cast("decimal(18,2)").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@_q(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,2)) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape — 6-way join. All dimension sides (region, nation,
+    customer, supplier) broadcast; the only shuffle join is
+    orders⋈lineitem on orderkey."""
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf, "nation")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1998, 1, 1)))
+    )
+    li = load_table(spark, sf, "lineitem")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).cast("decimal(18,2)").alias("revenue"))
+    )
+
+
+# =========================================================================
+# W7 — tumbling event-time windows (the reference's window semantics,
+# generalized per SURVEY.md §7 Phase 4)
+# =========================================================================
+
+@_q(
+    "w7_tumbling_window_agg",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def w7_tumbling_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """W7 — non-overlapping event-time windows (the batch shape of the
+    streaming tumbling-window agg; F.window aligns to the epoch so daily
+    windows coincide with date_trunc)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec4("value")).cast("decimal(18,2)").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )

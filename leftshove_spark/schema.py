@@ -1,0 +1,128 @@
+"""Source→engine schema translation (SURVEY.md §1.3, operator D9).
+
+The reference infers each source table's schema from the Postgres catalog
+(postgres.go:158-184), caches it as JSON (nmsdb.go:59-60), and mechanically
+folds the Postgres ``udt_name`` space into 7 BigQuery types
+(bigquery.go:252-364). This module is the same fold targeting Spark types,
+with the reference's two quirks *fixed, not copied*:
+
+- Q1 (bigquery.go:290-291, 326-327): the reference assigns numeric_scale to
+  the precision field, losing scale — we map ``numeric(p,s)`` →
+  ``DecimalType(p, s)`` as intended.
+- Q2 (bigquery.go:262): nullability is read but ignored — we mirror the
+  observable behavior (everything nullable).
+
+Also provides the inference/caching surface: ``infer_schema`` (the
+information_schema pull analog), ``schema_to_json``/``schema_from_json``
+(the SQLite text-cache analog, nmsdb.go:59), and ``schemas_equal``/
+``diff_schemas`` (compareBQSchemas, bigquery.go:115-121).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# snapshot_tm is appended to every captured table (bigquery.go:355-358)
+SNAPSHOT_COL = "snapshot_tm"
+
+
+def pg_udt_to_spark(
+    udt_name: str,
+    numeric_precision: int | None = None,
+    numeric_scale: int | None = None,
+) -> T.DataType:
+    """Fold a Postgres ``udt_name`` into the engine's Spark type.
+
+    Mirrors pgSchemaToBqSchema's dispatch (bigquery.go:273-352) with the
+    Spark-native choices from SURVEY.md §1.3: arrays stay arrays (the
+    reference stringifies them only because its transport is NDJSON),
+    floats are DoubleType (not NUMERIC — Q1 semantic fix), jsonb/interval
+    ride as strings.
+    """
+    u = udt_name.lower()
+    if u.startswith("_") or u.endswith("vector"):
+        # element type from the inner udt; default string like the reference's
+        # catch-all. intvector/oidvector are int-element vectors.
+        inner = u[1:] if u.startswith("_") else "int8"
+        return T.ArrayType(pg_udt_to_spark(inner, numeric_precision, numeric_scale))
+    if u.startswith("float"):  # bigquery.go:285-292
+        return T.DoubleType()
+    if u.startswith("int") and u != "interval":  # bigquery.go:295-296
+        return T.LongType()
+    if u == "abstime":  # bigquery.go:299-300
+        return T.TimestampType()
+    if u == "bool":  # bigquery.go:301-302
+        return T.BooleanType()
+    if u == "bytea":  # bigquery.go:303-304
+        return T.BinaryType()
+    if u == "numeric":  # bigquery.go:321-328, Q1 fixed
+        p = numeric_precision if numeric_precision and 0 < numeric_precision <= 38 else 38
+        s = numeric_scale if numeric_scale is not None and 0 <= numeric_scale <= p else min(18, p)
+        return T.DecimalType(p, s)
+    if u == "date":  # bigquery.go:307-308
+        return T.DateType()
+    if u in ("timestamp", "timestamptz"):  # bigquery.go:339-342
+        return T.TimestampType()
+    if u in ("oid", "oidvector", "xid"):  # bigquery.go:329-332, 345-346
+        return T.LongType()
+    # char/inet/ltree/name/point/regproc/text/varchar/interval/json/jsonb
+    # and the catch-all default (bigquery.go:305-348)
+    return T.StringType()
+
+
+def translate_catalog(columns: list[dict]) -> T.StructType:
+    """Translate a source column-catalog (list of dicts shaped like the
+    reference's information_schema JSON, postgres.go:166-178) into the
+    sink StructType, ordered by ordinal_position, all-nullable (Q2)."""
+    fields = []
+    for c in sorted(columns, key=lambda c: c.get("ordinal_position", 0)):
+        dt = pg_udt_to_spark(
+            c["udt_name"],
+            c.get("numeric_precision"),
+            c.get("numeric_scale"),
+        )
+        fields.append(T.StructField(c["column_name"], dt, nullable=True))
+    return T.StructType(fields)
+
+
+def sink_schema(src: T.StructType) -> T.StructType:
+    """Source schema + the appended snapshot_tm TIMESTAMP column — the
+    ``<table>_cdc`` shape (bigquery.go:355-358)."""
+    return T.StructType(
+        list(src.fields) + [T.StructField(SNAPSHOT_COL, T.TimestampType(), True)]
+    )
+
+
+def infer_schema(df: DataFrame) -> T.StructType:
+    """Schema inference analog of the catalog pull (postgres.go:158-184):
+    for DataFrame sources Spark already carries the StructType."""
+    return df.schema
+
+
+def schema_to_json(schema: T.StructType) -> str:
+    """Cache form — the reference stores schema JSON in SQLite TEXT
+    (nmsdb.go:59-60); we store ``StructType.json()``."""
+    return schema.json()
+
+
+def schema_from_json(s: str) -> T.StructType:
+    return T.StructType.fromJson(__import__("json").loads(s))
+
+
+def schemas_equal(a: T.StructType, b: T.StructType) -> bool:
+    """Deep schema compare — compareBQSchemas (bigquery.go:115-121)."""
+    return a == b
+
+
+def diff_schemas(a: T.StructType, b: T.StructType) -> dict[str, list[str]]:
+    """Field-level diff for drift logging/evolution (bigquery.go:92-100;
+    the reference only logs, with an unused ADD COLUMN sample at
+    bigquery.go:366-389 — we report added/removed/retyped)."""
+    af = {f.name: f.dataType for f in a.fields}
+    bf = {f.name: f.dataType for f in b.fields}
+    return {
+        "added": sorted(set(bf) - set(af)),
+        "removed": sorted(set(af) - set(bf)),
+        "retyped": sorted(n for n in set(af) & set(bf) if af[n] != bf[n]),
+    }

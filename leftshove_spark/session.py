@@ -1,0 +1,91 @@
+"""SparkSession factory + engine configuration.
+
+The reference parameterizes everything through env config
+(sample.env:1-29): source DSNs, NMS column, sink routing, batching, and
+timestamp-munging flags (SURVEY.md §1.4). Here that becomes a plain
+``EngineConfig`` dataclass and one well-tuned local SparkSession.
+
+Scale notes (100 TB / 1000-executor design stance):
+- AQE on: runtime coalescing + skew-join splitting replace hand-tuned
+  shuffle-partition counts at scale.
+- ``spark.sql.shuffle.partitions`` is only the *initial* number; AQE
+  coalesces. Locally we pin it near core count so tiny SFs don't pay
+  200-task overhead.
+- Arrow enabled for the (rare) pandas-UDF paths.
+- Session timezone pinned to UTC so timestamp semantics are stable and
+  oracle-comparable (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "leftshove-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Defaults target the test harness (local[N]); on a real cluster the
+    same confs hold, with master/resources supplied by the submitter.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+@dataclass
+class EngineConfig:
+    """Engine knobs — mirrors the reference's env surface (sample.env:1-29).
+
+    Field ↔ reference mapping:
+      replication_buffer_secs  ↔ PG_REPLICATION_BUFFER_SECS (sample.env:7)
+      batch_count              ↔ BQ_BATCH_COUNT   (benthos.go:113-116)
+      batch_bytes              ↔ BQ_BATCH_BYTES   (benthos.go:117-120)
+      batch_period_secs        ↔ BQ_BATCH_PERIOD  (benthos.go:121-124)
+      concurrent_streams       ↔ BENTHOS_CONCURRENT_STREAMS (cdc.go:115-118)
+      munge_invalid_ts_to_null ↔ MUNGE_INVALID_TIMESTAMPS_TO_NULL (postgres.go:72-79)
+      munge_invalid_ts_to_min  ↔ MUNGE_INVALID_TIMESTAMPS_TO_MIN  (postgres.go:80-85)
+      munge_min_timestamp      ↔ MUNGE_MIN_TIMESTAMP (postgres.go:72-101; default epoch)
+      max_step_hours           ↔ 336h max watermark advance (cdc.go:70, 80)
+      backlog_batches          ↔ 8×batch catch-up trigger (cdc.go:69)
+    """
+
+    replication_buffer_secs: int = 180
+    batch_count: int = 4096
+    batch_bytes: int = 40_000_000
+    batch_period_secs: int = 20
+    concurrent_streams: int = 1
+    munge_invalid_ts_to_null: bool = False
+    munge_invalid_ts_to_min: bool = False
+    munge_min_timestamp: str = "1970-01-01 00:00:00"
+    max_step_hours: int = 336
+    backlog_batches: int = 8
+    output_type: str = "parquet"  # reference: BQ | FILE (benthos.go:85-105)
+    warehouse_dir: str = "/tmp/leftshove_spark_warehouse"
+    sources: dict[str, dict] = field(default_factory=dict)

@@ -1,0 +1,53 @@
+"""Sinks — append-only snapshot sink + JSON-lines file sink.
+
+The reference routes captured rows to one of two sinks (OUTPUT_TYPE,
+benthos.go:85-105): a BigQuery batch-append load (S2, benthos.go:110-144 —
+NDJSON, WRITE_APPEND, CREATE_NEVER, batching by count/bytes/period) or a
+line-delimited JSON file (S3, benthos.go:95-104). Our engine's default
+sink is append-mode parquet (columnar, splittable — what you want a
+100 TB CDC archive stored as); the NDJSON sink is kept for parity.
+
+Scale notes: append-mode parquet writes are embarrassingly parallel (one
+file per task, no shuffle). ``maxRecordsPerFile`` plays the role of the
+reference's batch-size knobs, bounding file sizes so downstream scans get
+even splits. The sink table should be partitioned by a time bucket of
+snapshot_tm at real scale so the dedup view and retention prune partitions
+— ``partition_cols`` hooks that in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def append_snapshot(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_cols: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """S2 analog — append-only columnar sink (WRITE_APPEND ≙ mode("append"),
+    CREATE_NEVER ≙ table pre-created by engine.create_sinks; batch-size
+    knobs ≙ maxRecordsPerFile)."""
+    w = df.write.mode("append")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+
+def write_json_lines(df: DataFrame, path: str) -> None:
+    """S3 — line-delimited JSON file sink (benthos.go:95-104: ``codec:
+    lines``). One JSON object per row, arrays/structs serialized inline —
+    the reference's row-message form (benthos.go:130)."""
+    df.write.mode("overwrite").json(path)
+
+
+def to_ndjson_column(df: DataFrame) -> DataFrame:
+    """Row→NDJSON message form (``to_json(struct(*))``) — the shape rows
+    travel in through the reference's Benthos pipeline (benthos.go:130);
+    used when a single text column is wanted rather than a JSON dataset."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))

@@ -1,0 +1,112 @@
+"""Capture-query builder — F1–F6, the heart of the engine.
+
+The reference *generates SQL* for each capture cycle (postgres.go:43-115):
+a SELECT that (F2) enumerates every column in ordinal order, (F3) rewrites
+array columns to JSON, (F4/F5) munges out-of-range timestamps, (F6)
+appends ``now() AS snapshot_tm``, and (F1) filters to the half-open window
+``WHERE nms > lo AND nms <= hi``. Here the same plan is *declared* on a
+DataFrame and Catalyst does what Postgres did: the window predicate pushes
+down to the scan (parquet row-group min/max skipping or JDBC WHERE), the
+rewrites run inside whole-stage codegen, and only matching rows move.
+
+Scale notes: every transform below is a narrow op — a capture cycle is
+scan→filter→project→append with ZERO shuffles. The window predicate on a
+timestamp column prunes parquet row groups (and partitions, if the source
+is dt-partitioned), so cost is proportional to the window, not the table.
+That is exactly the property that makes the reference's model work on big
+tables, preserved under Spark.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schema import SNAPSHOT_COL
+
+
+def window_predicate(nms_col: str, lo: datetime | str, hi: datetime | str) -> Column:
+    """F1 — half-open interval ``nms > lo AND nms <= hi``
+    (postgres.go:52-53, substitution postgres.go:103). Monotone nms ⇒ each
+    row is captured by exactly one window (W7 tumbling property)."""
+    return (F.col(nms_col) > F.lit(lo)) & (F.col(nms_col) <= F.lit(hi))
+
+
+def munge_timestamp_to_null(c: str, min_ts: str) -> Column:
+    """F4 — ``CASE WHEN c < min THEN NULL ELSE c END`` (postgres.go:72-92)."""
+    return F.when(F.col(c) < F.lit(min_ts).cast("timestamp"), F.lit(None)).otherwise(
+        F.col(c)
+    )
+
+
+def munge_timestamp_to_min(c: str, min_ts: str) -> Column:
+    """F5 — clamp to min: ``CASE WHEN c < min THEN to_timestamp(min) ELSE c
+    END`` (postgres.go:80-100)."""
+    lo = F.to_timestamp(F.lit(min_ts), "yyyy-MM-dd HH:mm:ss")
+    return F.when(F.col(c) < lo, lo).otherwise(F.col(c))
+
+
+def rewrite_column(
+    field: T.StructField,
+    *,
+    munge_to_null: bool = False,
+    munge_to_min: bool = False,
+    min_ts: str = "1970-01-01 00:00:00",
+    stringify_arrays: bool = False,
+) -> Column:
+    """F2's per-column rewrite dispatch (postgres.go:45-68):
+
+    - array columns → `to_json` ONLY when the sink needs the reference's
+      NDJSON-compatible stringified form (F3, postgres.go:59-60); the
+      engine default keeps arrays native (SURVEY.md §1.3).
+    - timestamp columns → F4/F5 munging when enabled (postgres.go:72-101).
+    - everything else passes through.
+    """
+    c = field.name
+    if isinstance(field.dataType, T.ArrayType) and stringify_arrays:
+        return F.to_json(F.col(c)).alias(c)
+    if isinstance(field.dataType, T.TimestampType):
+        if munge_to_null:
+            return munge_timestamp_to_null(c, min_ts).alias(c)
+        if munge_to_min:
+            return munge_timestamp_to_min(c, min_ts).alias(c)
+    return F.col(c)
+
+
+def build_capture(
+    src: DataFrame,
+    nms_col: str,
+    lo: datetime,
+    hi: datetime,
+    *,
+    munge_to_null: bool = False,
+    munge_to_min: bool = False,
+    min_ts: str = "1970-01-01 00:00:00",
+    stringify_arrays: bool = False,
+    snapshot_at: datetime | None = None,
+) -> DataFrame:
+    """Compose F1+F2–F5+F6 into one capture DataFrame — the analog of the
+    generated snapshot SELECT (postgres.go:43-115).
+
+    ``snapshot_at`` fixes the F6 stamp for deterministic tests; production
+    leaves it None → ``current_timestamp()`` (postgres.go:50 ``now()``).
+    """
+    cols = [
+        rewrite_column(
+            f,
+            munge_to_null=munge_to_null,
+            munge_to_min=munge_to_min,
+            min_ts=min_ts,
+            stringify_arrays=stringify_arrays,
+        )
+        for f in src.schema.fields
+    ]
+    stamp = F.lit(snapshot_at) if snapshot_at is not None else F.current_timestamp()
+    return (
+        src.filter(window_predicate(nms_col, lo, hi))
+        .select(*cols)
+        .withColumn(SNAPSHOT_COL, stamp.cast("timestamp"))
+    )

@@ -1,0 +1,101 @@
+"""Source readers — the engine's scan surface (SURVEY.md §2.1 S1).
+
+The reference's only source is a Postgres windowed scan executed through
+Benthos ``sql_raw`` (benthos.go:77-82); our engine's primary source is
+parquet (the test harness's format and the natural 100 TB archive format),
+with the JDBC mapping documented on :func:`read_jdbc_window`.
+
+Nanosecond-timestamp handling: the driver's synthetic parquet stores
+TIMESTAMP(NANOS) columns, which Spark's vectorized reader rejects
+([PARQUET_TYPE_ILLEGAL]). With ``spark.sql.legacy.parquet.nanosAsLong``
+those columns arrive as LongType nanoseconds; :func:`load_table`
+normalizes them back to TimestampType at microsecond precision (floor
+division — identical to DuckDB's nanos→micros truncation, so oracle
+comparisons agree). Detection is from the parquet footer via pyarrow, so
+the mapping is schema-driven, not hardcoded.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@lru_cache(maxsize=256)
+def _nano_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as timestamp[ns] in the parquet footer."""
+    # path may be a directory of part files (our sinks) or a single file
+    if os.path.isdir(path):
+        parts = [p for p in os.listdir(path) if p.endswith(".parquet")]
+        if not parts:
+            return ()
+        path = os.path.join(path, parts[0])
+    schema = pq.read_schema(path)
+    return tuple(
+        name
+        for name, typ in zip(schema.names, schema.types)
+        if str(typ).startswith("timestamp[ns")
+    )
+
+
+def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet, normalizing nano-timestamp columns to TimestampType
+    (micros, floor) so all downstream operators see real timestamps. The
+    extra projection is a narrow op fused into the scan stage by
+    whole-stage codegen — no measurable cost, and filter/column pushdown
+    on the remaining columns is unaffected."""
+    df = spark.read.parquet(path)
+    for c in _nano_ts_columns(path):
+        # integer division — double division loses precision on int64 nanos
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table by name from an sf dir."""
+    return read_parquet_normalized(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for spark.sql use."""
+    for t, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(t)
+
+
+def read_jdbc_window(
+    spark: SparkSession,
+    url: str,
+    query: str,
+    *,
+    partition_column: str | None = None,
+    lower: str | None = None,
+    upper: str | None = None,
+    num_partitions: int = 1,
+) -> DataFrame:
+    """S1's literal JDBC form — a windowed source scan with optional
+    intra-table parallelism (the reference runs each table as ONE
+    sequential stream, cdc.go:115-140; Spark shards the same window scan
+    across ``num_partitions`` executors via partitionColumn bounds, a
+    strict scale improvement, SURVEY.md §4). Untested here (no JDBC
+    source in the harness) but kept as the production path."""
+    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    if partition_column:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", lower)
+            .option("upperBound", upper)
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()

@@ -1,0 +1,77 @@
+"""Current-state dedup views — the reference's flagship queryable artifact.
+
+The reference materializes an append-only ``<table>_cdc`` sink and exposes
+"current state" as a view keeping only the newest snapshot per primary key
+(bigquery.go:187-207):
+
+    SELECT * FROM t
+    WHERE (pkey, snapshot_tm) IN
+          (SELECT (pkey, MAX(snapshot_tm)) FROM t GROUP BY pkey)
+
+Semantically that is the window query
+``row_number() OVER (PARTITION BY pkey ORDER BY snapshot_tm DESC) = 1``
+(SURVEY.md §2.3 J3, §2.5) — which is also the *faster* plan at scale: one
+shuffle on pkey, no self-join, no subquery rebroadcast. Both forms are
+provided; the window form is the default.
+
+Scale notes: the window form shuffles once on the partition key and sorts
+within partitions — the minimum work any latest-per-key computation needs.
+The semi-join form shuffles the same data twice (agg + join); Catalyst
+decorrelates the tuple-IN into a left-semi join, but it's still strictly
+more work. At 100 TB prefer the window form; if pkey is skewed, AQE
+skew-split handles the sort side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key_window(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    order_col: str = "snapshot_tm",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Latest row per key via row_number() — canonical dedup view (J3).
+
+    ``tiebreak_cols`` make ordering total when ``order_col`` ties (the
+    reference's tuple-IN form keeps *all* rows tied at max snapshot_tm;
+    row_number keeps exactly one — pass tiebreakers for determinism).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [F.col(order_col).desc()] + [F.col(c).desc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def latest_per_key_semijoin(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    order_col: str = "snapshot_tm",
+) -> DataFrame:
+    """Latest row(s) per key via groupBy+max left-semi join — the literal
+    translation of the reference's tuple-IN view (bigquery.go:190-192).
+
+    Keeps ALL rows tied at the max (exact reference semantics). Provided
+    for parity testing; prefer :func:`latest_per_key_window` at scale.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    maxes = df.groupBy(*keys).agg(F.max(order_col).alias(order_col))
+    return df.join(maxes, on=[*keys, order_col], how="left_semi")
+
+
+def create_current_state_view(
+    spark_df: DataFrame,
+    view_name: str,
+    key_cols: list[str] | str,
+    order_col: str = "snapshot_tm",
+) -> None:
+    """Register the current-state view in the session catalog — the
+    ``CREATE VIEW <t> AS ...`` analog (bigquery.go:101-110, D5)."""
+    latest_per_key_window(spark_df, key_cols, order_col).createOrReplaceTempView(view_name)
