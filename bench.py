@@ -1,0 +1,82 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs each headline query end-to-end (plan + execute + drain results) on a
+local[$SPARK_GRAFT_CPUS] session and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": <sf>}
+
+Timing methodology: one untimed warmup of the cheapest query amortizes JVM
+startup/codegen; each query is then timed as a cold logical plan (fresh
+DataFrame each run, no .cache()), so the number measures scan+shuffle+agg,
+not memoization. Results are drained via .collect() on bounded outputs
+(every headline query aggregates to a small result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from leftshove_spark import queries as Q  # noqa: E402
+from leftshove_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the TPC-H-style analytics (shuffle-heavy, the throughput
+# story) plus the engine's flagship dedup view and CDC end-to-end shape.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "j3_dedup_latest_window",
+    "cdc_at_least_once_dedup",
+    "w7_tumbling_window_agg",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.0
+
+
+def main() -> None:
+    spark = get_spark(app_name="leftshove-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM/codegen/parquet-footer caches (untimed)
+    Q.QUERIES["a1_min_watermark"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        t0 = time.perf_counter()
+        rows = fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert rows is not None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

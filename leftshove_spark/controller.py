@@ -81,6 +81,13 @@ def next_window(
 
     max_step = timedelta(hours=max_step_hours)
 
+    # W3 guard: if the watermark is already at/past now−buffer, any bounded
+    # step would produce an inverted window (hi < nms) whose commit moves
+    # the watermark BACKWARD — a latent flaw in the reference
+    # (cdc.go:72-76) we do not reproduce. Nothing new can be captured yet.
+    if cap <= nms:
+        return WindowDecision(WindowCase.SKIP, None, None)
+
     # case 2 — big backlog: growth > 8×batch ⇒ bounded catch-up (cdc.go:69-78)
     if row_diff > backlog_batches * batch_count:
         hi = min(nms + max_step, cap)

@@ -22,7 +22,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import logging
 import os
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -86,9 +86,7 @@ class Engine:
                 dsn=str(src.get("dsn", "0")),
                 nms_column=nms_col,
                 pkey_column=src.get("pkey_column"),
-                nms=row["lo"] - __import__("datetime").timedelta(microseconds=1)
-                if row["lo"]
-                else now,
+                nms=row["lo"] - timedelta(microseconds=1) if row["lo"] else now,
                 last_row_count=0,  # 0 so the first cycle sees the full backlog
                 source_schema_json=sch.schema_to_json(src_schema),
                 sink_schema_json=sch.schema_to_json(sch.sink_schema(src_schema)),

@@ -214,7 +214,7 @@ def f2_f6_capture_projection(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH w1 AS (
       SELECT *, TIMESTAMP '2026-01-01 00:00:00' AS snapshot_tm FROM events
-      WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+      WHERE ts > TIMESTAMP '2023-01-01 00:00:00' AND ts <= TIMESTAMP '2024-01-15 00:00:00'
     ), w2 AS (
       SELECT *, TIMESTAMP '2026-01-02 00:00:00' AS snapshot_tm FROM events
       WHERE ts > TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-02-01 00:00:00'
@@ -408,14 +408,14 @@ def c_scalar_battery(spark: SparkSession, sf: str) -> DataFrame:
     "q1_pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS sum_base_price,
-           CAST(sum({_DISC_PRICE_SQL}) AS DECIMAL(18,2)) AS sum_disc_price,
-           CAST(sum({_DISC_PRICE_SQL} * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DECIMAL(18,2))
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+           CAST(sum({_DISC_PRICE_SQL}) AS DECIMAL(38,6)) AS sum_disc_price,
+           CAST(sum({_DISC_PRICE_SQL} * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DECIMAL(38,10))
              AS sum_charge,
-           CAST(avg(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS avg_qty,
-           CAST(avg(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS avg_price,
-           CAST(avg(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS avg_disc,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -426,21 +426,28 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1 shape — the pricing-summary scan+agg. Map-side partial
     aggregation over ~4 groups: the shuffle moves O(groups×partitions)
     rows regardless of SF, which is why this is the throughput headline.
-    Monetary math in exact decimal (see _dec4)."""
+
+    Cross-engine determinism: sums stay exact decimal and are only ever
+    up-cast (DECIMAL(38,s) — lossless, so no rounding-mode disagreement;
+    a final round-to-cents cast hits half-cent ties where Spark rounds
+    HALF_UP and DuckDB HALF_EVEN). Averages are exact-sum ÷ count in IEEE
+    double — both engines perform the identical correctly-rounded
+    decimal→double conversion and division, so results are bit-equal."""
     li = load_table(spark, sf, "lineitem")
     one = F.lit(1).cast("decimal(18,4)")
+    cnt = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit(datetime(2000, 9, 2)))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec4("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(_dec4("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
-            F.sum(_disc_price()).cast("decimal(18,2)").alias("sum_disc_price"),
-            F.sum(_disc_price() * (one + _dec4("l_tax"))).cast("decimal(18,2)").alias("sum_charge"),
-            F.avg(_dec4("l_quantity")).cast("decimal(18,4)").alias("avg_qty"),
-            F.avg(_dec4("l_extendedprice")).cast("decimal(18,4)").alias("avg_price"),
-            F.avg(_dec4("l_discount")).cast("decimal(18,4)").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(_dec4("l_quantity")).cast("decimal(38,4)").alias("sum_qty"),
+            F.sum(_dec4("l_extendedprice")).cast("decimal(38,4)").alias("sum_base_price"),
+            F.sum(_disc_price()).cast("decimal(38,6)").alias("sum_disc_price"),
+            F.sum(_disc_price() * (one + _dec4("l_tax"))).cast("decimal(38,10)").alias("sum_charge"),
+            (F.sum(_dec4("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(_dec4("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+            (F.sum(_dec4("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
     )
 
@@ -449,8 +456,9 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l.l_orderkey,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,2)) AS revenue,
+           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6)))
+                AS DECIMAL(38,6)) AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -477,7 +485,7 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(_disc_price()).cast("decimal(18,2)").alias("revenue"))
+        .agg(F.sum(_disc_price()).cast("decimal(38,6)").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
     )
 
@@ -486,8 +494,9 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     "q5_local_supplier_volume",
     """
     SELECT n.n_name,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,2)) AS revenue
+           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6)))
+                AS DECIMAL(38,6)) AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -525,7 +534,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
             (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == F.col("c_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.sum(_disc_price()).cast("decimal(18,2)").alias("revenue"))
+        .agg(F.sum(_disc_price()).cast("decimal(38,6)").alias("revenue"))
     )
 
 
@@ -539,7 +548,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
            count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -552,7 +561,7 @@ def w7_tumbling_window_agg(spark: SparkSession, sf: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec4("value")).cast("decimal(18,2)").alias("total_value"),
+            F.sum(_dec4("value")).cast("decimal(38,4)").alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )

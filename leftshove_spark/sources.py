@@ -46,12 +46,25 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
     )
 
 
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    """``spark.sql.legacy.parquet.nanosAsLong`` must be on for Spark to
+    read TIMESTAMP(NANOS) parquet at all ([PARQUET_TYPE_ILLEGAL]
+    otherwise). It is runtime-settable in Spark 4.x, and the caller may
+    hand us ANY session (the correctness harness builds its own), so the
+    conf is (re)applied here — on the read path — not at session build."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # immutable conf on some builds; session factory already set it
+
+
 def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
     """Read parquet, normalizing nano-timestamp columns to TimestampType
     (micros, floor) so all downstream operators see real timestamps. The
     extra projection is a narrow op fused into the scan stage by
     whole-stage codegen — no measurable cost, and filter/column pushdown
     on the remaining columns is unaffected."""
+    _ensure_nanos_conf(spark)
     df = spark.read.parquet(path)
     for c in _nano_ts_columns(path):
         # integer division — double division loses precision on int64 nanos

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from dataclasses import asdict, dataclass, field
 from datetime import datetime
 
@@ -55,31 +56,37 @@ class StateStore:
     def __init__(self, path: str | None = None):
         self.path = path
         self._tables: dict[tuple[str, str], TableState] = {}
+        # Engine.run_cycle commits from a ThreadPoolExecutor when
+        # concurrent_streams > 1; serialize mutations + the tmp-file
+        # replace so a concurrent flush can't publish a torn state file.
+        self._lock = threading.Lock()
         if path and os.path.exists(path):
             self._load()
 
     # -- W6: upsert (nmsdb.go:126-158) ------------------------------------
     def upsert(self, st: TableState) -> None:
-        existing = self._tables.get(st.key())
-        if existing is not None:
-            # refresh schema/count/nms, keep identity — UPDATE path
-            # (nmsdb.go:132-145). A fresh seed never moves an existing
-            # watermark backward.
-            if st.nms is not None and existing.nms is not None:
-                st.nms = max(st.nms, existing.nms)
-            st.last_shoved_on = existing.last_shoved_on
-        self._tables[st.key()] = st
-        self._flush()
+        with self._lock:
+            existing = self._tables.get(st.key())
+            if existing is not None:
+                # refresh schema/count/nms, keep identity — UPDATE path
+                # (nmsdb.go:132-145). A fresh seed never moves an existing
+                # watermark backward.
+                if st.nms is not None and existing.nms is not None:
+                    st.nms = max(st.nms, existing.nms)
+                st.last_shoved_on = existing.last_shoved_on
+            self._tables[st.key()] = st
+            self._flush()
 
     # -- W5: transactional watermark commit (nmsdb.go:198-212) ------------
     def commit_watermark(
         self, name: str, dsn: str, new_nms: datetime, row_count: int, now: datetime
     ) -> None:
-        st = self._tables[(name, dsn)]
-        st.nms = new_nms
-        st.last_row_count = row_count
-        st.last_shoved_on = now  # datetime('now') stamp (nmsdb.go:204)
-        self._flush()
+        with self._lock:
+            st = self._tables[(name, dsn)]
+            st.nms = new_nms
+            st.last_row_count = row_count
+            st.last_shoved_on = now  # datetime('now') stamp (nmsdb.go:204)
+            self._flush()
 
     # -- S5: state scan (nmsdb.go:76-124) ----------------------------------
     def all(self) -> list[TableState]:
