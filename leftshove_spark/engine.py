@@ -127,8 +127,8 @@ class Engine:
         """Register ``<t>`` = latest-per-pkey view over ``<t>_cdc`` (D5,
         bigquery.go:187-207); only when a pkey is known, as in
         bigquery.go:101-110."""
-        if not st.pkey_column:
-            return
+        if not st.pkey_column or not os.path.exists(self.sink_path(st)):
+            return  # sink not created yet (create_sinks not run / failed table)
         cdc = self.spark.read.parquet(self.sink_path(st))
         latest_per_key_window(cdc, st.pkey_column).createOrReplaceTempView(st.name)
 

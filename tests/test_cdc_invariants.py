@@ -1,0 +1,125 @@
+"""CDC-semantics invariants on the events fixture (SURVEY.md §5.3):
+
+(a) consecutive half-open windows PARTITION the table — union == full
+    table and pairwise disjoint (F1/W7 exactly-one-window property);
+(b) re-capturing an overlapping window duplicates rows, but the dedup
+    view (J3) restores exactly-once — and equals an independently
+    computed latest-per-key;
+(c) the engine's cycle loop commits watermarks monotonically and the
+    sink equals the source after catch-up (at-least-once delivery);
+(d) both dedup view forms agree when ordering is total.
+"""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from leftshove_spark import views
+from leftshove_spark.engine import Engine
+from leftshove_spark.session import EngineConfig
+from leftshove_spark.snapshot import build_capture, window_predicate
+from leftshove_spark.sources import load_table
+
+from conftest import SF0001
+
+LO = datetime(2023, 12, 31)
+HI = datetime(2024, 3, 1)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF0001, "events").cache()
+
+
+def test_windows_partition_the_table(events):
+    """(a) — union of consecutive (lo,hi] windows == table; disjoint."""
+    bounds = [LO + timedelta(days=7 * i) for i in range(10)]
+    total = 0
+    for lo, hi in zip(bounds, bounds[1:]):
+        total += events.filter(window_predicate("ts", lo, hi)).count()
+    full = events.filter(window_predicate("ts", bounds[0], bounds[-1])).count()
+    assert total == full  # disjoint AND covering ⇔ counts add up exactly
+    assert full == events.count()  # fixture fits inside the span
+
+
+def test_half_open_boundary_row_in_exactly_one_window(events):
+    """A row AT a boundary belongs to the earlier window only (<= hi,
+    > lo strict)."""
+    boundary = events.agg(F.max("ts")).collect()[0][0]
+    before = events.filter(window_predicate("ts", LO, boundary))
+    after = events.filter(window_predicate("ts", boundary, HI))
+    assert before.filter(F.col("ts") == boundary).count() > 0
+    assert after.filter(F.col("ts") == boundary).count() == 0
+
+
+def test_at_least_once_plus_dedup_is_exactly_once(events):
+    """(b) — overlapping re-capture then J3 == independent latest-per-key."""
+    w1 = build_capture(events, "ts", LO, datetime(2024, 1, 15), snapshot_at=datetime(2026, 1, 1))
+    w2 = build_capture(  # overlaps w1 on (01-05, 01-15]
+        events, "ts", datetime(2024, 1, 5), HI, snapshot_at=datetime(2026, 1, 2)
+    )
+    cdc = w1.unionAll(w2)
+    assert cdc.count() > events.count()  # duplicates really exist
+    dedup = views.latest_per_key_window(cdc, "event_id", order_col="snapshot_tm")
+    assert dedup.count() == events.count()
+    # value-level: dedup rows == source rows (event_id is unique in events)
+    src = events.select("event_id", "ts", "user_id")
+    got = dedup.select("event_id", "ts", "user_id")
+    assert got.exceptAll(src).count() == 0
+    assert src.exceptAll(got).count() == 0
+
+
+def test_dedup_forms_agree(events):
+    """(d) — window form == semi-join form when ordering has no ties
+    (tiebreak on event_id makes row_number total)."""
+    w = views.latest_per_key_window(events, "user_id", "ts", tiebreak_cols=["event_id"])
+    s = views.latest_per_key_semijoin(events, "user_id", "ts")
+    # semijoin keeps all ties at max; with per-user distinct max ts they agree
+    assert w.count() == s.count()
+    a = w.select("event_id").exceptAll(s.select("event_id"))
+    assert a.count() == 0
+
+
+def test_engine_cycles_catch_up_and_commit_monotonically(spark, tmp_path):
+    """(c) — run cycles until caught up; watermarks only advance; sink
+    contains every source row exactly once via the current-state view."""
+    eng = Engine(
+        spark,
+        EngineConfig(concurrent_streams=2),
+        state_path=str(tmp_path / "state.json"),
+        sink_root=str(tmp_path / "sink"),
+    )
+    eng.seed([
+        {"name": "ev", "path": f"{SF0001}/events.parquet", "nms_column": "ts",
+         "pkey_column": "event_id"},
+    ])
+    eng.create_sinks()
+    seen_nms = []
+    now = datetime(2026, 8, 1)
+    for i in range(4):
+        eng.run_cycle(now=now + timedelta(hours=i), snapshot_at=datetime(2026, 1, 1 + i))
+        seen_nms.append(eng.state.get("ev", "0").nms)
+    assert seen_nms == sorted(seen_nms)  # monotone watermark
+    src_n = load_table(spark, SF0001, "events").count()
+    assert eng.current_state("ev").count() == src_n  # exactly-once via view
+
+
+def test_failed_cycle_does_not_commit(spark, tmp_path):
+    """W5 — a failing capture leaves the watermark unchanged."""
+    eng = Engine(
+        spark,
+        EngineConfig(),
+        state_path=str(tmp_path / "state.json"),
+        sink_root=str(tmp_path / "sink"),
+    )
+    eng.seed([
+        {"name": "ev", "path": f"{SF0001}/events.parquet", "nms_column": "ts",
+         "pkey_column": "event_id"},
+    ])
+    eng.create_sinks()
+    before = eng.state.get("ev", "0").nms
+    eng.state.get("ev", "0").path = str(tmp_path / "missing.parquet")  # break the source
+    res = eng.run_cycle(now=datetime(2026, 8, 1))
+    assert res["ev"] is None  # failure isolated, not raised (cdc.go:128-131)
+    assert eng.state.get("ev", "0").nms == before  # no commit
