@@ -31,19 +31,30 @@ TABLES = (
 
 @lru_cache(maxsize=256)
 def _nano_ts_columns(path: str) -> tuple[str, ...]:
-    """Columns stored as timestamp[ns] in the parquet footer."""
+    """Columns physically stored as INT64 TIMESTAMP(NANOS) in the parquet
+    footer — the encoding Spark can only read via nanosAsLong (as bigint).
+
+    The check must use the parquet PHYSICAL type, not the arrow-converted
+    schema: pyarrow reports legacy INT96 timestamps (Spark's own default
+    output format) as timestamp[ns] too, but Spark reads INT96 natively
+    as TimestampType — normalizing those would corrupt them."""
     # path may be a directory of part files (our sinks) or a single file
     if os.path.isdir(path):
         parts = [p for p in os.listdir(path) if p.endswith(".parquet")]
         if not parts:
             return ()
         path = os.path.join(path, parts[0])
-    schema = pq.read_schema(path)
-    return tuple(
-        name
-        for name, typ in zip(schema.names, schema.types)
-        if str(typ).startswith("timestamp[ns")
-    )
+    meta_schema = pq.read_metadata(path).schema
+    out = []
+    for i in range(len(meta_schema)):
+        col = meta_schema.column(i)
+        if (
+            col.physical_type == "INT64"
+            and col.logical_type.type == "TIMESTAMP"
+            and '"timeUnit": "nanoseconds"' in col.logical_type.to_json()
+        ):
+            out.append(col.name)
+    return tuple(out)
 
 
 def _ensure_nanos_conf(spark: SparkSession) -> None:

@@ -1,0 +1,194 @@
+"""Structured Streaming CDC variant — the ``-cdc`` loop as a stream
+(SURVEY.md §7 Phase 4; main.go:47-65, cdc.go:16-145).
+
+The reference's loop re-queries a window per cycle; the Spark-native
+generalization is a file-source stream over a landing directory:
+
+    readStream(landing) → capture transform (F2–F6) → withWatermark (W3)
+      → foreachBatch(append + watermark commit) (W5)
+
+Mapping to the reference:
+
+- **W1 micro-batch loop** — ``trigger(availableNow=True)`` is ``-runonce``
+  (drain what exists, stop); ``trigger(processingTime=...)`` is the
+  ``for { cdc() }`` loop, with the trigger period playing the role of the
+  sink batch period (benthos.go:121-124).
+- **F1 windowing** — the file source's *new-file tracking* replaces the
+  NMS window predicate: each micro-batch is exactly the not-yet-processed
+  input, the same "each row captured once" contract, enforced by the
+  checkpoint rather than a generated WHERE clause.
+- **W3 replication buffer** — ``withWatermark(nms, buffer)`` bounds how
+  late a row may arrive and still join stateful aggregations; the same
+  lag the reference keeps via ``hi ≤ now − buffer`` (cdc.go:72-76).
+- **W5 transactional commit** — offsets are committed to the checkpoint
+  only after ``foreachBatch`` returns, so a failed batch is retried:
+  at-least-once append + the J3 dedup view = the reference's delivery
+  model, exactly (cdc.go:127-136). The StateStore watermark is advanced
+  inside the batch fn for parity/observability with the batch engine.
+- **W4 fan-out** — one StreamingQuery per table; Spark schedules them
+  concurrently on the shared executor pool (cdc.go:115-140).
+- **§2.11 processor hook** — ``transform`` is the Bloblang-slot analog
+  (benthos.go:39-44): an arbitrary DataFrame→DataFrame applied between
+  source and sink.
+
+Scale notes: file-source streams scale to thousands of files per trigger
+(``maxFilesPerTrigger`` is the backpressure knob ≙ batch_count); the
+capture transform stays narrow (zero shuffle per batch); watermark state
+is O(1). At 100 TB the landing dir would be an object-store prefix and
+the checkpoint a durable path — same code.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .schema import SNAPSHOT_COL
+from .snapshot import rewrite_column
+from .sources import _nano_ts_columns, _ensure_nanos_conf
+from .state import StateStore
+
+
+def _streaming_source(spark: SparkSession, landing_dir: str, max_files: int | None):
+    """File-source readStream with the engine's nano-timestamp
+    normalization (streaming requires an explicit schema; we take it from
+    the files already landed — the reference likewise seeds schema before
+    capture, postgres.go:158-184)."""
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(landing_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", str(max_files))
+    df = reader.parquet(landing_dir)
+    for c in _nano_ts_columns(landing_dir):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def build_stream_capture(
+    src: DataFrame,
+    nms_col: str,
+    *,
+    buffer_secs: int = 180,
+    munge_to_null: bool = False,
+    munge_to_min: bool = False,
+    min_ts: str = "1970-01-01 00:00:00",
+    stringify_arrays: bool = False,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """The streaming capture plan: F2–F5 rewrites + W3 watermark + F6 stamp
+    (+ the §2.11 processor hook). F1 is the file source's own new-file
+    tracking — no predicate needed."""
+    cols = [
+        rewrite_column(
+            f,
+            munge_to_null=munge_to_null,
+            munge_to_min=munge_to_min,
+            min_ts=min_ts,
+            stringify_arrays=stringify_arrays,
+        )
+        for f in src.schema.fields
+    ]
+    out = (
+        src.withWatermark(nms_col, f"{buffer_secs} seconds")
+        .select(*cols)
+        .withColumn(SNAPSHOT_COL, F.current_timestamp())
+    )
+    if transform is not None:
+        out = transform(out)
+    return out
+
+
+def start_stream_capture(
+    spark: SparkSession,
+    *,
+    name: str,
+    landing_dir: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    nms_col: str,
+    dsn: str = "0",
+    state: StateStore | None = None,
+    buffer_secs: int = 180,
+    once: bool = True,
+    processing_time: str = "20 seconds",
+    max_files_per_trigger: int | None = None,
+    munge_to_null: bool = False,
+    munge_to_min: bool = False,
+    min_ts: str = "1970-01-01 00:00:00",
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> StreamingQuery:
+    """One table's capture stream (cdc.go:106-140 analog).
+
+    ``once=True`` ≙ ``-runonce`` (availableNow: drain and stop);
+    otherwise a continuous micro-batch loop at ``processing_time`` ≙
+    ``for { cdc() }`` with the sink batch period (main.go:47-65).
+    """
+    src = _streaming_source(spark, landing_dir, max_files_per_trigger)
+    cap = build_stream_capture(
+        src,
+        nms_col,
+        buffer_secs=buffer_secs,
+        munge_to_null=munge_to_null,
+        munge_to_min=munge_to_min,
+        min_ts=min_ts,
+        transform=transform,
+    )
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        # W5: the append happens inside the batch; Spark commits the
+        # checkpoint offset only after this returns. A crash mid-append
+        # ⇒ the batch re-runs ⇒ duplicate rows ⇒ J3 view dedups.
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").parquet(sink_path)
+            if state is not None:
+                row = batch_df.agg(
+                    F.max(nms_col).alias("hi"), F.count(F.lit(1)).alias("n")
+                ).collect()[0]
+                if row["hi"] is not None:
+                    st = state.get(name, dsn)
+                    now = datetime.now(timezone.utc).replace(tzinfo=None)
+                    new_nms = max(row["hi"], st.nms) if st and st.nms else row["hi"]
+                    if st is not None:
+                        state.commit_watermark(name, dsn, new_nms, row["n"], now)
+        finally:
+            batch_df.unpersist()
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    writer = (
+        cap.writeStream.queryName(f"capture_{name}")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(batch_fn)
+        .outputMode("append")
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def tumbling_window_stream(
+    src: DataFrame,
+    nms_col: str,
+    *,
+    window: str = "1 day",
+    buffer_secs: int = 180,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """W7 generalized — streaming tumbling-window aggregation with late-data
+    handling: count + watermark per (window, groups). The watermark lets
+    Spark drop state for closed windows (bounded memory at any runtime)."""
+    groups = group_cols or []
+    return (
+        src.withWatermark(nms_col, f"{buffer_secs} seconds")
+        .groupBy(F.window(nms_col, window).alias("w"), *groups)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), *groups, "n")
+    )

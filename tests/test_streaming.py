@@ -1,0 +1,146 @@
+"""Structured Streaming tests — the Phase-4 `-cdc` loop analog
+(main.go:47-65): runonce drain, incremental pickup of new files,
+checkpoint-backed exactly-once file tracking, the §2.11 transform hook,
+and the streaming tumbling-window agg."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from leftshove_spark import views
+from leftshove_spark.state import StateStore, TableState
+from leftshove_spark.streaming import start_stream_capture, tumbling_window_stream
+from leftshove_spark.sources import load_table
+
+from conftest import SF0001
+
+CUT = datetime(2024, 1, 15)
+
+
+@pytest.fixture(scope="module")
+def halves(spark, tmp_path_factory):
+    """Events fixture split into two parquet 'landings' by ts."""
+    root = tmp_path_factory.mktemp("stream")
+    ev = load_table(spark, SF0001, "events")
+    h1 = ev.filter(F.col("ts") <= F.lit(CUT))
+    h2 = ev.filter(F.col("ts") > F.lit(CUT))
+    landing = str(root / "landing")
+    h1.coalesce(1).write.mode("overwrite").parquet(landing)
+    return {
+        "root": root,
+        "landing": landing,
+        "h1_n": h1.count(),
+        "h1_max_ts": h1.agg(F.max("ts")).collect()[0][0],
+        "h2": h2,
+        "total_n": ev.count(),
+    }
+
+
+def _run_once(spark, halves, state=None, transform=None):
+    q = start_stream_capture(
+        spark,
+        name="ev",
+        landing_dir=halves["landing"],
+        sink_path=str(halves["root"] / "sink"),
+        checkpoint_dir=str(halves["root"] / "ckpt"),
+        nms_col="ts",
+        state=state,
+        once=True,
+        transform=transform,
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_runonce_drains_landing_and_commits_state(spark, halves):
+    state = StateStore()
+    state.upsert(TableState(name="ev", dsn="0", nms_column="ts"))
+    _run_once(spark, halves, state=state)
+    sink = spark.read.parquet(str(halves["root"] / "sink"))
+    assert sink.count() == halves["h1_n"]
+    assert "snapshot_tm" in sink.columns  # F6 stamp
+    st = state.get("ev", "0")
+    assert st.nms == halves["h1_max_ts"]  # watermark = max(ts) of the batch
+    assert st.last_row_count == halves["h1_n"]
+
+
+def test_incremental_pickup_is_exactly_once_on_files(spark, halves):
+    # land the second half, re-run with the SAME checkpoint: only new
+    # files are processed (F1's "each row captured once", enforced by
+    # the checkpoint instead of a generated WHERE).
+    halves["h2"].coalesce(1).write.mode("append").parquet(halves["landing"])
+    _run_once(spark, halves)
+    sink = spark.read.parquet(str(halves["root"] / "sink"))
+    assert sink.count() == halves["total_n"]  # no re-capture of half 1
+    # value-level exactly-once: every event_id appears exactly once
+    assert sink.select("event_id").distinct().count() == halves["total_n"]
+
+
+def test_rerun_with_no_new_files_appends_nothing(spark, halves):
+    _run_once(spark, halves)
+    sink = spark.read.parquet(str(halves["root"] / "sink"))
+    assert sink.count() == halves["total_n"]
+
+
+def test_dedup_view_over_streaming_sink_matches_batch(spark, halves):
+    sink = spark.read.parquet(str(halves["root"] / "sink"))
+    latest = views.latest_per_key_window(sink, "user_id", order_col="ts",
+                                         tiebreak_cols=["event_id"])
+    batch = views.latest_per_key_window(
+        load_table(spark, SF0001, "events"), "user_id", order_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    assert latest.count() == batch.count()
+    diff = latest.select("event_id").exceptAll(batch.select("event_id"))
+    assert diff.count() == 0
+
+
+def test_transform_hook(spark, tmp_path):
+    """§2.11 — the Bloblang-slot analog (benthos.go:39-44,
+    'root = content().uppercase()'): a mid-stream DataFrame transform."""
+    ev = load_table(spark, SF0001, "events").limit(200)
+    landing = str(tmp_path / "landing")
+    ev.coalesce(1).write.parquet(landing)
+    q = start_stream_capture(
+        spark,
+        name="ev",
+        landing_dir=landing,
+        sink_path=str(tmp_path / "sink"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        nms_col="ts",
+        once=True,
+        transform=lambda df: df.withColumn("event_type", F.upper("event_type")),
+    )
+    q.awaitTermination(120)
+    sink = spark.read.parquet(str(tmp_path / "sink"))
+    vals = [r[0] for r in sink.select("event_type").distinct().collect()]
+    assert vals and all(v == v.upper() for v in vals)
+
+
+def test_tumbling_window_stream_matches_batch(spark, tmp_path):
+    """W7 streaming — daily tumbling counts via memory sink == batch."""
+    ev = load_table(spark, SF0001, "events")
+    landing = str(tmp_path / "landing")
+    ev.coalesce(1).write.parquet(landing)
+    src = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .parquet(landing)
+    )
+    agg = tumbling_window_stream(src, "ts", window="1 day", group_cols=["event_type"])
+    q = (
+        agg.writeStream.queryName("w7_test")
+        .format("memory")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("w7_test")
+    exp = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
