@@ -1,0 +1,251 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The 100 TB design rule for every near-dup operator here: **never compare
+all pairs**. Candidates come from a bucket join (LSH band signatures or
+SimHash chunks), so the shuffle key is the bucket and the join touches
+only same-bucket rows; the exact similarity check then runs on the
+candidate set only. All arithmetic is the deterministic 60-bit hash
+(ext.hashing), which makes even the "probabilistic" operators
+oracle-checkable bit-for-bit.
+
+Scale notes:
+- exact_dedup: one hash-groupBy shuffle — minimum possible work.
+- minhash_lsh_pairs: shuffles (doc, band) pairs on band signature; band
+  count × rows is the fan-out, bounded and tunable. No cross join exists
+  in the plan at any scale.
+- simhash_pairs: chunk-pigeonhole guarantees every pair within the
+  hamming radius shares ≥1 exact-match chunk, so the bucket join is
+  *complete*, not heuristic, for radius ≤ chunks−1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import MINHASH_P, hash60, minhash_seeds
+from .text import tokenize
+
+# MinHash defaults: 12 permutations in 4 bands of 3 → catches J≳0.6 with
+# high probability while keeping the signature tiny.
+N_PERMS = 12
+N_BANDS = 4
+BAND_ROWS = 3
+SEEDS = minhash_seeds(N_PERMS)
+
+# SimHash: 60-bit signature in 6 chunks of 10 bits → pigeonhole-complete
+# for hamming radius ≤ 5.
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 6
+CHUNK_BITS = 10
+HAMMING_MAX = 5
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one surviving (minimum) id
+    per distinct content + the copy count. The canonical first pass of
+    any dedup pipeline; one shuffle on the 60-bit content hash."""
+    return (
+        df.groupBy(hash60(F.col(content_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_hashes(text: Column | str, n: int = 3) -> Column:
+    """Distinct hashed n-gram (word) shingles of a text column; empty
+    array when the document has fewer than n tokens."""
+    t = tokenize(text)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+        lambda i: hash60(
+            F.concat_ws(" ", *[F.element_at(t, i + F.lit(j)) for j in range(n)])
+        ),
+    )
+    # sequence(1, 0) DESCENDS in Spark — guard short docs explicitly
+    return F.when(F.size(t) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def minhash_signature(sh: Column) -> Column:
+    """MinHash signature: per permutation i, min over shingles of
+    (a_i * (h mod P) + b_i) mod P. Exact integer math (< 2^62)."""
+    perms = [
+        F.array_min(
+            F.transform(
+                sh,
+                lambda h: F.pmod(
+                    F.lit(a) * F.pmod(h, F.lit(MINHASH_P)) + F.lit(b), F.lit(MINHASH_P)
+                ),
+            )
+        )
+        for (a, b) in SEEDS
+    ]
+    return F.array(*perms)
+
+
+def band_keys(sig: Column) -> Column:
+    """LSH band signatures: the signature split into N_BANDS contiguous
+    bands, each serialized to one join key string."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at(sig, b * BAND_ROWS + r + 1).cast("string")
+                    for r in range(BAND_ROWS)
+                ],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH: shingle → signature → band
+    bucket join → exact-Jaccard verification. Returns (id_a, id_b,
+    jaccard) with id_a < id_b, jaccard ≥ threshold.
+
+    Plan shape: the only joins are (1) the band-bucket self-join keyed on
+    (band_idx, band_key) and (2) the candidate←shingles verification
+    joins keyed on id — no cross join at any scale."""
+    docs = (
+        df.select(F.col(id_col).alias("id"), shingle_hashes(content_col).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    sig = docs.select("id", "sh", band_keys(minhash_signature(F.col("sh"))).alias("bands"))
+    exploded = sig.select("id", F.posexplode("bands").alias("band_idx", "band_key"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh_a = docs.select(F.col("id").alias("_ida"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("id").alias("_idb"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, cand.id_a == sh_a._ida)
+        .join(sh_b, cand.id_b == sh_b._idb)
+        .drop("_ida", "_idb")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash(text: Column | str) -> Column:
+    """60-bit SimHash over the token multiset: each bit is the sign of
+    the per-bit vote sum across token hashes. Exact integer math. The
+    bit loop is unrolled driver-side (shiftright needs a literal shift);
+    token hashes are computed once and shared across all 60 bit votes."""
+    th = F.transform(tokenize(text), lambda tok: hash60(tok))
+
+    def vote(bit: int) -> Column:
+        # closure over the literal bit index: higher-order-function
+        # lambdas must be exactly binary for Spark's arity inspection
+        return F.aggregate(
+            th,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, bit).bitwiseAND(F.lit(1)) * 2 - 1,
+        )
+
+    total = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        total = total + F.when(vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return total
+
+
+def simhash_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    hamming_max: int = HAMMING_MAX,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ≤ hamming_max,
+    found via the chunk-pigeonhole bucket join: split the 60-bit
+    signature into 6 10-bit chunks; any pair within hamming 5 must agree
+    exactly on ≥1 chunk, so bucketing on (chunk_idx, chunk_value) is a
+    COMPLETE candidate generator, not a heuristic."""
+    docs = df.select(F.col(id_col).alias("id"), simhash(content_col).alias("sim"))
+    chunks = docs.select(
+        "id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sim"), c * CHUNK_BITS)
+                    .bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= hamming_max)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_topk(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list[str] | None = None,
+    n: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Ranked near-dup mining: exact n-gram Jaccard for pairs within
+    deterministic blocks (e.g. same language + length bucket), top-k
+    most-similar pairs. Blocking bounds the pair space the way LSH does,
+    with exact rather than probabilistic recall inside each block."""
+    blocks = block_cols or ["lang"]
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in blocks],
+        shingle_hashes(content_col, n=n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = (
+        a.join(b, blocks)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+            / F.size(F.array_union("a.sh", "b.sh")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "jaccard")
+    )
+    return pairs.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(k)

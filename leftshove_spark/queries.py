@@ -565,3 +565,8 @@ def w7_tumbling_window_agg(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )
+
+
+# Ext registry (LLM-pipeline operators) registers itself into
+# QUERIES/ORACLES on import; imported last so _q exists.
+from . import queries_ext  # noqa: E402, F401

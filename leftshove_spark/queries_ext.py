@@ -1,0 +1,381 @@
+"""Ext query registry — LLM-pipeline operators as (PySpark, DuckDB
+oracle) pairs over the documents/embeddings fixtures.
+
+Everything probabilistic (MinHash, SimHash) is driven by the md5-based
+60-bit hash + fixed seeds (ext.hashing), so the full pipelines are exact
+integer arithmetic and the oracles reproduce them bit-for-bit — the
+DuckDB SQL below is generated from the SAME seed constants the Spark
+builders use. Near-dup demos union the corpus with deterministic
+perturbed copies (doc_id+100000, first tokens dropped / first embedding
+components zeroed) because the synthetic fixture contains no natural
+near-duplicates; the operators must find exactly those planted pairs
+and nothing else.
+
+Only x_knn_lsh registers without an oracle: it is the same arithmetic,
+but its bucketed-recall output is the designated non-SQL entry (the
+driver records a rows-only check); pytest separately proves its results
+are a subset of brute force at equal cosine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ext import dedup as D
+from .ext import multimodal as M
+from .ext import similarity as S
+from .ext import text as X
+from .ext.hashing import MINHASH_P
+from .queries import _q
+from .sources import load_table
+
+EMB_DIM = 64
+
+# ---------------------------------------------------------------- SQL twins
+_TOK = "list_filter(string_split_regex(lower({e}), '[^a-z0-9]+'), x -> x != '')"
+
+
+def _h60(e: str) -> str:
+    return f"CAST(concat('0x', substr(md5({e}),1,15)) AS BIGINT)"
+
+
+def _sh_sql(n: int = 3) -> str:
+    """Distinct hashed word n-gram shingles of token list ``t``."""
+    gram = "concat_ws(' ', " + ", ".join(f"t[i+{j}]" for j in range(n)) + ")"
+    return (
+        f"CASE WHEN len(t) >= {n} THEN list_distinct(list_transform("
+        f"range(1, len(t)-{n - 2}), i -> {_h60(gram)})) ELSE []::BIGINT[] END"
+    )
+
+
+_SIG_SQL = ", ".join(
+    f"list_min(list_transform(s, h -> ({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P}))"
+    for (a, b) in D.SEEDS
+)
+
+_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT id, {b} AS band_idx, concat_ws(',', "
+    + ", ".join(f"sig[{b * D.BAND_ROWS + r + 1}]" for r in range(D.BAND_ROWS))
+    + ") AS band_key FROM sig"
+    for b in range(D.N_BANDS)
+)
+
+# deterministic near-dup corpus: documents + perturbed copies
+_BASE_DOCS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(({_TOK.format(e="text")})[6:], ' ') AS text
+  FROM documents WHERE len({_TOK.format(e="text")}) > 10
+"""
+
+
+def _perturbed_docs_df(docs: DataFrame) -> DataFrame:
+    t = X.tokenize("text")
+    pert = docs.filter(F.size(t) > 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(t, 6, F.size(t) - 5)).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionAll(pert)
+
+
+def _perturbed_docs(spark: SparkSession, sf: str) -> DataFrame:
+    return _perturbed_docs_df(load_table(spark, sf, "documents"))
+
+
+# ================================================================== text ops
+
+@_q(
+    "x_text_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOK.format(e="text")} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio,
+           CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','that')))
+                AS DOUBLE) / len(t) AS stop_ratio,
+           CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+             AS avg_token_len,
+           (CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','that')))
+                 AS DOUBLE) / len(t)) * 0.4
+           + (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 0.3
+           + least(1.0, CAST(len(t) AS DOUBLE) / 100.0) * 0.3 AS quality_score
+    FROM toks WHERE len(t) > 0
+    """,
+)
+def x_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc quality stats — the pretraining quality-gate signals."""
+    return X.text_stats(load_table(spark, sf, "documents"))
+
+
+@_q(
+    "x_lang_id",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOK.format(e="text")} AS t FROM documents),
+    hits AS (
+      SELECT doc_id, lang,
+        len(list_filter(t, x -> x IN ({", ".join(repr(w) for w in X.STOPWORDS["en"])}))) AS h_en,
+        len(list_filter(t, x -> x IN ({", ".join(repr(w) for w in X.STOPWORDS["de"])}))) AS h_de,
+        len(list_filter(t, x -> x IN ({", ".join(repr(w) for w in X.STOPWORDS["fr"])}))) AS h_fr,
+        len(list_filter(t, x -> x IN ({", ".join(repr(w) for w in X.STOPWORDS["es"])}))) AS h_es
+      FROM toks)
+    SELECT doc_id,
+           CAST(h_en AS BIGINT) AS hits_en, CAST(h_de AS BIGINT) AS hits_de,
+           CAST(h_fr AS BIGINT) AS hits_fr, CAST(h_es AS BIGINT) AS hits_es,
+           CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en > 0 THEN 'en'
+                WHEN h_de >= h_fr AND h_de >= h_es AND h_de > 0 THEN 'de'
+                WHEN h_fr >= h_es AND h_fr > 0 THEN 'fr'
+                WHEN h_es > 0 THEN 'es' ELSE 'und' END AS pred_lang,
+           (CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en > 0 THEN 'en'
+                WHEN h_de >= h_fr AND h_de >= h_es AND h_de > 0 THEN 'de'
+                WHEN h_fr >= h_es AND h_fr > 0 THEN 'fr'
+                WHEN h_es > 0 THEN 'es' ELSE 'und' END) = lang AS agree
+    FROM hits
+    """,
+)
+def x_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-vote language ID + agreement with the fixture label."""
+    return X.lang_id(load_table(spark, sf, "documents"))
+
+
+@_q(
+    "x_token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, ' +'), x -> x != '')) AS BIGINT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{X.BPE_ISH_RE}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def x_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting (corpus budget arithmetic)."""
+    return X.token_counts(load_table(spark, sf, "documents"))
+
+
+@_q(
+    "x_fingerprint",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOK.format(e="text")} AS t FROM documents)
+    SELECT doc_id,
+           {_h60("array_to_string(t, ' ')")} AS content_fp,
+           list_min({_sh_sql(3)}) AS min_shingle_fp
+    FROM toks
+    """,
+)
+def x_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Content hash + rolling-hash minimizer per document."""
+    return X.fingerprint(load_table(spark, sf, "documents"))
+
+
+# ================================================================= dedup ops
+
+@_q(
+    "x_dedup_exact",
+    f"""
+    SELECT {_h60("text")} AS content_hash,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+    GROUP BY 1
+    """,
+)
+def x_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup over a corpus with planted exact duplicates (the
+    fixture unioned with itself): every group collapses to one keep_id
+    with n_copies=2. One hash-groupBy shuffle."""
+    docs = load_table(spark, sf, "documents")
+    return D.exact_dedup(docs.unionAll(docs))
+
+
+@_q(
+    "x_dedup_minhash_lsh",
+    f"""
+    WITH base AS ({_BASE_DOCS_SQL}),
+    toks AS (SELECT doc_id AS id, {_TOK.format(e="text")} AS t FROM base),
+    sh0 AS (SELECT id, {_sh_sql(3)} AS s FROM toks),
+    shf AS (SELECT * FROM sh0 WHERE len(s) > 0),
+    sig AS (SELECT id, s, [{_SIG_SQL}] AS sig FROM shf),
+    bands AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+      FROM cand c JOIN shf sa ON c.id_a = sa.id JOIN shf sb ON c.id_b = sb.id
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6
+    """,
+)
+def x_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over the planted-near-dup corpus:
+    banded bucket join (never all-pairs) + exact-Jaccard verify."""
+    return D.minhash_lsh_pairs(_perturbed_docs(spark, sf), jaccard_threshold=0.6)
+
+
+@_q(
+    "x_dedup_simhash",
+    f"""
+    WITH base AS ({_BASE_DOCS_SQL}),
+    toks AS (SELECT doc_id AS id, {_TOK.format(e="text")} AS t FROM base),
+    th AS (SELECT id, list_transform(t, x -> {_h60("x")}) AS th FROM toks),
+    sims AS (
+      SELECT id, CAST(list_sum(list_transform(range(0, {D.SIMHASH_BITS}), b ->
+        CASE WHEN list_sum(list_transform(th, h -> ((h >> b) & 1) * 2 - 1)) > 0
+             THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sim
+      FROM th),
+    chunks AS (
+      {" UNION ALL ".join(
+          f"SELECT id, sim, {c} AS chunk_idx, (sim >> {c * D.CHUNK_BITS}) & {(1 << D.CHUNK_BITS) - 1} AS chunk_val FROM sims"
+          for c in range(D.SIMHASH_CHUNKS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sim AS sim_a, b.sim AS sim_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {D.HAMMING_MAX}
+    """,
+)
+def x_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 5) via the chunk-pigeonhole
+    bucket join — complete, not heuristic, for the chosen radius."""
+    out = D.simhash_pairs(_perturbed_docs(spark, sf))
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+@_q(
+    "x_dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (SELECT doc_id AS id, lang, {_TOK.format(e="text")} AS t FROM documents),
+    docs AS (SELECT id, lang, {_sh_sql(2)} AS s FROM toks),
+    f AS (SELECT * FROM docs WHERE len(s) > 0),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      FROM f a JOIN f b ON a.lang = b.lang AND a.id < b.id
+    )
+    SELECT id_a, id_b, jaccard FROM pairs
+    ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+    """,
+)
+def x_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranked near-dup mining: exact 2-gram Jaccard within language
+    blocks, top-20 most-similar pairs."""
+    return D.ngram_jaccard_topk(load_table(spark, sf, "documents"), block_cols=["lang"])
+
+
+# ============================================================ similarity ops
+
+def _knn_oracle(where: str) -> str:
+    dot = "CAST(list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.qv[i])) AS DOUBLE)"
+    na = "CAST(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])) AS DOUBLE)"
+    nb = "CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * c.qv[i])) AS DOUBLE)"
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {dot} / (sqrt({na}) * sqrt({nb})) AS cosine
+      FROM e q JOIN e c ON q.vec_id != c.vec_id
+      WHERE {where}
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+                AS BIGINT) AS rank,
+           cosine
+    FROM scored
+    QUALIFY rank <= 5
+    """
+
+
+@_q("x_knn_bruteforce", _knn_oracle("q.vec_id < 10"))
+def x_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 10 query vectors — the ANN
+    correctness baseline (broadcast nested loop; corpus never shuffles)."""
+    em = load_table(spark, sf, "embeddings")
+    out = S.knn_bruteforce(em.filter(F.col("vec_id") < 10), em, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_q("x_knn_lsh")  # no oracle: designated rows-only entry (see module doc)
+def x_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN top-5 — the 100 TB scale path (bucket join +
+    exact rerank). pytest proves subset-of-bruteforce at equal cosine."""
+    em = load_table(spark, sf, "embeddings")
+    out = S.knn_lsh(em.filter(F.col("vec_id") < 10), em, dim=EMB_DIM, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_q(
+    "x_dedup_embedding_cosine",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(range(1, 65),
+               i -> CASE WHEN i <= 4 THEN CAST(0.0 AS FLOAT) ELSE embedding[i] END)
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM base
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * a.qv[i])) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qv[i] * b.qv[i])) AS DOUBLE)))
+               AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.9
+    """,
+)
+def x_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a corpus with planted
+    near-dups (first 4 components zeroed). All-pairs exact baseline;
+    the LSH bucket join is the scale path (module doc)."""
+    em = load_table(spark, sf, "embeddings")
+    pert = em.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i < 4, F.lit(0.0).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    base = em.select("vec_id", "embedding").unionAll(pert)
+    return S.embedding_near_dup_pairs(base, threshold=0.9)
+
+
+# ============================================================ multimodal ops
+
+@_q(
+    "x_multimodal_meta",
+    """
+    SELECT doc_id, 'text-blob' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           substr(hex(encode(text)), 1, 16) AS payload_hex_prefix
+    FROM documents
+    """,
+)
+def x_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary media column plumbing end-to-end (payload + typed
+    metadata), oracle-checked on byte length and payload prefix. The
+    Arrow-batched decode/frame operators are pytest-covered (they're
+    mapInPandas — no SQL twin by construction)."""
+    docs = load_table(spark, sf, "documents")
+    return M.media_summary(M.attach_payload(docs))

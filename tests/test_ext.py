@@ -1,0 +1,118 @@
+"""Ext-operator tests beyond the DuckDB oracle: multimodal mapInPandas
+plumbing (schema, 1→N fan-out, determinism), the LSH-ANN ⊆ brute-force
+contract, and dedup sanity on planted near-duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from leftshove_spark.ext import dedup as D
+from leftshove_spark.ext import multimodal as M
+from leftshove_spark.ext import similarity as S
+from leftshove_spark.sources import load_table
+
+from conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF0001, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF0001, "embeddings").cache()
+
+
+# ----------------------------------------------------------- multimodal
+
+def test_attach_payload_schema(docs):
+    df = M.attach_payload(docs)
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    assert isinstance(fields["payload"], T.BinaryType)
+    # same field names/types (nullability differs: lit() is non-null)
+    assert [(f.name, f.dataType) for f in fields["media"].fields] == [
+        (f.name, f.dataType) for f in M.MEDIA_META_SCHEMA.fields
+    ]
+    row = df.select("media.byte_len", F.length("text").alias("n")).first()
+    assert row["byte_len"] >= row["n"]  # utf-8 bytes >= chars
+
+
+def test_decode_features_contract(docs):
+    out = M.decode_features(M.attach_payload(docs.limit(50)))
+    assert out.schema == M.DECODE_OUT_SCHEMA
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(len(r["features"]) == M.FEATURE_DIM for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r["features"])
+    # deterministic across runs (the stub must be stable)
+    again = M.decode_features(M.attach_payload(docs.limit(50))).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_frame_sample_fanout(docs):
+    src = M.attach_payload(docs.limit(10))
+    out = M.frame_sample(src, n_frames=4)
+    assert out.schema == M.FRAME_OUT_SCHEMA
+    per_doc = out.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in per_doc)
+    # frames reassemble to a prefix of the payload (even split drops the tail)
+    one = out.filter(F.col("doc_id") == 0).orderBy("frame_idx").collect()
+    joined = b"".join(r["frame"] for r in one)
+    payload = src.filter(F.col("doc_id") == 0).select("payload").first()[0]
+    assert bytes(payload).startswith(joined) and len(joined) >= len(payload) - 4
+
+
+# ----------------------------------------------------------- similarity
+
+def test_lsh_is_subset_of_bruteforce_candidates(emb):
+    """Every LSH neighbor must carry the same exact cosine the brute
+    force computes for that pair (the rerank is exact; only recall may
+    drop, never precision)."""
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = S.knn_bruteforce(q, emb, k=500).select("query_id", "neighbor_id", "cosine")
+    lsh = S.knn_lsh(q, emb, dim=64, k=5).select("query_id", "neighbor_id", "cosine")
+    assert lsh.count() > 0
+    assert lsh.exceptAll(bf).count() == 0  # same pairs, bit-equal cosines
+
+
+def test_lsh_recall_floor(emb):
+    """Deterministic recall@5 of the fixed-plane LSH vs exact top-5.
+    Not a tuning claim — a regression pin: planes/probes are fixed, so
+    this number can only change if the operator changes."""
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = set(
+        (r["query_id"], r["neighbor_id"])
+        for r in S.knn_bruteforce(q, emb, k=5).collect()
+    )
+    lsh = set(
+        (r["query_id"], r["neighbor_id"])
+        for r in S.knn_lsh(q, emb, dim=64, k=5).collect()
+    )
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.2, f"recall collapsed: {recall}"
+
+
+# ----------------------------------------------------------- dedup sanity
+
+def test_minhash_finds_planted_near_dups(docs):
+    """Doc vs its first-5-tokens-dropped copy is a true near-dup with
+    high Jaccard; banded LSH (P(find) ≈ 0.94 at J=0.8, deterministic
+    given fixed seeds) must recover most planted pairs, and every
+    emitted pair must pass the exact-Jaccard verification — precision
+    is exact even though candidate recall is probabilistic."""
+    from leftshove_spark.queries_ext import _perturbed_docs_df
+
+    base = _perturbed_docs_df(docs)
+    pairs = D.minhash_lsh_pairs(base, jaccard_threshold=0.6).collect()
+    assert all(p["jaccard"] >= 0.6 for p in pairs)  # exact precision
+    planted = {p["id_a"] for p in pairs if p["id_b"] - p["id_a"] == 100000}
+    eligible = base.filter(F.col("doc_id") >= 100000).count()
+    assert len(planted) / eligible > 0.7  # LSH recall on true near-dups
+
+
+def test_exact_dedup_collapses_planted_copies(docs):
+    out = D.exact_dedup(docs.unionAll(docs))
+    rows = out.collect()
+    assert len(rows) == docs.count()  # one group per distinct text
+    assert all(r["n_copies"] == 2 for r in rows)
