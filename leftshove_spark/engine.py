@@ -51,6 +51,47 @@ class Engine:
         self.config = config or EngineConfig()
         self.state = StateStore(state_path)
         self.sink_root = sink_root
+        # §2.11 processor hooks — the Bloblang-slot analog
+        # (benthos.go:39-44): per-table DataFrame→DataFrame transforms
+        # applied between the capture projection and the sink append.
+        self.transforms: dict[str, object] = {}
+
+    def set_transform(self, table: str, fn) -> None:
+        """Install the per-table mid-capture transform (AddProcessorYAML
+        analog, benthos.go:39-44). ``fn(df) -> df`` runs inside the
+        capture plan — still one fused stage when fn is expression-only."""
+        self.transforms[table] = fn
+
+    # ------------------------------------------------------------- discover
+    def discover(
+        self, source_dir: str, nms_column: str, pkey_columns: dict[str, str] | None = None
+    ) -> list[dict]:
+        """F7 — catalog discovery (postgres.go:201-269): find every table
+        in a source directory that OWNS the NMS column, from parquet
+        footers only (the information_schema.columns scan analog,
+        postgres.go:208). Returns seed-ready source dicts; pass straight
+        to :meth:`seed` for the full ``-seed`` flow without an explicit
+        table list."""
+        import pyarrow.parquet as pq
+
+        pkey_columns = pkey_columns or {}
+        found = []
+        for fname in sorted(os.listdir(source_dir)):
+            if not fname.endswith(".parquet"):
+                continue
+            path = os.path.join(source_dir, fname)
+            name = fname[: -len(".parquet")]
+            schema = pq.read_schema(path)
+            if nms_column in schema.names:
+                found.append(
+                    {
+                        "name": name,
+                        "path": path,
+                        "nms_column": nms_column,
+                        "pkey_column": pkey_columns.get(name),
+                    }
+                )
+        return found
 
     # ------------------------------------------------------------------ seed
     def seed(
@@ -132,15 +173,42 @@ class Engine:
         cdc = self.spark.read.parquet(self.sink_path(st))
         latest_per_key_window(cdc, st.pkey_column).createOrReplaceTempView(st.name)
 
+    # ----------------------------------------------------------- row counts
+    def _source_row_count(self, st: TableState) -> int:
+        """A5 analog with the reference's *estimate* philosophy
+        (postgres.go:144-149 reads pg_class stats to avoid a scan): sum
+        parquet footer row counts driver-side, caching per file so an
+        unchanged file is never re-read. No Spark job is launched — at
+        thousands of files this is a metadata listing, not a count query.
+        (Local-fs listing; on object stores swap in the store's list API.)"""
+        import pyarrow.parquet as pq
+
+        cache: dict = st.extra.setdefault("file_counts", {})
+        if os.path.isdir(st.path):
+            files = [
+                os.path.join(st.path, f)
+                for f in os.listdir(st.path)
+                if f.endswith(".parquet")
+            ]
+        else:
+            files = [st.path]
+        total = 0
+        for f in files:
+            key = f"{f}:{os.path.getmtime(f)}"
+            if key not in cache:
+                cache[key] = pq.read_metadata(f).num_rows
+            total += cache[key]
+        return total
+
     # -------------------------------------------------------------- run_cycle
     def capture_table(
         self, st: TableState, now: datetime, snapshot_at: datetime | None = None
     ) -> int | None:
-        """One table's capture: controller → build_capture → append → commit.
-        Returns rows captured, or None on skip. Watermark commits ONLY
-        after the sink write returns (W5)."""
+        """One table's capture: controller → build_capture → [transform
+        hook] → append → commit. Returns rows captured, or None on skip.
+        Watermark commits ONLY after the sink write returns (W5)."""
         src = read_parquet_normalized(self.spark, st.path)
-        current_count = src.count()  # A5 analog (parquet footer count — cheap)
+        current_count = self._source_row_count(st)
         decision = next_window(
             now,
             st.nms,
@@ -165,6 +233,9 @@ class Engine:
             min_ts=self.config.munge_min_timestamp,
             snapshot_at=snapshot_at,
         )
+        hook = self.transforms.get(st.name)
+        if hook is not None:
+            cap = hook(cap)  # §2.11 processor slot (benthos.go:39-44)
         append_snapshot(
             cap,
             self.sink_path(st),
@@ -204,6 +275,32 @@ class Engine:
                     results[name] = n
         for st in self.state.all():
             self.refresh_view(st)
+        return results
+
+    # -------------------------------------------------------------------- run
+    def run(
+        self,
+        max_cycles: int | None = None,
+        sleep_secs: float = 0.0,
+        now_fn=None,
+        snapshot_at: datetime | None = None,
+    ) -> list[dict[str, int | None]]:
+        """W1 — the continuous capture loop (``-cdc`` without ``-runonce``
+        runs ``for { cdc() }`` forever, main.go:56-64). ``max_cycles``
+        bounds it for tests/runonce (None = run until interrupted);
+        ``sleep_secs`` is the inter-cycle pause (the reference relies on
+        the controller's SKIP case for idle tables rather than sleeping —
+        both are supported). ``now_fn`` injects the clock for determinism."""
+        import time as _time
+
+        results = []
+        cycle = 0
+        while max_cycles is None or cycle < max_cycles:
+            now = now_fn() if now_fn else None
+            results.append(self.run_cycle(now=now, snapshot_at=snapshot_at))
+            cycle += 1
+            if sleep_secs and (max_cycles is None or cycle < max_cycles):
+                _time.sleep(sleep_secs)
         return results
 
     def current_state(self, table: str) -> DataFrame:

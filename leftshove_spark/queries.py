@@ -33,7 +33,7 @@ from .snapshot import (
     munge_timestamp_to_null,
     window_predicate,
 )
-from .sources import load_table
+from .sources import estimate_rows, load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -510,9 +510,19 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q5 shape — 6-way join. All dimension sides (region, nation,
-    customer, supplier) broadcast; the only shuffle join is
-    orders⋈lineitem on orderkey."""
+    """TPC-H Q5 shape — 6-way join. region/nation always broadcast (fixed
+    tiny cardinality); customer and supplier SCALE with SF, so their
+    broadcast hints are gated on a footer-stats row estimate — under the
+    threshold the fact side never shuffles for them, over it the hint is
+    dropped and AQE picks the strategy from runtime sizes. The only
+    unconditional shuffle is orders⋈lineitem on orderkey."""
+    broadcast_max_rows = 10_000_000  # ~hundreds of MB of dim rows
+    import os as _os
+
+    def maybe_broadcast(df: DataFrame, table: str) -> DataFrame:
+        est = estimate_rows(_os.path.join(sf, f"{table}.parquet"))
+        return F.broadcast(df) if est <= broadcast_max_rows else df
+
     r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf, "nation")
     c = load_table(spark, sf, "customer")
@@ -527,10 +537,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     return (
-        o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        o.join(maybe_broadcast(dim, "customer"), o.o_custkey == dim.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s),
+            maybe_broadcast(s, "supplier"),
             (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == F.col("c_nationkey")),
         )
         .groupBy("n_name")

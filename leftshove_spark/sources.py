@@ -88,6 +88,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_normalized(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
+@lru_cache(maxsize=256)
+def estimate_rows(path: str) -> int:
+    """Row-count estimate from parquet footers, driver-side, no Spark job
+    — the pg_class-stats analog (postgres.go:144-149). Used to gate
+    broadcast hints: cheap enough to call at plan-build time."""
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -1,0 +1,83 @@
+"""Engine operator tests: W1 run loop, §2.11 transform hook, F7
+discovery seed, and the no-count-job row estimate."""
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from leftshove_spark.engine import Engine
+from leftshove_spark.session import EngineConfig
+from leftshove_spark.sources import load_table
+
+from conftest import SF0001
+
+
+def _engine(spark, tmp_path, **cfg):
+    return Engine(
+        spark,
+        EngineConfig(**cfg),
+        state_path=str(tmp_path / "state.json"),
+        sink_root=str(tmp_path / "sink"),
+    )
+
+
+def test_discover_finds_tables_owning_nms_column(spark, tmp_path):
+    """F7 — seed without an explicit table list (postgres.go:208 analog):
+    only `events` owns a `ts` column among the fixtures."""
+    eng = _engine(spark, tmp_path)
+    found = eng.discover(SF0001, "ts", pkey_columns={"events": "event_id"})
+    assert [s["name"] for s in found] == ["events"]
+    assert found[0]["pkey_column"] == "event_id"
+    seeded = eng.seed(found)
+    assert len(seeded) == 1 and seeded[0].name == "events"
+    # a column owned by several tables discovers them all
+    multi = eng.discover(SF0001, "o_orderkey")
+    assert [s["name"] for s in multi] == ["orders"]
+
+
+def test_run_loop_catches_up(spark, tmp_path):
+    """W1 — Engine.run drives N cycles; the sink converges to the source
+    through the bounded windows (main.go:56-64 for{cdc()} analog)."""
+    eng = _engine(spark, tmp_path)
+    eng.seed(eng.discover(SF0001, "ts", pkey_columns={"events": "event_id"}))
+    eng.create_sinks()
+    clock = {"t": datetime(2026, 8, 1)}
+
+    def now_fn():
+        clock["t"] += timedelta(hours=1)
+        return clock["t"]
+
+    results = eng.run(max_cycles=4, now_fn=now_fn, snapshot_at=datetime(2026, 1, 1))
+    assert len(results) == 4
+    src_n = load_table(spark, SF0001, "events").count()
+    assert eng.current_state("events").count() == src_n
+
+
+def test_transform_hook_applies_mid_capture(spark, tmp_path):
+    """§2.11 — the processor slot (benthos.go:39-44): uppercase a column
+    mid-capture; the sink must carry the transformed rows."""
+    eng = _engine(spark, tmp_path)
+    eng.seed(eng.discover(SF0001, "ts", pkey_columns={"events": "event_id"}))
+    eng.create_sinks()
+    eng.set_transform("events", lambda df: df.withColumn("event_type", F.upper("event_type")))
+    eng.run(max_cycles=3, now_fn=lambda: datetime(2026, 8, 1))
+    sink = spark.read.parquet(eng.sink_path(eng.state.get("events", "0")))
+    vals = [r[0] for r in sink.select("event_type").distinct().collect()]
+    assert vals and all(v == v.upper() for v in vals)
+
+
+def test_row_count_cached_no_spark_job(spark, tmp_path):
+    """The controller's count feed comes from parquet footers with a
+    per-file cache — no Spark count job per cycle (What's-wrong #5)."""
+    eng = _engine(spark, tmp_path)
+    eng.seed([
+        {"name": "events", "path": f"{SF0001}/events.parquet", "nms_column": "ts"},
+    ])
+    st = eng.state.get("events", "0")
+    n1 = eng._source_row_count(st)
+    assert n1 == load_table(spark, SF0001, "events").count()
+    # cache primed: same file served from state.extra, not re-read
+    assert len(st.extra["file_counts"]) == 1
+    before = dict(st.extra["file_counts"])
+    n2 = eng._source_row_count(st)
+    assert n2 == n1 and st.extra["file_counts"] == before
