@@ -56,10 +56,16 @@ def exact_dedup(
     )
 
 
-def shingle_hashes(text: Column | str, n: int = 3) -> Column:
-    """Distinct hashed n-gram (word) shingles of a text column; empty
-    array when the document has fewer than n tokens."""
-    t = tokenize(text)
+def shingle_hashes_from_tokens(t: Column, n: int = 3) -> Column:
+    """Distinct hashed n-gram shingles from a MATERIALIZED token-array
+    column; empty array when the document has fewer than n tokens.
+
+    The token argument must be a plain column reference, not the
+    tokenize() expression: higher-order functions run interpreted (no
+    whole-stage codegen), and each of the n element_at calls per shingle
+    re-evaluates its argument — an inlined split+filter would re-run
+    O(n·shingles) times per document (measured ~80 ms/doc at 100-token
+    docs; column-reference form is ~100× cheaper)."""
     sh = F.transform(
         F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
         lambda i: hash60(
@@ -69,6 +75,32 @@ def shingle_hashes(text: Column | str, n: int = 3) -> Column:
     # sequence(1, 0) DESCENDS in Spark — guard short docs explicitly
     return F.when(F.size(t) >= n, F.array_distinct(sh)).otherwise(
         F.array().cast("array<bigint>")
+    )
+
+
+def shingle_hashes(text: Column | str, n: int = 3) -> Column:
+    """Single-expression convenience form of
+    :func:`shingle_hashes_from_tokens` — fine for one-shot projections
+    (fingerprints); for bulk dedup stage the tokens first."""
+    return shingle_hashes_from_tokens(tokenize(text), n=n)
+
+
+def _staged_shingles(
+    df: DataFrame, content_col: str, id_col: str, n: int = 3, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """id + materialized shingle arrays, staged in two exchanges:
+    tokens first (so the interpreted shingle HOF reads an array column),
+    then shingles (so downstream multi-reference expressions — 12
+    MinHash permutations, 144 band element_ats — read materialized
+    arrays instead of re-running the hashing)."""
+    keep = [F.col(c) for c in (extra_cols or [])]
+    toks = df.select(
+        F.col(id_col).alias("id"), *keep, tokenize(content_col).alias("t")
+    ).repartition("id")
+    return (
+        toks.select("id", *(extra_cols or []), shingle_hashes_from_tokens(F.col("t"), n=n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .repartition("id")
     )
 
 
@@ -118,11 +150,15 @@ def minhash_lsh_pairs(
 
     Plan shape: the only joins are (1) the band-bucket self-join keyed on
     (band_idx, band_key) and (2) the candidate←shingles verification
-    joins keyed on id — no cross join at any scale."""
-    docs = (
-        df.select(F.col(id_col).alias("id"), shingle_hashes(content_col).alias("sh"))
-        .filter(F.size("sh") > 0)
-    )
+    joins keyed on id — no cross join at any scale.
+
+    The two-exchange staging in _staged_shingles is load-bearing: it
+    materializes tokens and shingle arrays so the interpreted HOF lambdas
+    and the 12-permutation signature read array columns instead of
+    re-running tokenization/hashing per reference (CollapseProject would
+    inline them otherwise), and it spreads a few-files source across the
+    cluster. Measured >10× wall-clock at sf0.1."""
+    docs = _staged_shingles(df, content_col, id_col)
     sig = docs.select("id", "sh", band_keys(minhash_signature(F.col("sh"))).alias("bands"))
     exploded = sig.select("id", F.posexplode("bands").alias("band_idx", "band_key"))
     a, b = exploded.alias("a"), exploded.alias("b")
@@ -149,12 +185,13 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash(text: Column | str) -> Column:
-    """60-bit SimHash over the token multiset: each bit is the sign of
-    the per-bit vote sum across token hashes. Exact integer math. The
-    bit loop is unrolled driver-side (shiftright needs a literal shift);
-    token hashes are computed once and shared across all 60 bit votes."""
-    th = F.transform(tokenize(text), lambda tok: hash60(tok))
+def simhash_from_hashes(th: Column) -> Column:
+    """60-bit SimHash from a precomputed array<long> of token hashes:
+    each bit is the sign of the per-bit vote sum. Exact integer math.
+    The bit loop is unrolled driver-side (shiftright needs a literal
+    shift). IMPORTANT: materialize ``th`` below an exchange before
+    calling this — the 60 vote expressions each reference it, and
+    CollapseProject would otherwise inline the token hashing 60×."""
 
     def vote(bit: int) -> Column:
         # closure over the literal bit index: higher-order-function
@@ -173,6 +210,13 @@ def simhash(text: Column | str) -> Column:
     return total
 
 
+def simhash(text: Column | str) -> Column:
+    """60-bit SimHash of a text column. Convenience single-expression
+    form; for bulk use prefer staging the token hashes behind an
+    exchange and calling :func:`simhash_from_hashes` (see its note)."""
+    return simhash_from_hashes(F.transform(tokenize(text), lambda tok: hash60(tok)))
+
+
 def simhash_pairs(
     df: DataFrame,
     content_col: str = "text",
@@ -184,7 +228,13 @@ def simhash_pairs(
     signature into 6 10-bit chunks; any pair within hamming 5 must agree
     exactly on ≥1 chunk, so bucketing on (chunk_idx, chunk_value) is a
     COMPLETE candidate generator, not a heuristic."""
-    docs = df.select(F.col(id_col).alias("id"), simhash(content_col).alias("sim"))
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokenize(content_col), lambda tok: hash60(tok)).alias("th"),
+    ).repartition("id")  # materialize token hashes once (see simhash_from_hashes)
+    # second exchange: the chunk projection references `sim` 7×; without
+    # a boundary the 60-vote expression would be inlined per reference
+    docs = hashed.select("id", simhash_from_hashes(F.col("th")).alias("sim")).repartition("id")
     chunks = docs.select(
         "id",
         "sim",
@@ -232,11 +282,7 @@ def ngram_jaccard_topk(
     most-similar pairs. Blocking bounds the pair space the way LSH does,
     with exact rather than probabilistic recall inside each block."""
     blocks = block_cols or ["lang"]
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        *[F.col(c) for c in blocks],
-        shingle_hashes(content_col, n=n).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    docs = _staged_shingles(df, content_col, id_col, n=n, extra_cols=blocks)
     a, b = docs.alias("a"), docs.alias("b")
     pairs = (
         a.join(b, blocks)

@@ -166,7 +166,7 @@ def embedding_near_dup_pairs(
     threshold). This is the exact all-pairs baseline — correct at oracle
     scale; the 100 TB path replaces the self-join condition with the
     LSH bucket equality from :func:`knn_lsh` (same verify step)."""
-    v = df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
+    v = df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv")).repartition("id")
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
