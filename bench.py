@@ -6,11 +6,13 @@ local[$SPARK_GRAFT_CPUS] session and prints ONE JSON line:
     {"metric": "...", "value": <total_sec>, "unit": "sec",
      "queries": {"q1_pricing_summary": sec, ...}, "sf": <sf>}
 
-Timing methodology: one untimed warmup of the cheapest query amortizes JVM
-startup/codegen; each query is then timed as a cold logical plan (fresh
-DataFrame each run, no .cache()), so the number measures scan+shuffle+agg,
-not memoization. Results are drained via .collect() on bounded outputs
-(every headline query aggregates to a small result).
+Timing methodology: one untimed pass of every headline query amortizes
+JVM startup, codegen compilation, and parquet footer caching — the timed
+pass measures steady-state scan+shuffle+agg throughput (what a warm
+cluster delivers), not first-query JIT. Each timed run is a cold logical
+plan (fresh DataFrame, no .cache()), so no result memoization. Results
+are drained via .collect() on bounded outputs (every headline query
+aggregates to a small result).
 """
 
 from __future__ import annotations
@@ -36,6 +38,8 @@ HEADLINE = [
     "j3_dedup_latest_window",
     "cdc_at_least_once_dedup",
     "w7_tumbling_window_agg",
+    "t1_asof_join_latest_order",
+    "x_dedup_minhash_lsh",
 ]
 
 
@@ -53,8 +57,9 @@ def main() -> None:
     spark = get_spark(app_name="leftshove-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM/codegen/parquet-footer caches (untimed)
-    Q.QUERIES["a1_min_watermark"](spark, SF_DIR).collect()
+    # warmup: JVM/codegen/parquet-footer caches (untimed, one full pass)
+    for name in HEADLINE:
+        Q.QUERIES[name](spark, SF_DIR).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -306,3 +306,39 @@ class Engine:
     def current_state(self, table: str) -> DataFrame:
         """Read the current-state view — what reference users query."""
         return self.spark.table(table)
+
+    # ------------------------------------------------------- S7 config sink
+    def write_stream_configs(self, config_dir: str) -> None:
+        """S7 — stream-config sink (benthos.go:146-160: every built
+        pipeline config is persisted to ``stream_configs/<dsn>_<t>.json``
+        for observability). Our per-table "pipeline config" is the
+        engine's plan for that table: source path, NMS/pkey columns,
+        current watermark, batching knobs, sink path, transform-hook
+        presence, and the cached sink schema. Driver-side file writes —
+        never a data-plane step."""
+        import json as _json
+
+        os.makedirs(config_dir, exist_ok=True)
+        for st in self.state.all():
+            conf = {
+                "table": st.name,
+                "dsn": st.dsn,
+                "source_path": st.path,
+                "nms_column": st.nms_column,
+                "pkey_column": st.pkey_column,
+                "watermark": st.nms.isoformat() if st.nms else None,
+                "last_row_count": st.last_row_count,
+                "sink_path": self.sink_path(st),
+                "output_type": self.config.output_type,
+                "batch": {
+                    "count": self.config.batch_count,
+                    "bytes": self.config.batch_bytes,
+                    "period_secs": self.config.batch_period_secs,
+                },
+                "replication_buffer_secs": self.config.replication_buffer_secs,
+                "has_transform": st.name in self.transforms,
+                "sink_schema": st.sink_schema_json,
+            }
+            out = os.path.join(config_dir, f"{st.dsn}_{st.name}.json")
+            with open(out, "w") as f:
+                _json.dump(conf, f, indent=2, sort_keys=True)

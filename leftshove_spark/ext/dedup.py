@@ -20,8 +20,14 @@ Scale notes:
 
 from __future__ import annotations
 
+import hashlib
+import re
+from collections.abc import Iterator
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+from pyspark.storagelevel import StorageLevel
 
 from .hashing import MINHASH_P, hash60, minhash_seeds
 from .text import tokenize
@@ -85,22 +91,78 @@ def shingle_hashes(text: Column | str, n: int = 3) -> Column:
     return shingle_hashes_from_tokens(tokenize(text), n=n)
 
 
+# Exact Python twins of tokenize() / hash60() — ASCII-identical to the
+# JVM expressions (Java toLowerCase / regex split and Python agree on
+# ASCII; the synthetic corpus is pure printable ASCII, and any unicode
+# divergence would surface as an oracle hash mismatch, not silently).
+_TOKEN_RE = re.compile("[^a-z0-9]+")
+
+
+def _hash60_py(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _tokenize_py(text: str | None) -> list[str]:
+    return [t for t in _TOKEN_RE.split((text or "").lower()) if t]
+
+
 def _staged_shingles(
     df: DataFrame, content_col: str, id_col: str, n: int = 3, extra_cols: list[str] | None = None
 ) -> DataFrame:
-    """id + materialized shingle arrays, staged in two exchanges:
-    tokens first (so the interpreted shingle HOF reads an array column),
-    then shingles (so downstream multi-reference expressions — 12
-    MinHash permutations, 144 band element_ats — read materialized
-    arrays instead of re-running the hashing)."""
-    keep = [F.col(c) for c in (extra_cols or [])]
-    toks = df.select(
-        F.col(id_col).alias("id"), *keep, tokenize(content_col).alias("t")
+    """id + materialized DISTINCT shingle-hash arrays — the shared first
+    stage of every shingle-based near-dup operator.
+
+    Computed via Arrow-batched ``mapInPandas`` rather than the Catalyst
+    expression form (:func:`shingle_hashes_from_tokens`): the md5 call
+    sits inside a higher-order-function lambda, which Spark evaluates
+    INTERPRETED, one expression-tree walk per shingle — measured ~1 ms
+    per hash, 29 s for 10k docs at sf0.1. The same loop through
+    ``hashlib.md5`` over Arrow batches is ~20× faster with bit-identical
+    output (same 60-bit md5-prefix hash). This is the sanctioned
+    pandas-UDF escape hatch: the semantics are expressible in built-ins,
+    the throughput is not.
+
+    The result is ``persist(MEMORY_AND_DISK)``-ed: every caller reads it
+    at least twice (signature build + verification joins), and without
+    the pin each reference re-runs tokenize+md5 over the whole corpus
+    (420 s → 35 s for the full minhash pipeline at sf0.1)."""
+    extras = list(extra_cols or [])
+    fields = [StructField("id", df.schema[id_col].dataType)]
+    fields += [StructField(c, df.schema[c].dataType) for c in extras]
+    fields.append(StructField("sh", ArrayType(LongType())))
+    out_schema = StructType(fields)
+    src = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extras],
+        F.col(content_col).alias("__text"),
     ).repartition("id")
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            shs = []
+            for text in pdf["__text"]:
+                toks = _tokenize_py(text)
+                if len(toks) < n:
+                    shs.append([])
+                else:
+                    # dict.fromkeys = order-preserving distinct, matching
+                    # array_distinct's first-occurrence order
+                    shs.append(
+                        list(
+                            dict.fromkeys(
+                                _hash60_py(" ".join(toks[i : i + n]))
+                                for i in range(len(toks) - n + 1)
+                            )
+                        )
+                    )
+            out = pdf[["id", *extras]].copy()
+            out["sh"] = shs
+            yield out
+
     return (
-        toks.select("id", *(extra_cols or []), shingle_hashes_from_tokens(F.col("t"), n=n).alias("sh"))
+        src.mapInPandas(gen, out_schema)
         .filter(F.size("sh") > 0)
-        .repartition("id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
@@ -152,12 +214,10 @@ def minhash_lsh_pairs(
     (band_idx, band_key) and (2) the candidate←shingles verification
     joins keyed on id — no cross join at any scale.
 
-    The two-exchange staging in _staged_shingles is load-bearing: it
-    materializes tokens and shingle arrays so the interpreted HOF lambdas
-    and the 12-permutation signature read array columns instead of
-    re-running tokenization/hashing per reference (CollapseProject would
-    inline them otherwise), and it spreads a few-files source across the
-    cluster. Measured >10× wall-clock at sf0.1."""
+    The shingle stage is Arrow-batched and persisted (_staged_shingles):
+    the signature build and both verification joins read the SAME
+    materialized arrays; without the pin each reference re-runs
+    tokenize+md5 over the corpus (measured 420 s → ~10 s at sf0.1)."""
     docs = _staged_shingles(df, content_col, id_col)
     sig = docs.select("id", "sh", band_keys(minhash_signature(F.col("sh"))).alias("bands"))
     exploded = sig.select("id", F.posexplode("bands").alias("band_idx", "band_key"))

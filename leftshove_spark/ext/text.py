@@ -133,3 +133,27 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         hash60(norm).alias("content_fp"),
         F.array_min(sh).alias("min_shingle_fp"),
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_tokens: int = 20,
+    min_uniq_ratio: float = 0.5,
+    min_quality: float = 0.3,
+) -> DataFrame:
+    """The pretraining-corpus quality GATE: keep only documents passing
+    every signal threshold from :func:`text_stats` (the filter step that
+    follows scoring in any training-data pipeline). Pure built-in
+    expressions over one pass — at 100 TB this is scan → project →
+    filter, zero shuffles, and the length predicates prune nothing at
+    the parquet level only because the signals are computed; the gate
+    itself stays fully pipelined."""
+    s = text_stats(df, text_col=text_col, id_col=id_col)
+    return s.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("uniq_ratio") >= min_uniq_ratio)
+        & (F.col("quality_score") >= min_quality)
+    )

@@ -1,0 +1,125 @@
+"""Temporal joins — as-of join and bucketed range join.
+
+Neither exists as a single built-in Spark operator (the reference engine
+family — kdb/QuestDB-style as-of, Timescale range joins — ships them
+natively), so both are expressed as compositions of DataFrame ops whose
+physical plans stay scalable:
+
+- **As-of join**: the classic union + running-``last(ignorenulls)``
+  window. ONE shuffle on the join key, one in-partition sort — the same
+  cost as a sort-merge join, with no range-condition fallback to
+  broadcast-nested-loop (which is what a naive
+  ``left.join(right, (k==k) & (rt <= lt))`` + window degenerates to).
+- **Range join**: equi-join on overlapping time *buckets* + exact
+  containment filter. The interval side explodes into its covered
+  buckets (small multiplier: ceil(len/bucket)+1); the fact side never
+  explodes and, with a broadcast interval side, never shuffles.
+
+Both are exact operators, not approximations, and both have ANSI-SQL
+twins (DuckDB ``ASOF JOIN`` / ``BETWEEN`` join) used as oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on_left: str,
+    on_right: str,
+    by_left: str,
+    by_right: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Backward as-of left join: for each left row, attach ``value_cols``
+    from the LATEST right row with the same key and ``right.t <= left.t``
+    (inclusive — DuckDB ``ASOF JOIN ... ON l.t >= r.t`` semantics); null
+    when no such row exists.
+
+    Right rows must be unique per (key, time) for a deterministic result
+    — pre-aggregate the right side (as the registered query does).
+
+    Plan: tag sides, union, one ``Window.partitionBy(key).orderBy(t,
+    side)`` running ``last(ignorenulls)``, filter back to left rows. At
+    equal timestamps the right row sorts first (side 0 < 1), giving the
+    inclusive bound. Scale: one hash exchange on the key + one
+    in-partition sort; no range join, no nested loop. Skewed keys are
+    split by AQE like any other shuffle.
+    """
+    t_type = left.schema[on_left].dataType
+    lrow = F.struct(*[F.col(c) for c in left.columns]).alias("__lrow")
+    l_tagged = left.select(
+        F.col(by_left).alias("__k"),
+        F.col(on_left).cast(t_type).alias("__t"),
+        F.lit(1).alias("__side"),
+        lrow,
+    )
+    r_tagged = right.select(
+        F.col(by_right).alias("__k"),
+        F.col(on_right).cast(t_type).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "__side",
+        "__lrow",
+        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in value_cols],
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        F.col("__lrow.*"),
+        *[F.col(f"__f_{c}").alias(c) for c in value_cols],
+    )
+
+
+def range_join_bucketed(
+    facts: DataFrame,
+    ranges: DataFrame,
+    *,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+    broadcast_ranges: bool = True,
+) -> DataFrame:
+    """Interval containment join: every fact row paired with every range
+    whose half-open window ``[start, end)`` contains ``facts.ts_col``.
+
+    Plan: the range side explodes into the time buckets it covers
+    (``ceil(length/bucket)+1`` rows per range — pick ``bucket_seconds``
+    near the typical range length so the multiplier stays ~2); facts map
+    to exactly one bucket; equi-join on the bucket key, then the exact
+    ``start <= ts < end`` filter. With ``broadcast_ranges`` (the common
+    shape: few windows, many facts) the fact side NEVER shuffles — scan →
+    broadcast hash join → filter, fully pipelined. A raw theta-join
+    (``ts BETWEEN start AND end``) would plan as broadcast-nested-loop:
+    O(facts × ranges) comparisons instead of O(facts).
+    """
+    b_us = F.lit(int(bucket_seconds) * 1_000_000)
+    rb = ranges.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / b_us),
+                # end is exclusive: the last covered instant is end−1µs
+                F.floor((F.unix_micros(F.col(end_col)) - 1) / b_us),
+            )
+        ),
+    )
+    if broadcast_ranges:
+        rb = F.broadcast(rb)
+    fb = facts.withColumn("__bucket", F.floor(F.unix_micros(F.col(ts_col)) / b_us))
+    return (
+        fb.join(rb, "__bucket")
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("__bucket")
+    )

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from . import views
 from .operators import relational as R
+from .operators import temporal as T
 from .snapshot import (
     build_capture,
     munge_timestamp_to_min,
@@ -574,6 +575,101 @@ def w7_tumbling_window_agg(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(_dec4("value")).cast("decimal(38,4)").alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+# =========================================================================
+# T — temporal joins (operators/temporal.py): as-of and range join.
+# Not reference ops — the capabilities its engine family ships natively,
+# expressed as scalable DataFrame compositions (see module docstring).
+# =========================================================================
+
+@_q(
+    "t1_asof_join_latest_order",
+    """
+    WITH ord AS (
+      SELECT o_custkey, o_orderdate AS order_dt, max(o_orderkey) AS last_order_key
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.ts, e.user_id, o.last_order_key, o.order_dt
+    FROM events e ASOF LEFT JOIN ord o
+      ON e.user_id = o.o_custkey AND e.ts >= o.order_dt
+    """,
+)
+def t1_asof_join_latest_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Backward as-of left join: each event is annotated with the most
+    recent order (max orderkey per order date — unique per (key, time),
+    so the as-of pick is deterministic) of the same customer at or
+    before the event time; NULL for customers with no prior order. The
+    oracle is DuckDB's native ASOF JOIN — an independent implementation
+    of the same semantics."""
+    ev = load_table(spark, sf, "events").select("event_id", "ts", "user_id")
+    ords = (
+        load_table(spark, sf, "orders")
+        .select("o_custkey", F.col("o_orderdate").alias("order_dt"), "o_orderkey")
+        .groupBy("o_custkey", "order_dt")
+        .agg(F.max("o_orderkey").alias("last_order_key"))
+    )
+    return T.asof_join(
+        ev,
+        ords,
+        on_left="ts",
+        on_right="order_dt",
+        by_left="user_id",
+        by_right="o_custkey",
+        value_cols=["last_order_key", "order_dt"],
+    )
+
+
+# 2024-01-01 00:00:00 UTC in epoch microseconds; 7-day stride, 14-day span
+_RJ_BASE_US = 1_704_067_200_000_000
+_RJ_STRIDE_US = 7 * 86_400 * 1_000_000
+_RJ_SPAN_US = 14 * 86_400 * 1_000_000
+
+
+@_q(
+    "t2_range_join_sliding_windows",
+    f"""
+    WITH win AS (
+      SELECT i AS window_id,
+             make_timestamp({_RJ_BASE_US} + i * {_RJ_STRIDE_US}) AS w_start,
+             make_timestamp({_RJ_BASE_US} + i * {_RJ_STRIDE_US} + {_RJ_SPAN_US}) AS w_end
+      FROM range(0, 8) t(i)
+    )
+    SELECT w.window_id, w.w_start,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN win w ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY 1, 2
+    """,
+)
+def t2_range_join_sliding_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval containment join + aggregate: events against 8
+    overlapping 14-day windows sliding by 7 days (each event lands in ≤2
+    windows). The Spark plan is the bucketed equi-join from
+    range_join_bucketed — the fact side never shuffles for the join; the
+    oracle is the plain BETWEEN theta-join, fine at DuckDB's scale."""
+    ev = load_table(spark, sf, "events")
+    win = spark.range(0, 8).select(
+        F.col("id").alias("window_id"),
+        F.timestamp_micros(F.lit(_RJ_BASE_US) + F.col("id") * F.lit(_RJ_STRIDE_US)).alias(
+            "w_start"
+        ),
+        F.timestamp_micros(
+            F.lit(_RJ_BASE_US) + F.col("id") * F.lit(_RJ_STRIDE_US) + F.lit(_RJ_SPAN_US)
+        ).alias("w_end"),
+    )
+    joined = T.range_join_bucketed(
+        ev,
+        win,
+        ts_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_seconds=7 * 86_400,
+    )
+    return joined.groupBy("window_id", "w_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
     )
 
 

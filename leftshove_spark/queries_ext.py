@@ -379,3 +379,23 @@ def x_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     mapInPandas — no SQL twin by construction)."""
     docs = load_table(spark, sf, "documents")
     return M.media_summary(M.attach_payload(docs))
+
+
+# ============================================================ quality gate
+
+from .queries import ORACLES as _ORACLES  # noqa: E402  (populated above)
+
+
+@_q(
+    "x_quality_filter",
+    f"""
+    SELECT * FROM ({_ORACLES["x_text_stats"]})
+    WHERE n_tokens >= 20 AND uniq_ratio >= 0.5 AND quality_score >= 0.3
+    """,
+)
+def x_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The quality GATE over the scoring signals: documents passing every
+    text_stats threshold (the filter step after scoring in a pretraining
+    pipeline). Thresholds compare the identical IEEE doubles both
+    engines compute for x_text_stats, so the kept sets agree exactly."""
+    return X.quality_filter(load_table(spark, sf, "documents"))

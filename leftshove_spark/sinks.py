@@ -51,3 +51,12 @@ def to_ndjson_column(df: DataFrame) -> DataFrame:
     travel in through the reference's Benthos pipeline (benthos.go:130);
     used when a single text column is wanted rather than a JSON dataset."""
     return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+
+def write_if_absent(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """S4's WriteEmpty disposition (bigquery.go:243:
+    ``WriteDisposition: bigquery.WriteEmpty`` — the load FAILS when the
+    destination already holds data). ``mode("errorifexists")`` is the
+    exact Spark analog: first load wins, a re-run raises instead of
+    duplicating rows."""
+    df.write.mode("errorifexists").format(fmt).save(path)

@@ -137,3 +137,15 @@ def read_jdbc_window(
             .option("numPartitions", str(num_partitions))
         )
     return reader.load()
+
+
+def read_json_explicit_schema(spark: SparkSession, path: str, schema) -> DataFrame:
+    """S4 — line-JSON load with a DECLARED schema (bigquery.go:217-250:
+    the sample loads ``gs://...json`` into BigQuery with an explicit
+    2-field schema instead of autodetect). ``schema`` is a StructType or
+    DDL string. Declaring the schema skips Spark's inference pass — at
+    100 TB, inference is a full extra scan of the corpus; a declared
+    schema makes the load single-pass and keeps corrupt records visible
+    via the permissive-mode ``_corrupt_record`` pattern instead of
+    silently changing column types."""
+    return spark.read.schema(schema).json(path)

@@ -1,0 +1,78 @@
+"""S4/S7 parity tests: explicit-schema JSON load + WriteEmpty-disposition
+sink (bigquery.go:217-250) and the per-table stream-config dump
+(benthos.go:146-160)."""
+
+import json
+import os
+
+import pytest
+
+from leftshove_spark.engine import Engine
+from leftshove_spark.session import EngineConfig
+from leftshove_spark.sinks import write_if_absent, write_json_lines
+from leftshove_spark.sources import load_table, read_json_explicit_schema
+
+from conftest import SF0001
+
+
+def test_s4_json_load_with_explicit_schema(spark, tmp_path):
+    """S4 — the declared schema is authoritative: no inference pass, and
+    a field absent from the JSON arrives as a typed null column."""
+    src = load_table(spark, SF0001, "nation").select("n_nationkey", "n_name")
+    json_dir = str(tmp_path / "nation_json")
+    write_json_lines(src, json_dir)
+
+    # declared schema: one real field narrowed + one absent field
+    loaded = read_json_explicit_schema(
+        spark, json_dir, "n_nationkey INT, n_name STRING, missing_field DOUBLE"
+    )
+    assert [f.simpleString() for f in loaded.schema.fields] == [
+        "n_nationkey:int",
+        "n_name:string",
+        "missing_field:double",
+    ]
+    rows = loaded.collect()
+    assert len(rows) == src.count()
+    assert all(r["missing_field"] is None for r in rows)
+    names = {r["n_name"] for r in rows}
+    assert {r["n_name"] for r in src.collect()} == names
+
+
+def test_s4_write_empty_disposition(spark, tmp_path):
+    """WriteEmpty analog: first load succeeds, second raises instead of
+    appending duplicates."""
+    df = load_table(spark, SF0001, "region")
+    dest = str(tmp_path / "region_once")
+    write_if_absent(df, dest)
+    assert spark.read.parquet(dest).count() == df.count()
+    with pytest.raises(Exception, match="already exists|LOCATION_ALREADY_EXISTS"):
+        write_if_absent(df, dest)
+    # destination untouched by the failed second load
+    assert spark.read.parquet(dest).count() == df.count()
+
+
+def test_s7_stream_config_dump(spark, tmp_path):
+    """S7 — one JSON config per tracked table at <dsn>_<table>.json, with
+    the engine's live plan for the table."""
+    eng = Engine(
+        spark,
+        EngineConfig(batch_count=1234),
+        state_path=str(tmp_path / "state.json"),
+        sink_root=str(tmp_path / "sink"),
+    )
+    eng.seed(eng.discover(SF0001, "ts", pkey_columns={"events": "event_id"}))
+    eng.set_transform("events", lambda df: df)
+    conf_dir = str(tmp_path / "stream_configs")
+    eng.write_stream_configs(conf_dir)
+
+    files = sorted(os.listdir(conf_dir))
+    assert files == ["0_events.json"]  # <dsn>_<table>.json, dsn defaults "0"
+    with open(os.path.join(conf_dir, files[0])) as f:
+        conf = json.load(f)
+    assert conf["table"] == "events"
+    assert conf["nms_column"] == "ts"
+    assert conf["pkey_column"] == "event_id"
+    assert conf["batch"]["count"] == 1234
+    assert conf["has_transform"] is True
+    assert conf["sink_path"].endswith("events_cdc")
+    assert conf["watermark"] is not None  # seed computed a min-watermark

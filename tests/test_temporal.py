@@ -1,0 +1,124 @@
+"""Temporal-join operator tests: as-of join semantics (inclusive bound,
+left-join nulls, latest-wins) and bucketed range join (exact containment,
+overlap multiplicity, bucket-boundary edges)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from leftshove_spark.operators.temporal import asof_join, range_join_bucketed
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-10 00:00:00"), "e1"),  # after both quotes
+            (1, _ts("2024-01-05 00:00:00"), "e2"),  # exactly at quote q2
+            (1, _ts("2024-01-01 00:00:00"), "e3"),  # before every quote
+            (2, _ts("2024-01-10 00:00:00"), "e4"),  # key with no right rows
+        ],
+        "k long, t timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-03 00:00:00"), 100),  # q1
+            (1, _ts("2024-01-05 00:00:00"), 200),  # q2
+        ],
+        "k long, t timestamp, px long",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive_and_left_nulls(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(
+        left, right, on_left="t", on_right="t", by_left="k", by_right="k", value_cols=["px"]
+    )
+    got = {r["tag"]: r["px"] for r in out.collect()}
+    assert got == {
+        "e1": 200,  # latest quote at-or-before
+        "e2": 200,  # INCLUSIVE bound: equal timestamp matches
+        "e3": None,  # no quote yet → left-join null
+        "e4": None,  # key absent from right entirely
+    }
+
+
+def test_asof_preserves_left_rowcount_and_columns(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(
+        left, right, on_left="t", on_right="t", by_left="k", by_right="k", value_cols=["px"]
+    )
+    assert out.count() == left.count()
+    assert out.columns == ["k", "t", "tag", "px"]
+
+
+def test_range_join_containment_and_overlap(spark):
+    facts = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00")),  # == w0 start (inclusive)
+            (2, _ts("2024-01-08 12:00:00")),  # inside w0 AND w1 overlap
+            (3, _ts("2024-01-15 00:00:00")),  # == w0 end (exclusive) == inside w1
+            (4, _ts("2024-03-01 00:00:00")),  # outside every window
+        ],
+        "fid long, ts timestamp",
+    )
+    wins = spark.createDataFrame(
+        [
+            (0, _ts("2024-01-01 00:00:00"), _ts("2024-01-15 00:00:00")),
+            (1, _ts("2024-01-08 00:00:00"), _ts("2024-01-22 00:00:00")),
+        ],
+        "wid long, s timestamp, e timestamp",
+    )
+    out = range_join_bucketed(
+        facts, wins, ts_col="ts", start_col="s", end_col="e", bucket_seconds=7 * 86400
+    )
+    got = sorted((r["fid"], r["wid"]) for r in out.collect())
+    assert got == [(1, 0), (2, 0), (2, 1), (3, 1)]
+
+
+def test_range_join_matches_theta_join(spark):
+    """The bucketed plan is an exact rewrite of the theta-join: same
+    pairs on a randomized-ish (but deterministic) grid, including ranges
+    longer than the bucket."""
+    facts = spark.range(0, 500).select(
+        F.col("id").alias("fid"), F.timestamp_micros(F.col("id") * 3_600_000_000).alias("ts")
+    )
+    wins = spark.range(0, 12).select(
+        F.col("id").alias("wid"),
+        F.timestamp_micros(F.col("id") * 30 * 3_600_000_000).alias("s"),
+        # spans 50h..94h, several times the 12h bucket
+        F.timestamp_micros(
+            (F.col("id") * 30 + 50 + (F.col("id") % 3) * 22) * 3_600_000_000
+        ).alias("e"),
+    )
+    bucketed = range_join_bucketed(
+        facts, wins, ts_col="ts", start_col="s", end_col="e", bucket_seconds=12 * 3600
+    )
+    theta = facts.join(wins, (F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e")))
+    got = sorted((r["fid"], r["wid"]) for r in bucketed.collect())
+    want = sorted((r["fid"], r["wid"]) for r in theta.collect())
+    assert got == want and len(want) > 0
+
+
+def test_range_join_fact_side_does_not_shuffle(spark):
+    """The scale property itself: with a broadcast range side there is no
+    Exchange on the fact side of the join (scan → project → broadcast
+    hash join → filter, fully pipelined)."""
+    facts = spark.range(0, 100).select(
+        F.col("id").alias("fid"), F.timestamp_micros(F.col("id") * 1_000_000).alias("ts")
+    )
+    wins = spark.createDataFrame(
+        [(0, _ts("1970-01-01 00:00:10"), _ts("1970-01-01 00:00:50"))],
+        "wid long, s timestamp, e timestamp",
+    )
+    out = range_join_bucketed(
+        facts, wins, ts_col="ts", start_col="s", end_col="e", bucket_seconds=60
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the only exchange is the broadcast of the window side
+    assert "Exchange hashpartitioning" not in plan
