@@ -20,8 +20,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import hashlib
-import re
 from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame
@@ -29,8 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 from pyspark.storagelevel import StorageLevel
 
-from .hashing import MINHASH_P, hash60, minhash_seeds
-from .text import tokenize
+from .hashing import MINHASH_P, hash60, hash60_py, minhash_seeds
+from .text import tokenize, tokenize_py
 
 # MinHash defaults: 12 permutations in 4 bands of 3 → catches J≳0.6 with
 # high probability while keeping the signature tiny.
@@ -91,21 +89,6 @@ def shingle_hashes(text: Column | str, n: int = 3) -> Column:
     return shingle_hashes_from_tokens(tokenize(text), n=n)
 
 
-# Exact Python twins of tokenize() / hash60() — ASCII-identical to the
-# JVM expressions (Java toLowerCase / regex split and Python agree on
-# ASCII; the synthetic corpus is pure printable ASCII, and any unicode
-# divergence would surface as an oracle hash mismatch, not silently).
-_TOKEN_RE = re.compile("[^a-z0-9]+")
-
-
-def _hash60_py(s: str) -> int:
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
-
-
-def _tokenize_py(text: str | None) -> list[str]:
-    return [t for t in _TOKEN_RE.split((text or "").lower()) if t]
-
-
 def _staged_shingles(
     df: DataFrame, content_col: str, id_col: str, n: int = 3, extra_cols: list[str] | None = None
 ) -> DataFrame:
@@ -141,7 +124,7 @@ def _staged_shingles(
         for pdf in batches:
             shs = []
             for text in pdf["__text"]:
-                toks = _tokenize_py(text)
+                toks = tokenize_py(text)
                 if len(toks) < n:
                     shs.append([])
                 else:
@@ -150,7 +133,7 @@ def _staged_shingles(
                     shs.append(
                         list(
                             dict.fromkeys(
-                                _hash60_py(" ".join(toks[i : i + n]))
+                                hash60_py(" ".join(toks[i : i + n]))
                                 for i in range(len(toks) - n + 1)
                             )
                         )
@@ -277,6 +260,41 @@ def simhash(text: Column | str) -> Column:
     return simhash_from_hashes(F.transform(tokenize(text), lambda tok: hash60(tok)))
 
 
+def _staged_simhash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """(id, sim) — 60-bit SimHash signatures via Arrow-batched numpy
+    (same rationale and bit-identical output as _staged_shingles: the
+    expression form walks 60 interpreted vote-aggregates per document).
+    Persisted: the chunk self-join references the signatures twice."""
+    import numpy as np
+
+    out_schema = StructType(
+        [StructField("id", df.schema[id_col].dataType), StructField("sim", LongType())]
+    )
+    src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("__text")).repartition(
+        "id"
+    )
+    bits = np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            sims = []
+            for text in pdf["__text"]:
+                toks = tokenize_py(text)
+                if not toks:
+                    sims.append(0)
+                    continue
+                th = np.array([hash60_py(t) for t in toks], dtype=np.uint64)
+                # per-bit vote: ones*2 - n > 0  ⇔  sum of (bit*2-1) > 0
+                ones = ((th[:, None] >> bits) & 1).sum(axis=0)
+                votes = 2 * ones.astype(np.int64) - len(th)
+                sims.append(int(((votes > 0).astype(np.uint64) << bits).sum()))
+            out = pdf[["id"]].copy()
+            out["sim"] = sims
+            yield out
+
+    return src.mapInPandas(gen, out_schema).persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def simhash_pairs(
     df: DataFrame,
     content_col: str = "text",
@@ -288,13 +306,7 @@ def simhash_pairs(
     signature into 6 10-bit chunks; any pair within hamming 5 must agree
     exactly on ≥1 chunk, so bucketing on (chunk_idx, chunk_value) is a
     COMPLETE candidate generator, not a heuristic."""
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(tokenize(content_col), lambda tok: hash60(tok)).alias("th"),
-    ).repartition("id")  # materialize token hashes once (see simhash_from_hashes)
-    # second exchange: the chunk projection references `sim` 7×; without
-    # a boundary the 60-vote expression would be inlined per reference
-    docs = hashed.select("id", simhash_from_hashes(F.col("th")).alias("sim")).repartition("id")
+    docs = _staged_simhash(df, content_col, id_col)
     chunks = docs.select(
         "id",
         "sim",
