@@ -19,6 +19,7 @@ Determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from datetime import datetime
 
@@ -671,6 +672,120 @@ def t2_range_join_sliding_windows(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# =========================================================================
+# O2 — ROLLUP aggregation (beyond the reference, §2.12: the analytics
+# surface a warehouse user expects; subtotals + grand total in one pass)
+# =========================================================================
+
+@_q(
+    "o2_rollup_pricing",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum({_DISC_PRICE_SQL}) AS DECIMAL(38,6)) AS revenue,
+           count(*) AS n_rows,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def o2_rollup_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP: per (flag, status), per flag,
+    and grand total, disambiguated by GROUPING flags. One pass, one
+    shuffle — Spark expands the grouping sets map-side, so the plan is
+    the same partial-agg shape as a plain groupBy."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_disc_price()).cast("decimal(38,6)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+        .select("l_returnflag", "l_linestatus", "revenue", "n_rows", "g_flag", "g_status")
+    )
+
+
+# =========================================================================
+# S8 — set operations (beyond the reference, §2.12/§2.7)
+# =========================================================================
+
+@_q(
+    "s1_set_ops_customers",
+    """
+    SELECT o_custkey, 'both_95_96' AS tag FROM (
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    )
+    UNION ALL
+    SELECT o_custkey, 'only_95' AS tag FROM (
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    )
+    """,
+)
+def s1_set_ops_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT + EXCEPT (distinct set semantics, = Spark
+    intersect/subtract): customers ordering in both 1995 and 1996 vs
+    1995-only, tagged and unioned. Each set op is one hash aggregation
+    per side + one join — no sort needed."""
+    orders = load_table(spark, sf, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    both = y95.intersect(y96).select("o_custkey", F.lit("both_95_96").alias("tag"))
+    only95 = y95.subtract(y96).select("o_custkey", F.lit("only_95").alias("tag"))
+    return both.unionAll(only95)
+
+
+# =========================================================================
+# W8 — Structured Streaming tumbling window, oracle-checked end to end:
+# the streaming engine itself sits inside the correctness gate (the
+# memory-sink result of an availableNow run must hash-match DuckDB).
+# =========================================================================
+
+@_q(
+    "w8_stream_tumbling_window",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def w8_stream_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """The Phase-4 streaming path as a gate entry: events land in a
+    temp dir, a readStream → withWatermark → window().count() query
+    drains them with trigger(availableNow) into a memory sink in
+    complete mode (every window emits — append mode would hold back
+    windows the watermark hasn't closed). The returned table is the
+    finished stream's result; it must equal the batch GROUP BY."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming import _streaming_source, tumbling_window_stream
+
+    landing = tempfile.mkdtemp(prefix="lss_w8_")
+    src_path = os.path.join(sf, "events.parquet")
+    if os.path.isdir(src_path):
+        shutil.copytree(src_path, os.path.join(landing, "events.parquet"))
+    else:
+        shutil.copy(src_path, os.path.join(landing, "events.parquet"))
+    src = _streaming_source(spark, landing, None)
+    agg = tumbling_window_stream(src, "ts", window="1 day", group_cols=["event_type"])
+    name = f"w8_mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("window_start", "event_type", "n")
 
 
 # Ext registry (LLM-pipeline operators) registers itself into

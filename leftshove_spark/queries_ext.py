@@ -399,3 +399,27 @@ def x_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     pipeline). Thresholds compare the identical IEEE doubles both
     engines compute for x_text_stats, so the kept sets agree exactly."""
     return X.quality_filter(load_table(spark, sf, "documents"))
+
+
+@_q(
+    "x_dedup_resolution",
+    f"""
+    WITH pairs AS ({_ORACLES["x_dedup_minhash_lsh"]}),
+         base AS ({_BASE_DOCS_SQL})
+    SELECT doc_id FROM base
+    WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+    """,
+)
+def x_dedup_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup RESOLUTION, the step after pair mining: the kept corpus.
+    Greedy lowest-id-wins over the (id_a < id_b) pair edges — every doc
+    appearing as the larger side of a verified near-dup pair is dropped
+    via one anti-join. Same plan family as the pair query plus a single
+    left_anti shuffle; never materializes components iteratively (for
+    chained dup clusters the greedy pass may keep one transitive
+    near-dup — the standard single-pass trade-off at corpus scale)."""
+    base = _perturbed_docs(spark, sf)
+    pairs = D.minhash_lsh_pairs(base, jaccard_threshold=0.6)
+    return base.join(
+        pairs.select(F.col("id_b").alias("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id")
