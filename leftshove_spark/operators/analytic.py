@@ -1,0 +1,139 @@
+"""Analytic operator surface — sessionization, per-group top-k, pivot,
+full-outer reconciliation, higher-order array functions.
+
+These extend the reference's relational battery (SURVEY.md §2.2–2.7) with
+the analytic shapes its SQL surface implies but never names: the
+reference pushes GROUP BY / window SQL to Postgres or BigQuery
+(postgres.go:43-115, bigquery.go:187-207), where users write exactly
+these forms on the captured snapshots. Each is expressed as built-in
+DataFrame ops only — no UDFs, everything whole-stage-codegen'd.
+
+Scale notes:
+- ``sessionize`` uses Spark's native ``session_window`` — one shuffle on
+  the partition key, sessions merged in-partition by the gap; state never
+  leaves the executor. Identical cost to latest-per-key.
+- ``topk_per_group`` is rank-then-filter: one shuffle on the group key;
+  with k bounded the filter prunes inside the window operator
+  (WindowGroupLimit pushes k into the sort at execution).
+- ``pivot_counts`` takes an EXPLICIT value list: ``.pivot(col)`` without
+  values runs a distinct scan job first — at 100 TB that is a full extra
+  pass; with values it is one hash aggregation, wide columns built
+  map-side.
+- ``full_outer_join`` on the join key keeps both shuffles aligned on the
+  same key (no re-partition between agg and join).
+- ``array_battery`` runs entirely inside codegen over the array column —
+  per-row loops happen in the JVM, not Python; this is the pattern for
+  embedding feature extraction without a single UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessionization: events of one ``key_col`` belong to the
+    same session while each successive event starts at or before
+    ``prev_ts + gap`` — Spark merges an event landing exactly on the
+    closing edge; only a STRICTLY larger gap opens a new session.
+
+    Returns one row per (key, session): session_start, last_ts, n_events.
+    """
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("last_ts"),
+            F.col("n_events"),
+        )
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str | Column,
+    k: int,
+    *,
+    tiebreak_cols: list[str] | None = None,
+    ascending: bool = False,
+) -> DataFrame:
+    """Top-k rows per group by ``order_col`` — rank-then-filter with a
+    deterministic total order (ties broken by ``tiebreak_cols``).
+
+    One shuffle on the group key; Spark's WindowGroupLimit rewrite turns
+    the rn<=k filter into a per-partition top-k heap, so the full sort
+    never materializes. This is the scalable form of "best N per entity"
+    (a self-join formulation is quadratic per group).
+    """
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
+    keys = [order.asc() if ascending else order.desc()]
+    keys += [F.col(c).asc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*group_cols).orderBy(*keys)
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= k)
+    )
+
+
+def pivot_counts(
+    df: DataFrame,
+    group_col: str,
+    pivot_col: str,
+    values: list[str],
+) -> DataFrame:
+    """Long→wide count pivot with an explicit value list (never the
+    2-pass distinct-then-pivot form). Absent combinations become 0, the
+    conditional-aggregation convention (Spark's pivot leaves them null).
+    """
+    out = df.groupBy(group_col).pivot(pivot_col, values).count()
+    return out.na.fill(0, subset=values)
+
+
+def full_outer_join(
+    left: DataFrame, right: DataFrame, on: str | list[str]
+) -> DataFrame:
+    """J4 — full outer equi-join with USING-style key coalescing (join on
+    column names, so Spark emits one coalesced key column). Both inputs
+    should already be aggregated/distinct on the key; the join reuses
+    whichever side's hash partitioning survives."""
+    return left.join(right, on=on, how="full_outer")
+
+
+def array_battery(df: DataFrame, id_col: str, arr_col: str) -> DataFrame:
+    """Higher-order-function battery over an ``array<float>`` column —
+    the no-UDF embedding feature-extraction pattern: every lambda below
+    compiles to a codegen'd loop in the JVM (transform / filter /
+    aggregate / exists / slice), nothing crosses to Python.
+
+    Float elements are cast to double BEFORE arithmetic so both engines
+    (and any oracle) compute the identical IEEE doubles; sums fold
+    left-to-right in element order, which is deterministic (no partition
+    -order dependence — the reduction is per-row).
+    """
+    dbl = F.transform(F.col(arr_col), lambda x: x.cast("double"))
+    l2 = F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x)
+    head_sum = F.aggregate(
+        F.slice(dbl, 1, 8), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(arr_col).alias("n_dims"),
+        F.round(l2, 6).alias("l2_norm_sq"),
+        F.size(F.filter(dbl, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.array_max(dbl), 6).alias("max_val"),
+        F.round(head_sum, 6).alias("head8_sum"),
+        F.exists(dbl, lambda x: x > 3.0).alias("has_gt3"),
+    )

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import views
+from .operators import analytic as A
 from .operators import relational as R
 from .operators import temporal as T
 from .snapshot import (
@@ -786,6 +787,174 @@ def w8_stream_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name).select("window_start", "event_type", "n")
+
+
+# =========================================================================
+# Analytic battery — sessionization, top-k, pivot, full outer, HOFs.
+# The shapes users write on the captured snapshots downstream of the
+# reference (its whole point is landing data where this SQL runs).
+# =========================================================================
+
+@_q(
+    "w9_session_window",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, sess
+    """,
+)
+def w9_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization via native ``session_window`` (gap 30 min).
+    One shuffle on user_id, sessions merged in-partition — same cost
+    shape as latest-per-key at any scale. Oracle is the lag/cumsum
+    formulation (the two are definitionally equivalent: new session iff
+    gap STRICTLY exceeds 30 min — Spark merges an event landing exactly
+    on the closing edge)."""
+    ev = load_table(spark, sf, "events")
+    return A.sessionize(ev, "user_id", "ts", gap="30 minutes")
+
+
+@_q(
+    "o3_topk_per_group",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ), j AS (
+      SELECT c.c_nationkey, pc.o_custkey, pc.total_spend
+      FROM per_cust pc JOIN customer c ON pc.o_custkey = c.c_custkey
+    )
+    SELECT c_nationkey, CAST(rn AS INT) AS rank_in_group, o_custkey,
+           total_spend
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY c_nationkey
+        ORDER BY total_spend DESC, o_custkey) AS rn
+      FROM j
+    ) WHERE rn <= 3
+    """,
+)
+def o3_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 customers by exact-decimal total spend per nation.
+    Rank-then-filter: Spark's WindowGroupLimit pushes k into the sort so
+    no group ever fully sorts; the per-customer agg shuffles on custkey,
+    the dim join is broadcast, the rank shuffles on nationkey."""
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_dec4("o_totalprice")).alias("total_spend")
+    )
+    joined = per_cust.join(
+        F.broadcast(cust), per_cust.o_custkey == cust.c_custkey
+    ).select("c_nationkey", "o_custkey", "total_spend")
+    return A.topk_per_group(
+        joined, ["c_nationkey"], "total_spend", 3, tiebreak_cols=["o_custkey"]
+    ).select("c_nationkey", "rank_in_group", "o_custkey", "total_spend")
+
+
+@_q(
+    "p1_pivot_event_counts",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def p1_pivot_event_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Long→wide count pivot with an EXPLICIT value list (the no-values
+    ``.pivot()`` form runs a distinct scan job first — a full extra pass
+    at 100 TB). One hash aggregation; absent combos are 0 to match the
+    conditional-aggregation convention."""
+    ev = load_table(spark, sf, "events")
+    return A.pivot_counts(
+        ev, "user_id", "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
+@_q(
+    "j4_full_outer_reconcile",
+    """
+    WITH a AS (
+      SELECT o_custkey, count(*) AS n_1995 FROM orders
+      WHERE year(o_orderdate) = 1995 GROUP BY o_custkey
+    ), b AS (
+      SELECT o_custkey, count(*) AS n_1996 FROM orders
+      WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+           COALESCE(n_1995, 0) AS n_1995,
+           COALESCE(n_1996, 0) AS n_1996
+    FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+    """,
+)
+def j4_full_outer_reconcile(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 — full outer equi-join reconciling two yearly activity sets
+    (customers active only-95 / only-96 / both). Joining on the column
+    name gives USING-semantics key coalescing; both inputs are already
+    hash-partitioned on the key by their aggs, so the join reuses one
+    side's partitioning instead of re-shuffling."""
+    orders = load_table(spark, sf, "orders")
+    zero = F.lit(0).cast("bigint")
+    y95 = (
+        orders.filter(F.year("o_orderdate") == 1995)
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_1995"))
+    )
+    y96 = (
+        orders.filter(F.year("o_orderdate") == 1996)
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_1996"))
+    )
+    return A.full_outer_join(y95, y96, "o_custkey").select(
+        "o_custkey",
+        F.coalesce(F.col("n_1995"), zero).alias("n_1995"),
+        F.coalesce(F.col("n_1996"), zero).alias("n_1996"),
+    )
+
+
+@_q(
+    "c_hof_array_battery",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS l2_norm_sq,
+           CAST(len(list_filter(embedding,
+                 x -> CAST(x AS DOUBLE) > 0)) AS INT) AS n_pos,
+           round(list_max(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))), 6) AS max_val,
+           round(list_sum(list_transform(embedding[1:8],
+                 x -> CAST(x AS DOUBLE))), 6) AS head8_sum,
+           len(list_filter(embedding,
+                 x -> CAST(x AS DOUBLE) > 3.0)) > 0 AS has_gt3
+    FROM embeddings
+    """,
+)
+def c_hof_array_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order-function battery over array<float> embeddings —
+    transform/filter/aggregate/exists/slice, all codegen'd JVM loops
+    (zero Python). The no-UDF embedding-feature-extraction pattern;
+    floats cast to double BEFORE arithmetic on both sides so the IEEE
+    results are identical, per-row fold order is deterministic."""
+    em = load_table(spark, sf, "embeddings")
+    return A.array_battery(em, "vec_id", "embedding")
 
 
 # Ext registry (LLM-pipeline operators) registers itself into

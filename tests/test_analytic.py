@@ -1,0 +1,89 @@
+"""Analytic operator unit tests — sessionize boundary semantics, top-k
+tiebreaks, pivot zero-fill, full-outer coalescing, HOF battery values."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+
+from leftshove_spark.operators import analytic as A
+
+
+def _ts(minute, second=0):
+    return datetime(2024, 1, 1, 0, minute, second)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user a: 3 events within gaps < 30m → one session
+        Row(user_id="a", ts=_ts(0)),
+        Row(user_id="a", ts=_ts(10)),
+        Row(user_id="a", ts=_ts(39, 59)),
+        # user b: event exactly AT prev+30m MERGES (inclusive edge);
+        # one second past it opens a new session
+        Row(user_id="b", ts=_ts(0)),
+        Row(user_id="b", ts=_ts(30)),
+        Row(user_id="b", ts=datetime(2024, 1, 1, 2, 0, 1)),
+        # user c: single event
+        Row(user_id="c", ts=_ts(5)),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_sessionize_gap_merge_and_boundary(events):
+    out = {
+        (r.user_id, r.session_start): (r.n_events, r.last_ts)
+        for r in A.sessionize(events, "user_id", "ts", gap="30 minutes").collect()
+    }
+    assert out[("a", _ts(0))] == (3, _ts(39, 59))  # merged chain
+    # exactly-at-gap event merges; the distant one starts a new session
+    assert out[("b", _ts(0))] == (2, _ts(30))
+    assert out[("b", datetime(2024, 1, 1, 2, 0, 1))] == (1, datetime(2024, 1, 1, 2, 0, 1))
+    assert out[("c", _ts(5))] == (1, _ts(5))
+
+
+def test_topk_per_group_tiebreak(spark):
+    df = spark.createDataFrame(
+        [
+            Row(g="x", id=1, v=10.0),
+            Row(g="x", id=2, v=10.0),  # tie on v → lower id ranks first
+            Row(g="x", id=3, v=5.0),
+            Row(g="x", id=4, v=1.0),
+            Row(g="y", id=5, v=7.0),
+        ]
+    )
+    out = A.topk_per_group(df, ["g"], "v", 2, tiebreak_cols=["id"]).collect()
+    got = {(r.g, r.rank_in_group): r.id for r in out}
+    assert got == {("x", 1): 1, ("x", 2): 2, ("y", 1): 5}
+
+
+def test_pivot_counts_zero_fill(spark):
+    df = spark.createDataFrame(
+        [Row(k="u1", t="a"), Row(k="u1", t="a"), Row(k="u2", t="b")]
+    )
+    out = {r.k: (r.a, r.b) for r in A.pivot_counts(df, "k", "t", ["a", "b"]).collect()}
+    assert out == {"u1": (2, 0), "u2": (0, 1)}
+
+
+def test_full_outer_join_coalesces_key(spark):
+    left = spark.createDataFrame([Row(k=1, n_l=2), Row(k=2, n_l=1)])
+    right = spark.createDataFrame([Row(k=2, n_r=5), Row(k=3, n_r=7)])
+    out = A.full_outer_join(left, right, "k")
+    assert out.columns == ["k", "n_l", "n_r"]  # single coalesced key col
+    got = {r.k: (r.n_l, r.n_r) for r in out.collect()}
+    assert got == {1: (2, None), 2: (1, 5), 3: (None, 7)}
+
+
+def test_array_battery_values(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[3.0, -4.0, 0.5])],
+        "vec_id bigint, embedding array<float>",
+    )
+    r = A.array_battery(df, "vec_id", "embedding").collect()[0]
+    assert r.n_dims == 3
+    assert r.l2_norm_sq == pytest.approx(9 + 16 + 0.25)
+    assert r.n_pos == 2  # 0.5 and 3.0; strict >0 excludes nothing else
+    assert r.max_val == 3.0
+    assert r.head8_sum == pytest.approx(-0.5)  # slice longer than array is ok
+    assert r.has_gt3 is False  # strict >3.0
