@@ -35,6 +35,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume_orders",
+    "q19_disjunctive_filter",
     "j3_dedup_latest_window",
     "cdc_at_least_once_dedup",
     "w7_tumbling_window_agg",
@@ -60,6 +64,7 @@ def main() -> None:
     # warmup: JVM/codegen/parquet-footer caches (untimed, one full pass)
     for name in HEADLINE:
         Q.QUERIES[name](spark, SF_DIR).collect()
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -68,6 +73,11 @@ def main() -> None:
         rows = fn(spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
         assert rows is not None
+        # drop blocks persisted INSIDE an operator (LSH stages pin
+        # MEMORY_AND_DISK blocks for their own lifetime); leaving them
+        # pinned steals execution memory from every later query, so each
+        # timed run starts from an empty block manager.
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -63,6 +63,21 @@ _DISC_PRICE_SQL = (
     " * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))"
 )
 
+# ~hundreds of MB of dim rows — past this, broadcasting a "dimension"
+# side would OOM executors at large SF; drop the hint and let AQE pick.
+_BROADCAST_MAX_ROWS = 10_000_000
+
+
+def _maybe_broadcast(df: DataFrame, sf: str, table: str) -> DataFrame:
+    """Broadcast hint gated on a parquet footer-stats row estimate: tables
+    that are dimension-sized at test SF but SCALE with the data
+    (customer, supplier, part) must not be unconditionally broadcast —
+    at 100 TB the hint becomes an executor OOM. Under the threshold the
+    fact side never shuffles for the join; over it AQE chooses from
+    runtime sizes."""
+    est = estimate_rows(os.path.join(sf, f"{table}.parquet"))
+    return F.broadcast(df) if est <= _BROADCAST_MAX_ROWS else df
+
 
 def _q(name: str, oracle: str | None = None):
     def deco(fn):
@@ -519,13 +534,6 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
     threshold the fact side never shuffles for them, over it the hint is
     dropped and AQE picks the strategy from runtime sizes. The only
     unconditional shuffle is orders⋈lineitem on orderkey."""
-    broadcast_max_rows = 10_000_000  # ~hundreds of MB of dim rows
-    import os as _os
-
-    def maybe_broadcast(df: DataFrame, table: str) -> DataFrame:
-        est = estimate_rows(_os.path.join(sf, f"{table}.parquet"))
-        return F.broadcast(df) if est <= broadcast_max_rows else df
-
     r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf, "nation")
     c = load_table(spark, sf, "customer")
@@ -540,13 +548,247 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     return (
-        o.join(maybe_broadcast(dim, "customer"), o.o_custkey == dim.c_custkey)
+        o.join(_maybe_broadcast(dim, sf, "customer"), o.o_custkey == dim.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
-            maybe_broadcast(s, "supplier"),
+            _maybe_broadcast(s, sf, "supplier"),
             (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == F.col("c_nationkey")),
         )
         .groupBy("n_name")
+        .agg(F.sum(_disc_price()).cast("decimal(38,6)").alias("revenue"))
+    )
+
+
+@_q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS decorrelated to a LEFT SEMI join (the
+    fixture's lineitem has no commit/receipt dates, so "late" is shipped
+    after the order date — same correlated-predicate shape). The semi
+    join hashes on orderkey and emits each order at most once — no
+    dedup pass, no row multiplication; the agg then shuffles ~5 groups."""
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1996, 7, 1)))
+    )
+    li = load_table(spark, sf, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_q(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape — pure scan+filter+agg, the predicate-pushdown
+    showcase: all three filters reach the parquet scan (row-group stats
+    prune whole chunks by shipdate), the projection reads 4 columns, and
+    the single global sum moves one partial row per partition. The
+    double-literal discount bounds compare bit-identically in both
+    engines; the revenue sum is exact decimal."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(datetime(1996, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(datetime(1997, 1, 1)))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec4("l_extendedprice") * _dec4("l_discount"))
+            .cast("decimal(38,8)")
+            .alias("revenue")
+        )
+    )
+
+
+@_q(
+    "q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum({_DISC_PRICE_SQL.replace('l_', 'l.l_')}) AS DECIMAL(38,6)) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item revenue per customer. The quarter
+    filter prunes orders at the scan; orders⋈lineitem shuffles on
+    orderkey; customer (scales with SF) joins under the footer-stats
+    broadcast gate, nation unconditionally broadcast; final agg shuffles
+    on custkey. Two fact shuffles total — the minimum for this shape."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1996, 10, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1997, 1, 1)))
+    )
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .join(_maybe_broadcast(cn, sf, "customer"), o.o_custkey == cn.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_disc_price()).cast("decimal(38,6)").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@_q(
+    "q14_promo_revenue",
+    f"""
+    SELECT 100.00 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                  THEN {_DISC_PRICE_SQL.replace('l_', 'l.l_')}
+                                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                  / CAST(sum({_DISC_PRICE_SQL.replace('l_', 'l.l_')}) AS DOUBLE)
+             AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape — promo revenue share. part scales with SF, so its
+    broadcast rides the footer-stats gate; under it the filtered
+    lineitem month never shuffles at all (map-side hash probe + single
+    global agg). The percentage divides the two exact-decimal sums in
+    IEEE double on both engines — bit-equal."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime(1996, 9, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1996, 10, 1)))
+    )
+    p = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    zero = F.lit(0).cast("decimal(18,6)")
+    promo = F.when(F.col("p_type").like("PROMO%"), _disc_price()).otherwise(zero)
+    return (
+        li.join(_maybe_broadcast(p, sf, "part"), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(_disc_price()).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@_q(
+    "q18_large_volume_orders",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DECIMAL(18,4)) AS o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 300
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume orders: agg-HAVING derives a small
+    key set, semi-joined back into the fact. The HAVING agg and the
+    final agg both hash on orderkey, and the semi join sits between them
+    on the same key — one logical partitioning carries all three steps
+    (no re-shuffle between them in the plan). The qualifying set is tiny
+    at any SF (the HAVING threshold sees to it), so its join back is
+    broadcast by AQE."""
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec4("l_quantity")).alias("q"))
+        .filter(F.col("q") > F.lit(300).cast("decimal(18,4)"))
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_dec4("l_quantity")).cast("decimal(38,4)").alias("sum_qty"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            _dec4("o_totalprice").alias("o_totalprice"), "sum_qty",
+        )
+    )
+
+
+@_q(
+    "q19_disjunctive_filter",
+    f"""
+    SELECT CAST(sum({_DISC_PRICE_SQL.replace('l_', 'l.l_')}) AS DECIMAL(38,6)) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape — OR-of-ANDs across both join sides. The
+    brand/size disjunction collapses to a part-side prefilter
+    (Catalyst factors per-side conjuncts out of the OR), so the
+    broadcast side carries only candidate parts; the residual
+    mixed-side disjunction evaluates post-probe in codegen. The
+    fixture has no container/shipmode columns, so the triplets use
+    brand × size × quantity — same optimizer shape."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.join(_maybe_broadcast(p, sf, "part"), li.l_partkey == p.p_partkey)
+        .filter(cond)
         .agg(F.sum(_disc_price()).cast("decimal(38,6)").alias("revenue"))
     )
 
