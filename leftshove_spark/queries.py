@@ -560,6 +560,55 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "o4_cube_pricing",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def o4_cube_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — all four grouping sets in ONE
+    pass: Spark expands each input row to its grouping-set combinations
+    map-side and partially aggregates before the single shuffle, so the
+    exchange still moves O(groups×partitions) rows, not O(rows)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec4("l_quantity")).cast("decimal(38,4)").alias("sum_qty"),
+    )
+
+
+@_q(
+    "o5_stats_battery",
+    """
+    SELECT l_returnflag,
+           median(l_quantity) AS med_qty,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           count(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def o5_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregate battery — exact interpolated median (both
+    engines average the two middle elements on even counts), sample
+    stddev and Pearson correlation (double accumulators, rounded on both
+    sides to absorb partition-order float noise), and exact COUNT
+    DISTINCT (expand+two-phase agg — never a driver-side distinct).
+    Median is the one sort-based agg: Spark shuffles each group's values
+    once; for percentile-at-scale use approx_percentile (tested in
+    pytest with tolerance — not oracle-comparable by construction)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+@_q(
     "q4_order_priority",
     """
     SELECT o_orderpriority, count(*) AS order_count
@@ -819,6 +868,38 @@ def w7_tumbling_window_agg(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(_dec4("value")).cast("decimal(38,4)").alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@_q(
+    "w10_hopping_window_agg",
+    """
+    WITH g AS (
+      SELECT event_type, ts,
+             ts - to_microseconds(epoch_us(ts) % CAST(43200000000 AS BIGINT)) AS w
+      FROM events
+    ), e AS (
+      SELECT event_type, w FROM g
+      UNION ALL
+      SELECT event_type, w - INTERVAL '12 hours' FROM g
+    )
+    SELECT CAST(w AS TIMESTAMP) AS window_start, event_type, count(*) AS n
+    FROM e GROUP BY 1, 2
+    """,
+)
+def w10_hopping_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """W10 — hopping (sliding) windows: 1-day windows every 12 h, so each
+    event lands in exactly 2 windows. ``F.window(ts, '1 day', '12 hours')``
+    expands rows ONCE map-side (multiplier = size/slide, here 2) and then
+    aggregates like any tumbling window — the exchange still carries only
+    group partials. The oracle derives each event's two epoch-aligned
+    window starts arithmetically (floor to the 12 h grid, minus one
+    slide), definitionally the same assignment."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
 
 

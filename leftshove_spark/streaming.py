@@ -174,6 +174,98 @@ def start_stream_capture(
     return writer.start()
 
 
+def sessionize_stream(
+    src: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    gap_secs: int = 1800,
+    buffer_secs: int = 180,
+) -> DataFrame:
+    """Custom stateful streaming operator — gap-based sessionization via
+    ``applyInPandasWithState`` (the escape hatch for operators Spark's
+    built-in streaming aggregations can't express: per-group state that
+    both MERGES and EMITS mid-stream).
+
+    Per key, state is the open session ``(start, last, n)`` in epoch
+    micros; each micro-batch folds its (sorted) events in, EMITS every
+    session closed by a gap ``> gap_secs``, and keeps the still-open one
+    in state. Batch-parity: emitted sessions equal
+    :func:`operators.analytic.sessionize` minus each key's final
+    (still-open) session — asserted in pytest.
+
+    Scale: state is O(1) per active key and lives in the state store
+    (RocksDB-backed on a real cluster); each batch shuffles only on
+    ``key_col``. Arrow moves groups in vectorized batches — this is the
+    sanctioned Pandas path, not a row-at-a-time UDF. Late events inside
+    the watermark merge by gap rule regardless of arrival batch; the
+    open session per key flushes only on a closing gap (NoTimeout — an
+    event-time timeout would flush on watermark passage, but availableNow
+    drains never advance past the final batch, so parity tests would
+    race; documented trade-off)."""
+    import pandas as pd  # local: executor-side dependency of the UDF only
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    gap_us = gap_secs * 1_000_000
+    out_schema = StructType(
+        [
+            StructField(key_col, src.schema[key_col].dataType),
+            StructField("session_start", TimestampType()),
+            StructField("last_ts", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        micros: list[int] = []
+        for pdf in pdfs:
+            s = pd.to_datetime(pdf[ts_col])
+            micros.extend(s.astype("datetime64[ns]").astype("int64") // 1000)
+        micros.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed: list[tuple[int, int, int]] = []
+        for t in micros:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_us:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last = max(last, t)
+                n += 1
+        if start is not None:
+            state.update((int(start), int(last), int(n)))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(closed),
+                    "session_start": pd.to_datetime([c[0] for c in closed], unit="us"),
+                    "last_ts": pd.to_datetime([c[1] for c in closed], unit="us"),
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return (
+        src.withWatermark(ts_col, f"{buffer_secs} seconds")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def tumbling_window_stream(
     src: DataFrame,
     nms_col: str,

@@ -87,3 +87,18 @@ def test_array_battery_values(spark):
     assert r.max_val == 3.0
     assert r.head8_sum == pytest.approx(-0.5)  # slice longer than array is ok
     assert r.has_gt3 is False  # strict >3.0
+
+
+def test_approx_percentile_near_exact(spark):
+    """The 100-TB percentile path: approx_percentile (one pass, mergeable
+    sketch) vs the exact sort-based median — bounded relative error."""
+    from conftest import SF0001
+    from leftshove_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, SF0001, "lineitem")
+    r = li.agg(
+        F.median("l_quantity").alias("exact"),
+        F.approx_percentile("l_quantity", 0.5, 10000).alias("approx"),
+    ).collect()[0]
+    assert abs(r.approx - r.exact) <= 1.0  # quantities are 1..50

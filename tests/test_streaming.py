@@ -144,3 +144,51 @@ def test_tumbling_window_stream_matches_batch(spark, tmp_path):
     )
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0
+
+
+def test_sessionize_stream_closes_sessions_across_batches(spark, tmp_path):
+    """applyInPandasWithState sessionizer: state survives micro-batches
+    (a session spanning two files merges), and every gap-closed session
+    is emitted exactly once; each key's final session stays open."""
+    import time
+
+    from leftshove_spark.streaming import sessionize_stream
+
+    def _t(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    landing = str(tmp_path / "landing")
+    batch1 = [("u1", _t(10, 0)), ("u1", _t(10, 10)), ("u2", _t(10, 0))]
+    batch2 = [
+        ("u1", _t(10, 20)),  # continues u1's open session from batch 1
+        ("u1", _t(12, 0)),   # > 30 min gap → closes it
+        ("u2", _t(13, 0)),
+        ("u2", _t(13, 5)),
+    ]
+    schema = "user_id string, ts timestamp"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(landing)
+    time.sleep(1.2)  # file-source orders batches by mod time
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(landing)
+
+    src = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    sess = sessionize_stream(src, "user_id", "ts", gap_secs=1800)
+    q = (
+        sess.writeStream.queryName("sess_test")
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.last_ts, r.n_events)
+        for r in spark.table("sess_test").collect()
+    }
+    assert got == {
+        ("u1", _t(10, 0), _t(10, 20), 3),  # spans both batches → state worked
+        ("u2", _t(10, 0), _t(10, 0), 1),
+    }
