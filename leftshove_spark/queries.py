@@ -872,6 +872,36 @@ def w7_tumbling_window_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "s2_salted_join_agg",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def s2_salted_join_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-salted join, oracle-proven TRANSPARENT: lineitem⋈orders on a
+    content-hash salt of 8 (each hot orderkey spreads over 8 reducers,
+    the small side replicated ×8), then the priority rollup. The oracle
+    is the PLAIN join+agg — identical results is the entire point of the
+    operator (see operators/skew.py for when to reach for it vs AQE's
+    runtime skew-join split)."""
+    from .operators import skew
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    joined = skew.salted_join(
+        li, o.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", n_salts=8
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec4("l_quantity")).cast("decimal(38,4)").alias("sum_qty"),
+    )
+
+
+@_q(
     "w10_hopping_window_agg",
     """
     WITH g AS (

@@ -1,0 +1,83 @@
+"""Scale-path operators: bucketed co-located joins (plan-inspected — no
+exchange), salted joins/aggs (semantically transparent)."""
+
+import uuid
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from conftest import SF0001
+from leftshove_spark.operators import skew
+from leftshove_spark.sinks import write_bucketed
+from leftshove_spark.sources import load_table
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key+count join with ZERO shuffle:
+    the write pays the partitioning once; every later join reuses it."""
+    o = load_table(spark, SF0001, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, SF0001, "lineitem").select("l_orderkey", "l_quantity")
+    tag = uuid.uuid4().hex[:8]
+    write_bucketed(
+        o, f"b_orders_{tag}", str(tmp_path / "o"),
+        bucket_cols=["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        li, f"b_lineitem_{tag}", str(tmp_path / "l"),
+        bucket_cols=["l_orderkey"], n_buckets=8, sort_cols=["l_orderkey"],
+    )
+    bo = spark.table(f"b_orders_{tag}")
+    bl = spark.table(f"b_lineitem_{tag}")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # co-located: no shuffle either side
+        # and it computes the same thing as the plain-source join
+        plain = o.join(li, o.o_orderkey == li.l_orderkey)
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS b_orders_{tag}")
+        spark.sql(f"DROP TABLE IF EXISTS b_lineitem_{tag}")
+
+
+def test_salted_join_matches_plain(spark):
+    li = load_table(spark, SF0001, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF0001, "orders").select("o_orderkey", "o_orderpriority")
+    salted = skew.salted_join(
+        li, o.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", n_salts=4
+    )
+    plain = li.join(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", "inner"
+    )
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert skew.SALT not in salted.columns
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    small = spark.createDataFrame([Row(k=1, w="x")])
+    out = skew.salted_join(big, small, "k", n_salts=4, how="left")
+    got = {(r.k, r.w) for r in out.collect()}
+    assert got == {(1, "x"), (2, None)}
+
+
+def test_salted_agg_matches_plain(spark):
+    li = load_table(spark, SF0001, "lineitem")
+    salted = skew.salted_agg(
+        li, ["l_returnflag"], n_salts=4,
+        counts=["n"], sums={"l_quantity": "sum_qty"},
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )
+    got = {r.l_returnflag: (r.n, r.sum_qty) for r in salted.collect()}
+    exp = {r.l_returnflag: (r.n, r.sum_qty) for r in plain.collect()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        assert got[k][1] == pytest.approx(exp[k][1])
