@@ -156,6 +156,129 @@ def knn_lsh(
     )
 
 
+N_CENTROIDS = 16
+
+
+def _centroid_scores(qv: Column, centroids: list[list[int]]) -> list[Column]:
+    """Exact integer dot of ``qv`` against each literal centroid, scaled
+    to cosine. Centroids are driver-side int lists (k×dim — bytes, not
+    data), so scoring is a per-row codegen loop with no join at all."""
+    cols = []
+    for cen in centroids:
+        arr = F.array(*[F.lit(x).cast("long") for x in cen])
+        cols.append(cosine_from_quantized(arr, qv))
+    return cols
+
+
+def _assign_cluster(qv: Column, centroids: list[list[int]]) -> Column:
+    """argmax-cosine centroid index (ties → higher index, deterministic)."""
+    scored = F.array(
+        *[
+            F.struct(c.alias("c"), F.lit(i).alias("i"))
+            for i, c in enumerate(_centroid_scores(qv, centroids))
+        ]
+    )
+    return F.array_max(scored).getField("i")
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    *,
+    n_centroids: int = N_CENTROIDS,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Deterministic IVF coarse quantizer: seeds = the ``n_centroids``
+    lowest-id vectors (no RNG), then ``iters`` Lloyd steps — assign by
+    exact integer cosine (codegen, no shuffle), re-center per cluster in
+    one ``applyInPandas`` over k groups, re-quantize means to ints so
+    the next assignment is again exact arithmetic. Each step is one
+    corpus scan; the centroid table itself is k×dim ints on the driver
+    (bytes — the one sanctioned driver-side collect)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    v = corpus.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
+    cents = [r["qv"] for r in v.orderBy("id").limit(n_centroids).collect()]
+
+    out_schema = StructType(
+        [StructField("cl", LongType()), StructField("cen", ArrayType(LongType()))]
+    )
+
+    def mean_center(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.array(pdf["qv"].tolist(), dtype=np.int64)
+        return pd.DataFrame(
+            {"cl": [key[0]], "cen": [np.round(m.mean(axis=0)).astype(np.int64).tolist()]}
+        )
+
+    for _ in range(iters):
+        assigned = v.withColumn("cl", _assign_cluster(F.col("qv"), cents))
+        new = {
+            r["cl"]: r["cen"]
+            for r in assigned.groupBy("cl").applyInPandas(mean_center, out_schema).collect()
+        }
+        # empty clusters keep their previous centroid
+        cents = [list(new.get(i, cents[i])) for i in range(n_centroids)]
+    return cents
+
+
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    n_centroids: int = N_CENTROIDS,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-bucketed ANN top-k — the inverted-file scale path beside
+    :func:`knn_lsh`: a coarse quantizer (k centroids) partitions the
+    corpus into cells; each query probes only its ``nprobe``
+    nearest cells and reranks those candidates with the exact integer
+    cosine.
+
+    Plan shape at 100 TB: the corpus is scanned to tag each vector with
+    its cell (pure codegen — centroids are literals, no join) and
+    shuffles ONCE on cell id; queries explode to nprobe cells and
+    broadcast into the cell join. Per-query work is nprobe·(N/k)
+    candidates instead of N — and unlike SRP-LSH, cell population is
+    data-adaptive (Lloyd), so recall holds on clustered corpora where
+    fixed hyperplanes under-split. Precision is absolute: reranks carry
+    the same bit-exact cosine brute force computes (pytest-pinned)."""
+    cents = ivf_centroids(
+        corpus, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv"))
+    c = c.withColumn("cell", _assign_cluster(F.col("cv"), cents))
+
+    q = queries.select(F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv"))
+    scored = F.array(
+        *[
+            F.struct(s.alias("c"), F.lit(i).cast("long").alias("i"))
+            for i, s in enumerate(_centroid_scores(F.col("qv"), cents))
+        ]
+    )
+    probes = F.slice(F.sort_array(scored, asc=False), 1, nprobe)
+    q = q.withColumn("cell", F.explode(probes).getField("i"))
+
+    cand = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .drop("cell")
+        .withColumn("cosine", cosine_from_quantized(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
