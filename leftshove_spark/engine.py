@@ -193,11 +193,19 @@ class Engine:
         else:
             files = [st.path]
         total = 0
+        live_keys = set()
         for f in files:
             key = f"{f}:{os.path.getmtime(f)}"
+            live_keys.add(key)
             if key not in cache:
                 cache[key] = pq.read_metadata(f).num_rows
             total += cache[key]
+        # evict keys for vanished/rewritten files — the cache persists in
+        # the state JSON, and a file rewritten each cycle would otherwise
+        # add one dead key per cycle (unbounded state growth on long CDC
+        # loops).
+        for dead in set(cache) - live_keys:
+            del cache[dead]
         return total
 
     # -------------------------------------------------------------- run_cycle

@@ -50,9 +50,20 @@ def exact_dedup(
 ) -> DataFrame:
     """Exact dedup via content-hash groupBy: one surviving (minimum) id
     per distinct content + the copy count. The canonical first pass of
-    any dedup pipeline; one shuffle on the 60-bit content hash."""
+    any dedup pipeline; one shuffle on the group key.
+
+    The key is (60-bit hash, content length), not the hash alone: at
+    billions of docs, 60-bit birthday collisions become likely (~50%
+    near 1.3B distinct) and would silently merge distinct documents;
+    the length co-key multiplies the effective key space for near-free
+    (it rides the same shuffle). For true content-equality guarantees
+    at that scale, verify within groups or widen to a split 128-bit
+    hash — same plan shape either way."""
     return (
-        df.groupBy(hash60(F.col(content_col)).alias("content_hash"))
+        df.groupBy(
+            hash60(F.col(content_col)).alias("content_hash"),
+            F.length(content_col).cast("long").alias("content_len"),
+        )
         .agg(
             F.min(id_col).alias("keep_id"),
             F.count(F.lit(1)).alias("n_copies"),

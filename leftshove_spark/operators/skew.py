@@ -49,6 +49,11 @@ def salted_join(
     ``n_salts`` reducers. Cost: small side ×n_salts (it's the
     broadcast-or-small side by contract). Result is exactly the plain
     join; the salt column never escapes."""
+    if how not in {"inner", "left", "left_outer", "left_semi", "left_anti"}:
+        # right/full-outer would emit every UNMATCHED small-side row once
+        # per salt replica — no longer "exactly the plain join". Those
+        # shapes need a post-join dedup; flip the sides instead.
+        raise ValueError(f"salted_join supports inner/left joins only, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
     b = big.withColumn(SALT, _content_salt(big, n_salts))
     s = small.withColumn(

@@ -176,9 +176,10 @@ def x_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     "x_dedup_exact",
     f"""
     SELECT {_h60("text")} AS content_hash,
+           CAST(length(text) AS BIGINT) AS content_len,
            min(doc_id) AS keep_id, count(*) AS n_copies
     FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
-    GROUP BY 1
+    GROUP BY 1, 2
     """,
 )
 def x_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:

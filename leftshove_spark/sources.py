@@ -29,8 +29,28 @@ TABLES = (
 ).split()
 
 
-@lru_cache(maxsize=256)
+def _fingerprint(path: str) -> tuple:
+    """Cheap change-detection key for a parquet file/dir: (mtime, size)
+    of the file, or (file count, max mtime) of the directory. Keying the
+    caches on it means in-process appends/rewrites invalidate naturally —
+    a bare-path key would keep serving stale footer stats (e.g. the
+    broadcast gate still hinting a table that has grown past the
+    threshold within one long-lived session)."""
+    if os.path.isdir(path):
+        parts = [
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        ]
+        return (len(parts), max((os.path.getmtime(p) for p in parts), default=0.0))
+    st = os.stat(path)
+    return (st.st_mtime, st.st_size)
+
+
 def _nano_ts_columns(path: str) -> tuple[str, ...]:
+    return _nano_ts_columns_cached(path, _fingerprint(path))
+
+
+@lru_cache(maxsize=256)
+def _nano_ts_columns_cached(path: str, _fp: tuple) -> tuple[str, ...]:
     """Columns physically stored as INT64 TIMESTAMP(NANOS) in the parquet
     footer — the encoding Spark can only read via nanosAsLong (as bigint).
 
@@ -88,11 +108,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_normalized(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
-@lru_cache(maxsize=256)
 def estimate_rows(path: str) -> int:
     """Row-count estimate from parquet footers, driver-side, no Spark job
     — the pg_class-stats analog (postgres.go:144-149). Used to gate
-    broadcast hints: cheap enough to call at plan-build time."""
+    broadcast hints: cheap enough to call at plan-build time. Cached per
+    (path, content fingerprint) so rewrites invalidate."""
+    return _estimate_rows_cached(path, _fingerprint(path))
+
+
+@lru_cache(maxsize=256)
+def _estimate_rows_cached(path: str, _fp: tuple) -> int:
     if os.path.isdir(path):
         return sum(
             pq.read_metadata(os.path.join(path, f)).num_rows
