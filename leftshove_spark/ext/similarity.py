@@ -279,6 +279,94 @@ def knn_ivf(
     )
 
 
+# Banded SRP for near-dup candidate generation: 32 bands × 8 planes.
+# A pair is a candidate iff ALL 8 sign bits of at least one band agree.
+# At the gate threshold (cosine ≥ 0.9 → per-plane flip ≤ 0.14) the miss
+# probability per pair is (1-(1-p)^8)^32 ≈ 1e-5 — verified ZERO misses
+# on the fixture corpus; random pairs collide per band at ~2^-8, so the
+# candidate volume is ~B/256 of all-pairs, subquadratic in practice.
+NEARDUP_BANDS = 32
+NEARDUP_BAND_PLANES = 8
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = NEARDUP_BANDS,
+    planes_per_band: int = NEARDUP_BAND_PLANES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold) via banded sign-random-projection candidates + exact
+    rerank — the 100 TB path beside the all-pairs
+    :func:`embedding_near_dup_pairs` verifier.
+
+    Plan: one Arrow-batched pandas_udf computes all band keys per vector
+    (a single (batch × dim) @ (dim × bands·planes) int matmul — the
+    per-plane HOF expression would be 288 interpreted dots per row),
+    each vector explodes to its ``n_bands`` (band, key) rows, candidates
+    come from a band-key self-join (never all pairs), and the exact
+    integer cosine reranks the deduped candidates. Work scales with
+    bucket collisions (~B/2^planes of all-pairs for unrelated vectors),
+    not N²; the corpus shuffles once on band key.
+
+    Determinism: planes are the same md5-derived int family as
+    :func:`lsh_bucket`, the dot is exact int arithmetic, so the bucket
+    assignment — and therefore the full output — is reproducible
+    bit-for-bit anywhere. Recall is probabilistic by nature (SRP cannot
+    hard-bound cosine the way SimHash chunks bound hamming); the band
+    shape is sized so a miss at the 0.9 threshold is ~1e-5 per pair
+    (pytest pins equality with the exact operator on the fixture)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_planes = n_bands * planes_per_band
+    # plane matrix is built lazily per executor from the deterministic
+    # hash family; closure ships only (n_bands, planes_per_band).
+    state: dict = {}
+
+    def _planes_for(d: int) -> "np.ndarray":
+        if "P" not in state:
+            state["P"] = np.stack([np.array(_plane(p, d), dtype=np.int64) for p in range(n_planes)])
+        return state["P"]
+
+    def _band_keys(qv):
+        M = np.array(qv.tolist(), dtype=np.int64)
+        P = _planes_for(M.shape[1])
+        bits = (M @ P.T > 0).astype(np.int64)  # (n, bands*planes)
+        keys = np.zeros((len(M), n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            for r in range(planes_per_band):
+                keys[:, b] |= bits[:, b * planes_per_band + r] << r
+            # band index folded into the key → one flat join column
+            keys[:, b] |= b << planes_per_band
+        return pd.Series(list(keys))
+
+    band_keys = pandas_udf(_band_keys, ArrayType(LongType()))
+
+    v = df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
+    keyed = v.withColumn("bk", F.explode(band_keys(F.col("qv")))).select("id", "bk")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("qv").alias("qa"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("qv").alias("qb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine_from_quantized(F.col("qa"), F.col("qb")))
+        .filter(F.col("cosine") >= float(threshold))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

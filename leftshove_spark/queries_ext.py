@@ -310,10 +310,65 @@ def x_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@_q("x_knn_lsh")  # no oracle: designated rows-only entry (see module doc)
+def _knn_lsh_oracle() -> str:
+    """SQL twin of the FULL knn_lsh pipeline — the SRP hyperplanes are
+    deterministic md5-derived ints (similarity._plane), so the bucket
+    assignment, the hamming-2 multi-probe expansion, and the exact
+    integer-cosine rerank are all reproducible in DuckDB with the same
+    literal constants. This upgrades x_knn_lsh from a rows-only entry to
+    a full hash-checked row: the oracle independently re-derives the
+    buckets rather than assuming brute-force equality."""
+    dim, np_ = EMB_DIM, S.N_PLANES
+    bucket = " + ".join(
+        "(CASE WHEN list_sum(list_transform(range(1, %d), i -> (%s)[i] * qv[i])) > 0"
+        " THEN %d ELSE 0 END)"
+        % (dim + 1, "[" + ",".join(str(x) for x in S._plane(p, dim)) + "]", 1 << p)
+        for p in range(np_)
+    )
+    flips = [0] + [1 << p for p in range(np_)]
+    flips += [(1 << i) | (1 << j) for i in range(np_) for j in range(i + 1, np_)]
+    dot = f"CAST(list_sum(list_transform(range(1, {dim + 1}), i -> qa.qv[i] * cb.qv[i])) AS DOUBLE)"
+    na = f"CAST(list_sum(list_transform(range(1, {dim + 1}), i -> qa.qv[i] * qa.qv[i])) AS DOUBLE)"
+    nb = f"CAST(list_sum(list_transform(range(1, {dim + 1}), i -> cb.qv[i] * cb.qv[i])) AS DOUBLE)"
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    bkt AS (SELECT vec_id, {bucket} AS bucket FROM e),
+    probes AS (
+      SELECT vec_id AS query_id, xor(bucket, m) AS bucket
+      FROM bkt CROSS JOIN (SELECT unnest([{", ".join(str(m) for m in flips)}]) AS m)
+      WHERE vec_id < 10
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+      FROM probes p JOIN bkt c ON p.bucket = c.bucket
+      WHERE c.vec_id != p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {dot} / (sqrt({na}) * sqrt({nb})) AS cosine
+      FROM cand
+      JOIN e qa ON qa.vec_id = cand.query_id
+      JOIN e cb ON cb.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+                AS BIGINT) AS rank,
+           cosine
+    FROM scored
+    QUALIFY rank <= 5
+    """
+
+
+@_q("x_knn_lsh", _knn_lsh_oracle())
 def x_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed ANN top-5 — the 100 TB scale path (bucket join +
-    exact rerank). pytest proves subset-of-bruteforce at equal cosine."""
+    exact rerank). The oracle re-derives the SAME deterministic SRP
+    buckets and probes in SQL; pytest additionally proves the result is
+    a subset of brute force at equal cosine."""
     em = load_table(spark, sf, "embeddings")
     out = S.knn_lsh(em.filter(F.col("vec_id") < 10), em, dim=EMB_DIM, k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
@@ -348,8 +403,11 @@ def x_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
 )
 def x_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over a corpus with planted
-    near-dups (first 4 components zeroed). All-pairs exact baseline;
-    the LSH bucket join is the scale path (module doc)."""
+    near-dups (first 4 components zeroed), via the banded-SRP candidate
+    join + exact rerank (the 100 TB path — candidates scale with bucket
+    collisions, not N²). The oracle is the all-pairs exact SQL, so the
+    green row ALSO certifies the LSH shape loses no pair at this
+    threshold; pytest separately pins lsh == exact-tile operator."""
     em = load_table(spark, sf, "embeddings")
     pert = em.select(
         (F.col("vec_id") + 100000).alias("vec_id"),
@@ -359,7 +417,7 @@ def x_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("embedding"),
     )
     base = em.select("vec_id", "embedding").unionAll(pert)
-    return S.embedding_near_dup_pairs(base, threshold=0.9)
+    return S.embedding_near_dup_lsh(base, threshold=0.9)
 
 
 # ============================================================ multimodal ops

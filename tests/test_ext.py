@@ -116,3 +116,39 @@ def test_exact_dedup_collapses_planted_copies(docs):
     rows = out.collect()
     assert len(rows) == docs.count()  # one group per distinct text
     assert all(r["n_copies"] == 2 for r in rows)
+
+
+def test_embedding_neardup_lsh_equals_exact(emb):
+    """The banded-SRP candidate path must reproduce the all-pairs exact
+    operator's output EXACTLY on the planted-near-dup corpus (the band
+    shape is sized for ~1e-5 miss probability per true pair, and both
+    paths rerank with the same exact integer cosine — so equality is
+    deterministic here, not a sampling claim). This is the no-all-pairs
+    scale path the gate query runs."""
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i < 4, F.lit(0.0).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    base = emb.select("vec_id", "embedding").unionAll(pert)
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.embedding_near_dup_pairs(base, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.embedding_near_dup_lsh(base, threshold=0.9).collect()
+    }
+    assert lsh == exact and len(exact) > 0
+
+
+def test_salted_join_rejects_outer_shapes(spark):
+    import pytest as _pytest
+
+    from leftshove_spark.operators import skew
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError):
+        skew.salted_join(df, df, "k", how="full_outer")
