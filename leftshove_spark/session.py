@@ -90,5 +90,8 @@ class EngineConfig:
     max_step_hours: int = 336
     backlog_batches: int = 8
     output_type: str = "parquet"  # reference: BQ | FILE (benthos.go:85-105)
+    # D7: apply additive schema drift to sinks (ADD-COLUMN analog,
+    # bigquery.go:366-389). False = reference default (log drift only).
+    evolve_schema: bool = False
     warehouse_dir: str = "/tmp/leftshove_spark_warehouse"
     sources: dict[str, dict] = field(default_factory=dict)

@@ -92,3 +92,37 @@ def test_schema_json_roundtrip_and_diff():
     assert d == {"added": ["w"], "removed": ["v"], "retyped": ["id"]}
     assert not sch.schemas_equal(src, other)
     assert sch.schemas_equal(src, sch.schema_from_json(sch.schema_to_json(src)))
+
+
+def test_apply_schema_diff_add_column_end_to_end(spark, tmp_path):
+    """D7 apply path: additive drift lands as a zero-row schema append —
+    no data rewrite — and mergeSchema reads surface the union (old rows
+    NULL in the new column). Destructive diffs raise."""
+    path = str(tmp_path / "sink")
+    v1 = T.StructType(
+        [T.StructField("id", T.LongType(), True), T.StructField("a", T.StringType(), True)]
+    )
+    v2 = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("a", T.StringType(), True),
+            T.StructField("b", T.DoubleType(), True),
+        ]
+    )
+    spark.createDataFrame([(1, "x"), (2, "y")], v1).write.parquet(path)
+    applied = sch.apply_schema_diff(spark, path, v2)
+    assert applied == {"added": ["b"], "removed": [], "retyped": []}
+    spark.createDataFrame([(3, "z", 1.5)], v2).write.mode("append").parquet(path)
+    out = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(out.columns) == {"id", "a", "b"}
+    rows = {r["id"]: r["b"] for r in out.collect()}
+    assert rows == {1: None, 2: None, 3: 1.5}
+    # second apply is a no-op
+    assert sch.apply_schema_diff(spark, path, v2) == {
+        "added": [], "removed": [], "retyped": []
+    }
+    import pytest as _pytest
+
+    v3 = T.StructType([T.StructField("id", T.StringType(), True)])
+    with _pytest.raises(ValueError):
+        sch.apply_schema_diff(spark, path, v3)
