@@ -123,3 +123,42 @@ def test_failed_cycle_does_not_commit(spark, tmp_path):
     res = eng.run_cycle(now=datetime(2026, 8, 1))
     assert res["ev"] is None  # failure isolated, not raised (cdc.go:128-131)
     assert eng.state.get("ev", "0").nms == before  # no commit
+
+
+def test_concurrent_fanout_matches_sequential(spark, tmp_path):
+    """W4 — a bounded-concurrency cycle (ThreadPoolExecutor over tables,
+    cdc.go:115-140's goroutine-per-stream analog) commits IDENTICAL state
+    and sink contents to a sequential cycle over the same 3 tables."""
+    tables = [
+        {"name": "ev", "path": f"{SF0001}/events.parquet", "nms_column": "ts",
+         "pkey_column": "event_id"},
+        {"name": "ord", "path": f"{SF0001}/orders.parquet",
+         "nms_column": "o_orderdate", "pkey_column": "o_orderkey"},
+        {"name": "ev2", "path": f"{SF0001}/events.parquet", "nms_column": "ts",
+         "pkey_column": "event_id"},
+    ]
+    engines = {}
+    for label, workers in (("seq", 1), ("conc", 3)):
+        eng = Engine(
+            spark,
+            EngineConfig(concurrent_streams=workers, replication_buffer_secs=0),
+            state_path=str(tmp_path / f"state_{label}.json"),
+            sink_root=str(tmp_path / f"sink_{label}"),
+        )
+        eng.seed(tables)
+        eng.create_sinks()
+        for i in range(3):
+            eng.run_cycle(
+                now=datetime(2026, 8, 1) + timedelta(hours=i),
+                snapshot_at=datetime(2026, 1, 1 + i),
+            )
+        engines[label] = eng
+    for t in tables:
+        n = t["name"]
+        seq, conc = engines["seq"].state.get(n, "0"), engines["conc"].state.get(n, "0")
+        assert seq.nms == conc.nms  # identical watermark commits
+        a = engines["seq"].current_state(n)
+        b = engines["conc"].current_state(n)
+        cols = [c for c in a.columns if c != "snapshot_tm"]
+        assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+        assert b.select(cols).exceptAll(a.select(cols)).count() == 0
