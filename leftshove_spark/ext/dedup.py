@@ -101,7 +101,12 @@ def shingle_hashes(text: Column | str, n: int = 3) -> Column:
 
 
 def _staged_shingles(
-    df: DataFrame, content_col: str, id_col: str, n: int = 3, extra_cols: list[str] | None = None
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    n: int = 3,
+    extra_cols: list[str] | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """id + materialized DISTINCT shingle-hash arrays — the shared first
     stage of every shingle-based near-dup operator.
@@ -116,10 +121,14 @@ def _staged_shingles(
     pandas-UDF escape hatch: the semantics are expressible in built-ins,
     the throughput is not.
 
-    The result is ``persist(MEMORY_AND_DISK)``-ed: every caller reads it
-    at least twice (signature build + verification joins), and without
-    the pin each reference re-runs tokenize+md5 over the whole corpus
-    (420 s → 35 s for the full minhash pipeline at sf0.1)."""
+    The result is ``persist(MEMORY_AND_DISK)``-ed when ``pin`` (the
+    default): the near-dup callers read it at least twice (signature
+    build + verification joins), and without the pin each reference
+    re-runs tokenize+md5 over the whole corpus (420 s → 35 s for the
+    full minhash pipeline at sf0.1). Single-read callers
+    (ext.pipeline.decontaminate) pass ``pin=False`` to skip both the
+    pin and the load-balancing repartition — their plan stays one
+    narrow stage."""
     extras = list(extra_cols or [])
     fields = [StructField("id", df.schema[id_col].dataType)]
     fields += [StructField(c, df.schema[c].dataType) for c in extras]
@@ -129,7 +138,9 @@ def _staged_shingles(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in extras],
         F.col(content_col).alias("__text"),
-    ).repartition("id")
+    )
+    if pin:
+        src = src.repartition("id")
 
     def gen(batches: Iterator) -> Iterator:
         for pdf in batches:
@@ -153,11 +164,8 @@ def _staged_shingles(
             out["sh"] = shs
             yield out
 
-    return (
-        src.mapInPandas(gen, out_schema)
-        .filter(F.size("sh") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    out = src.mapInPandas(gen, out_schema).filter(F.size("sh") > 0)
+    return out.persist(StorageLevel.MEMORY_AND_DISK) if pin else out
 
 
 def minhash_signature(sh: Column) -> Column:

@@ -1,0 +1,284 @@
+"""Corpus-pipeline operators: decontamination, PII, splits, repetition,
+sequence packing.
+
+The stages a pretraining-data pipeline runs AFTER dedup/quality
+(ext.dedup, ext.text): scrub eval-set contamination, detect/redact PII,
+assign deterministic train/val/test splits, flag degenerate repetition,
+and pack documents into fixed-token-budget training sequences.
+
+Scale notes (100 TB lens) per operator:
+
+- decontaminate: the benchmark side of the join is an eval set —
+  thousands of documents, a few MB of shingle hashes — so it is ALWAYS
+  broadcast; the corpus is filtered map-side and only matching
+  (doc, shingle) rows enter the final groupBy, whose partial aggregation
+  makes the shuffle proportional to the *contaminated* subset, not the
+  corpus. One wide stage over the corpus, no corpus-sized shuffle.
+- pii_signals: pure regexp codegen — scan → project, zero shuffles.
+- hash_split / stratified_sample: pure codegen on md5(id) — zero
+  shuffles, and the assignment is a function of the row alone, so it is
+  stable under repartitioning, retries, and incremental appends (the
+  property random() splits lack).
+- repetition_signals: array expressions per row plus one
+  (doc, token)-keyed aggregation with map-side combine; the shuffle
+  carries at most one row per distinct token per doc.
+- pack_sequences: greedy packing is inherently sequential PER BUCKET;
+  the operator shards the corpus into many independent buckets packed in
+  parallel via applyInPandas (only (id, bucket, n_tokens) shuffles — the
+  text never moves). Bucket count scales with the cluster, not the data.
+
+No reference-parity citations here: the reference engine has no
+pipeline stage of this kind; these extend SURVEY.md §2.13.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from .dedup import _staged_shingles, shingle_hashes_from_tokens
+from .text import tokenize
+
+# ------------------------------------------------------------------ PII
+# ASCII-class-only patterns so Java regex (Spark) and RE2 (DuckDB) agree
+# exactly: no lookaround, no backrefs, no \d shorthand, no word
+# boundaries. Redaction applies them in this exact order (email first:
+# its local part may contain digits that the looser patterns would eat).
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+    "phone": "[+][0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ssn": "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4": "([0-9]{1,3}[.]){3}[0-9]{1,3}",
+}
+
+
+def pii_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII hit counts plus the fully-redacted text.
+
+    Detection = ``regexp_count`` per pattern; redaction = chained
+    ``regexp_replace`` to ``<KIND>`` placeholders in the fixed
+    PII_PATTERNS order. Everything is whole-stage-codegen regexp over
+    one scan — the 100 TB plan is scan → project → write."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(p)).cast("long").alias(f"n_{k}")
+        for k, p in PII_PATTERNS.items()
+    ]
+    return df.select(
+        F.col(id_col), *counts, F.md5(redact(t)).alias("redacted_md5")
+    ).withColumn("n_pii", sum(F.col(f"n_{k}") for k in PII_PATTERNS))
+
+
+def redact(text: Column | str) -> Column:
+    """The redaction expression alone (for use inside other projections)."""
+    red = F.col(text) if isinstance(text, str) else text
+    for k, p in PII_PATTERNS.items():
+        red = F.regexp_replace(red, p, f"<{k.upper()}>")
+    return red
+
+
+# ------------------------------------------------- decontamination (n-gram)
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Flag corpus documents sharing ≥1 word n-gram with an eval set.
+
+    The standard decontamination pass (n-gram collision against held-out
+    benchmarks) as one broadcast semi-structure: DISTINCT benchmark
+    shingle hashes (small — eval sets are thousands of docs) broadcast
+    against the exploded corpus shingles; hits aggregate per document
+    with map-side combine, so the only shuffle is proportional to the
+    contaminated subset. Returns
+    ``(doc_id, n_hit, n_shingles, contamination)`` for contaminated
+    docs only; ``contamination`` = hit fraction of the doc's distinct
+    n-grams."""
+    c_sh = _staged_shingles(corpus, text_col, id_col, n=n, pin=False)
+    b_hash = (
+        _staged_shingles(benchmark, text_col, id_col, n=n, pin=False)
+        .select(F.explode("sh").alias("h"))
+        .distinct()
+    )
+    hits = (
+        c_sh.select("id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("h"))
+        .join(F.broadcast(b_hash), "h")
+        .groupBy("id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return hits.select(
+        F.col("id").alias(id_col),
+        "n_hit",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        (F.col("n_hit") / F.col("n_shingles")).alias("contamination"),
+    )
+
+
+# ------------------------------------------------ deterministic hash splits
+SPLIT_BUCKETS = 65536  # 4 hex chars of md5
+
+
+def _bucket(id_col: Column | str, salt: str) -> Column:
+    """Uniform bucket in [0, 65536) from md5 of the salted id — identical
+    in any engine with md5 (the oracle computes the same substring
+    parse). Salt separates independent assignments (split vs sample) so
+    they don't correlate."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 4), 16, 10
+    ).cast("long")
+
+
+def bucket_sql(id_expr: str, salt: str) -> str:
+    """DuckDB twin of :func:`_bucket`."""
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{salt}', "
+        f"CAST({id_expr} AS VARCHAR))),1,4)) AS BIGINT)"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train: float = 0.9,
+    val: float = 0.05,
+) -> DataFrame:
+    """Deterministic train/val/test assignment from a hash of the id.
+
+    Content-stable: the split is a pure function of the id, so it
+    survives repartitioning, task retries, and incremental ingestion —
+    a late-arriving document lands in the same split it always would
+    have. Pure codegen, zero shuffles."""
+    b = _bucket(id_col, "split:")
+    t_hi = int(train * SPLIT_BUCKETS)
+    v_hi = int((train + val) * SPLIT_BUCKETS)
+    split = (
+        F.when(b < t_hi, "train").when(b < v_hi, "val").otherwise("test")
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame, rates: dict[str, float], strata_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its hash
+    bucket falls under the stratum's rate. Unlike ``df.sample`` the
+    result is reproducible across runs/partitionings and composable
+    with :func:`hash_split` (independent salt)."""
+    b = _bucket(id_col, "sample:")
+    default = rates.get("*", 0.0)
+    expr = F.lit(int(default * SPLIT_BUCKETS))
+    for k, r in rates.items():
+        if k == "*":
+            continue
+        expr = F.when(F.col(strata_col) == k, int(r * SPLIT_BUCKETS)).otherwise(expr)
+    keep = b < expr
+    return df.filter(keep)
+
+
+# --------------------------------------------------------- repetition flags
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style degenerate-repetition signals per document:
+    duplicate 2-/3-gram fraction and most-frequent-token mass.
+
+    The n-gram fractions are pure array expressions (total grams vs
+    distinct grams — distinctness via the same 60-bit shingle hashes the
+    dedup operators use, so the oracle reproduces them exactly). The
+    top-token mass needs a per-(doc, token) count: explode → two-level
+    aggregation, both with map-side partial agg — the shuffle carries
+    one row per distinct token per doc, far smaller than the text."""
+    tok = tokenize(text_col).alias("t")
+    base = df.select(F.col(id_col), tok).filter(F.size("t") > 0)
+    n2 = F.size("t") - 1
+    n3 = F.size("t") - 2
+    d2 = F.size(shingle_hashes_from_tokens(F.col("t"), n=2))
+    d3 = F.size(shingle_hashes_from_tokens(F.col("t"), n=3))
+    grams = base.select(
+        id_col,
+        F.size("t").cast("long").alias("n_tokens"),
+        F.when(n2 > 0, 1.0 - d2 / n2).otherwise(0.0).alias("dup_2gram_frac"),
+        F.when(n3 > 0, 1.0 - d3 / n3).otherwise(0.0).alias("dup_3gram_frac"),
+    )
+    top = (
+        base.select(id_col, F.explode("t").alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg((F.max("c") / F.sum("c")).alias("top_token_frac"))
+    )
+    out = grams.join(top, id_col)
+    flag = (
+        (F.col("dup_2gram_frac") > 0.5)
+        | (F.col("dup_3gram_frac") > 0.4)
+        | (F.col("top_token_frac") > 0.3)
+    )
+    return out.withColumn("is_repetitive", flag)
+
+
+# -------------------------------------------------------- sequence packing
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+    budget: int = 256,
+    n_buckets: int = 16,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Greedy fixed-budget sequence packing — assign documents to
+    training sequences of ≤ ``budget`` tokens.
+
+    Greedy packing is a sequential recurrence, so it cannot be one
+    window expression; the scalable shape is: shard the corpus into
+    independent buckets (``id % n_buckets`` by default, or a provided
+    column), pack each bucket in parallel with an Arrow-batched
+    ``applyInPandas`` over just ``(id, bucket, n_tokens)`` — the text
+    never enters the shuffle. Within a bucket, documents are packed in
+    ascending id order; a document alone larger than the budget gets its
+    own sequence. Bucket count scales with the cluster: at 100 TB use
+    O(cores) buckets of ~even size; sequence ids are (bucket, seq_id)
+    pairs so they never need global coordination.
+
+    Returns ``(id, bucket, seq_id, n_tokens)``."""
+    if bucket_col is None:
+        slim = df.select(
+            F.col(id_col),
+            (F.col(id_col) % n_buckets).cast("long").alias("bucket"),
+            F.col(token_count_col).cast("long").alias("n_tokens"),
+        )
+    else:
+        slim = df.select(
+            F.col(id_col),
+            F.col(bucket_col).cast("long").alias("bucket"),
+            F.col(token_count_col).cast("long").alias("n_tokens"),
+        )
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("bucket", LongType()),
+            StructField("seq_id", LongType()),
+            StructField("n_tokens", LongType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        seq, acc = 0, 0
+        seqs = []
+        for n in pdf["n_tokens"]:
+            if acc > 0 and acc + n > budget:
+                seq += 1
+                acc = 0
+            acc += n
+            seqs.append(seq)
+        pdf["seq_id"] = seqs
+        return pdf[[id_col, "bucket", "seq_id", "n_tokens"]]
+
+    return slim.groupBy("bucket").applyInPandas(pack, schema=out_schema)

@@ -1,0 +1,150 @@
+"""ext.pipeline operator invariants (corpus-pipeline stages).
+
+Oracle parity is the driver's job (x_hash_split / x_pii_scan /
+x_repetition / x_decontaminate / x_pack_sequences); here we prove the
+operator-level contracts: planted positives are found, negatives are
+not, assignments are deterministic and partition-stable, packing
+respects the budget, and the decontamination plan broadcasts the
+benchmark side.
+"""
+
+from pyspark.sql import functions as F
+
+from leftshove_spark.ext import pipeline as P
+from leftshove_spark.sources import load_table
+
+from conftest import SF0001
+
+
+def _docs(spark):
+    return load_table(spark, SF0001, "documents")
+
+
+# ------------------------------------------------------------------ PII
+def test_pii_detection_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.example.org today"),
+            (2, "server 192.168.0.1 and cell +1-650-555-1234"),
+            (3, "ssn is 123-45-6789 ok"),
+            (4, "perfectly clean text with no secrets"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in P.pii_signals(df).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_pii"] == 1
+    assert got[2]["n_ipv4"] == 1 and got[2]["n_phone"] == 1 and got[2]["n_pii"] == 2
+    assert got[3]["n_ssn"] == 1
+    assert got[4]["n_pii"] == 0
+    red = df.select("doc_id", P.redact("text").alias("r")).collect()
+    red = {r["doc_id"]: r["r"] for r in red}
+    assert red[1] == "mail me at <EMAIL> today"
+    assert red[2] == "server <IPV4> and cell <PHONE>"
+    assert red[3] == "ssn is <SSN> ok"
+    assert red[4] == "perfectly clean text with no secrets"  # untouched
+
+
+# ------------------------------------------------------- decontamination
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox run away"),  # shares 3-grams
+            (2, "completely unrelated words about spark shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in P.decontaminate(corpus, bench).collect()}
+    assert set(out) == {1}
+    # "the quick brown" + "quick brown fox" of doc 1's six 3-grams
+    assert out[1]["n_hit"] == 2 and out[1]["n_shingles"] == 6
+    assert abs(out[1]["contamination"] - 2 / 6) < 1e-12
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    docs = _docs(spark)
+    plan = P.decontaminate(
+        docs.filter(F.col("doc_id") % 97 != 0), docs.filter(F.col("doc_id") % 97 == 0)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles for the join
+
+
+# ------------------------------------------------------------ hash split
+def test_hash_split_deterministic_cover_and_ratio(spark):
+    docs = _docs(spark)
+    a = P.hash_split(docs).select("doc_id", "split")
+    b = P.hash_split(docs.repartition(7)).select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0  # pure function of the id
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert n == docs.count()  # disjoint cover: one split per doc
+    assert 0.85 < counts["train"] / n < 0.95
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+
+
+def test_stratified_sample_rates_and_subset(spark):
+    docs = _docs(spark)
+    rates = {"en": 0.5, "*": 0.1}
+    s = P.stratified_sample(docs, rates, "lang")
+    assert s.join(docs, "doc_id", "left_anti").count() == 0  # subset
+    tot = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    en_rate = got.get("en", 0) / tot["en"]
+    assert 0.35 < en_rate < 0.65
+    rest_tot = sum(v for k, v in tot.items() if k != "en")
+    rest_got = sum(v for k, v in got.items() if k != "en")
+    assert rest_got / rest_tot < 0.25
+    # independent salts: sampling not correlated with split assignment
+    tr = P.hash_split(docs).filter(F.col("split") == "train")
+    s_in_train = s.join(tr, "doc_id", "left_semi").count()
+    assert 0.7 < s_in_train / s.count() < 1.0
+
+
+# ------------------------------------------------------------ repetition
+def test_repetition_flags_planted_degenerate_doc(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham " * 50),  # 2 tokens repeated -> degenerate
+            (2, " ".join(f"w{i} x{i} y{i}" for i in range(40))),  # all distinct
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in P.repetition_signals(df).collect()}
+    assert got[1]["is_repetitive"] and got[1]["dup_2gram_frac"] > 0.9
+    assert not got[2]["is_repetitive"]
+    assert got[2]["dup_2gram_frac"] == 0.0 and got[2]["top_token_frac"] < 0.05
+
+
+# --------------------------------------------------------------- packing
+def test_pack_sequences_budget_and_coverage(spark):
+    docs = _docs(spark)
+    withn = docs.select(
+        "doc_id", F.size(F.split(F.lower("text"), "[^a-z0-9]+")).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    budget = 256
+    out = P.pack_sequences(withn, budget=budget, n_buckets=8)
+    rows = out.collect()
+    assert len(rows) == withn.count()  # every doc packed exactly once
+    # per-(bucket, seq): total <= budget unless the seq is one oversized doc
+    seqs: dict[tuple, list] = {}
+    for r in rows:
+        seqs.setdefault((r["bucket"], r["seq_id"]), []).append(r["n_tokens"])
+    for toks in seqs.values():
+        assert sum(toks) <= budget or len(toks) == 1
+    # seq ids contiguous from 0 per bucket
+    by_bucket: dict[int, set] = {}
+    for b, s in seqs:
+        by_bucket.setdefault(b, set()).add(s)
+    for ids in by_bucket.values():
+        assert ids == set(range(len(ids)))
+    # greedy parity with a local reference on one bucket
+    b0 = sorted((r["doc_id"], r["n_tokens"]) for r in rows if r["bucket"] == 0)
+    seq = acc = 0
+    for doc_id, n in b0:
+        if acc > 0 and acc + n > budget:
+            seq, acc = seq + 1, 0
+        acc += n
+        got = next(r["seq_id"] for r in rows if r["doc_id"] == doc_id)
+        assert got == seq
