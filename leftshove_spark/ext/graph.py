@@ -1,0 +1,101 @@
+"""Distributed connected components over dedup pair edges.
+
+Near-dup mining (ext.dedup) emits pair EDGES; resolving which documents
+to keep needs the transitive clusters — a chain a~b~c is one cluster
+even though (a, c) was never emitted. The single-pass greedy resolution
+(queries_ext.x_dedup_resolution) may keep one transitive near-dup per
+chain; this module computes exact components so resolution can keep
+exactly one document per cluster.
+
+Algorithm: alternating min-label propagation + pointer jumping
+(label := label(label)), the standard O(log diameter) round scheme for
+MapReduce/Spark connected components (the "hash-to-min" family —
+Rastogi et al., "Finding Connected Components in Map-Reduce in
+Logarithmic Rounds"). Each round is two hash-joins + one aggregation,
+all keyed on node/label ids; no driver-side data beyond the
+one-row convergence count. Lineage is truncated every round
+(localCheckpoint) so the plan does not grow with iterations — at
+cluster scale swap localCheckpoint for a reliable checkpoint dir; the
+rounds and shuffle keys are unchanged.
+
+Scale: components in dedup graphs are tiny (near-dup clusters), so the
+per-round shuffles carry |edges| rows and converge in 2-4 rounds; the
+pointer-jumping step keeps even adversarial long chains to O(log n)
+rounds. Iteration is capped (max_iters) with a convergence count per
+round — the loop is control flow, never data flow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    ``component`` is the MINIMUM node id in the node's connected
+    component (deterministic canonical labels — oracle-comparable)."""
+    e = edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+    e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    e = e.localCheckpoint()
+    labels = e.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iters):
+        # min over neighbors' labels (one shuffle on b, agg on a)
+        nb = (
+            e.join(
+                labels.select(F.col("node").alias("b"), F.col("label").alias("lb")), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("lb").alias("min_nb"))
+            .select(F.col("a").alias("node"), "min_nb")
+        )
+        stepped = labels.join(nb, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("min_nb"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer jumping: label := label(label). Labels are node ids and
+        # only ever decrease, so label(label) is defined and ≤ label —
+        # this halves chain depth every round, giving O(log diameter).
+        jumped = (
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("node").alias("label"), F.col("label").alias("ll")
+                ).alias("y"),
+                "label",
+                "left",
+            )
+            .select("node", F.coalesce("ll", "label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def resolve_keep_one_per_component(
+    corpus: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Dedup resolution over exact clusters: drop every document that is
+    a non-minimum member of its component (one left_anti join). Keeps
+    exactly one representative per near-dup cluster — including
+    transitive chains the greedy pair-based pass would miss."""
+    drop = components.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return corpus.join(drop, id_col, "left_anti")

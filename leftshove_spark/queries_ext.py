@@ -722,3 +722,40 @@ def x_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.size(X.tokenize("text")).cast("long").alias("n_tokens")
     ).filter(F.col("n_tokens") > 0)
     return P.pack_sequences(withn, budget=256, n_buckets=8)
+
+
+# ===================================================== connected components
+
+from .ext.graph import connected_components, resolve_keep_one_per_component  # noqa: E402
+
+
+@_q(
+    "x_dedup_connected_components",
+    f"""
+    WITH RECURSIVE
+      pairs AS ({_ORACLES["x_dedup_minhash_lsh"]}),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (SELECT a AS node, least(a, min(b)) AS component
+               FROM reach GROUP BY a)
+    SELECT node AS doc_id, component FROM comp
+    """,
+)
+def x_dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact near-dup CLUSTERS from the MinHash pair edges: alternating
+    min-label propagation + pointer jumping (O(log diameter) rounds of
+    hash joins — ext/graph.py). The oracle computes the same components
+    as a recursive-CTE transitive closure with min-reachable labels, so
+    even this iterative algorithm is value-checked bit-for-bit. Cluster
+    resolution (keep one doc per component) is
+    resolve_keep_one_per_component, pytest-verified against chains the
+    greedy pair-based pass cannot resolve."""
+    base = _perturbed_docs(spark, sf)
+    pairs = D.minhash_lsh_pairs(base, jaccard_threshold=0.6)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )

@@ -1,0 +1,54 @@
+"""Connected components + cluster resolution (ext.graph).
+
+The oracle gate (x_dedup_connected_components) checks components over
+real minhash edges; here we prove the graph algorithm itself on
+adversarial shapes: transitive chains (where the greedy pair-based
+resolution provably keeps too much), long paths (multi-round
+convergence / pointer jumping), and multiple disjoint components.
+"""
+
+from pyspark.sql import functions as F
+
+from leftshove_spark.ext.graph import connected_components, resolve_keep_one_per_component
+
+
+def _cc(spark, pairs):
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    return {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+
+
+def test_chain_and_disjoint_components(spark):
+    # chain 1-2-3 plus pair 10-11 plus singleton edge 20-21
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11), (20, 21)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_long_path_converges(spark):
+    # path 0-1-...-19: diameter 19 forces multiple rounds; pointer
+    # jumping must still converge well inside the iteration cap
+    got = _cc(spark, [(i, i + 1) for i in range(19)])
+    assert got == {i: 0 for i in range(20)}
+
+
+def test_edge_direction_irrelevant(spark):
+    assert _cc(spark, [(5, 3), (3, 9)]) == {3: 3, 5: 3, 9: 3}
+
+
+def test_resolution_keeps_exactly_one_per_cluster(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], ["doc_id", "text"]
+    )
+    # chain 0-1-2 (one cluster), pair 5-6; 3, 4, 7 untouched
+    edges = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], ["id_a", "id_b"])
+    comps = connected_components(edges)
+    kept = sorted(
+        r["doc_id"]
+        for r in resolve_keep_one_per_component(corpus, comps).collect()
+    )
+    assert kept == [0, 3, 4, 5, 7]
+    # greedy pair-based resolution would also drop 1, 2, 6 here — but on
+    # a chain a-b, b-c WITHOUT the (a, c) edge it keeps nothing extra
+    # only because b is dropped via (a, b); the component form is what
+    # guarantees one-per-cluster for arbitrary chain shapes.
