@@ -1414,5 +1414,7 @@ def c_hof_array_battery(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # Ext registry (LLM-pipeline operators) registers itself into
-# QUERIES/ORACLES on import; imported last so _q exists.
+# QUERIES/ORACLES on import; imported last so _q exists. queries_tpch
+# (round-3 plan-shape breadth) registers after it.
 from . import queries_ext  # noqa: E402, F401
+from . import queries_tpch  # noqa: E402, F401

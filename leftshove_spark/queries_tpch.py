@@ -1,0 +1,286 @@
+"""Round-3 TPC-H plan-shape breadth (adapted to the fixture's tables —
+no partsupp, no comment/phone/date-pair columns; each query keeps the
+ORIGINAL's distinctive plan shape on the columns that exist).
+
+Shapes covered here and nowhere else in the battery:
+- Q13: outer join with a join-side predicate + two-level count histogram
+- Q15: agg → global-max scalar → equality join back (view + max-of-agg)
+- Q16: NOT IN anti join + multi-key COUNT DISTINCT
+- Q17: per-group scalar average subquery gating a fact filter
+- Q21: EXISTS + NOT EXISTS against the same fact at different aliases
+- Q22: global scalar subquery threshold + anti join on a filtered child
+
+Monetary aggregates use the int64-cents fixed-point path (see
+queries._cents): exact, order-independent, whole-stage-codegen — final
+outputs descale to double so both engines do the identical exact-int →
+IEEE conversion.
+
+Scalar subqueries (Q15's max, Q22's avg) join back via a BROADCAST
+single-row aggregate on a constant key — a BroadcastHashJoin the fact
+side never shuffles for, the scale-safe alternative to collecting the
+scalar to the driver (which would split the query into two jobs and
+bake a stale value into the plan).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _cents, _cents_sql, _disc_price_cents, _maybe_broadcast, _q
+from .sources import load_table
+
+_DPC_SQL = f"{_cents_sql('l_extendedprice')} * (100 - {_cents_sql('l_discount')})"
+
+
+@_q(
+    "q13_customer_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape — LEFT OUTER join whose predicate lives ON the
+    join (not a post-filter: an urgent-only customer must still appear
+    with count 0), then a two-level aggregation: per-customer order
+    count → histogram of counts. Both aggs hash-partition on their key
+    with map-side partial agg; the second agg's input is one row per
+    customer, so the histogram shuffle is tiny. count(col) counts only
+    non-null join matches — the outer-join null encodes zero."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@_q(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, sum({_DPC_SQL}) AS rev_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(rev_c AS DOUBLE) / 10000.0 AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev_c = (SELECT max(rev_c) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape — revenue view, global MAX of the view, equality
+    join back to find the top supplier(s). The scalar max is a one-row
+    aggregate broadcast onto the view via a constant-key
+    BroadcastHashJoin — no driver round-trip, no re-scan of lineitem
+    (the view aggregates once; Spark reuses the shuffle for both the
+    max and the filter branches under AQE). Revenue compares in EXACT
+    int64 cents — a double-equality join on a float sum would be
+    flaky; the exact path makes 'equals the max' well-defined."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1996, 4, 1)))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_disc_price_cents()).alias("rev_c"))
+    mx = rev.agg(F.max("rev_c").alias("mx")).withColumn("k", F.lit(1))
+    s = load_table(spark, sf, "supplier")
+    return (
+        rev.withColumn("k", F.lit(1))
+        .join(F.broadcast(mx), "k")
+        .filter(F.col("rev_c") == F.col("mx"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_c").cast("double") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+@_q(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type NOT LIKE 'STANDARD%'
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape — NOT IN → LEFT ANTI join (legal because
+    s_suppkey is non-null; the null-semantics trap of NOT IN doesn't
+    bite) against a filtered supplier list, then COUNT DISTINCT per
+    (brand, size). The anti list and part are both dimension-sized →
+    broadcast; lineitem never shuffles until the final distinct-agg,
+    which Spark executes as expand + two-phase partial agg (never a
+    driver-side distinct)."""
+    li = load_table(spark, sf, "lineitem")
+    bad = load_table(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    p = load_table(spark, sf, "part").filter(~F.col("p_type").like("STANDARD%"))
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(_maybe_broadcast(p, sf, "part"), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "q17_small_quantity_revenue",
+    f"""
+    WITH pa AS (
+      SELECT l_partkey, CAST(sum({_cents_sql("l_quantity")}) AS DOUBLE) / count(*)
+               AS avg_qty_c
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(sum({_cents_sql("l.l_extendedprice")}) AS DOUBLE) / 100.0 / 7.0
+             AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE {_cents_sql("l.l_quantity")} < 0.2 * pa.avg_qty_c
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated per-part AVG subquery gating the
+    fact filter, decorrelated to an aggregate + equi-join back on
+    partkey. Both the per-part agg and the join hash on l_partkey, so
+    ONE logical partitioning carries the whole query (no second
+    shuffle); part is broadcast behind the footer-stats gate. The
+    average is exact-int-sum ÷ count in IEEE double on both engines, so
+    the 0.2·avg threshold is deterministic."""
+    li = load_table(spark, sf, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (F.sum(_cents("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty_c"
+        )
+    )
+    p = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#23")
+    return (
+        li.join(_maybe_broadcast(p, sf, "part"), li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == pa.l_partkey)
+        .filter(_cents("l_quantity") < 0.2 * F.col("avg_qty_c"))
+        .agg(
+            (F.sum(_cents("l_extendedprice")).cast("double") / 100.0 / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@_q(
+    "q21_latest_shipper",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    """,
+)
+def q21_latest_shipper(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (receipt/commit dates absent → 'the supplier who
+    shipped LAST in a multi-supplier order') — EXISTS and NOT EXISTS
+    against the SAME fact table at different aliases: LEFT SEMI then
+    LEFT ANTI, both hash-joined on l_orderkey with residual non-equi
+    predicates (different-supplier, later-shipdate). All three fact
+    joins share the orderkey partitioning; supplier and orders are
+    dimension/broadcast sides. No row multiplication: semi/anti emit
+    each l1 row at most once."""
+    li = load_table(spark, sf, "lineitem")
+    l1 = li.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.select("l_orderkey", "l_suppkey", "l_shipdate").alias("l3")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf, "supplier")
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey"))
+            & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+            "left_anti",
+        )
+        .join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .join(_maybe_broadcast(s, sf, "supplier"), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@_q(
+    "q22_dormant_customers",
+    f"""
+    WITH avg_bal AS (
+      SELECT CAST(sum({_cents_sql("c_acctbal")}) AS DOUBLE) / count(*) AS ac
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c.c_mktsegment,
+           count(*) AS numcust,
+           CAST(sum({_cents_sql("c.c_acctbal")}) AS DOUBLE) / 100.0 AS totacctbal
+    FROM customer c, avg_bal
+    WHERE {_cents_sql("c.c_acctbal")} > avg_bal.ac
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (no phone column → 'above-average-balance
+    customers who never placed an urgent order', per segment) — a
+    GLOBAL scalar average as the filter threshold plus an anti join on
+    a filtered child. The scalar is a one-row aggregate broadcast on a
+    constant key (BroadcastHashJoin; customer never shuffles for it);
+    the threshold compares exact-int cents against the exact-sum ÷
+    count double identically in both engines. The NOT EXISTS is a LEFT
+    ANTI hash join on custkey."""
+    c = load_table(spark, sf, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(_cents("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("ac")
+        )
+        .withColumn("k", F.lit(1))
+    )
+    urgent = load_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.withColumn("k", F.lit(1))
+        .join(F.broadcast(avg_bal), "k")
+        .filter(_cents("c_acctbal") > F.col("ac"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(_cents("c_acctbal")).cast("double") / 100.0).alias("totacctbal"),
+        )
+    )
