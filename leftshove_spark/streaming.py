@@ -284,3 +284,60 @@ def tumbling_window_stream(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), *groups, "n")
     )
+
+
+def dedup_stream(
+    src: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    *,
+    buffer_secs: int = 180,
+) -> DataFrame:
+    """W12 — streaming exactly-once dedup: at-least-once capture upstream
+    (retries, overlapping windows) collapses to exactly-once delivery
+    downstream, the streaming twin of the J3 batch dedup view.
+
+    ``dropDuplicatesWithinWatermark`` keys state on ``key_cols`` and —
+    unlike plain ``dropDuplicates`` whose state grows forever — evicts
+    a key's entry once the watermark passes its last-seen event time,
+    so state is bounded by (keys arriving within the watermark horizon)
+    at ANY runtime length. Duplicates separated by more than the buffer
+    are the upstream contract's job (the reference's replication buffer
+    bounds capture skew the same way, config.go:61-64); within it,
+    delivery is exactly-once."""
+    return src.withWatermark(ts_col, f"{buffer_secs} seconds").dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    *,
+    max_delay_secs: int = 3600,
+    buffer_secs: int = 180,
+    how: str = "inner",
+) -> DataFrame:
+    """W13 — watermarked stream-stream equi-join with a bounded
+    event-time range (the impression↔conversion shape: right events
+    join left events at most ``max_delay_secs`` later).
+
+    BOTH inputs are watermarked and the join condition bounds
+    ``right_ts`` to ``[left_ts, left_ts + max_delay]`` — together these
+    let Spark compute a state watermark per side and EVICT buffered rows
+    once they can no longer match (without the range bound, each side
+    would buffer forever). State per side ≈ rows inside
+    (watermark + max_delay), independent of stream length; the join
+    itself hash-partitions both sides on ``key`` — one co-located
+    shuffle, the same plan family as the batch equi-join."""
+    lw = left.withWatermark(left_ts, f"{buffer_secs} seconds")
+    rw = right.withWatermark(right_ts, f"{buffer_secs} seconds")
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay_secs} SECONDS"))
+    )
+    return lw.join(rw, cond, how)

@@ -192,3 +192,86 @@ def test_sessionize_stream_closes_sessions_across_batches(spark, tmp_path):
         ("u1", _t(10, 0), _t(10, 20), 3),  # spans both batches → state worked
         ("u2", _t(10, 0), _t(10, 0), 1),
     }
+
+
+def test_dedup_stream_collapses_at_least_once_to_exactly_once(spark, tmp_path):
+    """W12 — duplicated capture files drain to exactly one row per key,
+    equal to the batch dedup of the same union; state is
+    watermark-bounded (dropDuplicatesWithinWatermark)."""
+    import time
+
+    from leftshove_spark.streaming import dedup_stream
+
+    ev = load_table(spark, SF0001, "events")
+    h1 = ev.filter(F.col("ts") <= F.lit(CUT))
+    dup = h1.filter(F.col("event_id") % 3 == 0)  # re-captured overlap
+    h2 = ev.filter(F.col("ts") > F.lit(CUT))
+    landing = str(tmp_path / "landing")
+    h1.coalesce(1).write.mode("append").parquet(landing)
+    time.sleep(1.2)
+    dup.unionAll(h2).coalesce(1).write.mode("append").parquet(landing)
+
+    src = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    q = (
+        dedup_stream(src, ["event_id"], "ts")
+        .writeStream.queryName("w12_test")
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.table("w12_test")
+    assert got.count() == ev.count()  # exactly one row per event_id
+    assert got.select("event_id").distinct().count() == ev.count()
+    assert got.select(*ev.columns).exceptAll(ev).count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """W13 — watermarked stream-stream range join == the batch join with
+    the identical condition; out-of-window conversions never match."""
+    from datetime import timedelta
+
+    from leftshove_spark.streaming import stream_stream_join
+
+    t0 = datetime(2024, 1, 1, 10, 0)
+    imps = [(u, t0 + timedelta(minutes=10 * i)) for i, u in enumerate(["u1", "u2", "u3"])]
+    convs = [
+        ("u1", t0 + timedelta(minutes=5)),    # within 1h of u1's imp
+        ("u2", t0 + timedelta(hours=3)),      # too late — no match
+        ("u3", t0 + timedelta(minutes=1)),    # BEFORE u3's imp — no match
+        ("u3", t0 + timedelta(minutes=50)),   # within window
+    ]
+    l_dir, r_dir = str(tmp_path / "imps"), str(tmp_path / "convs")
+    ldf = spark.createDataFrame(imps, "user_id string, imp_ts timestamp")
+    rdf = spark.createDataFrame(convs, "user_id string, conv_ts timestamp")
+    ldf.coalesce(1).write.parquet(l_dir)
+    rdf.coalesce(1).write.parquet(r_dir)
+
+    ls = spark.readStream.schema(ldf.schema).parquet(l_dir)
+    rs = spark.readStream.schema(rdf.schema).parquet(r_dir)
+    joined = stream_stream_join(
+        ls, rs, "user_id", "imp_ts", "conv_ts", max_delay_secs=3600
+    ).select(ls["user_id"], "imp_ts", "conv_ts")
+    q = (
+        joined.writeStream.queryName("w13_test")
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.table("w13_test")
+    exp = ldf.join(
+        rdf,
+        (ldf.user_id == rdf.user_id)
+        & (rdf.conv_ts >= ldf.imp_ts)
+        & (rdf.conv_ts <= ldf.imp_ts + F.expr("INTERVAL 3600 SECONDS")),
+    ).select(ldf["user_id"], "imp_ts", "conv_ts")
+    assert got.count() == exp.count() == 2
+    assert got.exceptAll(exp).count() == 0
+    assert {r["user_id"] for r in got.collect()} == {"u1", "u3"}
