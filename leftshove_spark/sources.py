@@ -174,3 +174,37 @@ def read_json_explicit_schema(spark: SparkSession, path: str, schema) -> DataFra
     via the permissive-mode ``_corrupt_record`` pattern instead of
     silently changing column types."""
     return spark.read.schema(schema).json(path)
+
+
+def read_landing(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    *,
+    mode: str = "FAILFAST",
+    **options,
+) -> DataFrame:
+    """Format-agnostic landing reader — raw pipeline data arrives as
+    parquet, ORC, CSV, or line-JSON; normalize all four behind one
+    call (the S1/S4 source surface generalized to file landings).
+
+    Parquet routes through :func:`read_parquet_normalized` (nanos
+    handling); ORC is self-describing; CSV and JSON REQUIRE an explicit
+    schema — inference is a full extra scan of the corpus and guesses
+    types, never acceptable at 100 TB. ``mode`` defaults to FAILFAST
+    (fail loud on malformed rows); pass PERMISSIVE plus a
+    ``columnNameOfCorruptRecord`` option to quarantine bad rows
+    instead."""
+    if fmt == "parquet":
+        return read_parquet_normalized(spark, path)
+    if fmt == "orc":
+        return spark.read.options(**options).orc(path)
+    if fmt in ("csv", "json"):
+        if schema is None:
+            raise ValueError(f"{fmt} landing requires an explicit schema")
+        reader = spark.read.schema(schema).option("mode", mode).options(**options)
+        if fmt == "csv":
+            return reader.option("header", options.get("header", "true")).csv(path)
+        return reader.json(path)
+    raise ValueError(f"unsupported landing format: {fmt}")

@@ -6,6 +6,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from leftshove_spark.engine import Engine
 from leftshove_spark.session import EngineConfig
@@ -76,3 +77,51 @@ def test_s7_stream_config_dump(spark, tmp_path):
     assert conf["has_transform"] is True
     assert conf["sink_path"].endswith("events_cdc")
     assert conf["watermark"] is not None  # seed computed a min-watermark
+
+
+def test_read_landing_csv_orc_roundtrip(spark, tmp_path):
+    """read_landing: CSV needs an explicit schema (FAILFAST default),
+    ORC is self-describing; both round-trip values exactly."""
+    import pytest as _pytest
+
+    from leftshove_spark.sources import read_landing
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -0.25)], "id long, s string, v double"
+    )
+    csv_dir, orc_dir = str(tmp_path / "csv"), str(tmp_path / "orc")
+    df.write.option("header", "true").csv(csv_dir)
+    df.write.orc(orc_dir)
+    got_csv = read_landing(spark, csv_dir, "csv", schema="id long, s string, v double")
+    assert sorted(map(tuple, got_csv.collect())) == sorted(map(tuple, df.collect()))
+    got_orc = read_landing(spark, orc_dir, "orc")
+    assert sorted(map(tuple, got_orc.collect())) == sorted(map(tuple, df.collect()))
+    with _pytest.raises(ValueError):
+        read_landing(spark, csv_dir, "csv")  # schema is mandatory
+
+
+def test_partitioned_sink_prunes_partitions(spark, tmp_path):
+    """append_snapshot(partition_cols=[dt]) + a dt filter: the scan must
+    read ONLY the matching partition directories — PartitionFilters in
+    the plan and a file count strictly below the total."""
+    from datetime import datetime
+
+    from leftshove_spark.sinks import append_snapshot
+    from leftshove_spark.sources import load_table
+
+    ev = load_table(spark, SF0001, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "part_sink")
+    append_snapshot(ev, path, partition_cols=["dt"])
+    all_days = spark.read.parquet(path)
+    one_day = all_days.filter(F.col("dt") == "2024-01-10")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # the dt predicate must be classified as a PARTITION filter (directory
+    # pruning at planning time), not a post-scan data filter
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "2024-01-10" in pf
+    exp = ev.filter(F.col("dt") == "2024-01-10").drop("dt")
+    assert one_day.drop("dt").exceptAll(exp).count() == 0
+    assert one_day.count() == exp.count()
