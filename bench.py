@@ -50,6 +50,10 @@ HEADLINE = [
     # round-3 breadth: sessionization and grouping-set classes
     "w9_session_window",
     "o4_cube_pricing",
+    # round-3 corpus-pipeline classes (decontamination / PII / packing)
+    "x_decontaminate",
+    "x_pii_scan",
+    "x_pack_sequences",
 ]
 
 
@@ -72,23 +76,26 @@ def main() -> None:
         Q.QUERIES[name](spark, SF_DIR).collect()
         spark.catalog.clearCache()
 
+    # Three INTERLEAVED passes, min per query: single-shot timings on a
+    # shared host swing multi-× with noise bursts lasting seconds —
+    # back-to-back repeats of one query share a burst, whole-list
+    # rounds don't, so the per-query min is a far better steady-state
+    # estimator at the same total cost.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = Q.QUERIES[name]
-        best = None
-        for _ in range(2):
+    for _ in range(3):
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            rows = fn(spark, SF_DIR).collect()
+            rows = Q.QUERIES[name](spark, SF_DIR).collect()
             dt = time.perf_counter() - t0
             assert rows is not None
-            best = dt if best is None else min(best, dt)
+            timings[name] = min(timings.get(name, dt), dt)
             # drop blocks persisted INSIDE an operator (LSH stages pin
             # MEMORY_AND_DISK blocks for their own lifetime); leaving
             # them pinned steals execution memory from every later
             # query, so each timed run starts from an empty block
             # manager.
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+    timings = {k: round(v, 3) for k, v in timings.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
