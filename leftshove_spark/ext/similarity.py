@@ -209,9 +209,12 @@ def ivf_centroids(
 
     def mean_center(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         m = np.array(pdf["qv"].tolist(), dtype=np.int64)
-        return pd.DataFrame(
-            {"cl": [key[0]], "cen": [np.round(m.mean(axis=0)).astype(np.int64).tolist()]}
-        )
+        # floor(x+0.5) — explicit half-UP rounding, identical in any
+        # engine (np.round is half-EVEN, SQL round() half-away: both
+        # diverge cross-engine on exact .5 means, which integer means
+        # hit constantly)
+        cen = np.floor(m.mean(axis=0) + 0.5).astype(np.int64)
+        return pd.DataFrame({"cl": [key[0]], "cen": [cen.tolist()]})
 
     for _ in range(iters):
         assigned = v.withColumn("cl", _assign_cluster(F.col("qv"), cents))
@@ -263,7 +266,9 @@ def knn_ivf(
         ]
     )
     probes = F.slice(F.sort_array(scored, asc=False), 1, nprobe)
-    q = q.withColumn("cell", F.explode(probes).getField("i"))
+    q = q.withColumn("probe", F.explode(probes)).withColumn(
+        "cell", F.col("probe.i")
+    ).drop("probe")
 
     cand = (
         c.join(F.broadcast(q), "cell")

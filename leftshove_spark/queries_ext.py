@@ -759,3 +759,122 @@ def x_dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), "component"
     )
+
+
+@_q(
+    "x_vocab_topk",
+    f"""
+    WITH toks AS (SELECT {_TOK.format(e="text")} AS t FROM documents),
+         freq AS (SELECT token, count(*) AS n
+                  FROM (SELECT unnest(t) AS token FROM toks) GROUP BY token),
+         top AS (SELECT token, n FROM freq ORDER BY n DESC, token LIMIT 100)
+    SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
+    FROM top
+    """,
+)
+def x_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary: token frequency table + deterministic top-100
+    (count desc, token asc tiebreak) — the feedstock for tokenizer
+    training / frequency-based vocab pruning. Plan shape: explode →
+    hash agg with map-side combine (the shuffle carries one row per
+    distinct token per partition), then orderBy+limit executes as
+    TakeOrderedAndProject — per-partition top-k merged on the driver,
+    never a global sort of the vocabulary; the rank window runs over
+    only the final 100 rows."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    freq = (
+        docs.select(F.explode(X.tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    topk = freq.orderBy(F.desc("n"), F.asc("token")).limit(100)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def _knn_ivf_oracle() -> str:
+    """SQL twin of the FULL knn_ivf pipeline — seeds, two Lloyd steps,
+    cell assignment, nprobe cell selection, and the exact-cosine rerank
+    are all deterministic integer/IEEE arithmetic (no RNG; centroid
+    means round half-up via floor(x+0.5) in BOTH engines), so even the
+    iterative k-means is reproduced bit-for-bit in DuckDB."""
+    dim, k_cells, nprobe = EMB_DIM, S.N_CENTROIDS, 4
+    rng = f"range(1, {dim + 1})"
+
+    def dot(a: str, b: str) -> str:
+        return f"CAST(list_sum(list_transform({rng}, i -> {a}[i] * {b}[i])) AS DOUBLE)"
+
+    def cos(a: str, b: str) -> str:
+        return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
+
+    # one Lloyd step: assign every vector to its argmax-cosine centroid
+    # (ties -> HIGHER index, matching _assign_cluster's array_max), then
+    # re-center each cell as the per-component half-up-rounded mean;
+    # empty cells keep the previous centroid (coalesce via left join).
+    def assign(src_cents: str, out: str) -> str:
+        return f"""
+    {out}_rnk AS (
+      SELECT e.vec_id, e.qv, c.cl,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cos("e.qv", "c.cen")} DESC, c.cl DESC) AS rn
+      FROM e CROSS JOIN {src_cents} c),
+    {out} AS (SELECT vec_id, qv, cl FROM {out}_rnk WHERE rn = 1)"""
+
+    def recenter(assigned: str, prev: str, out: str) -> str:
+        return f"""
+    {out}_m AS (
+      SELECT a.cl, t.i, CAST(floor(avg(a.qv[t.i]) + 0.5) AS BIGINT) AS m
+      FROM {assigned} a, {rng.replace('range', 'range')} t(i) GROUP BY a.cl, t.i),
+    {out}_new AS (SELECT cl, list(m ORDER BY i) AS cen FROM {out}_m GROUP BY cl),
+    {out} AS (
+      SELECT p.cl, coalesce(n.cen, p.cen) AS cen
+      FROM {prev} p LEFT JOIN {out}_new n ON n.cl = p.cl)"""
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, qv AS cen
+      FROM e ORDER BY vec_id LIMIT {k_cells}),
+    {assign("c0", "a1")},
+    {recenter("a1", "c0", "c1")},
+    {assign("c1", "a2")},
+    {recenter("a2", "c1", "c2")},
+    {assign("c2", "corpus_cells")},
+    probes_rnk AS (
+      SELECT e.vec_id AS query_id, e.qv, c.cl,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cos("e.qv", "c.cen")} DESC, c.cl DESC) AS rn
+      FROM e CROSS JOIN c2 c WHERE e.vec_id < 10),
+    probes AS (SELECT query_id, qv, cl FROM probes_rnk WHERE rn <= {nprobe}),
+    cand AS (
+      SELECT p.query_id, cc.vec_id AS neighbor_id,
+             {dot("p.qv", "cc.qv")} / (sqrt({dot("p.qv", "p.qv")})
+               * sqrt({dot("cc.qv", "cc.qv")})) AS cosine
+      FROM probes p JOIN corpus_cells cc ON cc.cl = p.cl
+      WHERE cc.vec_id != p.query_id)
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+           cosine
+    FROM cand
+    QUALIFY rank <= 5
+    """
+
+
+@_q("x_knn_ivf", _knn_ivf_oracle())
+def x_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-bucketed ANN top-5 for 10 query vectors — the data-adaptive
+    scale path beside SRP-LSH (coarse quantizer cells + nprobe=4 probe,
+    exact integer-cosine rerank). The oracle re-derives the ENTIRE
+    pipeline in SQL — seed centroids, two Lloyd iterations, cell
+    assignment, probe selection, rerank — so the iterative clustering
+    is hash-checked, not just the final neighbor set."""
+    em = load_table(spark, sf, "embeddings")
+    out = S.knn_ivf(em.filter(F.col("vec_id") < 10), em, k=5, nprobe=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))

@@ -152,3 +152,22 @@ def test_salted_join_rejects_outer_shapes(spark):
     df = spark.range(4).withColumnRenamed("id", "k")
     with _pytest.raises(ValueError):
         skew.salted_join(df, df, "k", how="full_outer")
+
+
+def test_ivf_precision_and_recall(emb):
+    """knn_ivf: every IVF neighbor carries the brute-force-exact cosine
+    (precision absolute — the rerank is the same integer arithmetic);
+    recall@5 vs exact top-5 is pinned as a regression floor (centroids
+    and probes are deterministic, so this only moves if the operator
+    changes)."""
+    q = emb.filter(F.col("vec_id") < 10)
+    bf_all = S.knn_bruteforce(q, emb, k=500).select("query_id", "neighbor_id", "cosine")
+    ivf = S.knn_ivf(q, emb, k=5, nprobe=4).select("query_id", "neighbor_id", "cosine")
+    assert ivf.count() > 0
+    assert ivf.exceptAll(bf_all).count() == 0  # same pairs, bit-equal cosines
+    bf5 = set(
+        (r["query_id"], r["neighbor_id"]) for r in S.knn_bruteforce(q, emb, k=5).collect()
+    )
+    got = set((r["query_id"], r["neighbor_id"]) for r in ivf.collect())
+    recall = len(bf5 & got) / len(bf5)
+    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
