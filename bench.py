@@ -9,13 +9,15 @@ local[$SPARK_GRAFT_CPUS] session and prints ONE JSON line:
 Timing methodology: one untimed pass of every headline query amortizes
 JVM startup, codegen compilation, and parquet footer caching — the timed
 passes measure steady-state scan+shuffle+agg throughput (what a warm
-cluster delivers), not first-query JIT. Each query is then timed TWICE
-and the MINIMUM reported: single-shot timings on a 32-thread local JVM
-swing 2-4× with GC/scheduling noise, and best-of-N is the standard
-steady-state estimator. Each timed run is a cold logical plan (fresh
-DataFrame, no .cache()), so no result memoization. Results are drained
-via .collect() on bounded outputs (every headline query aggregates to a
-small result).
+cluster delivers), not first-query JIT. Each query is then timed in
+THREE INTERLEAVED whole-list rounds and the per-query MINIMUM reported:
+single-shot timings on a shared host swing multi-× with noise bursts
+lasting seconds; back-to-back repeats of one query share a burst while
+interleaved rounds don't, so min-over-rounds is the robust steady-state
+estimator at the same total cost. Each timed run is a cold logical plan
+(fresh DataFrame, no .cache()), so no result memoization. Results are
+drained via .collect() on bounded outputs (every headline query
+aggregates to a small result).
 """
 
 from __future__ import annotations

@@ -153,14 +153,27 @@ class Engine:
                 empty = self.spark.createDataFrame([], expected)
                 empty.write.mode("overwrite").parquet(path)
             else:
-                live = self.spark.read.option("mergeSchema", "true").parquet(path).schema
+                # merge footers only when evolution can produce mixed-schema
+                # sinks; the default log-only sink is single-schema and one
+                # footer suffices (a merge is a distributed O(files) job)
+                reader = self.spark.read
+                if self.config.evolve_schema:
+                    reader = reader.option("mergeSchema", "true")
+                live = reader.parquet(path).schema
                 if not sch.schemas_equal(live, expected):
                     if self.config.evolve_schema:
                         # D7 apply path: additive evolution (ADD COLUMN
                         # analog, bigquery.go:366-389) — O(1) zero-row
-                        # schema append, no data rewrite.
-                        applied = sch.apply_schema_diff(self.spark, path, expected)
-                        log.info("evolved schema on %s: %s", st.name, applied)
+                        # schema append, no data rewrite. Failure (e.g.
+                        # destructive drift) is isolated per table, same
+                        # as run_cycle's stream isolation (cdc.go:128-131).
+                        try:
+                            applied = sch.apply_schema_diff(
+                                self.spark, path, expected, live=live
+                            )
+                            log.info("evolved schema on %s: %s", st.name, applied)
+                        except ValueError as e:
+                            log.error("schema evolution failed on %s: %s", st.name, e)
                     else:
                         # reference default: only log drift (bigquery.go:97-99)
                         log.warning(
@@ -179,9 +192,14 @@ class Engine:
         bigquery.go:101-110."""
         if not st.pkey_column or not os.path.exists(self.sink_path(st)):
             return  # sink not created yet (create_sinks not run / failed table)
-        # mergeSchema: an evolved sink (D7) holds files with both the old
-        # and the widened schema; the view must surface the union.
-        cdc = self.spark.read.option("mergeSchema", "true").parquet(self.sink_path(st))
+        # mergeSchema only under evolution: an evolved sink (D7) holds
+        # files with both the old and the widened schema and the view
+        # must surface the union; the default sink is single-schema and
+        # a footer-merge job per refresh would cost O(files) per cycle.
+        reader = self.spark.read
+        if self.config.evolve_schema:
+            reader = reader.option("mergeSchema", "true")
+        cdc = reader.parquet(self.sink_path(st))
         latest_per_key_window(cdc, st.pkey_column).createOrReplaceTempView(st.name)
 
     # ----------------------------------------------------------- row counts

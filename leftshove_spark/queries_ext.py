@@ -604,10 +604,13 @@ def x_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
     return P.pii_signals(_pii_planted_df(load_table(spark, sf, "documents")))
 
 
+# planted ids are NEGATIVE (-id-1): disjoint from real non-negative
+# doc_ids at ANY scale factor (a fixed positive offset collides once the
+# table outgrows it, silently cross-matching docs in the per-doc joins)
 _REP_DOCS_SQL = f"""
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 200000 AS doc_id,
+  SELECT -doc_id - 1 AS doc_id,
          repeat(concat(array_to_string(({_TOK.format(e="text")})[1:5], ' '), ' '), 20)
            AS text
   FROM documents WHERE len({_TOK.format(e="text")}) >= 5
@@ -644,13 +647,14 @@ _REP_DOCS_SQL = f"""
 )
 def x_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition signals over documents plus planted
-    degenerate docs (first-5-tokens repeated ×20, doc_id+200000) that
-    MUST be flagged. Distinctness via the shared 60-bit shingle hashes,
-    so the oracle reproduces the fractions bit-for-bit."""
+    degenerate docs (first-5-tokens repeated ×20, id = -doc_id-1 so the
+    plant is collision-free at any SF) that MUST be flagged.
+    Distinctness via the shared 60-bit shingle hashes, so the oracle
+    reproduces the fractions bit-for-bit."""
     docs = load_table(spark, sf, "documents")
     t = X.tokenize("text")
     rep = docs.filter(F.size(t) >= 5).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.repeat(
             F.concat(F.concat_ws(" ", F.slice(t, 1, 5)), F.lit(" ")), 20
         ).alias("text"),
@@ -826,7 +830,7 @@ def _knn_ivf_oracle() -> str:
         return f"""
     {out}_m AS (
       SELECT a.cl, t.i, CAST(floor(avg(a.qv[t.i]) + 0.5) AS BIGINT) AS m
-      FROM {assigned} a, {rng.replace('range', 'range')} t(i) GROUP BY a.cl, t.i),
+      FROM {assigned} a, {rng} t(i) GROUP BY a.cl, t.i),
     {out}_new AS (SELECT cl, list(m ORDER BY i) AS cen FROM {out}_m GROUP BY cl),
     {out} AS (
       SELECT p.cl, coalesce(n.cen, p.cen) AS cen

@@ -115,7 +115,9 @@ def schemas_equal(a: T.StructType, b: T.StructType) -> bool:
     return a == b
 
 
-def apply_schema_diff(spark, sink_path: str, expected: T.StructType) -> dict[str, list[str]]:
+def apply_schema_diff(
+    spark, sink_path: str, expected: T.StructType, live: T.StructType | None = None
+) -> dict[str, list[str]]:
     """D7 APPLY path — evolve a parquet sink to ``expected`` (the
     reference ships a worked ADD-COLUMN sample, bigquery.go:366-389,
     alongside its log-only default).
@@ -128,8 +130,11 @@ def apply_schema_diff(spark, sink_path: str, expected: T.StructType) -> dict[str
     COLUMN: O(1) regardless of sink size — at 100 TB a rewrite would be
     a full-corpus job; this is one footer. Removed/retyped columns raise
     (the reference's sample evolves additively only; destructive changes
-    need an explicit migration)."""
-    live = spark.read.option("mergeSchema", "true").parquet(sink_path).schema
+    need an explicit migration). Pass ``live`` when the caller already
+    holds the merged sink schema — the merge is a distributed O(files)
+    footer job, not worth running twice."""
+    if live is None:
+        live = spark.read.option("mergeSchema", "true").parquet(sink_path).schema
     d = diff_schemas(live, expected)
     if d["removed"] or d["retyped"]:
         raise ValueError(f"only additive evolution is supported, diff={d}")

@@ -197,9 +197,20 @@ def read_landing(
     ``columnNameOfCorruptRecord`` option to quarantine bad rows
     instead."""
     if fmt == "parquet":
+        # parquet is self-describing and routes through the normalizing
+        # reader; a schema/mode here would be silently ignored — refuse
+        # loudly instead of pretending to enforce it
+        if schema is not None or mode != "FAILFAST" or options:
+            raise ValueError(
+                "parquet landings are self-describing: schema/mode/options "
+                "are not applied — remove them or use csv/json/orc"
+            )
         return read_parquet_normalized(spark, path)
     if fmt == "orc":
-        return spark.read.options(**options).orc(path)
+        reader = spark.read.options(**options)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.orc(path)
     if fmt in ("csv", "json"):
         if schema is None:
             raise ValueError(f"{fmt} landing requires an explicit schema")

@@ -1,0 +1,72 @@
+"""Oracle parity for GATE-TAIL queries (registered beyond the proven
+50-entry cheap-first order): the driver's budget may never reach them,
+and nothing else executes their DuckDB oracles automatically — without
+this test a regression in q13–q22 / the pipeline ops / CC / IVF would
+ship invisibly while SURVEY.md still advertises them as oracled.
+
+Runs the same compare the driver's gate performs (row count + sorted
+column names + order-insensitive stringified values) at sf0.001 so the
+whole tail stays fast.
+"""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from leftshove_spark.queries import GATE_ORDER
+
+from conftest import SF0001
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def _sig(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return (
+        [cols[i] for i in order],
+        sorted("|".join(_norm(r[i]) for i in order) for r in rows),
+    )
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF0001}/{t}.parquet')"
+        )
+    return con
+
+
+def _tail_names():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    return [n for n in q if n not in GATE_ORDER and n in o]
+
+
+@pytest.mark.parametrize("name", _tail_names())
+def test_gate_tail_query_matches_oracle(spark, ddb, name):
+    q = entrymod.queries()
+    sdf = q[name](spark, SF0001)
+    scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    res = ddb.execute(entrymod.oracle_sql()[name])
+    ocols, orows = [d[0] for d in res.description], res.fetchall()
+    s_cols, s_sig = _sig(scols, srows)
+    o_cols, o_sig = _sig(ocols, orows)
+    assert s_cols == o_cols
+    assert len(s_sig) == len(o_sig)
+    assert s_sig == o_sig
