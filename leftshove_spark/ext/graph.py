@@ -46,7 +46,7 @@ def connected_components(
     labels = e.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # min over neighbors' labels (one shuffle on b, agg on a)
         nb = (
             e.join(
@@ -76,15 +76,19 @@ def connected_components(
             )
             .select("node", F.coalesce("ll", "label").alias("label"))
         ).localCheckpoint()
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # round 0 always changes when any edge exists — skip its
+        # convergence job; check from round 1 on
+        if it > 0:
+            changed = (
+                jumped.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            if changed == 0:
+                labels = jumped
+                break
         labels = jumped
-        if changed == 0:
-            break
     return labels.select("node", F.col("label").alias("component"))
 
 
