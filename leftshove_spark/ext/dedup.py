@@ -386,3 +386,74 @@ def ngram_jaccard_topk(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "jaccard")
     )
     return pairs.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(k)
+
+
+def build_minhash_index(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Persistable LSH index — one row per document:
+    ``(id, sh, bands)`` (distinct shingle hashes + the band-key array).
+
+    The production dedup mode is INCREMENTAL: the corpus is shingled
+    once, this index is written to a sink (partition by a band-key
+    prefix at 100 TB), and every ingest batch joins against it — the
+    corpus text is never re-read and never re-hashed. Bands stay packed
+    as one array per doc (exploding to a row per band would store every
+    shingle array ``N_BANDS``× over)."""
+    docs = _staged_shingles(df, content_col, id_col, pin=False)
+    return docs.select(
+        "id", "sh", band_keys(minhash_signature(F.col("sh"))).alias("bands")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING a new ingest batch: new×corpus and
+    new×new, verified with exact Jaccard — exactly the subset of the
+    full-corpus pairs that involve a new document (pytest-proven).
+
+    Scale shape: the new batch (small) is shingled and persisted; the
+    corpus side contributes ONE equi-join of its stored band table
+    against the batch's exploded bands — cost proportional to the
+    BATCH's bucket collisions, not the corpus — plus a shingle fetch
+    keyed on candidate ids only. Re-running full-corpus dedup per
+    ingest batch is O(corpus) per batch; this is O(batch + hits).
+    Contract: new ids are disjoint from index ids (re-ingest upserts
+    should replace the index row first)."""
+    nd = _staged_shingles(new_docs, content_col, id_col)
+    n_sig = nd.select(
+        "id", "sh", band_keys(minhash_signature(F.col("sh"))).alias("bands")
+    )
+    ne = n_sig.select("id", F.posexplode("bands").alias("band_idx", "band_key"))
+    ie = index.select("id", F.posexplode("bands").alias("band_idx", "band_key"))
+    both = ie.unionAll(ne)
+    a, b = ne.alias("a"), both.alias("b")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    all_sh = index.select("id", "sh").unionAll(nd.select("id", "sh"))
+    sh_a = all_sh.select(F.col("id").alias("_ida"), F.col("sh").alias("sh_a"))
+    sh_b = all_sh.select(F.col("id").alias("_idb"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, cand.id_a == sh_a._ida)
+        .join(sh_b, cand.id_b == sh_b._idb)
+        .drop("_ida", "_idb")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

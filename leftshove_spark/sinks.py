@@ -88,3 +88,31 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    *,
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered layout — the zone-map pruning primitive.
+
+    ``repartitionByRange`` gives each output file a DISJOINT value range
+    on the cluster columns and ``sortWithinPartitions`` orders rows
+    inside, so every parquet footer carries tight min/max stats per
+    row group. A pushed-down range predicate then skips whole row
+    groups/files at scan time instead of decoding them — for
+    time-series or key-range query patterns at 100 TB this is the
+    difference between scanning one day and scanning the corpus
+    (the analog of warehouse clustering keys). Cost: one range shuffle
+    at write, amortized over every subsequent pruned scan; the range
+    boundaries come from Spark's reservoir sampling of the input."""
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -171,3 +171,44 @@ def test_ivf_precision_and_recall(emb):
     got = set((r["query_id"], r["neighbor_id"]) for r in ivf.collect())
     recall = len(bf5 & got) / len(bf5)
     assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+
+
+def test_incremental_lsh_equals_full_subset(spark):
+    """Incremental dedup (new batch vs stored index) finds EXACTLY the
+    full-corpus pairs that touch a new document — new×corpus near-dups
+    included — without re-shingling the corpus."""
+    from leftshove_spark.ext.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+    from leftshove_spark.sources import load_table
+    from conftest import SF0001
+
+    docs = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    # new batch: the remaining docs PLUS near-dup perturbations of
+    # corpus docs (drop first 5 tokens) -> guaranteed cross-batch pairs
+    t = F.split(F.lower("text"), "[^a-z0-9]+")
+    pert = (
+        docs.filter((F.col("doc_id") < 50) & (F.size(t) > 10))
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(t, 6, F.size(t) - 5)).alias("text"),
+        )
+    )
+    new = docs.filter(F.col("doc_id") >= 400).unionAll(pert)
+
+    full = minhash_lsh_pairs(corpus.unionAll(new), jaccard_threshold=0.6)
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    expected = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in full.collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    inc = minhash_lsh_pairs_incremental(
+        new, build_minhash_index(corpus), jaccard_threshold=0.6
+    )
+    got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in inc.collect()}
+    assert got == expected
+    assert any(a < 400 <= b or b < 400 <= a for a, b, _ in got)  # cross-batch hits

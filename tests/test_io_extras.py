@@ -125,3 +125,39 @@ def test_partitioned_sink_prunes_partitions(spark, tmp_path):
     exp = ev.filter(F.col("dt") == "2024-01-10").drop("dt")
     assert one_day.drop("dt").exceptAll(exp).count() == 0
     assert one_day.count() == exp.count()
+
+
+def test_write_clustered_yields_disjoint_file_ranges(spark, tmp_path):
+    """write_clustered: per-file min/max footer stats on the cluster
+    column must form (boundary-touching) DISJOINT ranges — the property
+    parquet zone-map pruning needs — and the data round-trips."""
+    import pyarrow.parquet as pq
+
+    from leftshove_spark.sinks import write_clustered
+    from leftshove_spark.sources import load_table
+
+    ev = load_table(spark, SF0001, "events").select("event_id", "ts", "user_id")
+    path = str(tmp_path / "clustered")
+    write_clustered(ev, path, ["ts"], n_files=8)
+    ranges = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "ts"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4  # really split into multiple range files
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint up to shared boundary values
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0
