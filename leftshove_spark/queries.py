@@ -109,6 +109,23 @@ GATE_ORDER = [
     "x_knn_lsh",
     "x_dedup_resolution",
     "x_dedup_minhash_lsh",
+    # --- round-3 tail (entries 51+): also cheap-first, so a driver
+    # budget cut costs the fewest rows. All are additionally guarded by
+    # tests/test_gate_tail_oracle.py regardless of gate reach.
+    "x_hash_split",
+    "x_pii_scan",
+    "x_pack_sequences",
+    "x_vocab_topk",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q22_dormant_customers",
+    "q21_latest_shipper",
+    "x_decontaminate",
+    "x_knn_ivf",
+    "x_repetition",
+    "x_dedup_connected_components",
 ]
 
 

@@ -15,9 +15,12 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
-from leftshove_spark.queries import GATE_ORDER
 
 from conftest import SF0001
+
+# the driver's r2 gate stopped at 50 entries — everything past that
+# position is what this test must keep honest
+PROVEN_GATE_REACH = 50
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -53,9 +56,9 @@ def ddb():
 
 
 def _tail_names():
-    q = entrymod.queries()
+    q = list(entrymod.queries())
     o = entrymod.oracle_sql()
-    return [n for n in q if n not in GATE_ORDER and n in o]
+    return [n for n in q[PROVEN_GATE_REACH:] if n in o]
 
 
 @pytest.mark.parametrize("name", _tail_names())
