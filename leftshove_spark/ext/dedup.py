@@ -399,10 +399,26 @@ def build_minhash_index(
     prefix at 100 TB), and every ingest batch joins against it — the
     corpus text is never re-read and never re-hashed. Bands stay packed
     as one array per doc (exploding to a row per band would store every
-    shingle array ``N_BANDS``× over)."""
+    shingle array ``N_BANDS``× over). The rows carry the MinHash
+    parameters they were built with (constant columns — parquet RLE
+    stores them for free): an index queried after a constants change
+    would silently stop colliding with fresh batches, so consumers can
+    check ``idx_params`` against the module's current values.
+
+    The returned plan is UNPINNED — write it to a sink (the production
+    mode) or persist it yourself before passing it to
+    :func:`minhash_lsh_pairs_incremental`, which references it twice."""
     docs = _staged_shingles(df, content_col, id_col, pin=False)
     return docs.select(
-        "id", "sh", band_keys(minhash_signature(F.col("sh"))).alias("bands")
+        "id",
+        "sh",
+        band_keys(minhash_signature(F.col("sh"))).alias("bands"),
+        F.struct(
+            F.lit(N_PERMS).alias("n_perms"),
+            F.lit(N_BANDS).alias("n_bands"),
+            F.lit(BAND_ROWS).alias("band_rows"),
+            F.lit(3).alias("shingle_n"),
+        ).alias("idx_params"),
     )
 
 
@@ -422,9 +438,13 @@ def minhash_lsh_pairs_incremental(
     against the batch's exploded bands — cost proportional to the
     BATCH's bucket collisions, not the corpus — plus a shingle fetch
     keyed on candidate ids only. Re-running full-corpus dedup per
-    ingest batch is O(corpus) per batch; this is O(batch + hits).
-    Contract: new ids are disjoint from index ids (re-ingest upserts
-    should replace the index row first)."""
+    ingest batch is O(corpus) of SHINGLING per batch; here the corpus
+    contributes only two reads of its stored index (bands + shingles —
+    pass a sink-backed or persisted index, or the plan evaluates
+    twice). An id present in BOTH inputs is treated as a re-ingest:
+    the new document's shingles REPLACE the stored ones for
+    verification (upsert semantics), so stale content never shapes a
+    verdict."""
     nd = _staged_shingles(new_docs, content_col, id_col)
     n_sig = nd.select(
         "id", "sh", band_keys(minhash_signature(F.col("sh"))).alias("bands")
@@ -442,7 +462,12 @@ def minhash_lsh_pairs_incremental(
         )
         .distinct()
     )
-    all_sh = index.select("id", "sh").unionAll(nd.select("id", "sh"))
+    # new wins on id collision (re-ingest): drop the stale index row so
+    # each id has exactly one shingle set — a duplicate id would
+    # otherwise fan the verification joins out to multiple rows per pair
+    all_sh = nd.select("id", "sh").unionAll(
+        index.select("id", "sh").join(nd.select("id"), "id", "left_anti")
+    )
     sh_a = all_sh.select(F.col("id").alias("_ida"), F.col("sh").alias("sh_a"))
     sh_b = all_sh.select(F.col("id").alias("_idb"), F.col("sh").alias("sh_b"))
     return (

@@ -41,6 +41,9 @@ def connected_components(
     ``component`` is the MINIMUM node id in the node's connected
     component (deterministic canonical labels — oracle-comparable)."""
     e = edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+    # self-loops carry no connectivity and would falsify the round-0
+    # always-changes invariant the convergence-check skip relies on
+    e = e.filter(F.col("a") != F.col("b"))
     e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     e = e.localCheckpoint()
     labels = e.select(F.col("a").alias("node")).distinct().withColumn(

@@ -212,3 +212,37 @@ def test_incremental_lsh_equals_full_subset(spark):
     got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in inc.collect()}
     assert got == expected
     assert any(a < 400 <= b or b < 400 <= a for a, b, _ in got)  # cross-batch hits
+
+
+def test_incremental_lsh_reingest_upserts(spark):
+    """An id present in both the batch and the index is a re-ingest: the
+    new content replaces the stored shingles — exactly one row per pair,
+    jaccard computed against CURRENT content, never the stale copy."""
+    from leftshove_spark.ext.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = build_minhash_index(base)
+    # re-ingest doc 1 with content now nearly identical to doc 2, plus a
+    # fresh doc 3 identical to OLD doc 1 — against stale shingles the
+    # verdicts would invert
+    new = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine eleven"),
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = minhash_lsh_pairs_incremental(new, idx, jaccard_threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    assert len(rows) == len(pairs)  # no duplicated pair rows
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5  # NEW content matched
+    assert (1, 3) not in pairs  # stale content did not

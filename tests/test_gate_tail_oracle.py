@@ -18,9 +18,10 @@ import __spark_entry__ as entrymod
 
 from conftest import SF0001
 
-# the driver's r2 gate stopped at 50 entries — everything past that
-# position is what this test must keep honest
-PROVEN_GATE_REACH = 50
+# the driver's r2 gate stopped at 50 entries; guard from position 40 on
+# (margin under the observed reach, in case a future budget cuts
+# earlier) — everything past this is what this test must keep honest
+PROVEN_GATE_REACH = 40
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
