@@ -122,6 +122,10 @@ GATE_ORDER = [
     "q17_small_quantity_revenue",
     "q22_dormant_customers",
     "q21_latest_shipper",
+    "q12_shipmode_priority",
+    "q7_volume_shipping",
+    "x_funnel_conversion",
+    "x_cohort_retention",
     "x_decontaminate",
     "x_knn_ivf",
     "x_repetition",

@@ -284,3 +284,190 @@ def q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
             (F.sum(_cents("c_acctbal")).cast("double") / 100.0).alias("totacctbal"),
         )
     )
+
+
+@_q(
+    "q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(vol_c) AS DOUBLE) / 10000.0 AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year, {_DPC_SQL.replace("l_", "l.l_")} AS vol_c
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape — bilateral nation-pair volume by ship year: a
+    5-way join where BOTH fact-side dimensions (supplier+nation,
+    customer+nation) are filtered by a disjunctive cross-pair
+    predicate. The two nation-filtered dim chains broadcast; the only
+    fact shuffles are lineitem→orders on orderkey and →customer on
+    custkey (the unavoidable pair), then a tiny 3-key agg. The pair
+    predicate applies post-join (it references both sides) but the
+    single-nation prefilters (n_name IN {{a, b}}) are pushed onto each
+    chain before the fact join, shrinking both broadcast sides."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    na, nb = "NATION_3", "NATION_7"
+    n = load_table(spark, sf, "nation").filter(F.col("n_name").isin(na, nb))
+    s = (
+        load_table(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(_maybe_broadcast(s, sf, "supplier"), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(_maybe_broadcast(c, sf, "customer"), o.o_custkey == c.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == na) & (F.col("cust_nation") == nb))
+            | ((F.col("supp_nation") == nb) & (F.col("cust_nation") == na))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg((F.sum(_disc_price_cents()) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+@_q(
+    "q12_shipmode_priority",
+    """
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (no shipmode column → linestatus carries the
+    grouping) — CONDITIONAL aggregation: two complementary CASE-sums in
+    one pass over the join, the pattern that replaces two filtered
+    subqueries with a single scan+join. One orderkey shuffle, then a
+    2-group agg; the year filter prunes at the lineitem scan."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1997, 1, 1)))
+    )
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "x_funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+      GROUP BY e.user_id)
+    SELECT count(*) AS n_viewers,
+           count(p.user_id) AS n_converted,
+           sum(CASE WHEN p.first_purchase <= v.first_view + INTERVAL 7 DAY
+                    THEN 1 ELSE 0 END) AS n_converted_7d,
+           CAST(count(p.user_id) AS DOUBLE) / count(*) AS conv_rate
+    FROM v LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def x_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Funnel analysis over the event stream: view → purchase
+    conversion, ordered in event time (the purchase must FOLLOW the
+    user's first view), with a 7-day-window completion count. Shape:
+    two per-user aggregations and one left join, all hash-partitioned
+    on user_id — ONE logical partitioning carries the whole funnel, and
+    the final global rollup is a single row. Timestamp arithmetic stays
+    exact cross-engine (fixture timestamps are micro-granular; both
+    engines compare identical instants)."""
+    ev = load_table(spark, sf, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    joined = v.join(p, "user_id", "left")
+    in7 = F.col("first_purchase") <= F.col("first_view") + F.expr("INTERVAL 7 DAYS")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_viewers"),
+        F.count("first_purchase").alias("n_converted"),
+        F.sum(F.when(in7, 1).otherwise(0)).alias("n_converted_7d"),
+        (F.count("first_purchase").cast("double") / F.count(F.lit(1))).alias(
+            "conv_rate"
+        ),
+    )
+
+
+@_q(
+    "x_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS wk
+      FROM events e JOIN firsts f ON f.user_id = e.user_id)
+    SELECT cohort,
+           CAST(datediff('day', cohort, wk) / 7 AS BIGINT) AS week_no,
+           count(*) AS n_users
+    FROM act GROUP BY cohort, week_no
+    """,
+)
+def x_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted in each subsequent active week. Both date_trunc('week')
+    implementations are ISO (Monday) so cohorts align; the week offset
+    is an exact integer (day difference between two week-truncated
+    instants is always a multiple of 7). Shape: per-user first-event
+    agg, join back, distinct (user, week), then the matrix agg — the
+    user_id partitioning is reused across the first three."""
+    ev = load_table(spark, sf, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = (
+        ev.join(firsts, "user_id")
+        .select("user_id", "cohort", F.date_trunc("week", "ts").alias("wk"))
+        .distinct()
+    )
+    return (
+        act.withColumn(
+            "week_no", (F.datediff("wk", "cohort") / 7).cast("long")
+        )
+        .groupBy("cohort", "week_no")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
