@@ -126,6 +126,7 @@ GATE_ORDER = [
     "q7_volume_shipping",
     "x_funnel_conversion",
     "x_cohort_retention",
+    "w15_window_battery",
     "x_decontaminate",
     "x_knn_ivf",
     "x_repetition",

@@ -471,3 +471,52 @@ def x_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("cohort", "week_no")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@_q(
+    "w15_window_battery",
+    """
+    SELECT event_id, user_id,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           lag(event_type) OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS running_value,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS moving3_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w15_window_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Window-function battery per user in event-time order: row_number,
+    lag/lead, a running total, and a 3-row moving sum — the navigation +
+    frame surface in one pass. ONE shuffle on user_id serves every
+    window (identical partitioning + ordering), which is exactly how to
+    author multi-window queries at scale: align the specs so Catalyst
+    plans a single Window operator chain after a single sort. Frame
+    sums run in exact int64 cents — engines disagree on float
+    accumulation order inside sliding frames (segment trees vs
+    rescans), so exact integers are the only safely comparable frame
+    aggregate; the tiebreaking (ts, event_id) order makes lag/lead
+    total."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.sum(cents).over(w.rowsBetween(W.unboundedPreceding, 0)).cast("double") / 100.0
+         ).alias("running_value"),
+        (F.sum(cents).over(w.rowsBetween(-2, 0)).cast("double") / 100.0
+         ).alias("moving3_value"),
+    )
