@@ -90,3 +90,68 @@ def test_near_realtime_zero_step_skips():
     # degenerate diff/3 == 0 must not emit an empty window
     d = win(NOW - timedelta(seconds=BUF), cur_count=BATCH + 1)
     assert d.skip or d.hi > d.lo
+
+
+# ---------------------------------------------------------------- property
+# Hypothesis sweep of the full input space — the invariants every cycle
+# must satisfy regardless of which case fires (pure driver-side math, so
+# thousands of examples cost milliseconds).
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from leftshove_spark import controller as C
+
+_TS = st.datetimes(
+    min_value=datetime(2000, 1, 1), max_value=datetime(2035, 1, 1)
+)
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    now=_TS,
+    nms_back_secs=st.integers(min_value=0, max_value=10 * 365 * 86400),
+    shove_back_secs=st.one_of(
+        st.none(), st.integers(min_value=0, max_value=86400)
+    ),
+    last_count=st.integers(min_value=0, max_value=10**12),
+    diff=st.integers(min_value=-(10**9), max_value=10**12),
+    buffer_secs=st.integers(min_value=1, max_value=3600),
+    batch=st.integers(min_value=1, max_value=1_000_000),
+    backlog=st.integers(min_value=1, max_value=64),
+    step_hours=st.integers(min_value=1, max_value=10000),
+)
+def test_window_invariants_hold_for_all_inputs(
+    now, nms_back_secs, shove_back_secs, last_count, diff,
+    buffer_secs, batch, backlog, step_hours,
+):
+    """For EVERY input: a non-skip window is strictly forward
+    (lo = nms < hi), never exceeds now−buffer (W3 late-data guard),
+    never advances more than max_step (case-2/3 bound) except the
+    sanctioned default jump, and the function is pure (same inputs →
+    same decision)."""
+    nms = now - timedelta(seconds=nms_back_secs)
+    shoved = (
+        None if shove_back_secs is None else now - timedelta(seconds=shove_back_secs)
+    )
+    kw = dict(
+        replication_buffer_secs=buffer_secs,
+        batch_count=batch,
+        backlog_batches=backlog,
+        max_step_hours=step_hours,
+    )
+    d = C.next_window(now, nms, shoved, last_count, last_count + diff, **kw)
+    assert d == C.next_window(now, nms, shoved, last_count, last_count + diff, **kw)
+    if d.skip:
+        assert d.lo is None and d.hi is None
+        return
+    cap = now - timedelta(seconds=buffer_secs)
+    assert d.lo == nms
+    assert d.lo < d.hi  # strictly forward: commit can never move backward
+    assert d.hi <= cap  # W3: late rows on a replica stay capturable
+    if d.case in (C.WindowCase.BACKLOG, C.WindowCase.STALE):
+        assert d.hi - d.lo <= timedelta(hours=step_hours)
+    if d.case is C.WindowCase.NEAR_REALTIME:
+        assert now - nms < 2 * timedelta(seconds=buffer_secs)
