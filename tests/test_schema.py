@@ -126,3 +126,47 @@ def test_apply_schema_diff_add_column_end_to_end(spark, tmp_path):
     v3 = T.StructType([T.StructField("id", T.StringType(), True)])
     with _pytest.raises(ValueError):
         sch.apply_schema_diff(spark, path, v3)
+
+
+# ---------------------------------------------------------------- property
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ATOMS = [
+    T.LongType(), T.IntegerType(), T.DoubleType(), T.StringType(),
+    T.BooleanType(), T.TimestampType(), T.DateType(), T.BinaryType(),
+]
+_types = st.recursive(
+    st.sampled_from(_ATOMS),
+    lambda children: st.one_of(
+        children.map(lambda t: T.ArrayType(t)),
+        children.map(lambda t: T.MapType(T.StringType(), t)),
+    ),
+    max_leaves=4,
+)
+_names = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=12
+)
+_schemas = st.dictionaries(_names, _types, min_size=0, max_size=8).map(
+    lambda d: T.StructType(
+        [T.StructField(n, t, True) for n, t in sorted(d.items())]
+    )
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(a=_schemas, b=_schemas)
+def test_schema_json_roundtrip_and_diff_laws(a, b):
+    """For ANY pair of schemas (nested arrays/maps included): the JSON
+    codec round-trips exactly; diff(a, a) is empty; diff is
+    anti-symmetric in added/removed; equality ⇔ empty diff + same
+    field order."""
+    assert sch.schema_from_json(sch.schema_to_json(a)) == a
+    d_self = sch.diff_schemas(a, a)
+    assert d_self == {"added": [], "removed": [], "retyped": []}
+    d_ab, d_ba = sch.diff_schemas(a, b), sch.diff_schemas(b, a)
+    assert d_ab["added"] == d_ba["removed"]
+    assert d_ab["removed"] == d_ba["added"]
+    assert d_ab["retyped"] == d_ba["retyped"]
+    if sch.schemas_equal(a, b):
+        assert d_ab == {"added": [], "removed": [], "retyped": []}
