@@ -127,6 +127,7 @@ GATE_ORDER = [
     "x_funnel_conversion",
     "x_cohort_retention",
     "w15_window_battery",
+    "o6_grouping_sets",
     "x_decontaminate",
     "x_knn_ivf",
     "x_repetition",

@@ -520,3 +520,37 @@ def w15_window_battery(spark: SparkSession, sf: str) -> DataFrame:
         (F.sum(cents).over(w.rowsBetween(-2, 0)).cast("double") / 100.0
          ).alias("moving3_value"),
     )
+
+
+@_q(
+    "o6_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+             AS gid,
+           count(*) AS n,
+           CAST(sum({_cents_sql("l_quantity")}) AS DOUBLE) / 100.0 AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def o6_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind ROLLUP/CUBE, with
+    a hand-picked set list) + grouping() to disambiguate NULL-as-ALL
+    from NULL-as-value. Same one-pass physical shape as rollup: map-side
+    Expand to 3 grouping projections, then a single partial-agg shuffle
+    of O(groups), not O(rows × sets)."""
+    li = load_table(spark, sf, "lineitem")
+    gid = (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("long")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(_cents("l_quantity")).cast("double") / 100.0).alias("sum_qty"),
+        )
+    )
