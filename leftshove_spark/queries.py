@@ -128,6 +128,7 @@ GATE_ORDER = [
     "x_cohort_retention",
     "w15_window_battery",
     "o6_grouping_sets",
+    "x_quality_deciles",
     "x_decontaminate",
     "x_knn_ivf",
     "x_repetition",

@@ -11,10 +11,10 @@ components zeroed) because the synthetic fixture contains no natural
 near-duplicates; the operators must find exactly those planted pairs
 and nothing else.
 
-Only x_knn_lsh registers without an oracle: it is the same arithmetic,
-but its bucketed-recall output is the designated non-SQL entry (the
-driver records a rows-only check); pytest separately proves its results
-are a subset of brute force at equal cosine.
+Every entry registers WITH an oracle — including the iterative and
+bucketed ones: x_knn_lsh re-derives the SRP buckets + multi-probe in
+SQL, x_knn_ivf replays the Lloyd iterations as CTEs, and
+x_pack_sequences walks the greedy recurrence as a recursive CTE.
 """
 
 from __future__ import annotations
@@ -882,3 +882,53 @@ def x_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     em = load_table(spark, sf, "embeddings")
     out = S.knn_ivf(em.filter(F.col("vec_id") < 10), em, k=5, nprobe=4)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_q(
+    "x_quality_deciles",
+    f"""
+    WITH scored AS (SELECT doc_id, quality_score FROM ({_ORACLES["x_text_stats"]})),
+    ranked AS (
+      SELECT doc_id, quality_score,
+             CAST(ntile(10) OVER w AS BIGINT) AS decile,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume
+      FROM scored WINDOW w AS (ORDER BY quality_score, doc_id))
+    SELECT decile,
+           count(*) AS n_docs,
+           min(quality_score) AS min_score,
+           max(quality_score) AS max_score,
+           min(pct_rank) AS min_pct_rank,
+           max(cume) AS max_cume
+    FROM ranked GROUP BY decile
+    """,
+)
+def x_quality_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-decile binning for curriculum sampling — ntile(10) +
+    percent_rank + cume_dist over the quality score (doc_id tiebreak
+    makes the order total, so every rank function is deterministic;
+    percent_rank and cume_dist are exact small-integer ratios, IEEE-
+    identical in both engines). The global-order window is the one
+    inherently single-partition step — fine here because its input is
+    one row per doc of two narrow columns; at 100 TB pre-aggregate to a
+    histogram and derive deciles from counts instead."""
+    from pyspark.sql import Window as W
+
+    stats = X.text_stats(load_table(spark, sf, "documents")).select(
+        "doc_id", "quality_score"
+    )
+    w = W.orderBy("quality_score", "doc_id")
+    ranked = stats.select(
+        "doc_id",
+        "quality_score",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("quality_score").alias("min_score"),
+        F.max("quality_score").alias("max_score"),
+        F.min("pct_rank").alias("min_pct_rank"),
+        F.max("cume").alias("max_cume"),
+    )
