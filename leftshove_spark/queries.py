@@ -129,6 +129,7 @@ GATE_ORDER = [
     "w15_window_battery",
     "o6_grouping_sets",
     "x_quality_deciles",
+    "c16_json_null_battery",
     "x_decontaminate",
     "x_knn_ivf",
     "x_repetition",

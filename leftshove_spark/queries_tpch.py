@@ -554,3 +554,41 @@ def o6_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
             (F.sum(_cents("l_quantity")).cast("double") / 100.0).alias("sum_qty"),
         )
     )
+
+
+@_q(
+    "c16_json_null_battery",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing,
+           coalesce(CAST(json_extract_string(props, '$.missing') AS BIGINT), -1)
+             AS k_defaulted,
+           nullif(event_type, 'error') AS et_no_error,
+           (nullif(event_type, 'error') IS NOT DISTINCT FROM
+            nullif(event_type, 'click')) AS ns_eq,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    """,
+)
+def c16_json_null_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured extraction + NULL-semantics battery: JSON path
+    extraction from the props column (present and missing paths),
+    COALESCE defaulting, NULLIF null-injection, and NULL-SAFE equality
+    (<=> ⇔ IS NOT DISTINCT FROM) — the null-handling surface where
+    engines classically diverge, pinned here to identical behavior.
+    get_json_object is pure codegen; scan → project, zero shuffles."""
+    ev = load_table(spark, sf, "events")
+    a = F.nullif(F.col("event_type"), F.lit("error"))
+    b = F.nullif(F.col("event_type"), F.lit("click"))
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.get_json_object("props", "$.missing").cast("long").alias("k_missing"),
+        F.coalesce(
+            F.get_json_object("props", "$.missing").cast("long"), F.lit(-1)
+        ).alias("k_defaulted"),
+        a.alias("et_no_error"),
+        a.eqNullSafe(b).alias("ns_eq"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
