@@ -130,6 +130,8 @@ GATE_ORDER = [
     "o6_grouping_sets",
     "x_quality_deciles",
     "c16_json_null_battery",
+    "x_multimodal_decode",
+    "x_multimodal_frames",
     "x_decontaminate",
     "x_knn_ivf",
     "x_repetition",

@@ -932,3 +932,54 @@ def x_quality_deciles(spark: SparkSession, sf: str) -> DataFrame:
         F.min("pct_rank").alias("min_pct_rank"),
         F.max("cume").alias("max_cume"),
     )
+
+
+@_q(
+    "x_multimodal_decode",
+    """
+    SELECT doc_id,
+           list_transform(range(0, 8),
+             i -> CAST(CAST(concat('0x', substr(md5(text), (i % 16) * 2 + 1, 2))
+                            AS INTEGER) / 255.0 AS FLOAT)) AS features,
+           'fake-md5' AS decode_backend
+    FROM documents
+    """,
+)
+def x_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """The multimodal DECODE stage itself, hash-checked: mapInPandas
+    over Arrow batches produces the per-payload feature vector (the
+    container has no codecs, so the deterministic md5-derived fake runs
+    — the oracle reproduces its exact float32 arithmetic from md5 hex
+    bytes, proving the Arrow batching/schema plumbing end-to-end, not
+    just the metadata projection). With a real codec installed the
+    backend flag changes and this entry would be re-oracled against a
+    reference decode."""
+    docs = load_table(spark, sf, "documents")
+    return M.decode_features(M.attach_payload(docs))
+
+
+@_q(
+    "x_multimodal_frames",
+    """
+    WITH p AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS blen
+               FROM documents),
+    f AS (
+      SELECT doc_id,
+             CAST(i AS INTEGER) AS frame_idx,
+             from_hex(substring(hx,
+                                CAST(i AS INTEGER) * greatest(blen // 4, 1) * 2 + 1,
+                                greatest(blen // 4, 1) * 2)) AS frame
+      FROM p, range(0, 4) t(i))
+    SELECT doc_id, frame_idx, frame FROM f WHERE octet_length(frame) > 0
+    """,
+)
+def x_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling (the 1→N fan-out of video decode) hash-checked:
+    each payload splits into 4 evenly-spaced byte slices via
+    mapInPandas; the oracle re-slices the same bytes with SQL
+    substring arithmetic. Trailing short payloads emit fewer frames on
+    both sides (empty-slice break ≡ empty-slice filter, since all
+    slices after an empty one are empty)."""
+    docs = load_table(spark, sf, "documents")
+    return M.frame_sample(M.attach_payload(docs), n_frames=4)
