@@ -36,9 +36,15 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _ensure_nanos_conf(spark: SparkSession) -> None:
-    """The driver may hand us a session built without the nanos conf;
-    set it if possible (it is a runtime-settable legacy conf in 4.x)."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    """The driver may hand us a session built without the engine confs;
+    set them if possible (both are runtime-settable in 4.x). NTZ
+    inference must be OFF: Spark ≥4.1 otherwise reads the tz-naive test
+    parquet as TIMESTAMP_NTZ, which watermarks/unix_micros reject."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass

@@ -105,19 +105,25 @@ def range_join_bucketed(
     O(facts × ranges) comparisons instead of O(facts).
     """
     b_us = F.lit(int(bucket_seconds) * 1_000_000)
+
+    # unix_micros demands TIMESTAMP; a no-op cast keeps the operator
+    # type-stable when a caller hands NTZ columns (Spark ≥4.1 inference)
+    def _us(c: str):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
     rb = ranges.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(F.col(start_col)) / b_us),
+                F.floor(_us(start_col) / b_us),
                 # end is exclusive: the last covered instant is end−1µs
-                F.floor((F.unix_micros(F.col(end_col)) - 1) / b_us),
+                F.floor((_us(end_col) - 1) / b_us),
             )
         ),
     )
     if broadcast_ranges:
         rb = F.broadcast(rb)
-    fb = facts.withColumn("__bucket", F.floor(F.unix_micros(F.col(ts_col)) / b_us))
+    fb = facts.withColumn("__bucket", F.floor(_us(ts_col) / b_us))
     return (
         fb.join(rb, "__bucket")
         .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))

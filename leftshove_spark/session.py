@@ -53,6 +53,10 @@ def get_spark(
         # readable by every modern engine without special-casing
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark ≥4.1 infers tz-naive parquet as TIMESTAMP_NTZ; keep the
+        # engine on TIMESTAMP (session tz is UTC ⇒ value-identical) so
+        # watermarks/unix_micros/ts arithmetic work uniformly
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

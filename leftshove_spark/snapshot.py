@@ -35,17 +35,25 @@ def window_predicate(nms_col: str, lo: datetime | str, hi: datetime | str) -> Co
     return (F.col(nms_col) > F.lit(lo)) & (F.col(nms_col) <= F.lit(hi))
 
 
-def munge_timestamp_to_null(c: str, min_ts: str) -> Column:
-    """F4 — ``CASE WHEN c < min THEN NULL ELSE c END`` (postgres.go:72-92)."""
-    return F.when(F.col(c) < F.lit(min_ts).cast("timestamp"), F.lit(None)).otherwise(
-        F.col(c)
-    )
+def munge_timestamp_to_null(
+    c: str, min_ts: str, dtype: T.DataType | None = None
+) -> Column:
+    """F4 — ``CASE WHEN c < min THEN NULL ELSE c END`` (postgres.go:72-92).
+
+    ``dtype`` is the column's actual timestamp type; the clamp literal is
+    cast to IT so the comparison stays type-stable whether the source
+    arrived as TIMESTAMP or TIMESTAMP_NTZ (Spark ≥4.1 infers tz-naive
+    parquet as NTZ; a mismatched literal silently stops matching)."""
+    lo = F.lit(min_ts).cast(dtype or T.TimestampType())
+    return F.when(F.col(c) < lo, F.lit(None)).otherwise(F.col(c))
 
 
-def munge_timestamp_to_min(c: str, min_ts: str) -> Column:
+def munge_timestamp_to_min(
+    c: str, min_ts: str, dtype: T.DataType | None = None
+) -> Column:
     """F5 — clamp to min: ``CASE WHEN c < min THEN to_timestamp(min) ELSE c
-    END`` (postgres.go:80-100)."""
-    lo = F.to_timestamp(F.lit(min_ts), "yyyy-MM-dd HH:mm:ss")
+    END`` (postgres.go:80-100). Same type-stability contract as F4."""
+    lo = F.lit(min_ts).cast(dtype or T.TimestampType())
     return F.when(F.col(c) < lo, lo).otherwise(F.col(c))
 
 
@@ -68,11 +76,11 @@ def rewrite_column(
     c = field.name
     if isinstance(field.dataType, T.ArrayType) and stringify_arrays:
         return F.to_json(F.col(c)).alias(c)
-    if isinstance(field.dataType, T.TimestampType):
+    if isinstance(field.dataType, (T.TimestampType, T.TimestampNTZType)):
         if munge_to_null:
-            return munge_timestamp_to_null(c, min_ts).alias(c)
+            return munge_timestamp_to_null(c, min_ts, field.dataType).alias(c)
         if munge_to_min:
-            return munge_timestamp_to_min(c, min_ts).alias(c)
+            return munge_timestamp_to_min(c, min_ts, field.dataType).alias(c)
     return F.col(c)
 
 

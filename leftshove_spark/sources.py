@@ -82,11 +82,39 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
     read TIMESTAMP(NANOS) parquet at all ([PARQUET_TYPE_ILLEGAL]
     otherwise). It is runtime-settable in Spark 4.x, and the caller may
     hand us ANY session (the correctness harness builds its own), so the
-    conf is (re)applied here — on the read path — not at session build."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # immutable conf on some builds; session factory already set it
+    conf is (re)applied here — on the read path — not at session build.
+
+    ``spark.sql.parquet.inferTimestampNTZ.enabled`` is forced off for the
+    same reason: Spark ≥4.1 infers tz-naive parquet timestamps
+    (isAdjustedToUTC=false — the test data's encoding, and DuckDB's
+    default output) as TIMESTAMP_NTZ, which ``withWatermark``,
+    ``unix_micros`` etc. reject. The session tz is pinned UTC, so reading
+    naive values as TIMESTAMP is value-identical to NTZ — and matches the
+    DuckDB oracle, whose timestamps are UTC-naive."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable conf on some builds; session factory already set it
+
+
+def cast_ntz_to_timestamp(df: DataFrame) -> DataFrame:
+    """Defensive normalization: cast any TIMESTAMP_NTZ column to
+    TIMESTAMP. No-op when the NTZ-inference conf above took effect (the
+    common case); covers sessions where that conf is immutable or data
+    written NTZ explicitly. Value-stable because the session tz is UTC.
+    Narrow projection — fused into the scan by codegen, zero cost."""
+    from pyspark.sql import types as _T
+
+    ntz = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, _T.TimestampNTZType)
+    ]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
@@ -100,7 +128,7 @@ def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
     for c in _nano_ts_columns(path):
         # integer division — double division loses precision on int64 nanos
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return cast_ntz_to_timestamp(df)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

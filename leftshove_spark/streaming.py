@@ -50,8 +50,27 @@ from pyspark.sql.streaming import StreamingQuery
 
 from .schema import SNAPSHOT_COL
 from .snapshot import rewrite_column
-from .sources import _nano_ts_columns, _ensure_nanos_conf
+from .sources import _nano_ts_columns, _ensure_nanos_conf, cast_ntz_to_timestamp
 from .state import StateStore
+
+
+def _timestamp_schema(schema):
+    """Rewrite TIMESTAMP_NTZ fields to TIMESTAMP in an explicit reader
+    schema. Streaming event time MUST be TimestampType (``withWatermark``
+    rejects NTZ); with the session tz pinned UTC the re-typed read is
+    value-identical, so forcing it at the schema seam keeps every
+    downstream stream builder type-stable under Spark ≥4.1's NTZ
+    inference."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField(f.name, T.TimestampType(), f.nullable, f.metadata)
+            if isinstance(f.dataType, T.TimestampNTZType)
+            else f
+            for f in schema.fields
+        ]
+    )
 
 
 def _streaming_source(spark: SparkSession, landing_dir: str, max_files: int | None):
@@ -60,7 +79,7 @@ def _streaming_source(spark: SparkSession, landing_dir: str, max_files: int | No
     the files already landed — the reference likewise seeds schema before
     capture, postgres.go:158-184)."""
     _ensure_nanos_conf(spark)
-    schema = spark.read.parquet(landing_dir).schema
+    schema = _timestamp_schema(spark.read.parquet(landing_dir).schema)
     reader = spark.readStream.schema(schema)
     if max_files:
         reader = reader.option("maxFilesPerTrigger", str(max_files))
@@ -84,6 +103,7 @@ def build_stream_capture(
     """The streaming capture plan: F2–F5 rewrites + W3 watermark + F6 stamp
     (+ the §2.11 processor hook). F1 is the file source's own new-file
     tracking — no predicate needed."""
+    src = cast_ntz_to_timestamp(src)  # withWatermark rejects NTZ event time
     cols = [
         rewrite_column(
             f,
@@ -207,6 +227,7 @@ def sessionize_stream(
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import LongType, StructField, StructType, TimestampType
 
+    src = cast_ntz_to_timestamp(src)  # withWatermark rejects NTZ event time
     gap_us = gap_secs * 1_000_000
     out_schema = StructType(
         [
@@ -277,6 +298,7 @@ def tumbling_window_stream(
     """W7 generalized — streaming tumbling-window aggregation with late-data
     handling: count + watermark per (window, groups). The watermark lets
     Spark drop state for closed windows (bounded memory at any runtime)."""
+    src = cast_ntz_to_timestamp(src)  # withWatermark rejects NTZ event time
     groups = group_cols or []
     return (
         src.withWatermark(nms_col, f"{buffer_secs} seconds")
@@ -305,6 +327,7 @@ def dedup_stream(
     are the upstream contract's job (the reference's replication buffer
     bounds capture skew the same way, config.go:61-64); within it,
     delivery is exactly-once."""
+    src = cast_ntz_to_timestamp(src)  # withWatermark rejects NTZ event time
     return src.withWatermark(ts_col, f"{buffer_secs} seconds").dropDuplicatesWithinWatermark(
         key_cols
     )
@@ -333,8 +356,8 @@ def stream_stream_join(
     (watermark + max_delay), independent of stream length; the join
     itself hash-partitions both sides on ``key`` — one co-located
     shuffle, the same plan family as the batch equi-join."""
-    lw = left.withWatermark(left_ts, f"{buffer_secs} seconds")
-    rw = right.withWatermark(right_ts, f"{buffer_secs} seconds")
+    lw = cast_ntz_to_timestamp(left).withWatermark(left_ts, f"{buffer_secs} seconds")
+    rw = cast_ntz_to_timestamp(right).withWatermark(right_ts, f"{buffer_secs} seconds")
     cond = (
         (lw[key] == rw[key])
         & (rw[right_ts] >= lw[left_ts])
