@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 from pyspark.storagelevel import StorageLevel
@@ -100,6 +100,43 @@ def shingle_hashes(text: Column | str, n: int = 3) -> Column:
     return shingle_hashes_from_tokens(tokenize(text), n=n)
 
 
+def _minhash_bands_np(sh_lists: list[list[int]]) -> list[list[str] | None]:
+    """Vectorized MinHash signatures + band keys for one Arrow batch —
+    the numpy twin of ``band_keys(minhash_signature(sh))``, bit-identical
+    (same SEEDS, same mod-P integer math: a<2^31, h%P<2^31 ⇒ products
+    <2^62, exact in int64). One concatenated (N_PERMS × total_shingles)
+    matrix + ``minimum.reduceat`` per doc replaces 12 interpreted
+    higher-order-function walks per row on the Catalyst path."""
+    import numpy as np
+
+    A = np.array([a for a, _ in SEEDS], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in SEEDS], dtype=np.int64)[:, None]
+    lens = np.array([len(s) for s in sh_lists], dtype=np.int64)
+    nonempty = lens > 0
+    if not nonempty.any():
+        return [None] * len(sh_lists)
+    H = np.concatenate([np.array(s, dtype=np.int64) for s, ne in zip(sh_lists, nonempty) if ne])
+    vals = (A * (H[None, :] % MINHASH_P) + B) % MINHASH_P  # exact int64
+    offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+    np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+    sigs = np.minimum.reduceat(vals, offsets, axis=1)  # N_PERMS × n_docs
+    out: list[list[str] | None] = []
+    j = 0
+    for ne in nonempty:
+        if not ne:
+            out.append(None)
+            continue
+        sig = sigs[:, j]
+        j += 1
+        out.append(
+            [
+                ",".join(str(int(sig[b * BAND_ROWS + r])) for r in range(BAND_ROWS))
+                for b in range(N_BANDS)
+            ]
+        )
+    return out
+
+
 def _staged_shingles(
     df: DataFrame,
     content_col: str,
@@ -107,6 +144,7 @@ def _staged_shingles(
     n: int = 3,
     extra_cols: list[str] | None = None,
     pin: bool = True,
+    with_bands: bool = False,
 ) -> DataFrame:
     """id + materialized DISTINCT shingle-hash arrays — the shared first
     stage of every shingle-based near-dup operator.
@@ -133,6 +171,10 @@ def _staged_shingles(
     fields = [StructField("id", df.schema[id_col].dataType)]
     fields += [StructField(c, df.schema[c].dataType) for c in extras]
     fields.append(StructField("sh", ArrayType(LongType())))
+    if with_bands:
+        from pyspark.sql.types import StringType
+
+        fields.append(StructField("bands", ArrayType(StringType())))
     out_schema = StructType(fields)
     src = df.select(
         F.col(id_col).alias("id"),
@@ -162,6 +204,8 @@ def _staged_shingles(
                     )
             out = pdf[["id", *extras]].copy()
             out["sh"] = shs
+            if with_bands:
+                out["bands"] = _minhash_bands_np(shs)
             yield out
 
     out = src.mapInPandas(gen, out_schema).filter(F.size("sh") > 0)
@@ -219,10 +263,13 @@ def minhash_lsh_pairs(
     The shingle stage is Arrow-batched and persisted (_staged_shingles):
     the signature build and both verification joins read the SAME
     materialized arrays; without the pin each reference re-runs
-    tokenize+md5 over the corpus (measured 420 s → ~10 s at sf0.1)."""
-    docs = _staged_shingles(df, content_col, id_col)
-    sig = docs.select("id", "sh", band_keys(minhash_signature(F.col("sh"))).alias("bands"))
-    exploded = sig.select("id", F.posexplode("bands").alias("band_idx", "band_key"))
+    tokenize+md5 over the corpus (measured 420 s → ~10 s at sf0.1).
+    Signatures + band keys ride the same Arrow pass (``with_bands`` —
+    vectorized numpy, bit-identical to the Catalyst
+    ``band_keys(minhash_signature(...))`` form): the 12 per-row
+    interpreted HOF walks were the next-largest cost after hashing."""
+    docs = _staged_shingles(df, content_col, id_col, with_bands=True)
+    exploded = docs.select("id", F.posexplode("bands").alias("band_idx", "band_key"))
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(b, ["band_idx", "band_key"])
@@ -367,13 +414,40 @@ def ngram_jaccard_topk(
     block_cols: list[str] | None = None,
     n: int = 2,
     k: int = 20,
+    max_block_size: int = 10_000,
 ) -> DataFrame:
     """Ranked near-dup mining: exact n-gram Jaccard for pairs within
     deterministic blocks (e.g. same language + length bucket), top-k
     most-similar pairs. Blocking bounds the pair space the way LSH does,
-    with exact rather than probabilistic recall inside each block."""
-    blocks = block_cols or ["lang"]
+    with exact rather than probabilistic recall inside each block.
+
+    Default blocking is (lang, log2-length bucket) — near-dups share
+    language and length scale, so the bucket costs little recall while
+    each added block key divides the quadratic pair space. The default
+    path also CAPS each block at ``max_block_size`` docs (smallest ids
+    kept, deterministically): one degenerate block — every doc the same
+    language and length bucket — would otherwise be an all-pairs join,
+    the classic 100 TB self-join failure. Caller-supplied ``block_cols``
+    are used verbatim, uncapped: explicit blocking is a statement that
+    the caller has bounded the blocks (and capped results would silently
+    diverge from an exact oracle)."""
+    capped = block_cols is None
+    if capped:
+        df = df.withColumn(
+            "__len_bucket",
+            F.floor(F.log2(F.length(F.col(content_col)) + F.lit(1))).cast("int"),
+        )
+        blocks = (["lang"] if "lang" in df.columns else []) + ["__len_bucket"]
+    else:
+        blocks = list(block_cols)
     docs = _staged_shingles(df, content_col, id_col, n=n, extra_cols=blocks)
+    if capped and max_block_size:
+        wb = Window.partitionBy(*blocks).orderBy("id")
+        docs = (
+            docs.withColumn("__bn", F.row_number().over(wb))
+            .filter(F.col("__bn") <= max_block_size)
+            .drop("__bn")
+        )
     a, b = docs.alias("a"), docs.alias("b")
     pairs = (
         a.join(b, blocks)

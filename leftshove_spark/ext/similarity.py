@@ -181,6 +181,92 @@ def _assign_cluster(qv: Column, centroids: list[list[int]]) -> Column:
     return F.array_max(scored).getField("i")
 
 
+# Above this many centroids the literal expression tree (k nested
+# struct/dot expressions per row) stops being the right plan — codegen
+# blows past method-size limits and falls back to interpreted. The
+# Arrow path replaces it with one B×dim @ dim×k matmul per batch.
+CENTROID_LITERAL_MAX = 64
+
+
+def _centroid_cosines_np(Q, C, Cn):
+    """cos(Q_b, C_k) as float64, replicating cosine_from_quantized's
+    exact IEEE sequence — int64 dot, then dot / (sqrt(qq)·sqrt(cc)) —
+    so Arrow and literal paths are bit-identical."""
+    import numpy as np
+
+    dots = Q @ C.T  # exact: |x|≤~4e3 quantized, dim 64 ⇒ ≪ 2^63
+    qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+    return dots.astype(np.float64) / (qn[:, None] * Cn[None, :])
+
+
+def _assign_cells_arrow(
+    df: DataFrame, centroids: list[list[int]], qv_col: str = "qv", out_col: str = "cell"
+) -> DataFrame:
+    """Large-k cell assignment: one vectorized matmul per Arrow batch
+    instead of k literal dot expressions per row. Ties break to the
+    higher index, matching :func:`_assign_cluster` exactly."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    C = np.array(centroids, dtype=np.int64)
+    Cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+    k = C.shape[0]
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType())])
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.array(pdf[qv_col].tolist(), dtype=np.int64)
+            cos = _centroid_cosines_np(Q, C, Cn)
+            best = cos.max(axis=1)
+            idx = np.where(cos == best[:, None], np.arange(k)[None, :], -1).max(axis=1)
+            pdf = pdf.copy()
+            pdf[out_col] = idx.astype("int64")
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def _probe_cells_arrow(
+    df: DataFrame,
+    centroids: list[list[int]],
+    nprobe: int,
+    qv_col: str = "qv",
+    out_col: str = "cells",
+) -> DataFrame:
+    """Large-k probe selection for the query side: top-``nprobe`` cells
+    per query by (cosine desc, index desc) — the same order
+    ``sort_array(struct(c,i), desc)`` produces on the literal path. The
+    per-row lexsort loop is fine: this runs on the QUERY side only."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    C = np.array(centroids, dtype=np.int64)
+    Cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+    k = C.shape[0]
+    neg_idx = -np.arange(k)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(LongType()))]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.array(pdf[qv_col].tolist(), dtype=np.int64)
+            cos = _centroid_cosines_np(Q, C, Cn)
+            cells = [
+                np.lexsort((neg_idx, -row))[:nprobe].astype("int64").tolist()
+                for row in cos
+            ]
+            pdf = pdf.copy()
+            pdf[out_col] = cells
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
 def ivf_centroids(
     corpus: DataFrame,
     *,
@@ -217,7 +303,10 @@ def ivf_centroids(
         return pd.DataFrame({"cl": [key[0]], "cen": [cen.tolist()]})
 
     for _ in range(iters):
-        assigned = v.withColumn("cl", _assign_cluster(F.col("qv"), cents))
+        if n_centroids <= CENTROID_LITERAL_MAX:
+            assigned = v.withColumn("cl", _assign_cluster(F.col("qv"), cents))
+        else:
+            assigned = _assign_cells_arrow(v, cents, qv_col="qv", out_col="cl")
         new = {
             r["cl"]: r["cen"]
             for r in assigned.groupBy("cl").applyInPandas(mean_center, out_schema).collect()
@@ -256,19 +345,28 @@ def knn_ivf(
         corpus, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv"))
-    c = c.withColumn("cell", _assign_cluster(F.col("cv"), cents))
-
     q = queries.select(F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv"))
-    scored = F.array(
-        *[
-            F.struct(s.alias("c"), F.lit(i).cast("long").alias("i"))
-            for i, s in enumerate(_centroid_scores(F.col("qv"), cents))
-        ]
-    )
-    probes = F.slice(F.sort_array(scored, asc=False), 1, nprobe)
-    q = q.withColumn("probe", F.explode(probes)).withColumn(
-        "cell", F.col("probe.i")
-    ).drop("probe")
+    if n_centroids <= CENTROID_LITERAL_MAX:
+        c = c.withColumn("cell", _assign_cluster(F.col("cv"), cents))
+        scored = F.array(
+            *[
+                F.struct(s.alias("c"), F.lit(i).cast("long").alias("i"))
+                for i, s in enumerate(_centroid_scores(F.col("qv"), cents))
+            ]
+        )
+        probes = F.slice(F.sort_array(scored, asc=False), 1, nprobe)
+        q = q.withColumn("probe", F.explode(probes)).withColumn(
+            "cell", F.col("probe.i")
+        ).drop("probe")
+    else:
+        # past the literal-expression ceiling: Arrow matmul on both
+        # sides — same scores, same tie order, one batch op per task
+        c = _assign_cells_arrow(c, cents, qv_col="cv", out_col="cell")
+        q = (
+            _probe_cells_arrow(q, cents, nprobe, qv_col="qv", out_col="cells")
+            .withColumn("cell", F.explode("cells"))
+            .drop("cells")
+        )
 
     cand = (
         c.join(F.broadcast(q), "cell")

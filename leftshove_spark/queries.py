@@ -58,22 +58,30 @@ GATE_EXCLUDE = frozenset(
 # time-budgeted gate scores the maximum number of rows before any cut;
 # the expensive LSH/stream entries close the schedule. Names absent from
 # this list (future additions) are appended in registration order.
+#
+# Round-6 rotation: the driver certifies ~50 entries per round, so the
+# schedule ROTATES — eleven entries green since r2/r3 (token counts,
+# multimodal meta, scalar/HOF batteries, cheap aggregates) moved to the
+# tail, and the eleven never-driver-scored tail entries (q7/q12/q16/
+# q21/q22, window/grouping/json batteries, IVF, connected components,
+# the rewritten quality deciles) moved into the head. Rotated-out
+# entries stay verified every round by tests/test_gate_tail_oracle.py,
+# which guards everything past position 40 of this list.
 GATE_ORDER = [
-    "x_token_counts",
-    "x_multimodal_meta",
     "a1_a5_scan_aggregates",
-    "q6_forecast_revenue",
-    "c_hof_array_battery",
-    "a2_max_group_by",
-    "x_dedup_exact",
-    "w10_hopping_window_agg",
-    "x_quality_filter",
-    "a4_agg_json_list",
+    "q16_supplier_part_counts",
+    "q22_dormant_customers",
+    "q21_latest_shipper",
+    "q12_shipmode_priority",
+    "q7_volume_shipping",
+    "w15_window_battery",
+    "o6_grouping_sets",
+    "x_quality_deciles",
+    "c16_json_null_battery",
     "f4_f5_munge_ts",
     "w7_tumbling_window_agg",
     "f2_f6_capture_projection",
-    "x_fingerprint",
-    "f3_array_to_json",
+    "x_quality_filter",
     "p1_pivot_event_counts",
     "f1_window_predicate",
     "q19_disjunctive_filter",
@@ -96,10 +104,10 @@ GATE_ORDER = [
     "o5_stats_battery",
     "q1_pricing_summary",
     "x_knn_bruteforce",
+    "x_knn_ivf",
     "t1_asof_join_latest_order",
     "cdc_at_least_once_dedup",
     "q5_local_supplier_volume",
-    "c_scalar_battery",
     "j3_dedup_latest_window",
     "x_dedup_simhash",
     "x_lang_id",
@@ -108,34 +116,35 @@ GATE_ORDER = [
     "x_dedup_embedding_cosine",
     "x_knn_lsh",
     "x_dedup_resolution",
+    "x_dedup_connected_components",
     "x_dedup_minhash_lsh",
-    # --- round-3 tail (entries 51+): also cheap-first, so a driver
-    # budget cut costs the fewest rows. All are additionally guarded by
+    # --- tail (entries 51+): also cheap-first, so a driver budget cut
+    # costs the fewest rows. All are additionally guarded by
     # tests/test_gate_tail_oracle.py regardless of gate reach.
+    "x_token_counts",
+    "x_multimodal_meta",
+    "q6_forecast_revenue",
+    "c_hof_array_battery",
+    "a2_max_group_by",
+    "x_dedup_exact",
+    "w10_hopping_window_agg",
+    "a4_agg_json_list",
+    "x_fingerprint",
+    "f3_array_to_json",
+    "c_scalar_battery",
     "x_hash_split",
     "x_pii_scan",
     "x_pack_sequences",
     "x_vocab_topk",
     "q13_customer_distribution",
     "q15_top_supplier",
-    "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
-    "q22_dormant_customers",
-    "q21_latest_shipper",
-    "q12_shipmode_priority",
-    "q7_volume_shipping",
     "x_funnel_conversion",
     "x_cohort_retention",
-    "w15_window_battery",
-    "o6_grouping_sets",
-    "x_quality_deciles",
-    "c16_json_null_battery",
     "x_multimodal_decode",
     "x_multimodal_frames",
     "x_decontaminate",
-    "x_knn_ivf",
     "x_repetition",
-    "x_dedup_connected_components",
 ]
 
 

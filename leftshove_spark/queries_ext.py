@@ -905,27 +905,47 @@ def x_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
 )
 def x_quality_deciles(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-decile binning for curriculum sampling — ntile(10) +
-    percent_rank + cume_dist over the quality score (doc_id tiebreak
-    makes the order total, so every rank function is deterministic;
-    percent_rank and cume_dist are exact small-integer ratios, IEEE-
-    identical in both engines). The global-order window is the one
-    inherently single-partition step — fine here because its input is
-    one row per doc of two narrow columns; at 100 TB pre-aggregate to a
-    histogram and derive deciles from counts instead."""
-    from pyspark.sql import Window as W
+    percent_rank + cume_dist semantics over the quality score (doc_id
+    tiebreak makes the order total, so every rank function is
+    deterministic) WITHOUT the single-partition global window: exact
+    ranks come from :func:`operators.analytic.exact_global_rank` (range
+    shuffle + parallel per-partition windows + broadcast offsets), and
+    ntile/percent_rank/cume_dist are re-derived from (rank, N) by their
+    defining formulas — bucket sizes ``N div 10`` (+1 for the first
+    ``N mod 10``), ``(rank−1)/(N−1)``, ``rank/N`` — the same integer
+    ratios the window functions produce, so values are IEEE-identical
+    to the oracle's window form. Every stage runs at full parallelism;
+    this is the 100 TB shape the old global-sort version documented as
+    future work."""
+    from .operators.analytic import exact_global_rank
 
     stats = X.text_stats(load_table(spark, sf, "documents")).select(
         "doc_id", "quality_score"
     )
-    w = W.orderBy("quality_score", "doc_id")
-    ranked = stats.select(
-        "doc_id",
-        "quality_score",
-        F.ntile(10).over(w).cast("long").alias("decile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+    ranked = exact_global_rank(
+        stats, ["quality_score", "doc_id"], rank_col="__rank", total_col="__n"
     )
-    return ranked.groupBy("decile").agg(
+    rank, n = F.col("__rank"), F.col("__n")
+    q = F.expr("__n div 10")
+    r = F.expr("__n % 10")
+    head = r * (q + 1)  # rows covered by the (size q+1) leading buckets
+    decile = (
+        F.when(rank <= head, F.ceil(rank / (q + 1)))
+        .otherwise(r + F.ceil((rank - head) / q))
+        .cast("long")
+    )
+    pct_rank = (
+        F.when(n > 1, (rank - 1).cast("double") / (n - 1).cast("double"))
+        .otherwise(F.lit(0.0))
+    )
+    cume = rank.cast("double") / n.cast("double")
+    binned = ranked.select(
+        "quality_score",
+        decile.alias("decile"),
+        pct_rank.alias("pct_rank"),
+        cume.alias("cume"),
+    )
+    return binned.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("quality_score").alias("min_score"),
         F.max("quality_score").alias("max_score"),

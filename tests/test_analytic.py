@@ -102,3 +102,31 @@ def test_approx_percentile_near_exact(spark):
         F.approx_percentile("l_quantity", 0.5, 10000).alias("approx"),
     ).collect()[0]
     assert abs(r.approx - r.exact) <= 1.0  # quantities are 1..50
+
+
+def test_exact_global_rank_matches_global_window(spark):
+    """The distributed ranker (range shuffle + per-partition windows +
+    broadcast offsets) must equal row_number() OVER (ORDER BY ...) —
+    same ranks, no single-partition exchange in the plan."""
+    from conftest import SF0001
+    from leftshove_spark.operators.analytic import exact_global_rank
+    from leftshove_spark.sources import load_table
+    from pyspark.sql import Window as W
+    import pyspark.sql.functions as F
+
+    # filter, not limit: a global limit plans its own SinglePartition
+    # exchange and would mask what this test asserts about the ranker
+    ev = load_table(spark, SF0001, "events").select("event_id", "ts").filter(
+        F.col("event_id") % 2 == 0
+    )
+    got = exact_global_rank(ev, ["ts", "event_id"], rank_col="r", total_col="n")
+    want = ev.withColumn("r", F.row_number().over(W.orderBy("ts", "event_id")))
+    diff = (
+        got.select("event_id", "r")
+        .exceptAll(want.select("event_id", "r"))
+        .count()
+    )
+    assert diff == 0
+    assert got.select("n").first()["n"] == ev.count()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan

@@ -246,3 +246,84 @@ def test_incremental_lsh_reingest_upserts(spark):
     assert len(rows) == len(pairs)  # no duplicated pair rows
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.5  # NEW content matched
     assert (1, 3) not in pairs  # stale content did not
+
+
+def test_ngram_default_blocking_caps_block_size(spark):
+    """The no-args path must never degenerate into an uncapped all-pairs
+    join: a skewed fixture (every doc same lang + same length bucket)
+    gets capped at max_block_size docs — only the smallest ids survive
+    into the pair space."""
+    rows = [(i, "en", f"alpha beta gamma delta epsilon zeta token{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = D.ngram_jaccard_topk(df, k=1000, max_block_size=5).collect()
+    ids = {r["id_a"] for r in out} | {r["id_b"] for r in out}
+    assert ids <= set(range(5))  # capped block = 5 smallest ids
+    assert len(out) == 10  # C(5,2) pairs, not C(20,2)=190
+
+
+def test_ngram_explicit_blocks_uncapped_and_unchanged(spark):
+    """Caller-supplied block_cols are exact: no cap, no derived bucket —
+    the oracle-gated semantics."""
+    rows = [(i, "en", f"alpha beta gamma token{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = D.ngram_jaccard_topk(df, block_cols=["lang"], k=1000, max_block_size=2)
+    assert out.count() == 28  # C(8,2) — cap ignored on the explicit path
+
+
+def test_ivf_arrow_assignment_bitwise_matches_literal(emb):
+    """The Arrow matmul cell assignment (large-k path) must equal the
+    literal expression-tree argmax — same scores, same tie order."""
+    spark = emb.sparkSession
+    cents = S.ivf_centroids(emb, n_centroids=16, iters=1)
+    v = emb.select(F.col("vec_id").alias("id"), S.quantize("embedding").alias("qv"))
+    lit = v.withColumn("cell", S._assign_cluster(F.col("qv"), cents).cast("long"))
+    arr = S._assign_cells_arrow(v, cents, qv_col="qv", out_col="cell")
+    diff = (
+        lit.select("id", "cell").exceptAll(arr.select("id", "cell")).count()
+    )
+    assert diff == 0
+
+
+def test_ivf_probe_order_matches_literal(emb):
+    """Arrow top-nprobe probe cells must come out in the literal path's
+    order: cosine desc, then index desc."""
+    cents = S.ivf_centroids(emb, n_centroids=16, iters=1)
+    v = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("id"), S.quantize("embedding").alias("qv")
+    )
+    scored = F.array(
+        *[
+            F.struct(s.alias("c"), F.lit(i).cast("long").alias("i"))
+            for i, s in enumerate(S._centroid_scores(F.col("qv"), cents))
+        ]
+    )
+    lit = v.withColumn(
+        "cells",
+        F.transform(F.slice(F.sort_array(scored, asc=False), 1, 4), lambda s: s["i"]),
+    ).select("id", "cells")
+    arr = S._probe_cells_arrow(v, cents, 4, qv_col="qv", out_col="cells").select(
+        "id", "cells"
+    )
+    got = {r["id"]: r["cells"] for r in arr.collect()}
+    want = {r["id"]: r["cells"] for r in lit.collect()}
+    assert got == want
+
+
+def test_ivf_large_centroid_count_end_to_end(emb):
+    """n_centroids=256 exercises the Arrow path end-to-end (Lloyd
+    assignment + corpus cells + probes). Reranked cosines are the exact
+    integer cosine, so any neighbor IVF returns must carry the identical
+    score brute force computes for that pair."""
+    out = S.knn_ivf(
+        emb.filter(F.col("vec_id") < 5), emb, k=5, n_centroids=256, nprobe=32, iters=1
+    )
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == set(range(5))
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in S.knn_bruteforce(
+            emb.filter(F.col("vec_id") < 5), emb, k=500
+        ).collect()
+    }
+    for r in rows:
+        assert bf[(r["query_id"], r["neighbor_id"])] == r["cosine"]  # bit-exact
