@@ -130,3 +130,30 @@ def test_exact_global_rank_matches_global_window(spark):
     assert got.select("n").first()["n"] == ev.count()
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+def test_decile_formula_matches_ntile_at_tiny_n(spark):
+    """The re-derived ntile math in x_quality_deciles must match the
+    window ntile even when N < buckets (each row its own bucket: the
+    q = N div 10 = 0 regime, where the otherwise-branch divides by zero
+    and must never be evaluated)."""
+    from pyspark.sql import Window as W
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, float(i) / 10) for i in range(7)], "doc_id bigint, score double"
+    )
+    want = df.withColumn(
+        "decile", F.ntile(10).over(W.orderBy("score", "doc_id")).cast("long")
+    )
+    # replicate the query's expression on exact ranks (N=7 → q=0, r=7)
+    rank = F.row_number().over(W.orderBy("score", "doc_id"))
+    q, r = F.lit(0), F.lit(7)
+    head = r * (q + 1)
+    decile = (
+        F.when(rank <= head, F.ceil(rank / (q + 1)))
+        .otherwise(r + F.ceil((rank - head) / q))
+        .cast("long")
+    )
+    got = df.withColumn("decile", decile)
+    assert sorted(got.collect()) == sorted(want.collect())
