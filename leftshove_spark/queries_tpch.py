@@ -346,10 +346,10 @@ def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
     "q12_shipmode_priority",
     """
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -391,8 +391,8 @@ def q12_shipmode_priority(spark: SparkSession, sf: str) -> DataFrame:
       GROUP BY e.user_id)
     SELECT count(*) AS n_viewers,
            count(p.user_id) AS n_converted,
-           sum(CASE WHEN p.first_purchase <= v.first_view + INTERVAL 7 DAY
-                    THEN 1 ELSE 0 END) AS n_converted_7d,
+           CAST(sum(CASE WHEN p.first_purchase <= v.first_view + INTERVAL 7 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_7d,
            CAST(count(p.user_id) AS DOUBLE) / count(*) AS conv_rate
     FROM v LEFT JOIN p ON p.user_id = v.user_id
     """,

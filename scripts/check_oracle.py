@@ -60,6 +60,18 @@ def main():
             print(f"SKIP (no oracle, rows={n}): {name}")
             continue
         try:
+            # Type lint first: HUGEINT/DECIMAL oracle outputs coerce to
+            # float64/decimal128 under the driver's pandas fetch and
+            # hash-mismatch Spark even when values agree (r6's q12).
+            drifting = [
+                (c, t)
+                for c, t, *_ in con.execute("DESCRIBE " + oracles[name]).fetchall()
+                if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")
+            ]
+            if drifting:
+                fails.append(name)
+                print(f"FAIL {name}: oracle types drift under pandas fetch: {drifting}")
+                continue
             sdf = fn(spark, SF)
             srows = sdf.collect()
             scols = sdf.columns

@@ -1,0 +1,78 @@
+"""Type-level lint for every ORACLES entry: the driver fetches DuckDB
+results through Arrow/pandas, where HUGEINT (DuckDB's default type for
+``sum(INTEGER)``) and wide DECIMALs coerce to float64/decimal128 — so a
+Spark BIGINT ``7243`` hash-compares against an oracle ``7243.0`` and the
+row goes red even though both answers are correct.  The local nets
+(test_gate_tail_oracle.py, scripts/check_oracle.py) fetch via Python
+``fetchall()``, where HUGEINT arrives as a plain int, so they
+structurally CANNOT see this divergence: r6's only red row
+(q12_shipmode_priority) shipped exactly this way.
+
+This lint closes the class permanently: DESCRIBE binds each oracle
+query (no execution) and asserts no output column is typed HUGEINT /
+UHUGEINT / DECIMAL.  Fix for a flagged column is a top-level
+``CAST(... AS BIGINT)`` (counts) or ``CAST(... AS DOUBLE)`` (money),
+matching what Spark's analyzer produces for the same aggregate.
+"""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+from conftest import SF0001
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# DuckDB types whose Arrow/pandas representation diverges from the
+# Python-native fetchall() representation the local nets use.
+_DRIFTING = ("HUGEINT", "UHUGEINT")
+
+
+def _flagged_types(con, sql):
+    out = []
+    for col, typ, *_ in con.execute("DESCRIBE " + sql).fetchall():
+        if typ in _DRIFTING or typ.startswith("DECIMAL"):
+            out.append((col, typ))
+    return out
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF0001}/{t}.parquet')"
+        )
+    return con
+
+
+def test_lint_catches_uncast_integer_sum(ddb):
+    """Self-check: the exact q12 bug shape must trip the lint."""
+    flagged = _flagged_types(
+        ddb,
+        "SELECT sum(CASE WHEN r_regionkey > 1 THEN 1 ELSE 0 END) AS n FROM region",
+    )
+    assert flagged == [("n", "HUGEINT")]
+
+
+def test_lint_passes_cast_integer_sum(ddb):
+    flagged = _flagged_types(
+        ddb,
+        "SELECT CAST(sum(CASE WHEN r_regionkey > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n FROM region",
+    )
+    assert flagged == []
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
+def test_oracle_output_types_survive_pandas_fetch(ddb, name):
+    flagged = _flagged_types(ddb, entrymod.oracle_sql()[name])
+    assert not flagged, (
+        f"{name}: columns {flagged} are typed HUGEINT/DECIMAL in DuckDB; "
+        "the driver's pandas fetch coerces them to float64/decimal128 and "
+        "the value hash diverges from Spark. Wrap the aggregate in "
+        "CAST(... AS BIGINT) or CAST(... AS DOUBLE)."
+    )
