@@ -39,10 +39,14 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
     """The driver may hand us a session built without the engine confs;
     set them if possible (both are runtime-settable in 4.x). NTZ
     inference must be OFF: Spark ≥4.1 otherwise reads the tz-naive test
-    parquet as TIMESTAMP_NTZ, which watermarks/unix_micros reject."""
+    parquet as TIMESTAMP_NTZ, which watermarks/unix_micros reject. The
+    session timezone is pinned UTC as well — the NTZ→TIMESTAMP read is
+    value-identical only under UTC, so a driver session in another zone
+    would silently shift wall-clock values against the oracle."""
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        ("spark.sql.session.timeZone", "UTC"),
     ):
         try:
             spark.conf.set(k, v)

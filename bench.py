@@ -49,6 +49,9 @@ HEADLINE = [
     "w7_tumbling_window_agg",
     "t1_asof_join_latest_order",
     "x_dedup_minhash_lsh",
+    # round-7: the banded-SRP embedding near-dup (the 100 TB ANN-dedup
+    # path — candidates from the band-key self-join, never all pairs)
+    "x_dedup_embedding_lsh",
     # round-3 breadth: sessionization and grouping-set classes
     "w9_session_window",
     "o4_cube_pricing",
@@ -99,6 +102,8 @@ def main() -> None:
             spark.catalog.clearCache()
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = round(sum(timings.values()), 3)
+    import pyspark
+
     print(
         json.dumps(
             {
@@ -107,6 +112,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                # provenance: runtime flips moved the whole curve ±1.5×
+                # in past rounds (r5) — pin what produced these numbers
+                "pyspark_version": pyspark.__version__,
+                "timing": "min_of_3_interleaved_rounds_after_warmup",
             }
         )
     )

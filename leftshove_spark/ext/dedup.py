@@ -165,8 +165,12 @@ def _staged_shingles(
     re-runs tokenize+md5 over the whole corpus (420 s → 35 s for the
     full minhash pipeline at sf0.1). Single-read callers
     (ext.pipeline.decontaminate) pass ``pin=False`` to skip both the
-    pin and the load-balancing repartition — their plan stays one
-    narrow stage."""
+    pin and the key repartition — their plan stays narrow WHEN the scan
+    is already parallel. When the source has fewer partitions than the
+    cluster width (a single local parquet file), the Arrow stage — the
+    whole CPU cost of the operator — would run on one core, so the
+    input is fanned out round-robin first; at real scale the scan
+    already has ≥ cluster-width splits and no shuffle is added."""
     extras = list(extra_cols or [])
     fields = [StructField("id", df.schema[id_col].dataType)]
     fields += [StructField(c, df.schema[c].dataType) for c in extras]
@@ -183,6 +187,10 @@ def _staged_shingles(
     )
     if pin:
         src = src.repartition("id")
+    else:
+        width = src.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < width:
+            src = src.repartition(width)
 
     def gen(batches: Iterator) -> Iterator:
         for pdf in batches:

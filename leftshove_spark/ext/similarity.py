@@ -162,11 +162,27 @@ N_CENTROIDS = 16
 def _centroid_scores(qv: Column, centroids: list[list[int]]) -> list[Column]:
     """Exact integer dot of ``qv`` against each literal centroid, scaled
     to cosine. Centroids are driver-side int lists (k×dim — bytes, not
-    data), so scoring is a per-row codegen loop with no join at all."""
+    data), so scoring is a per-row codegen loop with no join at all.
+
+    Zero-norm (all-zero quantized) vectors or centroids make the
+    denominator 0 — under ANSI mode (Spark 4 default) a plain ``/``
+    would FAIL THE JOB on one degenerate row. These scores feed
+    argmax/probe ORDERING only (rerank recomputes the emitted cosine),
+    so ``try_divide`` maps the degenerate case to NULL: NULL sorts
+    SMALLEST in Spark's struct ordering, i.e. a zero-norm centroid never
+    wins a nonzero row, and an all-NULL (zero-norm) row ties every cell
+    and deterministically lands on the highest index. The Arrow path
+    (:func:`_centroid_cosines_np`) replicates this with NaN→-inf."""
     cols = []
     for cen in centroids:
         arr = F.array(*[F.lit(x).cast("long") for x in cen])
-        cols.append(cosine_from_quantized(arr, qv))
+        cols.append(
+            F.try_divide(
+                int_dot(arr, qv).cast("double"),
+                F.sqrt(int_dot(arr, arr).cast("double"))
+                * F.sqrt(int_dot(qv, qv).cast("double")),
+            )
+        )
     return cols
 
 
@@ -191,12 +207,24 @@ CENTROID_LITERAL_MAX = 64
 def _centroid_cosines_np(Q, C, Cn):
     """cos(Q_b, C_k) as float64, replicating cosine_from_quantized's
     exact IEEE sequence — int64 dot, then dot / (sqrt(qq)·sqrt(cc)) —
-    so Arrow and literal paths are bit-identical."""
+    so Arrow and literal paths are bit-identical.
+
+    Zero-norm (all-zero quantized) rows or centroids make the
+    denominator 0; the literal path (:func:`_centroid_scores`) maps
+    that to NULL via ``try_divide`` — NULL sorts SMALLEST in Spark's
+    struct ordering, ties broken by the higher index. The scores are
+    only ever consumed for argmax/probe ORDERING (the emitted cosine is
+    recomputed JVM-side at rerank), so NaN is canonicalized to -inf
+    here — same rank position, same highest-index tie-break — keeping
+    the two paths identical on degenerate vectors too (r6's
+    ``cos == best`` comparison returned cell -1 for them)."""
     import numpy as np
 
     dots = Q @ C.T  # exact: |x|≤~4e3 quantized, dim 64 ⇒ ≪ 2^63
     qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
-    return dots.astype(np.float64) / (qn[:, None] * Cn[None, :])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cos = dots.astype(np.float64) / (qn[:, None] * Cn[None, :])
+    return np.where(np.isnan(cos), -np.inf, cos)
 
 
 def _assign_cells_arrow(

@@ -57,18 +57,23 @@ def exact_global_rank(
     form keeps every stage at full parallelism, which is the difference
     between minutes and a dead executor at 100 TB.
 
-    The locally-ranked intermediate is PERSISTED (memory-and-disk):
-    range-partition boundaries come from runtime sampling, so the
-    offsets pass and the result pass must read the SAME materialization
-    or their partition ids could disagree. Project ``df`` down to the
-    columns you need before calling; unpersist after materializing."""
+    No persist: the offsets job and the result job share the range
+    shuffle as a reused stage, so both read the SAME map output —
+    identical partition ids by construction. Even on shuffle-file
+    eviction the ids still agree, because the range partitioner samples
+    with a deterministic per-partition seed: recomputing the boundaries
+    from the same input reproduces them exactly. The only recomputed
+    work on the result pass is the in-partition window — one local sort
+    over shuffle files, no extra shuffle — which is what r6's persist
+    bought at the price of a block-manager entry leaked for the session
+    lifetime (the handle was never reachable by callers)."""
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parts = df.repartitionByRange(p, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
     wloc = Window.partitionBy("__pid").orderBy(*order_cols)
-    local = parts.withColumn("__lrank", F.row_number().over(wloc)).persist()
+    local = parts.withColumn("__lrank", F.row_number().over(wloc))
     counts = sorted(
         local.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect(),
         key=lambda r: r["__pid"],

@@ -59,20 +59,38 @@ GATE_EXCLUDE = frozenset(
 # the expensive LSH/stream entries close the schedule. Names absent from
 # this list (future additions) are appended in registration order.
 #
-# Round-6 rotation: the driver certifies ~50 entries per round, so the
-# schedule ROTATES — eleven entries green since r2/r3 (token counts,
-# multimodal meta, scalar/HOF batteries, cheap aggregates) moved to the
-# tail, and the eleven never-driver-scored tail entries (q7/q12/q16/
-# q21/q22, window/grouping/json batteries, IVF, connected components,
-# the rewritten quality deciles) moved into the head. Rotated-out
-# entries stay verified every round by tests/test_gate_tail_oracle.py,
-# which guards everything past position 40 of this list.
+# Round-7 rotation: the driver certifies ~50 entries per round, so the
+# schedule ROTATES. This round the 13 never-driver-scored tail entries
+# (hash split, PII, packing, vocab, q13/q15/q17, funnel, cohort,
+# multimodal decode/frames, decontaminate, repetition) plus the new
+# band-mechanics entry x_dedup_embedding_lsh move into the head;
+# q12_shipmode_priority leads (its r6 red was an oracle typing bug —
+# this round must record the green row). The 14 most-certified heads
+# (5-6 green rounds: the plain joins, capture projections, pivots,
+# set ops, session window, stats battery, simhash, J3) retire to the
+# tail. Rotated-out entries stay verified every round by
+# tests/test_gate_tail_oracle.py, which oracle-checks the FULL gate
+# surface regardless of rotation position.
 GATE_ORDER = [
+    "q12_shipmode_priority",
+    "x_hash_split",
+    "x_pii_scan",
+    "x_vocab_topk",
+    "x_pack_sequences",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "x_funnel_conversion",
+    "x_cohort_retention",
+    "x_multimodal_decode",
+    "x_multimodal_frames",
+    "x_decontaminate",
+    "x_repetition",
+    "x_dedup_embedding_lsh",
     "a1_a5_scan_aggregates",
     "q16_supplier_part_counts",
     "q22_dormant_customers",
     "q21_latest_shipper",
-    "q12_shipmode_priority",
     "q7_volume_shipping",
     "w15_window_battery",
     "o6_grouping_sets",
@@ -80,36 +98,22 @@ GATE_ORDER = [
     "c16_json_null_battery",
     "f4_f5_munge_ts",
     "w7_tumbling_window_agg",
-    "f2_f6_capture_projection",
     "x_quality_filter",
-    "p1_pivot_event_counts",
-    "f1_window_predicate",
     "q19_disjunctive_filter",
-    "q4_order_priority",
     "o4_cube_pricing",
-    "j4_full_outer_reconcile",
-    "s1_set_ops_customers",
-    "q14_promo_revenue",
-    "w9_session_window",
     "o1_f8_filter_order",
     "o3_topk_per_group",
     "o2_rollup_pricing",
     "q18_large_volume_orders",
-    "j1_left_join_orders_customer",
-    "j2_inner_join_lineitem_orders",
     "s2_salted_join_agg",
     "t2_range_join_sliding_windows",
-    "a3_agg_string_list",
     "q10_returned_items",
-    "o5_stats_battery",
     "q1_pricing_summary",
     "x_knn_bruteforce",
     "x_knn_ivf",
     "t1_asof_join_latest_order",
     "cdc_at_least_once_dedup",
     "q5_local_supplier_volume",
-    "j3_dedup_latest_window",
-    "x_dedup_simhash",
     "x_lang_id",
     "w8_stream_tumbling_window",
     "x_dedup_ngram_jaccard",
@@ -132,19 +136,20 @@ GATE_ORDER = [
     "x_fingerprint",
     "f3_array_to_json",
     "c_scalar_battery",
-    "x_hash_split",
-    "x_pii_scan",
-    "x_pack_sequences",
-    "x_vocab_topk",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "x_funnel_conversion",
-    "x_cohort_retention",
-    "x_multimodal_decode",
-    "x_multimodal_frames",
-    "x_decontaminate",
-    "x_repetition",
+    "f1_window_predicate",
+    "f2_f6_capture_projection",
+    "p1_pivot_event_counts",
+    "q4_order_priority",
+    "j4_full_outer_reconcile",
+    "s1_set_ops_customers",
+    "q14_promo_revenue",
+    "w9_session_window",
+    "o5_stats_battery",
+    "j1_left_join_orders_customer",
+    "j2_inner_join_lineitem_orders",
+    "a3_agg_string_list",
+    "j3_dedup_latest_window",
+    "x_dedup_simhash",
 ]
 
 

@@ -374,6 +374,20 @@ def x_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _planted_embedding_base(spark: SparkSession, sf: str) -> DataFrame:
+    """Embeddings corpus + planted near-dups (first 4 components zeroed,
+    vec_id+100000) — shared input for the two near-dup entries below."""
+    em = load_table(spark, sf, "embeddings")
+    pert = em.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i < 4, F.lit(0.0).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    return em.select("vec_id", "embedding").unionAll(pert)
+
+
 @_q(
     "x_dedup_embedding_cosine",
     f"""
@@ -408,16 +422,79 @@ def x_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     collisions, not N²). The oracle is the all-pairs exact SQL, so the
     green row ALSO certifies the LSH shape loses no pair at this
     threshold; pytest separately pins lsh == exact-tile operator."""
-    em = load_table(spark, sf, "embeddings")
-    pert = em.select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(
-            F.col("embedding"),
-            lambda x, i: F.when(i < 4, F.lit(0.0).cast("float")).otherwise(x),
-        ).alias("embedding"),
+    return S.embedding_near_dup_lsh(_planted_embedding_base(spark, sf), threshold=0.9)
+
+
+def _embedding_lsh_oracle() -> str:
+    """SQL twin of the FULL banded-SRP near-dup pipeline. The 256 SRP
+    hyperplanes (32 bands × 8 planes) are md5-derived ints
+    (similarity._plane), so DuckDB re-derives each plane component with
+    its own md5 — no literal dump — then replays band-key assembly
+    (8 sign bits | band<<8), the band-key self-join, and the exact
+    integer-cosine rerank. Where x_dedup_embedding_cosine's all-pairs
+    oracle certifies RECALL (no pair lost), this one certifies the LSH
+    MECHANICS bit-for-bit: bucket ids, candidate set, rerank."""
+    nb, ppb = S.NEARDUP_BANDS, S.NEARDUP_BAND_PLANES
+    dim = EMB_DIM
+    plane_val = (
+        "CAST(concat('0x', substr(md5('plane' || CAST(p AS VARCHAR) || '_' "
+        "|| CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000"
     )
-    base = em.select("vec_id", "embedding").unionAll(pert)
-    return S.embedding_near_dup_lsh(base, threshold=0.9)
+    dot = f"CAST(list_sum(list_transform(range(1, {dim + 1}), i -> qa.qv[i] * qb.qv[i])) AS DOUBLE)"
+    na = f"CAST(list_sum(list_transform(range(1, {dim + 1}), i -> qa.qv[i] * qa.qv[i])) AS DOUBLE)"
+    nb_ = f"CAST(list_sum(list_transform(range(1, {dim + 1}), i -> qb.qv[i] * qb.qv[i])) AS DOUBLE)"
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(range(1, {dim + 1}),
+               i -> CASE WHEN i <= 4 THEN CAST(0.0 AS FLOAT) ELSE embedding[i] END)
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM base
+    ),
+    pj AS (
+      SELECT p, list_transform(range(0, {dim}), j -> {plane_val}) AS pl
+      FROM range(0, {nb * ppb}) t(p)
+    ),
+    bits AS (
+      SELECT e.vec_id, pj.p,
+             CASE WHEN list_sum(list_transform(range(1, {dim + 1}), i -> pl[i] * qv[i])) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM e CROSS JOIN pj
+    ),
+    keys AS (
+      SELECT vec_id,
+             CAST((p // {ppb}) * {1 << ppb} + sum(bit << (p % {ppb})) AS BIGINT) AS bk
+      FROM bits GROUP BY vec_id, p // {ppb}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM keys a JOIN keys b ON a.bk = b.bk AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT cand.id_a, cand.id_b,
+             {dot} / (sqrt({na}) * sqrt({nb_})) AS cosine
+      FROM cand
+      JOIN e qa ON qa.vec_id = cand.id_a
+      JOIN e qb ON qb.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
+    """
+
+
+@_q("x_dedup_embedding_lsh", _embedding_lsh_oracle())
+def x_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded-SRP embedding near-dup, mechanics-checked: same Spark plan
+    as x_dedup_embedding_cosine, but the oracle independently re-derives
+    the 256 md5 hyperplanes, band keys, candidate join, and rerank in
+    SQL — a hash-green row certifies every stage of the LSH pipeline,
+    not just the final pair set."""
+    return S.embedding_near_dup_lsh(_planted_embedding_base(spark, sf), threshold=0.9)
 
 
 # ============================================================ multimodal ops

@@ -90,10 +90,17 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
     default output) as TIMESTAMP_NTZ, which ``withWatermark``,
     ``unix_micros`` etc. reject. The session tz is pinned UTC, so reading
     naive values as TIMESTAMP is value-identical to NTZ — and matches the
-    DuckDB oracle, whose timestamps are UTC-naive."""
+    DuckDB oracle, whose timestamps are UTC-naive.
+
+    ``spark.sql.session.timeZone`` is pinned UTC here too, not only in
+    the session factory: the naive→TIMESTAMP normalization is
+    value-identical ONLY under UTC, so an externally-built session in
+    any other zone would silently shift every wall-clock value relative
+    to the oracle."""
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        ("spark.sql.session.timeZone", "UTC"),
     ):
         try:
             spark.conf.set(k, v)

@@ -132,6 +132,21 @@ def test_exact_global_rank_matches_global_window(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_exact_global_rank_leaves_no_cached_blocks(spark):
+    """r6 leaked one MEMORY_AND_DISK entry per exact_global_rank call
+    (the locally-ranked intermediate was persisted with no reachable
+    handle). The ranker now relies on shuffle-stage reuse instead of a
+    persist, so a full x_quality_deciles run must not grow the set of
+    persistent RDDs."""
+    from conftest import SF0001
+    import __spark_entry__ as entrymod
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    entrymod.queries()["x_quality_deciles"](spark, SF0001).collect()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before
+
+
 def test_decile_formula_matches_ntile_at_tiny_n(spark):
     """The re-derived ntile math in x_quality_deciles must match the
     window ntile even when N < buckets (each row its own bucket: the

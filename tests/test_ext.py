@@ -284,6 +284,26 @@ def test_ivf_arrow_assignment_bitwise_matches_literal(emb):
     assert diff == 0
 
 
+def test_ivf_arrow_assignment_matches_literal_on_zero_norm(spark):
+    """Degenerate vectors: a zero-norm row (0/0 against every centroid)
+    and a zero-norm centroid (0/0 against every row). r6's literal path
+    THREW DIVIDE_BY_ZERO under ANSI mode and the Arrow path returned
+    cell -1; the contract is now try_divide → NULL (sorts smallest,
+    ties → highest index) on the literal path, NaN→-inf on Arrow."""
+    cents = [[0, 0, 0, 0], [1, 2, 3, 4], [4, 3, 2, 1]]
+    rows = [(0, [0, 0, 0, 0]), (1, [1, 2, 3, 4]), (2, [-1, -2, -3, -4])]
+    v = spark.createDataFrame(rows, "id bigint, qv array<bigint>")
+    lit = v.withColumn("cell", S._assign_cluster(F.col("qv"), cents).cast("long"))
+    arr = S._assign_cells_arrow(v, cents, qv_col="qv", out_col="cell")
+    got = {r["id"]: r["cell"] for r in arr.collect()}
+    want = {r["id"]: r["cell"] for r in lit.collect()}
+    assert got == want
+    # zero row: every score NULL/-inf → tie → highest index (2). The
+    # zero-norm centroid 0 never wins a nonzero row: row 1 is parallel
+    # to centroid 1 (cos 1.0); row 2's best finite score is centroid 2.
+    assert got == {0: 2, 1: 1, 2: 2}
+
+
 def test_ivf_probe_order_matches_literal(emb):
     """Arrow top-nprobe probe cells must come out in the literal path's
     order: cosine desc, then index desc."""
