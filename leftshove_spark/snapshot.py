@@ -84,6 +84,56 @@ def rewrite_column(
     return F.col(c)
 
 
+def capture_query_sql(
+    table: str,
+    columns: list[tuple[str, str]],
+    nms_col: str,
+    lo: str,
+    hi: str,
+    *,
+    munge_to_null: bool = False,
+    munge_to_min: bool = False,
+    min_ts: str = "1970-01-01 00:00:00",
+) -> str:
+    """The literal capture SELECT pushed to a JDBC source — the SQL-text
+    twin of :func:`build_capture`, mirroring the reference's generated
+    query (postgres.go:43-115): columns in ordinal order, array/vector
+    columns rewritten ``array_to_json(c) AS c`` (postgres.go:59-60),
+    timestamp columns optionally munged via CASE (postgres.go:72-101),
+    ``now() AS snapshot_tm`` appended (postgres.go:50), and the half-open
+    window ``WHERE nms > lo AND nms <= hi`` (postgres.go:52-53).
+
+    ``columns`` is ``[(name, udt_name), ...]`` in ordinal order, udt names
+    as the source catalog reports them (``_``-prefixed = array, per the
+    reference's ``udt_name LIKE '\\_%'`` test). Feed the result to
+    :func:`leftshove_spark.sources.read_jdbc_window` — Spark wraps it as a
+    subquery so the window predicate executes source-side, same as the
+    reference. Used for parity pinning in tests/test_jdbc_contract.py."""
+    exprs = []
+    for name, udt in columns:
+        if udt.startswith("_") or udt.endswith("vector"):
+            exprs.append(f"array_to_json({name}) AS {name}")
+        elif udt in ("timestamp", "timestamptz") and (munge_to_null or munge_to_min):
+            if munge_to_null:
+                exprs.append(
+                    f"CASE WHEN {name} < '{min_ts}' THEN NULL "
+                    f"ELSE {name} END AS {name}"
+                )
+            else:
+                exprs.append(
+                    f"CASE WHEN {name} < '{min_ts}' THEN "
+                    f"to_timestamp('{min_ts}','YYYY-MM-DD HH24:MI:SS') "
+                    f"ELSE {name} END AS {name}"
+                )
+        else:
+            exprs.append(name)
+    cols = ", ".join([*exprs, f"now() AS {SNAPSHOT_COL}"])
+    return (
+        f"SELECT {cols} FROM {table} "
+        f"WHERE {nms_col} > '{lo}' AND {nms_col} <= '{hi}'"
+    )
+
+
 def build_capture(
     src: DataFrame,
     nms_col: str,

@@ -181,13 +181,23 @@ def read_jdbc_window(
     lower: str | None = None,
     upper: str | None = None,
     num_partitions: int = 1,
+    query_timeout_s: int | None = None,
+    fetchsize: int | None = None,
 ) -> DataFrame:
     """S1's literal JDBC form — a windowed source scan with optional
     intra-table parallelism (the reference runs each table as ONE
     sequential stream, cdc.go:115-140; Spark shards the same window scan
     across ``num_partitions`` executors via partitionColumn bounds, a
-    strict scale improvement, SURVEY.md §4). Untested here (no JDBC
-    source in the harness) but kept as the production path."""
+    strict scale improvement, SURVEY.md §4).
+
+    ``query_timeout_s`` maps the reference's per-statement timeout
+    (``statement_timeout`` from PG_TIMEOUT_MILLIS, postgres.go:34) to the
+    Spark JDBC ``queryTimeout`` option (seconds — callers converting from
+    the reference's millisecond env var divide by 1000). ``fetchsize``
+    is the row-batch envelope of the JDBC cursor (the batching analog of
+    benthos.go's count/byte_size knobs). No live JDBC endpoint exists in
+    this harness; the option contract is pinned by
+    tests/test_jdbc_contract.py against a recording stub reader."""
     reader = spark.read.format("jdbc").option("url", url).option("query", query)
     if partition_column:
         reader = (
@@ -196,6 +206,10 @@ def read_jdbc_window(
             .option("upperBound", upper)
             .option("numPartitions", str(num_partitions))
         )
+    if query_timeout_s is not None:
+        reader = reader.option("queryTimeout", str(int(query_timeout_s)))
+    if fetchsize is not None:
+        reader = reader.option("fetchsize", str(int(fetchsize)))
     return reader.load()
 
 
