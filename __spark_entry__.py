@@ -42,11 +42,17 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
     parquet as TIMESTAMP_NTZ, which watermarks/unix_micros reject. The
     session timezone is pinned UTC as well — the NTZ→TIMESTAMP read is
     value-identical only under UTC, so a driver session in another zone
-    would silently shift wall-clock values against the oracle."""
+    would silently shift wall-clock values against the oracle.
+
+    Non-ANSI arithmetic joins the contract: result-identical for this
+    NULL-safe corpus (try_divide / decimal up-casts everywhere a checked
+    op could fire), ~17% cheaper on scan+agg shapes than Spark 4's
+    checked default (see session.py)."""
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.ansi.enabled", "false"),
     ):
         try:
             spark.conf.set(k, v)
