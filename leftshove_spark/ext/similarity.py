@@ -410,14 +410,21 @@ def knn_ivf(
     )
 
 
-# Banded SRP for near-dup candidate generation: 32 bands × 8 planes.
-# A pair is a candidate iff ALL 8 sign bits of at least one band agree.
-# At the gate threshold (cosine ≥ 0.9 → per-plane flip ≤ 0.14) the miss
-# probability per pair is (1-(1-p)^8)^32 ≈ 1e-5 — verified ZERO misses
-# on the fixture corpus; random pairs collide per band at ~2^-8, so the
-# candidate volume is ~B/256 of all-pairs, subquadratic in practice.
-NEARDUP_BANDS = 32
-NEARDUP_BAND_PLANES = 8
+# Banded SRP for near-dup candidate generation: 48 bands × 12 planes.
+# A pair is a candidate iff ALL 12 sign bits of at least one band agree.
+# Selectivity drives the cost: an unrelated pair (cosine ≈ 0, per-plane
+# flip 0.5) collides per band at 2^-12, so ~B/4096 ≈ 1.2% of all pairs
+# become candidates — r7 profiling showed the previous 8-plane bands
+# admitted ~12% of ALL pairs (1.1M candidates on a 4k corpus), putting
+# the rerank on an effectively quadratic budget. At the gate threshold
+# (cosine ≥ 0.9 → per-plane flip ≤ 0.144) the miss probability per pair
+# is (1-(1-p)^12)^48 ≈ 3e-4 at the exact threshold edge and ≈ 1e-9 for
+# the fixture's planted dups (cosine ~0.96) — verified ZERO misses on
+# the fixture corpus (pytest pins lsh ≡ exact all-pairs). At real scale
+# raise planes_per_band toward log2(corpus) and add bands to hold
+# recall — both are knobs on embedding_near_dup_lsh.
+NEARDUP_BANDS = 48
+NEARDUP_BAND_PLANES = 12
 
 
 def embedding_near_dup_lsh(
@@ -479,6 +486,25 @@ def embedding_near_dup_lsh(
 
     band_keys = pandas_udf(_band_keys, ArrayType(LongType()))
 
+    def _pair_cosine(qa, qb):
+        # the exact IEEE sequence of cosine_from_quantized, vectorized:
+        # int64 dot (exact), float64 casts, one divide by the product of
+        # two sqrts — bit-identical to the HOF expression form, which
+        # Spark would otherwise evaluate INTERPRETED (~200 lambda walks
+        # per pair) and TWICE (Catalyst pushes the threshold filter into
+        # the join condition, then recomputes the cosine in the project;
+        # a Python UDF is never pushed into a join, so this runs once).
+        A = np.array(qa.tolist(), dtype=np.int64)
+        B = np.array(qb.tolist(), dtype=np.int64)
+        if len(A) == 0:
+            return pd.Series([], dtype="float64")
+        dot = (A * B).sum(axis=1)
+        na = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+        nb_n = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+        return pd.Series(dot.astype(np.float64) / (na * nb_n))
+
+    pair_cosine = pandas_udf(_pair_cosine, "double")
+
     v = df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
     keyed = v.withColumn("bk", F.explode(band_keys(F.col("qv")))).select("id", "bk")
     a, b = keyed.alias("a"), keyed.alias("b")
@@ -492,7 +518,7 @@ def embedding_near_dup_lsh(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", cosine_from_quantized(F.col("qa"), F.col("qb")))
+        .withColumn("cosine", pair_cosine(F.col("qa"), F.col("qb")))
         .filter(F.col("cosine") >= float(threshold))
         .select("id_a", "id_b", "cosine")
     )
