@@ -63,14 +63,15 @@ GATE_EXCLUDE = frozenset(
 # schedule ROTATES. This round the 13 never-driver-scored tail entries
 # (hash split, PII, packing, vocab, q13/q15/q17, funnel, cohort,
 # multimodal decode/frames, decontaminate, repetition) plus the new
-# band-mechanics entry x_dedup_embedding_lsh move into the head;
+# band-mechanics entry x_dedup_embedding_lsh AND the five new round-7
+# TPC-H shapes (q2/q8/q9/q11/q20) move into the head;
 # q12_shipmode_priority leads (its r6 red was an oracle typing bug —
-# this round must record the green row). The 14 most-certified heads
-# (5-6 green rounds: the plain joins, capture projections, pivots,
-# set ops, session window, stats battery, simhash, J3) retire to the
-# tail. Rotated-out entries stay verified every round by
-# tests/test_gate_tail_oracle.py, which oracle-checks the FULL gate
-# surface regardless of rotation position.
+# this round must record the green row). The most-certified heads
+# (4-6 green rounds: the plain joins, capture projections, pivots,
+# set ops, session window, stats battery, simhash, J3, w7, o1, q10,
+# q1, knn-bruteforce) retire to the tail. Rotated-out entries stay
+# verified every round by tests/test_gate_tail_oracle.py, which
+# oracle-checks the FULL gate surface regardless of rotation position.
 GATE_ORDER = [
     "q12_shipmode_priority",
     "x_hash_split",
@@ -87,6 +88,11 @@ GATE_ORDER = [
     "x_decontaminate",
     "x_repetition",
     "x_dedup_embedding_lsh",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q20_heavy_shippers",
     "a1_a5_scan_aggregates",
     "q16_supplier_part_counts",
     "q22_dormant_customers",
@@ -97,19 +103,14 @@ GATE_ORDER = [
     "x_quality_deciles",
     "c16_json_null_battery",
     "f4_f5_munge_ts",
-    "w7_tumbling_window_agg",
     "x_quality_filter",
     "q19_disjunctive_filter",
     "o4_cube_pricing",
-    "o1_f8_filter_order",
     "o3_topk_per_group",
     "o2_rollup_pricing",
     "q18_large_volume_orders",
     "s2_salted_join_agg",
     "t2_range_join_sliding_windows",
-    "q10_returned_items",
-    "q1_pricing_summary",
-    "x_knn_bruteforce",
     "x_knn_ivf",
     "t1_asof_join_latest_order",
     "cdc_at_least_once_dedup",
@@ -125,6 +126,11 @@ GATE_ORDER = [
     # --- tail (entries 51+): also cheap-first, so a driver budget cut
     # costs the fewest rows. All are additionally guarded by
     # tests/test_gate_tail_oracle.py regardless of gate reach.
+    "w7_tumbling_window_agg",
+    "o1_f8_filter_order",
+    "q10_returned_items",
+    "q1_pricing_summary",
+    "x_knn_bruteforce",
     "x_token_counts",
     "x_multimodal_meta",
     "q6_forecast_revenue",

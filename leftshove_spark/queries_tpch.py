@@ -592,3 +592,371 @@ def c16_json_null_battery(spark: SparkSession, sf: str) -> DataFrame:
         a.eqNullSafe(b).alias("ns_eq"),
         F.round(F.col("value") * 100).cast("long").alias("value_cents"),
     )
+
+
+# =========================================================================
+# Round-7: the five TPC-H shapes the battery lacked (Q2/Q8/Q9/Q11/Q20).
+# The fixture has no partsupp table, so the part↔supplier relation is
+# DERIVED from lineitem (distinct shipped pairs + min unit price) — each
+# query keeps its original's distinctive plan shape on that derived
+# relation.
+# =========================================================================
+
+_UNIT_COST_SQL = (
+    "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE) / l_quantity"
+)
+
+
+@_q(
+    "q2_min_cost_supplier",
+    f"""
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey, min({_UNIT_COST_SQL}) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    esupp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'),
+    eu AS (
+      SELECT sp.l_partkey, sp.l_suppkey, sp.unit_cost
+      FROM supply sp JOIN esupp e ON e.s_suppkey = sp.l_suppkey),
+    best AS (
+      SELECT l_partkey, min(unit_cost) AS best_cost FROM eu GROUP BY l_partkey)
+    SELECT e.s_acctbal, e.s_name, e.n_name,
+           p.p_partkey, p.p_type, eu.unit_cost
+    FROM eu
+    JOIN best ON best.l_partkey = eu.l_partkey
+             AND eu.unit_cost = best.best_cost
+    JOIN esupp e ON e.s_suppkey = eu.l_suppkey
+    JOIN part p ON p.p_partkey = eu.l_partkey
+    WHERE p.p_size <= 15 AND p.p_type = 'LARGE'
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape — minimum-cost supplier per part within a region,
+    i.e. a CORRELATED MIN subquery re-expressed as a window min (the
+    scale-safe form: one extra window pass over the already-partitioned
+    supply relation instead of a self-join back to a re-aggregation).
+    The part↔supplier "catalog" is derived from lineitem: min unit
+    price per distinct shipped (part, supplier) pair — one shuffle on
+    that composite key, then dimension joins (region-filtered supplier
+    list, size/type-filtered part) broadcast so the derived relation
+    never reshuffles. Cost equality is well-defined cross-engine: the
+    unit price is an exact int64-cents value divided by an integral
+    quantity — both engines run the identical IEEE divide and the
+    window min SELECTS one of those bit-identical doubles."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf, "lineitem")
+    unit_cost = _cents("l_extendedprice").cast("double") / F.col("l_quantity")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit_cost).alias("unit_cost")
+    )
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    esupp = (
+        load_table(spark, sf, "supplier")
+        .join(
+            F.broadcast(
+                nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = (
+        load_table(spark, sf, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_type")
+    )
+    eu = supply.join(
+        _maybe_broadcast(esupp, sf, "supplier"),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).join(_maybe_broadcast(p, sf, "part"), F.col("l_partkey") == F.col("p_partkey"))
+    w = W.partitionBy("l_partkey")
+    return (
+        eu.withColumn("best_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "unit_cost")
+    )
+
+
+@_q(
+    "q8_market_share",
+    f"""
+    WITH vol AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             {_DPC_SQL} AS volume_c,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume_c
+                    ELSE 0 END) AS DOUBLE)
+           / CAST(sum(volume_c) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: an 8-table star join
+    (fact + two independent nation lookups under different roles +
+    region/part/customer/supplier dims) feeding a conditional-ratio
+    aggregation per year. All dimension sides broadcast (gated on
+    footer-stats row counts), so lineitem shuffles exactly once — for
+    the orderkey join — and the 2-group final agg is map-side partial.
+    The ratio divides two EXACT int64 fixed-point sums cast to double,
+    so both engines do one identical IEEE divide per group; numerator
+    selection (CASE on the supplier-role nation) happens inside the
+    same single aggregation pass."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1995, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1997, 1, 1)))
+    )
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    cust_n = (
+        load_table(spark, sf, "customer")
+        .join(
+            F.broadcast(
+                nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_n = (
+        load_table(spark, sf, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    p = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    vol = (
+        li.join(_maybe_broadcast(p, sf, "part"), li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            _maybe_broadcast(cust_n, sf, "customer"),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            _maybe_broadcast(supp_n, sf, "supplier"),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _disc_price_cents().alias("volume_c"),
+            "supp_nation",
+        )
+    )
+    is_n5 = F.col("supp_nation") == "NATION_5"
+    return vol.groupBy("o_year").agg(
+        (
+            F.sum(F.when(is_n5, F.col("volume_c")).otherwise(F.lit(0))).cast("double")
+            / F.sum("volume_c").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@_q(
+    "q9_product_profit",
+    f"""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           CAST(sum({_DPC_SQL}
+                    - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                      * CAST(l.l_quantity AS BIGINT) * 100) AS DOUBLE)
+           / 10000.0 AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape — product-type profit by nation and year. The
+    original prices cost from partsupp; the fixture derives it from the
+    part's retail price (cost = retailprice × quantity), which keeps the
+    distinctive shape: a 5-table join where the MEASURE mixes columns
+    from three tables (lineitem price/discount/quantity, part cost,
+    orders year) and aggregates on a (dimension, derived-year) pair.
+    Profit is computed per row in exact int64 fixed point at scale 10^4
+    (both engines sum identical integers in any order) and descaled to
+    double once per group. Part prunes on the LIKE filter at the scan;
+    all dimension sides broadcast, so lineitem shuffles only on
+    orderkey, then the final small agg."""
+    li = load_table(spark, sf, "lineitem")
+    p = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp_n = (
+        load_table(spark, sf, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    amount_c = _disc_price_cents() - _cents("p_retailprice") * F.col(
+        "l_quantity"
+    ).cast("long") * F.lit(100).cast("long")
+    return (
+        li.join(_maybe_broadcast(p, sf, "part"), li.l_partkey == F.col("p_partkey"))
+        .join(
+            _maybe_broadcast(supp_n, sf, "supplier"),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(amount_c).cast("double") / 10000.0).alias("profit"))
+    )
+
+
+@_q(
+    "q11_important_parts",
+    f"""
+    WITH val AS (
+      SELECT l.l_partkey AS part_key, sum({_DPC_SQL}) AS value_c
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_11'
+      GROUP BY l.l_partkey)
+    SELECT part_key, CAST(value_c AS DOUBLE) / 10000.0 AS value
+    FROM val, (SELECT sum(value_c) AS total_c FROM val) t
+    WHERE CAST(value_c AS DOUBLE) > 0.001 * CAST(total_c AS DOUBLE)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape — parts representing a significant fraction of a
+    nation's shipped value: a grouped aggregate filtered against a
+    GLOBAL SCALAR subquery over the same aggregate. The scalar total is
+    a one-row re-aggregation of the grouped result, broadcast back onto
+    it via a constant-key join (q15's pattern — no driver round-trip,
+    and AQE reuses the grouped shuffle for both branches instead of
+    re-scanning lineitem). Value sums are exact int64 fixed point; the
+    threshold compares double-casts of exact integers, identical IEEE
+    on both engines. The nation filter reaches the supplier dim before
+    its broadcast, so lineitem is filtered map-side and shuffles only
+    the matching subset on partkey."""
+    li = load_table(spark, sf, "lineitem")
+    supp = (
+        load_table(spark, sf, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf, "nation").filter(
+                    F.col("n_name") == "NATION_11"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(
+            _maybe_broadcast(supp, sf, "supplier"),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(F.sum(_disc_price_cents()).alias("value_c"))
+    )
+    total = val.agg(F.sum("value_c").alias("total_c")).withColumn("k", F.lit(1))
+    return (
+        val.withColumn("k", F.lit(1))
+        .join(F.broadcast(total), "k")
+        .filter(
+            F.col("value_c").cast("double")
+            > F.lit(0.001) * F.col("total_c").cast("double")
+        )
+        .select(
+            "part_key", (F.col("value_c").cast("double") / 10000.0).alias("value")
+        )
+    )
+
+
+@_q(
+    "q20_heavy_shippers",
+    """
+    WITH red_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    shipped AS (
+      SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_partkey IN (SELECT p_partkey FROM red_parts)
+      GROUP BY l_partkey, l_suppkey),
+    tot AS (
+      SELECT l_partkey, sum(qty) AS tot_qty FROM shipped GROUP BY l_partkey),
+    heavy AS (
+      SELECT DISTINCT sh.l_suppkey
+      FROM shipped sh JOIN tot t ON t.l_partkey = sh.l_partkey
+      WHERE CAST(sh.qty AS DOUBLE) > 0.5 * CAST(t.tot_qty AS DOUBLE))
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+    """,
+)
+def q20_heavy_shippers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape — suppliers holding a dominant share of a part's
+    flow: nested aggregation (per part+supplier, then per part), a
+    ratio filter between the two levels, and a SEMI-JOIN chain lifting
+    the surviving supplier keys onto the supplier dimension. The
+    per-part total is a window sum over the already-grouped relation
+    (no self-join, no second lineitem scan); the date + part-name
+    filters prune at the scan (part list broadcast). The final IN
+    becomes a LEFT SEMI join — supplier never duplicates rows no matter
+    how many parts a supplier dominates. Quantity sums are exact int64;
+    the 50% threshold compares double-casts of exact ints."""
+    from pyspark.sql import Window as W
+
+    red = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1997, 1, 1)))
+    )
+    shipped = (
+        li.join(_maybe_broadcast(red, sf, "part"), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    w = W.partitionBy("l_partkey")
+    heavy = (
+        shipped.withColumn("tot_qty", F.sum("qty").over(w))
+        .filter(
+            F.col("qty").cast("double") > F.lit(0.5) * F.col("tot_qty").cast("double")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
