@@ -182,6 +182,79 @@ def stratified_sample(
     return df.filter(keep)
 
 
+def mixture_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    targets: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic domain-mixture downsampling to target source shares.
+
+    A pretraining corpus rarely arrives at the mixture you want to train
+    on; this operator rebalances by DOWN-sampling only (no row is ever
+    duplicated): given target weights ``w_s`` (default uniform over the
+    observed sources), the largest achievable output keeps the binding
+    source whole and accepts every other source at
+    ``rate_s = min(1, k·w_s / n_s)`` where ``k = min_s(n_s / w_s)`` —
+    the exact water-filling solution, so the output mixture matches the
+    target up to hash-bucket granularity. Acceptance is the same salted
+    md5-bucket as :func:`hash_split` (independent salt), making the
+    sample a pure function of the row id: stable under repartitioning,
+    task retries, and incremental appends, and composable with the
+    split/sample operators.
+
+    Returns the accepted rows as ``(id_col, source_col, rate)``.
+
+    100 TB plan: one tiny per-source count aggregation (map-side
+    partial, |sources| rows), the rate table broadcast back, and a
+    map-side hash filter — the corpus itself NEVER shuffles. With
+    explicit ``targets``, sources absent from the dict get weight 0
+    (dropped), matching curation configs that whitelist domains."""
+    counts = df.groupBy(F.col(source_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("n_s")
+    )
+    if targets is None:
+        # uniform over observed sources: k·w_s/n_s reduces to min(n)/n_s
+        mn = counts.agg(F.min("n_s").alias("mn")).withColumn("j", F.lit(1))
+        rates = (
+            counts.withColumn("j", F.lit(1))
+            .join(F.broadcast(mn), "j")
+            .select(
+                "s",
+                F.least(
+                    F.lit(1.0), F.col("mn").cast("double") / F.col("n_s").cast("double")
+                ).alias("rate"),
+            )
+        )
+    else:
+        w = F.lit(0.0)
+        for s, ws in targets.items():
+            w = F.when(F.col("s") == s, F.lit(float(ws))).otherwise(w)
+        wn = counts.withColumn("w", w)
+        k = (
+            wn.filter(F.col("w") > 0)
+            .agg(F.min(F.col("n_s").cast("double") / F.col("w")).alias("k"))
+            .withColumn("j", F.lit(1))
+        )
+        rates = (
+            wn.withColumn("j", F.lit(1))
+            .join(F.broadcast(k), "j")
+            .select(
+                "s",
+                F.when(F.col("w") > 0, F.least(
+                    F.lit(1.0),
+                    F.col("k") * F.col("w") / F.col("n_s").cast("double"),
+                )).otherwise(F.lit(0.0)).alias("rate"),
+            )
+        )
+    b = _bucket(id_col, "mix:")
+    return (
+        df.join(F.broadcast(rates), df[source_col] == F.col("s"))
+        .filter(b < F.floor(F.col("rate") * SPLIT_BUCKETS).cast("long"))
+        .select(F.col(id_col), F.col(source_col), F.col("rate"))
+    )
+
+
 # --------------------------------------------------------- repetition flags
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"

@@ -93,6 +93,7 @@ GATE_ORDER = [
     "q9_product_profit",
     "q11_important_parts",
     "q20_heavy_shippers",
+    "x_mixture_sample",
     "a1_a5_scan_aggregates",
     "q16_supplier_part_counts",
     "q22_dormant_customers",

@@ -611,6 +611,53 @@ def x_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "x_mixture_sample",
+    f"""
+    WITH n AS (SELECT lang AS s, count(*) AS n_s FROM documents GROUP BY lang),
+    r1 AS (SELECT s, least(1.0, CAST((SELECT min(n_s) FROM n) AS DOUBLE)
+                                / CAST(n_s AS DOUBLE)) AS rate FROM n),
+    wn AS (SELECT s, n_s, CASE s WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
+                                 WHEN 'de' THEN 0.25 ELSE 0.0 END AS w FROM n),
+    k AS (SELECT min(CAST(n_s AS DOUBLE) / w) AS k FROM wn WHERE w > 0),
+    r2 AS (SELECT s, CASE WHEN w > 0
+                          THEN least(1.0, (SELECT k FROM k) * w
+                                          / CAST(n_s AS DOUBLE))
+                          ELSE 0.0 END AS rate FROM wn),
+    hits AS (
+      SELECT 'uniform' AS policy, d.doc_id, d.lang, r.rate
+      FROM documents d JOIN r1 r ON r.s = d.lang
+      WHERE {bucket_sql("d.doc_id", "mix:")}
+            < CAST(floor(r.rate * 65536) AS BIGINT)
+      UNION ALL
+      SELECT 'weighted', d.doc_id, d.lang, r.rate
+      FROM documents d JOIN r2 r ON r.s = d.lang
+      WHERE {bucket_sql("d.doc_id", "mix:")}
+            < CAST(floor(r.rate * 65536) AS BIGINT))
+    SELECT policy, doc_id, lang, rate FROM hits
+    """,
+)
+def x_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture rebalancing, both policies in one run: uniform
+    over observed languages (water-filling keeps the rarest language
+    whole, en downsamples ~3×) and an explicit weight dict
+    (en:zh:de = 2:1:1, fr/es dropped — the domain-whitelist path).
+    Acceptance is a pure function of md5(doc_id): the corpus never
+    shuffles — per-source counts aggregate map-side, the rate table
+    broadcasts back, the filter runs at the scan."""
+    docs = load_table(spark, sf, "documents")
+    uni = P.mixture_sample(docs, source_col="lang")
+    wtd = P.mixture_sample(
+        docs, source_col="lang", targets={"en": 0.5, "zh": 0.25, "de": 0.25}
+    )
+    return (
+        uni.select(F.lit("uniform").alias("policy"), "doc_id", "lang", "rate")
+        .unionAll(
+            wtd.select(F.lit("weighted").alias("policy"), "doc_id", "lang", "rate")
+        )
+    )
+
+
 _PII_PLANT_SQL = """
   SELECT doc_id, concat(text,
     CASE WHEN doc_id % 7 = 0

@@ -148,3 +148,46 @@ def test_pack_sequences_budget_and_coverage(spark):
         acc += n
         got = next(r["seq_id"] for r in rows if r["doc_id"] == doc_id)
         assert got == seq
+
+
+# ------------------------------------------------------------ mixture
+def test_mixture_sample_uniform_waterfills_to_rarest(spark):
+    docs = load_table(spark, SF0001, "documents")
+    out = P.mixture_sample(docs, source_col="lang")
+    tot = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    mn = min(tot.values())
+    # binding (rarest) language kept whole; others near the water line
+    rarest = min(tot, key=tot.get)
+    assert got[rarest] == tot[rarest]
+    for lang, n in got.items():
+        assert n <= tot[lang]  # down-sample only
+        # hash-bucket granularity: within a few rows of the target
+        assert abs(n - mn) <= max(3, mn * 0.25)
+    # deterministic: pure function of the id
+    again = P.mixture_sample(docs.repartition(7), source_col="lang")
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+
+
+def test_mixture_sample_explicit_weights_and_drops(spark):
+    docs = load_table(spark, SF0001, "documents")
+    out = P.mixture_sample(
+        docs, source_col="lang", targets={"en": 0.5, "zh": 0.25, "de": 0.25}
+    )
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "fr" not in got and "es" not in got  # weight-0 sources dropped
+    # output mixture approximates 2:1:1 (hash granularity on small n)
+    assert got["en"] >= got["zh"] and got["en"] >= got["de"]
+    rates = {r["lang"]: r["rate"] for r in out.select("lang", "rate").distinct().collect()}
+    assert all(0.0 < v <= 1.0 for v in rates.values())
+
+
+def test_mixture_sample_corpus_never_shuffles(spark):
+    docs = load_table(spark, SF0001, "documents")
+    plan = (
+        P.mixture_sample(docs, source_col="lang")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the corpus joins the broadcast rate table; any Exchange in the plan
+    # belongs to the tiny per-source count aggregation
+    assert "BroadcastHashJoin" in plan
