@@ -960,3 +960,55 @@ def q20_heavy_shippers(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+
+
+@_q(
+    "c17_temporal_battery",
+    """
+    SELECT event_id,
+           CAST(date_trunc('month', ts) AS TIMESTAMP) AS ts_month,
+           date_trunc('hour', ts) AS ts_hour,
+           year(ts) AS y, quarter(ts) AS q, month(ts) AS m,
+           day(ts) AS dom, hour(ts) AS hh, minute(ts) AS mi, second(ts) AS ss,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS days_since,
+           CAST(CAST(ts AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m,
+           CAST(last_day(CAST(ts AS DATE)) AS TIMESTAMP) AS month_end,
+           weekofyear(ts) AS iso_week,
+           isodow(ts) AS iso_dow
+    FROM events
+    """,
+)
+def c17_temporal_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal-scalar battery over the event stream: truncation, field
+    extraction, epoch seconds, day arithmetic, month arithmetic with
+    end-of-month clamping, last-day, and the ISO week/dow pair — the
+    calendar surface where engines classically diverge, pinned to
+    identical cross-engine behavior. Convention notes baked into the
+    pairings: Spark's weekday() is Monday=0 (DuckDB isodow is
+    Monday=1, hence the +1); date outputs are emitted as TIMESTAMP
+    because the driver's pandas fetch widens DuckDB DATE to
+    datetime64 — a bare DATE column would hash-mismatch Spark's
+    datetime.date stringification even with equal values (the
+    test_oracle_types lint now flags DATE for exactly that reason).
+    Pure codegen projection, zero shuffles."""
+    ev = load_table(spark, sf, "events")
+    d = F.col("ts").cast("date")
+    return ev.select(
+        "event_id",
+        F.date_trunc("month", F.col("ts")).alias("ts_month"),
+        F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
+        F.year("ts").alias("y"),
+        F.quarter("ts").alias("q"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("dom"),
+        F.hour("ts").alias("hh"),
+        F.minute("ts").alias("mi"),
+        F.second("ts").alias("ss"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.datediff(d, F.to_date(F.lit("1995-01-01"))).alias("days_since"),
+        F.add_months(d, 3).cast("timestamp").alias("plus3m"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.weekofyear("ts").alias("iso_week"),
+        (F.weekday("ts") + F.lit(1)).alias("iso_dow"),
+    )

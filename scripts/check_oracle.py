@@ -66,7 +66,7 @@ def main():
             drifting = [
                 (c, t)
                 for c, t, *_ in con.execute("DESCRIBE " + oracles[name]).fetchall()
-                if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")
+                if t in ("HUGEINT", "UHUGEINT", "DATE") or t.startswith("DECIMAL")
             ]
             if drifting:
                 fails.append(name)

@@ -28,7 +28,10 @@ TABLES = (
 
 # DuckDB types whose Arrow/pandas representation diverges from the
 # Python-native fetchall() representation the local nets use.
-_DRIFTING = ("HUGEINT", "UHUGEINT")
+# DATE: pandas widens to datetime64 → "1995-01-02 00:00:00" while Spark
+# collects datetime.date → "1995-01-02"; emit dates CAST AS TIMESTAMP
+# (both engines then stringify identically) or as VARCHAR.
+_DRIFTING = ("HUGEINT", "UHUGEINT", "DATE")
 
 
 def _flagged_types(con, sql):
@@ -76,3 +79,9 @@ def test_oracle_output_types_survive_pandas_fetch(ddb, name):
         "the value hash diverges from Spark. Wrap the aggregate in "
         "CAST(... AS BIGINT) or CAST(... AS DOUBLE)."
     )
+
+
+def test_lint_catches_bare_date_output(ddb):
+    """DATE widens to datetime64 under pandas — must trip the lint."""
+    flagged = _flagged_types(ddb, "SELECT DATE '1995-01-02' AS d")
+    assert flagged == [("d", "DATE")]
