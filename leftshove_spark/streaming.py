@@ -364,3 +364,42 @@ def stream_stream_join(
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay_secs} SECONDS"))
     )
     return lw.join(rw, cond, how)
+
+
+def curate_stream(
+    src: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_tokens: int = 20,
+    min_uniq_ratio: float = 0.5,
+    min_quality: float = 0.3,
+) -> DataFrame:
+    """W16 — streaming corpus curation: the batch quality gate + split
+    assignment applied UNCHANGED to a document stream.
+
+    Composition proof more than new machinery: every stage is stateless
+    — the Arrow-batched stats pass (ext.text.text_stats → mapInPandas,
+    a narrow transform), the threshold gate, and the md5-bucket split
+    (a pure function of the id) — so the streaming micro-batch plan IS
+    the batch plan, with no state store, no watermark, and bounded
+    memory by construction. Because the split hashes the id rather than
+    rolling a counter, a document ingested today lands in the same
+    train/val/test split it would have landed in at any other time —
+    the property that makes incremental corpus ingestion composable
+    with frozen eval sets.
+
+    Returns ``(id_col, n_tokens, uniq_ratio, stop_ratio, avg_token_len,
+    quality_score, split)`` for passing documents."""
+    from .ext.pipeline import hash_split
+    from .ext.text import quality_filter
+
+    gated = quality_filter(
+        src,
+        text_col=text_col,
+        id_col=id_col,
+        min_tokens=min_tokens,
+        min_uniq_ratio=min_uniq_ratio,
+        min_quality=min_quality,
+    )
+    return hash_split(gated, id_col=id_col)

@@ -275,3 +275,36 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert got.count() == exp.count() == 2
     assert got.exceptAll(exp).count() == 0
     assert {r["user_id"] for r in got.collect()} == {"u1", "u3"}
+
+
+def test_curate_stream_matches_batch(spark, tmp_path):
+    """W16 streaming — quality gate + hash split over a document stream
+    equals the batch composition exactly (all stages stateless)."""
+    from leftshove_spark.ext.pipeline import hash_split
+    from leftshove_spark.ext.text import quality_filter
+    from leftshove_spark.streaming import curate_stream
+
+    docs = load_table(spark, SF0001, "documents")
+    landing = str(tmp_path / "docs_landing")
+    docs.coalesce(2).write.parquet(landing)
+    src = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .parquet(landing)
+    )
+    q = (
+        curate_stream(src)
+        .writeStream.queryName("w16_test")
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("w16_test")
+    exp = hash_split(quality_filter(docs), id_col="doc_id")
+    assert got.count() == exp.count() > 0
+    assert got.exceptAll(exp).count() == 0
+    # every split bucket is represented and stable vs the pure function
+    assert {r["split"] for r in got.select("split").distinct().collect()} <= {
+        "train", "val", "test"
+    }
