@@ -39,6 +39,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    # round-7: the widest star join (8 tables, two nation roles) and the
+    # derived-catalog correlated-min shape — the two new TPC-H plan
+    # classes worth a wall-clock row
+    "q8_market_share",
+    "q2_min_cost_supplier",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
