@@ -95,6 +95,7 @@ GATE_ORDER = [
     "q20_heavy_shippers",
     "x_mixture_sample",
     "c17_temporal_battery",
+    "c18_string_battery",
     "a1_a5_scan_aggregates",
     "q16_supplier_part_counts",
     "q22_dormant_customers",

@@ -1012,3 +1012,59 @@ def c17_temporal_battery(spark: SparkSession, sf: str) -> DataFrame:
         F.weekofyear("ts").alias("iso_week"),
         (F.weekday("ts") + F.lit(1)).alias("iso_dow"),
     )
+
+
+@_q(
+    "c18_string_battery",
+    """
+    SELECT doc_id,
+           substr(text, 3, 40) AS sub,
+           strpos(text, 'e') AS first_e,
+           lpad(lang, 5, '_') AS lang_pad,
+           rpad(source, 8, '.') AS src_pad,
+           translate(lang, 'aeiou', 'AEIOU') AS lang_vow,
+           repeat(lang, 2) AS lang2,
+           reverse(source) AS src_rev,
+           upper(lang) AS lang_up,
+           trim(concat(' ', lang, ' ')) AS lang_trim,
+           levenshtein(lang, 'en') AS lev_en,
+           ascii(substr(source, 1, 1)) AS src_ascii,
+           printf('%s_%d', lang, CAST(n_chars AS BIGINT)) AS tagged,
+           regexp_extract(source, '([0-9]+)', 1) AS src_num,
+           replace(source, 'src', 'domain') AS src_renamed,
+           left(text, 12) AS head12,
+           right(source, 2) AS tail2,
+           CAST(len(string_split_regex(text, '[ ]+')) AS INT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def c18_string_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """String-scalar battery over the document corpus: slicing, search,
+    padding (including the truncation edge: lpad shorter than the input
+    cuts it), translate, repeat/reverse/case/trim, edit distance,
+    C-style formatting, regexp extraction (ASCII-class pattern — Java
+    and RE2 agree), literal replace, left/right, and whitespace token
+    counts via regex split. Every pairing is pinned value-identical
+    cross-engine; pure codegen projection, zero shuffles."""
+    docs = load_table(spark, sf, "documents")
+    t, lang, src = F.col("text"), F.col("lang"), F.col("source")
+    return docs.select(
+        "doc_id",
+        F.substring(t, 3, 40).alias("sub"),
+        F.instr(t, "e").alias("first_e"),
+        F.lpad(lang, 5, "_").alias("lang_pad"),
+        F.rpad(src, 8, ".").alias("src_pad"),
+        F.translate(lang, "aeiou", "AEIOU").alias("lang_vow"),
+        F.repeat(lang, 2).alias("lang2"),
+        F.reverse(src).alias("src_rev"),
+        F.upper(lang).alias("lang_up"),
+        F.trim(F.concat(F.lit(" "), lang, F.lit(" "))).alias("lang_trim"),
+        F.levenshtein(lang, F.lit("en")).alias("lev_en"),
+        F.ascii(F.substring(src, 1, 1)).alias("src_ascii"),
+        F.format_string("%s_%d", lang, F.col("n_chars")).alias("tagged"),
+        F.regexp_extract(src, "([0-9]+)", 1).alias("src_num"),
+        F.replace(src, F.lit("src"), F.lit("domain")).alias("src_renamed"),
+        F.substring(t, 1, 12).alias("head12"),
+        F.substring(src, -2, 2).alias("tail2"),
+        F.size(F.split(t, "[ ]+")).alias("n_ws_tokens"),
+    )
