@@ -108,12 +108,9 @@ GATE_ORDER = [
     "f4_f5_munge_ts",
     "x_quality_filter",
     "q19_disjunctive_filter",
-    "o4_cube_pricing",
     "o3_topk_per_group",
     "o2_rollup_pricing",
     "q18_large_volume_orders",
-    "s2_salted_join_agg",
-    "t2_range_join_sliding_windows",
     "x_knn_ivf",
     "t1_asof_join_latest_order",
     "cdc_at_least_once_dedup",
@@ -134,6 +131,9 @@ GATE_ORDER = [
     "q10_returned_items",
     "q1_pricing_summary",
     "x_knn_bruteforce",
+    "o4_cube_pricing",
+    "s2_salted_join_agg",
+    "t2_range_join_sliding_windows",
     "x_token_counts",
     "x_multimodal_meta",
     "q6_forecast_revenue",
