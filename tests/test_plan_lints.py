@@ -1,0 +1,66 @@
+"""Structural plan lints over EVERY gated query: the scale disciplines
+SCALE.md claims, asserted on the actual physical plans.
+
+- No ``BatchEvalPython`` / ``PythonUDF`` row-at-a-time evaluation: the
+  only sanctioned Python surfaces are Arrow-batched (MapInPandas /
+  FlatMapGroupsInPandas / ArrowEvalPython for pandas_udf).
+- No ``CartesianProduct`` / ``BroadcastNestedLoopJoin``: every join in
+  the gate corpus is keyed (hash/broadcast/sort-merge) — an all-pairs
+  shape slipping into a gated plan is a scale regression, not a
+  strategy choice (the deliberate O(N²) verifier tiles pairs inside
+  applyInPandas, never through a join operator).
+
+Plans are built (analysis + physical planning) without execution, so
+the whole 83-query sweep costs seconds per query, not job time.
+"""
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+from conftest import SF0001
+
+QUERIES = entrymod.queries()
+
+_ROW_UDF_MARKERS = ("BatchEvalPython",)
+_ALL_PAIRS_MARKERS = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+# BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side is
+# bounded by construction — a single-row scalar aggregate or a
+# deliberately-broadcast bounded query set. The "nested loop" then
+# iterates over one (or k) broadcast rows per stream row: linear, not
+# quadratic. Every entry here names its bounded side.
+_BNLJ_ALLOWED = {
+    # single-row global-scalar aggregate joined on a constant key
+    # (Catalyst folds lit(1)=lit(1) away, leaving a conditionless BNLJ
+    # over ONE broadcast row); the theta filter (value > scalar) rides
+    # the same join
+    "q11_important_parts",
+    "q22_dormant_customers",
+    # single-row min(n_s) rate anchor, same constant-key shape
+    "x_mixture_sample",
+    # the documented brute-force baseline: corpus x broadcast(query
+    # set), k queries bounded by the caller — the subquadratic paths
+    # are x_knn_lsh / x_knn_ivf
+    "x_knn_bruteforce",
+}
+
+
+def _plan(spark, name):
+    df = QUERIES[name](spark, SF0001)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_row_udf_and_no_all_pairs_join(spark, name):
+    p = _plan(spark, name)
+    markers = _ROW_UDF_MARKERS + (
+        ("CartesianProduct",)
+        if name in _BNLJ_ALLOWED
+        else _ALL_PAIRS_MARKERS
+    )
+    hits = [m for m in markers if m in p]
+    assert not hits, (
+        f"{name}: plan contains {hits} — row-at-a-time Python or an "
+        "unkeyed join entered a gated query (see SCALE.md global posture)"
+    )
