@@ -1068,3 +1068,86 @@ def c18_string_battery(spark: SparkSession, sf: str) -> DataFrame:
         F.substring(src, -2, 2).alias("tail2"),
         F.size(F.split(t, "[ ]+")).alias("n_ws_tokens"),
     )
+
+
+@_q(
+    "o7_percentile_battery",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25_qty,
+           quantile_cont(l_quantity, 0.5)  AS p50_qty,
+           quantile_cont(l_quantity, 0.75) AS p75_qty,
+           quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25)
+             AS iqr_qty,
+           quantile_cont(l_extendedprice, 0.9)  AS p90_price,
+           quantile_cont(l_extendedprice, 0.99) AS p99_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def o7_percentile_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT interpolated percentiles per group — the distribution-shape
+    aggregate (quartiles, IQR, tail percentiles) data-quality reports
+    run. Spark's percentile() and DuckDB's quantile_cont use the same
+    (n-1)·p index + linear interpolation; verified bit-identical on
+    this fixture, so the battery gates unreounded doubles. Scale note:
+    exact percentile buffers each group's values — the 100 TB path for
+    high-cardinality groups is approx_percentile (t-digest, mergeable
+    partial aggregation); this exact form is the oracle for it, the
+    same exact↔approx pairing the kNN family uses."""
+    li = load_table(spark, sf, "lineitem")
+    pq = lambda p: F.expr(f"percentile(l_quantity, {p})")  # noqa: E731
+    pp = lambda p: F.expr(f"percentile(l_extendedprice, {p})")  # noqa: E731
+    return li.groupBy("l_returnflag").agg(
+        pq(0.25).alias("p25_qty"),
+        pq(0.5).alias("p50_qty"),
+        pq(0.75).alias("p75_qty"),
+        (pq(0.75) - pq(0.25)).alias("iqr_qty"),
+        pp(0.9).alias("p90_price"),
+        pp(0.99).alias("p99_price"),
+    )
+
+
+@_q(
+    "w17_range_frame_battery",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w7d AS n_7d,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w7d AS BIGINT)
+             AS value_cents_7d,
+           count(*) OVER w1h AS n_1h
+    FROM (SELECT event_id, user_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events)
+    WINDOW
+      w7d AS (PARTITION BY user_id ORDER BY ep
+              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW),
+      w1h AS (PARTITION BY user_id ORDER BY ep
+              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w17_range_frame_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-RANGE window frames — trailing 7-day / 1-hour counts and an
+    exact-cents trailing sum per user, the per-event rate/velocity
+    features (fraud, rate limits, engagement) that ROWS frames cannot
+    express (they need VALUE distance, not row distance). Ordering is
+    epoch seconds so both engines share numeric RANGE semantics, and
+    rows with equal timestamps are PEERS — the frame includes all of
+    them regardless of physical order, which is what makes the result
+    deterministic without a unique tiebreaker. One hash partition on
+    user_id, one sort, two frames over the same window spec."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ep"),
+        _cents("value").alias("vc"),
+    )
+    w7 = W.partitionBy("user_id").orderBy("ep").rangeBetween(-604800, 0)
+    w1 = W.partitionBy("user_id").orderBy("ep").rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w7).alias("n_7d"),
+        F.sum("vc").over(w7).alias("value_cents_7d"),
+        F.count(F.lit(1)).over(w1).alias("n_1h"),
+    )
