@@ -98,6 +98,7 @@ GATE_ORDER = [
     "c18_string_battery",
     "o7_percentile_battery",
     "w17_range_frame_battery",
+    "x_dedup_index_incremental",
     "a1_a5_scan_aggregates",
     "q16_supplier_part_counts",
     "q22_dormant_customers",
@@ -109,7 +110,6 @@ GATE_ORDER = [
     "c16_json_null_battery",
     "f4_f5_munge_ts",
     "x_quality_filter",
-    "q19_disjunctive_filter",
     "q18_large_volume_orders",
     "x_knn_ivf",
     "t1_asof_join_latest_order",
@@ -132,6 +132,7 @@ GATE_ORDER = [
     "q1_pricing_summary",
     "x_knn_bruteforce",
     "o4_cube_pricing",
+    "q19_disjunctive_filter",
     "o3_topk_per_group",
     "o2_rollup_pricing",
     "s2_salted_join_agg",

@@ -27,7 +27,7 @@ from .ext import multimodal as M
 from .ext import similarity as S
 from .ext import text as X
 from .ext.hashing import MINHASH_P
-from .queries import _q
+from .queries import ORACLES, _q
 from .sources import load_table
 
 EMB_DIM = 64
@@ -217,6 +217,39 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH near-dup pairs over the planted-near-dup corpus:
     banded bucket join (never all-pairs) + exact-Jaccard verify."""
     return D.minhash_lsh_pairs(_perturbed_docs(spark, sf), jaccard_threshold=0.6)
+
+
+@_q(
+    "x_dedup_index_incremental",
+    f"""
+    WITH full_pairs AS ({ORACLES["x_dedup_minhash_lsh"]})
+    SELECT id_a, id_b, jaccard FROM full_pairs
+    WHERE id_b >= 100000 OR id_a % 50 = 0 OR (id_b % 50 = 0 AND id_b < 100000)
+    """,
+)
+def x_dedup_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """X21 under the driver's hash gate: the INCREMENTAL dedup path
+    (persistable (id, sh, bands) index + per-batch band join) must
+    produce EXACTLY the subset of full-corpus near-dup pairs touching
+    the ingest batch. Corpus = the originals; batch = the planted
+    perturbed twins PLUS a re-ingest slice (doc_id % 50 == 0 originals
+    arrive again with identical content), exercising the id-collision
+    upsert where the batch's shingles replace the stored rows. The
+    oracle is the full-corpus LSH derivation restricted to
+    batch-touching pairs — incremental ≡ batch certified value-exact,
+    not just count-equal. Scale shape per minhash_lsh_pairs_incremental:
+    cost proportional to the BATCH's bucket collisions; the corpus
+    contributes two reads of its stored index, zero re-shingling."""
+    base = _perturbed_docs(spark, sf)
+    corpus = base.filter(F.col("doc_id") < 100000)
+    batch = base.filter(
+        (F.col("doc_id") >= 100000) | (F.col("doc_id") % 50 == 0)
+    )
+    idx = D.build_minhash_index(corpus)
+    from pyspark import StorageLevel
+
+    idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
+    return D.minhash_lsh_pairs_incremental(batch, idx, jaccard_threshold=0.6)
 
 
 @_q(
