@@ -99,6 +99,7 @@ GATE_ORDER = [
     "o7_percentile_battery",
     "w17_range_frame_battery",
     "x_dedup_index_incremental",
+    "s3_salted_agg",
     "a1_a5_scan_aggregates",
     "q16_supplier_part_counts",
     "q22_dormant_customers",
@@ -110,7 +111,6 @@ GATE_ORDER = [
     "c16_json_null_battery",
     "f4_f5_munge_ts",
     "x_quality_filter",
-    "q18_large_volume_orders",
     "x_knn_ivf",
     "t1_asof_join_latest_order",
     "cdc_at_least_once_dedup",
@@ -132,6 +132,7 @@ GATE_ORDER = [
     "q1_pricing_summary",
     "x_knn_bruteforce",
     "o4_cube_pricing",
+    "q18_large_volume_orders",
     "q19_disjunctive_filter",
     "o3_topk_per_group",
     "o2_rollup_pricing",
@@ -1047,6 +1048,35 @@ def s2_salted_join_agg(spark: SparkSession, sf: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(_dec4("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@_q(
+    "s3_salted_agg",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def s3_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """K2 under the gate — two-phase salted aggregation, oracle-proven
+    TRANSPARENT: event_type has a handful of values over the whole
+    stream (the archetypal hot-key agg), so phase 1 aggregates per
+    (key, content-hash salt of 8) and phase 2 merges the <=8 partials
+    per key. The oracle is the PLAIN GROUP BY - identical results is
+    the operator's contract. Exact int64 cents make the sum
+    order-independent, so the extra merge level cannot perturb values.
+    See operators/skew.py on when explicit salting beats AQE (heavy
+    per-key merge state, partial-agg defeat)."""
+    from .operators import skew
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type", _cents("value").alias("vc")
+    )
+    return skew.salted_agg(
+        ev, ["event_type"], n_salts=8, counts=["n"], sums={"vc": "value_cents"}
     )
 
 
