@@ -100,6 +100,7 @@ GATE_ORDER = [
     "w17_range_frame_battery",
     "x_dedup_index_incremental",
     "s3_salted_agg",
+    "x_ann_recall",
     "a1_a5_scan_aggregates",
     "q16_supplier_part_counts",
     "q22_dormant_customers",
@@ -115,7 +116,6 @@ GATE_ORDER = [
     "t1_asof_join_latest_order",
     "cdc_at_least_once_dedup",
     "q5_local_supplier_volume",
-    "x_lang_id",
     "w8_stream_tumbling_window",
     "x_dedup_ngram_jaccard",
     "x_dedup_embedding_cosine",
@@ -132,6 +132,7 @@ GATE_ORDER = [
     "q1_pricing_summary",
     "x_knn_bruteforce",
     "o4_cube_pricing",
+    "x_lang_id",
     "q18_large_volume_orders",
     "q19_disjunctive_filter",
     "o3_topk_per_group",

@@ -1042,6 +1042,47 @@ def x_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "x_ann_recall",
+    f"""
+    WITH exact AS ({ORACLES["x_knn_bruteforce"]}),
+         approx AS ({ORACLES["x_knn_ivf"]})
+    SELECT count(*) AS n_hits,
+           (SELECT count(*) FROM exact) AS n_exact,
+           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM exact) AS recall_at_5
+    FROM exact e JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    """,
+)
+def x_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@5 of the IVF scale path against the exact baseline — the
+    metric every ANN deployment reports before trading exactness for
+    throughput. Both result sets come from the engine's own operators;
+    both oracles re-derive their full pipelines (broadcast nested loop
+    vs seeded Lloyd + probe) so the recall number itself is
+    hash-certified. The scalar total joins back via the constant-key
+    broadcast pattern (no driver round-trip). Recall is 1.0 on this
+    fixture at nprobe=4 - the join certifies WHICH pairs agree, so any
+    future probe/cell regression shows as a fractional recall, not a
+    silent pass."""
+    em = load_table(spark, sf, "embeddings")
+    q = em.filter(F.col("vec_id") < 10)
+    exact = S.knn_bruteforce(q, em, k=5).select("query_id", "neighbor_id")
+    approx = S.knn_ivf(q, em, k=5, nprobe=4).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"])
+    tot = exact.agg(F.count(F.lit(1)).alias("n_exact")).withColumn("k", F.lit(1))
+    return (
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(tot), "k")
+        .select(
+            "n_hits",
+            "n_exact",
+            (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall_at_5"),
+        )
+    )
+
+
+@_q(
     "x_quality_deciles",
     f"""
     WITH scored AS (SELECT doc_id, quality_score FROM ({_ORACLES["x_text_stats"]})),
