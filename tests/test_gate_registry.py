@@ -1,0 +1,58 @@
+"""Registry invariants for the driver gate — the properties every
+rotation edit has to preserve, locked as tests instead of hand checks:
+
+- GATE_ORDER is duplicate-free and names only registered queries
+  (a typo'd rotation entry would silently fall back to registration
+  order at the driver).
+- Every non-excluded registered query appears in GATE_ORDER — ordering
+  is always explicit, never the accidental registration order.
+- Every gated query has a DuckDB oracle (the driver records a weaker
+  rows-only check otherwise; any future rows-only entry must be added
+  to the documented allowlist here, visibly).
+- queries()/oracle_sql() agree with the registry the driver sees.
+"""
+
+import __spark_entry__ as entrymod
+
+from leftshove_spark import queries as Q
+
+ROWS_ONLY_ALLOWED: set[str] = set()  # every gated entry is fully oracled
+
+
+def test_gate_order_has_no_duplicates():
+    dups = {n for n in Q.GATE_ORDER if Q.GATE_ORDER.count(n) > 1}
+    assert not dups
+
+
+def test_gate_order_names_only_registered_queries():
+    unknown = [n for n in Q.GATE_ORDER if n not in Q.QUERIES]
+    assert not unknown
+
+
+def test_every_query_is_explicitly_ordered():
+    implicit = [
+        n
+        for n in Q.QUERIES
+        if n not in Q.GATE_ORDER and n not in Q.GATE_EXCLUDE
+    ]
+    assert not implicit, (
+        f"queries registered but not placed in GATE_ORDER: {implicit} — "
+        "add them to the schedule explicitly (head for first-time "
+        "certification, tail otherwise)"
+    )
+
+
+def test_every_gated_query_has_an_oracle():
+    missing = [
+        n
+        for n in Q.gate_queries()
+        if n not in Q.ORACLES and n not in ROWS_ONLY_ALLOWED
+    ]
+    assert not missing
+
+
+def test_entry_module_mirrors_registry():
+    assert set(entrymod.queries()) == set(Q.gate_queries())
+    assert set(entrymod.oracle_sql()) == {
+        n for n in Q.gate_queries() if n in Q.ORACLES
+    }
