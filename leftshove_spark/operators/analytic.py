@@ -51,37 +51,59 @@ def exact_global_rank(
     O(num_partitions) control-plane read — bounded by cluster width, not
     data — the same class as watermark scalars, not a data collect.
 
-    Cost: ONE range shuffle of the projected key columns + a broadcast
-    of ≤ num_partitions offset rows. A naive global window is the same
-    shuffle followed by a single-task sort of the entire input; this
-    form keeps every stage at full parallelism, which is the difference
-    between minutes and a dead executor at 100 TB.
+    Cost: one sampling pass (range shuffle + per-partition summary) +
+    one hash shuffle of the projected key columns for the ranking pass,
+    plus a broadcast of ≤ num_partitions offset rows. A naive global
+    window is a shuffle followed by a single-task sort of the entire
+    input; this form keeps every stage at full parallelism, which is
+    the difference between minutes and a dead executor at 100 TB.
 
-    No persist: the offsets job and the result job share the range
-    shuffle as a reused stage, so both read the SAME map output —
-    identical partition ids by construction. Even on shuffle-file
-    eviction the ids still agree, because the range partitioner samples
-    with a deterministic per-partition seed: recomputing the boundaries
-    from the same input reproduces them exactly. The only recomputed
-    work on the result pass is the in-partition window — one local sort
-    over shuffle files, no extra shuffle — which is what r6's persist
-    bought at the price of a block-manager entry leaked for the session
-    lifetime (the handle was never reachable by callers)."""
+    Determinism (the r6→r7 bug): Spark's range partitioner seeds its
+    reservoir sampling from the RDD id, which CHANGES between actions —
+    an offsets job and a result job that each re-execute
+    ``repartitionByRange`` can disagree on partition membership, which
+    silently corrupts ranks (observed at sf0.1 with 8 shuffle
+    partitions: 5000 rows, 4907 distinct ranks). So sampling happens
+    ONCE: the summary job collects each range partition's row count AND
+    its maximum key, and the ranking pass re-derives the partition id
+    ANALYTICALLY — ``pid = #{boundaries < key}`` against the collected
+    maxima as literals — a pure function of the row that no re-sampled
+    boundary can perturb. Cost of the analytic assignment is O(p)
+    struct comparisons per row (p = cluster width, codegen'd); at
+    thousands of partitions swap the indicator sum for a binary search
+    over a literal array."""
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    key = F.struct(*[F.col(c) for c in order_cols])
+    # sampling pass: range-partition once, collect (count, max key) per
+    # partition — O(p) rows, the same control-plane class as watermarks
     parts = df.repartitionByRange(p, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
-    wloc = Window.partitionBy("__pid").orderBy(*order_cols)
-    local = parts.withColumn("__lrank", F.row_number().over(wloc))
-    counts = sorted(
-        local.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect(),
+    summary = sorted(
+        parts.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("n"), F.max(key).alias("mx"))
+        .collect(),
         key=lambda r: r["__pid"],
     )
+    # boundaries = maxima of all but the last non-empty partition;
+    # membership in job-2 ≡ membership in job-1 because range
+    # partitioning separates partitions exactly at these maxima
+    nonempty = [r for r in summary if r["n"] > 0]
+    bounds = [r["mx"] for r in nonempty[:-1]]
     offsets, acc = [], 0
-    for r in counts:
-        offsets.append((r["__pid"], acc))
+    for i, r in enumerate(nonempty):
+        offsets.append((i, acc))
         acc += r["n"]
+    pid = F.lit(0)
+    for b in bounds:
+        lit_b = F.struct(
+            *[F.lit(b[i]).alias(c) for i, c in enumerate(order_cols)]
+        )
+        pid = pid + (key > lit_b).cast("int")
+    assigned = df.withColumn("__pid", pid)
+    wloc = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = assigned.withColumn("__lrank", F.row_number().over(wloc))
     off_df = spark.createDataFrame(offsets, "__pid int, __offset bigint")
     out = (
         local.join(F.broadcast(off_df), "__pid")
@@ -89,7 +111,7 @@ def exact_global_rank(
         .drop("__pid", "__lrank", "__offset")
     )
     if total_col is not None:
-        # the total fell out of the offsets pass — no extra count job
+        # the total fell out of the summary pass — no extra count job
         out = out.withColumn(total_col, F.lit(acc).cast("long"))
     return out
 

@@ -5,8 +5,11 @@ from datetime import datetime
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
+from conftest import SF001
 from leftshove_spark.operators import analytic as A
+from leftshove_spark.sources import load_table
 
 
 def _ts(minute, second=0):
@@ -172,3 +175,30 @@ def test_decile_formula_matches_ntile_at_tiny_n(spark):
     )
     got = df.withColumn("decile", decile)
     assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_exact_global_rank_permutation_across_partition_counts(spark):
+    """r7 regression: the range partitioner re-samples boundaries per
+    ACTION (seed = RDD id), so deriving offsets in one job and ranks in
+    another silently corrupted ranks at some partition counts (sf0.1 @
+    8 partitions: 5000 rows, 4907 distinct ranks). The fix assigns
+    partitions analytically from boundaries collected ONCE; rank must
+    be a permutation of 1..N at every partition count."""
+    from leftshove_spark.operators.analytic import exact_global_rank
+
+    ev = load_table(spark, SF001, "events").select("event_id", "value")
+    n = ev.count()
+    for p in (3, 8, 17):
+        ranked = exact_global_rank(
+            ev, ["value", "event_id"], rank_col="r", total_col="n", num_partitions=p
+        )
+        agg = ranked.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("r").alias("mn"),
+            F.max("r").alias("mx"),
+            F.count_distinct("r").alias("nd"),
+            F.max("n").alias("tot"),
+        ).collect()[0]
+        assert (agg["cnt"], agg["mn"], agg["mx"], agg["nd"], agg["tot"]) == (
+            n, 1, n, n, n,
+        ), f"rank not a permutation at num_partitions={p}: {agg}"
