@@ -14,7 +14,7 @@ because at 100 TB the fact side must never shuffle for a dim join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -87,3 +87,32 @@ def agg_json_list(df: DataFrame, group_cols: list[str], item_col: str) -> DataFr
     return df.groupBy(*group_cols).agg(
         F.to_json(F.sort_array(F.collect_list(item_col))).alias("agg_json")
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Single-pass column profile — per column: null count, exact
+    distinct count, min, max, plus the table row count — the data-quality
+    summary a pipeline runs before trusting a new snapshot (the
+    reference's users eyeball exactly these via ad-hoc SQL on the
+    captured tables; here it is one operator).
+
+    One wide row, every stat natively typed (no stringified mins — the
+    min of a timestamp column stays a timestamp), so results hash
+    exactly cross-engine.
+
+    Scale shape: ONE scan. Multiple exact ``countDistinct`` columns
+    compile to a single Expand-based aggregate — the input is replicated
+    (k+1)× map-side (k = profiled columns), then partially aggregated
+    before the one shuffle, so network cost is O(groups), not O(rows).
+    At extreme k or cardinality, swap ``countDistinct`` for
+    ``approx_count_distinct`` (the engine's approx battery pins that
+    path against this exact form)."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}_ndv"),
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+        ]
+    return df.agg(*aggs)

@@ -101,6 +101,7 @@ GATE_ORDER = [
     "x_dedup_index_incremental",
     "s3_salted_agg",
     "x_ann_recall",
+    "x_profile_columns",
     "a1_a5_scan_aggregates",
     "q16_supplier_part_counts",
     "q22_dormant_customers",
@@ -1495,6 +1496,45 @@ def c_hof_array_battery(spark: SparkSession, sf: str) -> DataFrame:
     results are identical, per-row fold order is deterministic."""
     em = load_table(spark, sf, "embeddings")
     return A.array_battery(em, "vec_id", "embedding")
+
+
+@_q(
+    "x_profile_columns",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS o_custkey_nulls,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS o_custkey_ndv,
+           min(o_custkey) AS o_custkey_min,
+           max(o_custkey) AS o_custkey_max,
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS o_orderstatus_nulls,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS o_orderstatus_ndv,
+           min(o_orderstatus) AS o_orderstatus_min,
+           max(o_orderstatus) AS o_orderstatus_max,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS o_totalprice_nulls,
+           CAST(count(DISTINCT o_totalprice) AS BIGINT) AS o_totalprice_ndv,
+           min(o_totalprice) AS o_totalprice_min,
+           max(o_totalprice) AS o_totalprice_max,
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS o_orderdate_nulls,
+           CAST(count(DISTINCT o_orderdate) AS BIGINT) AS o_orderdate_ndv,
+           min(o_orderdate) AS o_orderdate_min,
+           max(o_orderdate) AS o_orderdate_max
+    FROM orders
+    """,
+)
+def x_profile_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-pass data-quality profile of the orders snapshot — nulls /
+    exact NDV / min / max per column plus the row count, every stat
+    natively typed. The multi-``countDistinct`` aggregate compiles to
+    one Expand-based pass (no per-column scans); see
+    :func:`operators.relational.profile_columns` for the 100 TB notes."""
+    o = load_table(spark, sf, "orders")
+    return R.profile_columns(
+        o, ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    )
 
 
 # Ext registry (LLM-pipeline operators) registers itself into
