@@ -115,8 +115,6 @@ GATE_ORDER = [
     "f4_f5_munge_ts",
     "x_quality_filter",
     "x_knn_ivf",
-    "t1_asof_join_latest_order",
-    "cdc_at_least_once_dedup",
     "q5_local_supplier_volume",
     "w8_stream_tumbling_window",
     "x_dedup_ngram_jaccard",
@@ -128,6 +126,8 @@ GATE_ORDER = [
     # --- tail (entries 51+): also cheap-first, so a driver budget cut
     # costs the fewest rows. All are additionally guarded by
     # tests/test_gate_tail_oracle.py regardless of gate reach.
+    "t1_asof_join_latest_order",
+    "cdc_at_least_once_dedup",
     "w7_tumbling_window_agg",
     "o1_f8_filter_order",
     "q10_returned_items",
