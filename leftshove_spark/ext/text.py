@@ -224,3 +224,64 @@ def quality_filter(
         & (F.col("uniq_ratio") >= min_uniq_ratio)
         & (F.col("quality_score") >= min_quality)
     )
+
+
+def tfidf_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Ranked keyword retrieval — tf-idf top-k over the corpus, the
+    lexical twin of the ANN paths (together they are hybrid search:
+    keyword recall + embedding precision).
+
+    Scoring: ``score = Σ_t tf(doc,t) · w(t)`` with
+    ``w(t) = ((N+1)·scale) div (df(t)+1)`` — the idf RATIO quantized to
+    fixed-point integer weights instead of the textbook ``ln``:
+    float ``ln`` is not correctly-rounded IEEE and differs across
+    engines in the last ulp (a hash-level divergence), while integer
+    division is exact everywhere and preserves the idf ordering. The
+    same exactness discipline as the engine's int64-cents money
+    arithmetic.
+
+    Plan shape at 100 TB: tokens explode map-side but are filtered to
+    the query terms BEFORE the only corpus shuffle (one groupBy on
+    (doc, term) with map-side partials over ≤|terms| rows per doc).
+    The document-frequency table is ≤|terms| rows and the corpus count
+    is one row — both broadcast; the final top-k is
+    ``TakeOrderedAndProject`` (never a global sort). Total order
+    (score DESC, id) makes the k-th boundary deterministic."""
+    toks = tokenize(text_col)
+    terms = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = (
+        df.agg(F.count(F.lit(1)).alias("n_docs")).withColumn("__k", F.lit(1))
+    )
+    df_t = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    ).withColumn("__k", F.lit(1))
+    w = (
+        df_t.join(F.broadcast(n_docs), "__k")
+        .select(
+            "term",
+            F.expr(f"CAST((n_docs + 1) * {scale} DIV (df + 1) AS BIGINT)").alias(
+                "w"
+            ),
+        )
+    )
+    return (
+        tf.join(F.broadcast(w), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("w")).alias("score"),
+            F.sum("tf").alias("n_term_hits"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )

@@ -103,6 +103,7 @@ GATE_ORDER = [
     "x_ann_recall",
     "x_ann_recall_lsh",
     "x_profile_columns",
+    "x_tfidf_search",
     "a1_a5_scan_aggregates",
     "q16_supplier_part_counts",
     "q22_dormant_customers",

@@ -170,6 +170,38 @@ def x_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return X.fingerprint(load_table(spark, sf, "documents"))
 
 
+@_q(
+    "x_tfidf_search",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOK.format(e="text")}) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ('hash', 'join', 'vector') GROUP BY doc_id, term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    w AS (SELECT term, (n_docs + 1) * 1000000 // (df + 1) AS w
+          FROM dft CROSS JOIN n)
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf * w.w) AS BIGINT) AS score,
+           CAST(sum(tf.tf) AS BIGINT) AS n_term_hits
+    FROM tf JOIN w USING (term)
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def x_tfidf_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranked keyword retrieval (tf-idf top-20 for a 3-term query) —
+    the lexical twin of the ANN entries; see
+    :func:`ext.text.tfidf_search` for the fixed-point idf-weight
+    exactness argument and the 100 TB plan shape (terms filtered
+    before the only corpus shuffle, weight table broadcast, top-k via
+    TakeOrderedAndProject)."""
+    return X.tfidf_search(
+        load_table(spark, sf, "documents"), ["hash", "join", "vector"], k=20
+    )
+
+
 # ================================================================= dedup ops
 
 @_q(

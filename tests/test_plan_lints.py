@@ -39,6 +39,9 @@ _BNLJ_ALLOWED = {
     "q22_dormant_customers",
     # single-row min(n_s) rate anchor, same constant-key shape
     "x_mixture_sample",
+    # single-row corpus-count joined to the ≤|query_terms|-row
+    # document-frequency table, same constant-key shape
+    "x_tfidf_search",
     # the documented brute-force baseline: corpus x broadcast(query
     # set), k queries bounded by the caller — the subquadratic paths
     # are x_knn_lsh / x_knn_ivf
