@@ -104,6 +104,7 @@ GATE_ORDER = [
     "x_ann_recall_lsh",
     "x_profile_columns",
     "x_tfidf_search",
+    "x_hybrid_search_rrf",
     "a1_a5_scan_aggregates",
     "q16_supplier_part_counts",
     "q22_dormant_customers",

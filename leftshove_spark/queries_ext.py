@@ -375,6 +375,66 @@ def x_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_q(
+    "x_hybrid_search_rrf",
+    f"""
+    WITH lex0 AS ({ORACLES["x_tfidf_search"]}),
+    lex AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                     AS r_lex
+            FROM lex0),
+    vec0 AS ({_knn_oracle("q.vec_id = 0", k=20)}),
+    vec AS (SELECT neighbor_id AS doc_id, rank AS r_vec FROM vec0),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, r_lex, r_vec,
+             COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_lex), CAST(0.0 AS DOUBLE))
+             + COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_vec), CAST(0.0 AS DOUBLE))
+               AS rrf_score
+      FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+    SELECT doc_id, r_lex, r_vec, rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def x_hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval — reciprocal-rank fusion (RRF, k=60) of the
+    lexical top-20 (tf-idf, x_tfidf_search's query) and the vector
+    top-20 (exact cosine neighbors of query vec 0; doc_id ≡ vec_id in
+    the fixtures): the standard fusion every hybrid-search deployment
+    runs, expressed as ONE declarative plan.
+
+    Determinism: each document contributes at most TWO rank terms and
+    the fused score is a single ``coalesce(1/(60+r_lex),0) +
+    coalesce(1/(60+r_vec),0)`` expression — two IEEE divisions and one
+    addition, no multi-row float aggregation — so the score is
+    bit-identical cross-engine and under any parallelism. Plan: both
+    top-20 lists are bounded by construction; they full-outer join on
+    id and one TakeOrderedAndProject emits the fused top-10."""
+    from pyspark.sql import Window as _W
+
+    docs = load_table(spark, sf, "documents")
+    em = load_table(spark, sf, "embeddings")
+    lex = X.tfidf_search(docs, ["hash", "join", "vector"], k=20).select(
+        "doc_id",
+        F.row_number()
+        .over(_W.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("long")
+        .alias("r_lex"),
+    )
+    vec = S.knn_bruteforce(em.filter(F.col("vec_id") == 0), em, k=20).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("long").alias("r_vec")
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_vec",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_vec")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)
+
+
 def _knn_lsh_oracle(src: str = "embeddings", k: int = 5) -> str:
     """SQL twin of the FULL knn_lsh pipeline — the SRP hyperplanes are
     deterministic md5-derived ints (similarity._plane), so the bucket

@@ -42,6 +42,10 @@ _BNLJ_ALLOWED = {
     # single-row corpus-count joined to the ≤|query_terms|-row
     # document-frequency table, same constant-key shape
     "x_tfidf_search",
+    # fuses the two shapes above: embeds x_tfidf_search's constant-key
+    # scalar AND the bounded brute-force vector baseline (one query
+    # vector broadcast against the corpus)
+    "x_hybrid_search_rrf",
     # the documented brute-force baseline: corpus x broadcast(query
     # set), k queries bounded by the caller — the subquadratic paths
     # are x_knn_lsh / x_knn_ivf
