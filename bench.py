@@ -64,6 +64,9 @@ HEADLINE = [
     "x_decontaminate",
     "x_pii_scan",
     "x_pack_sequences",
+    # round-7: lexical retrieval (explode→filter→agg + broadcast
+    # weights + TakeOrderedAndProject — a class no other headliner has)
+    "x_tfidf_search",
 ]
 
 
