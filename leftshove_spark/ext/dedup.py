@@ -564,3 +564,64 @@ def minhash_lsh_pairs_incremental(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def jaccard_pairs_exact(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.6,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """EXACT Jaccard near-dup pairs via a shared-shingle inverted index —
+    complete for any threshold > 0 (a pair sharing no shingle has
+    Jaccard 0) yet never all-pairs: candidates exist only where an
+    inverted-index posting collides, and the intersection size is
+    counted exactly by the group-by, so no second verification pass
+    touches the shingle arrays.
+
+    Plan: shingles (shared Arrow stage) → posting list explode →
+    self-join on shingle hash → count shared shingles per pair →
+    ``|A∩B| / (|A| + |B| - |A∩B|)``. Cost ∝ Σ_shingle df² (df = docs
+    containing that shingle), the classic inverted-index bound — on
+    near-dup-bearing corpora this is orders below N².
+
+    ``max_shingle_df`` is the 100 TB knob: a stop-shingle appearing in
+    millions of docs contributes df² candidate rows while carrying no
+    similarity signal; capping drops those postings (documents it as an
+    approximation — pairs supported ONLY by ultra-common shingles can
+    fall below threshold). Default None = exact, the form the recall
+    metric uses as ground truth."""
+    docs = _staged_shingles(df, content_col, id_col)
+    post = docs.select(
+        "id", F.size("sh").alias("n"), F.explode("sh").alias("h")
+    )
+    if max_shingle_df is not None:
+        hot = (
+            post.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("h")
+        )
+        post = post.join(F.broadcast(hot), "h", "left_anti")
+    a, b = post.alias("a"), post.alias("b")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("ni").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("ni")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

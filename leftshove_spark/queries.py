@@ -105,6 +105,8 @@ GATE_ORDER = [
     "x_profile_columns",
     "x_tfidf_search",
     "x_hybrid_search_rrf",
+    "x_dedup_jaccard_exact",
+    "x_dedup_minhash_recall",
     "a1_a5_scan_aggregates",
     "q16_supplier_part_counts",
     "q22_dormant_customers",

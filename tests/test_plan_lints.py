@@ -46,6 +46,9 @@ _BNLJ_ALLOWED = {
     # scalar AND the bounded brute-force vector baseline (one query
     # vector broadcast against the corpus)
     "x_hybrid_search_rrf",
+    # single-row exact-pair-count scalar joined on a constant key
+    # (same shape as the ANN recall metrics)
+    "x_dedup_minhash_recall",
     # the documented brute-force baseline: corpus x broadcast(query
     # set), k queries bounded by the caller — the subquadratic paths
     # are x_knn_lsh / x_knn_ivf
