@@ -66,12 +66,16 @@ GATE_EXCLUDE = frozenset(
 # band-mechanics entry x_dedup_embedding_lsh AND the five new round-7
 # TPC-H shapes (q2/q8/q9/q11/q20) move into the head;
 # q12_shipmode_priority leads (its r6 red was an oracle typing bug —
-# this round must record the green row). The most-certified heads
-# (4-6 green rounds: the plain joins, capture projections, pivots,
-# set ops, session window, stats battery, simhash, J3, w7, o1, q10,
-# q1, knn-bruteforce) retire to the tail. Rotated-out entries stay
-# verified every round by tests/test_gate_tail_oracle.py, which
-# oracle-checks the FULL gate surface regardless of rotation position.
+# this round must record the green row). Every operator added later in
+# round 7 (mixture sample, scalar batteries, salted agg, incremental
+# index, recall metrics, column profiler, tf-idf, hybrid RRF, exact
+# Jaccard) also enters the head for first-time certification; to make
+# room, the most-certified heads (4-6 green rounds: the plain joins,
+# capture projections, pivots, set ops, session window, stats battery,
+# simhash, J3, w7, o1, q10, q1, knn-bruteforce, t1, cdc) retire to the
+# tail. Rotated-out entries stay verified every round by
+# tests/test_gate_tail_oracle.py, which oracle-checks the FULL gate
+# surface regardless of rotation position.
 GATE_ORDER = [
     "q12_shipmode_priority",
     "x_hash_split",
@@ -107,7 +111,6 @@ GATE_ORDER = [
     "x_hybrid_search_rrf",
     "x_dedup_jaccard_exact",
     "x_dedup_minhash_recall",
-    "a1_a5_scan_aggregates",
     "q16_supplier_part_counts",
     "q22_dormant_customers",
     "q21_latest_shipper",
@@ -116,10 +119,7 @@ GATE_ORDER = [
     "o6_grouping_sets",
     "x_quality_deciles",
     "c16_json_null_battery",
-    "f4_f5_munge_ts",
-    "x_quality_filter",
     "x_knn_ivf",
-    "q5_local_supplier_volume",
     "w8_stream_tumbling_window",
     "x_dedup_ngram_jaccard",
     "x_dedup_embedding_cosine",
@@ -132,6 +132,10 @@ GATE_ORDER = [
     # tests/test_gate_tail_oracle.py regardless of gate reach.
     "t1_asof_join_latest_order",
     "cdc_at_least_once_dedup",
+    "a1_a5_scan_aggregates",
+    "f4_f5_munge_ts",
+    "x_quality_filter",
+    "q5_local_supplier_volume",
     "w7_tumbling_window_agg",
     "o1_f8_filter_order",
     "q10_returned_items",
