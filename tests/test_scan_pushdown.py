@@ -31,7 +31,13 @@ QUERIES = entrymod.queries()
 
 def _scans(spark, name):
     """All parquet scan nodes of the query's physical plan, as
-    (table_name, read_columns, pushed_filters_text) tuples."""
+    (table_name, read_columns, pushed_filters_text) tuples.
+
+    Cache state from earlier tests in the shared session would
+    substitute InMemoryRelation fragments for the parquet scans under
+    test (Spark plans against any cached subtree), so plans are built
+    from a cold catalog."""
+    spark.catalog.clearCache()
     df = QUERIES[name](spark, SF0001)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
