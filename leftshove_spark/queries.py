@@ -111,6 +111,7 @@ GATE_ORDER = [
     "x_hybrid_search_rrf",
     "x_dedup_jaccard_exact",
     "x_dedup_minhash_recall",
+    "x_winsorize",
     "q16_supplier_part_counts",
     "q22_dormant_customers",
     "q21_latest_shipper",
@@ -120,7 +121,6 @@ GATE_ORDER = [
     "x_quality_deciles",
     "c16_json_null_battery",
     "x_knn_ivf",
-    "w8_stream_tumbling_window",
     "x_dedup_ngram_jaccard",
     "x_dedup_embedding_cosine",
     "x_knn_lsh",
@@ -136,6 +136,7 @@ GATE_ORDER = [
     "f4_f5_munge_ts",
     "x_quality_filter",
     "q5_local_supplier_volume",
+    "w8_stream_tumbling_window",
     "w7_tumbling_window_agg",
     "o1_f8_filter_order",
     "q10_returned_items",
@@ -1543,6 +1544,29 @@ def x_profile_columns(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders")
     return R.profile_columns(
         o, ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    )
+
+
+@_q(
+    "x_winsorize",
+    """
+    WITH b AS (SELECT event_type,
+                      quantile_cont(value, 0.05) AS lo,
+                      quantile_cont(value, 0.95) AS hi
+               FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           least(greatest(e.value, b.lo), b.hi) AS value_wins
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def x_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group winsorization of the event value at the [5%, 95%]
+    exact percentiles — see :func:`operators.analytic.winsorize` for
+    the two-pass broadcast-bounds plan and the percentile ≡
+    quantile_cont exactness argument (pinned by o7)."""
+    ev = load_table(spark, sf, "events").select("event_id", "event_type", "value")
+    return A.winsorize(ev, "value", ["event_type"], lo=0.05, hi=0.95).select(
+        "event_id", "event_type", "value", "value_wins"
     )
 
 
