@@ -347,3 +347,29 @@ def test_ivf_large_centroid_count_end_to_end(emb):
     }
     for r in rows:
         assert bf[(r["query_id"], r["neighbor_id"])] == r["cosine"]  # bit-exact
+
+
+def test_jaccard_exact_hot_shingle_cap(spark):
+    """max_shingle_df drops postings for ultra-common shingles: with a
+    permissive cap the result equals the exact default; with cap=1 every
+    shared shingle's posting vanishes (df >= 2 by definition of shared),
+    so no pair can survive. The gated x_dedup_jaccard_exact entry pins
+    the default path against the inverted-index SQL oracle."""
+    from leftshove_spark.ext.dedup import jaccard_pairs_exact
+    from leftshove_spark.queries_ext import _perturbed_docs
+
+    base = _perturbed_docs(spark, "/root/testdata/sf0.001")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs_exact(base, jaccard_threshold=0.6).collect()
+    }
+    assert exact, "fixture must contain planted near-dup pairs"
+    permissive = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs_exact(
+            base, jaccard_threshold=0.6, max_shingle_df=10**9
+        ).collect()
+    }
+    assert permissive == exact
+    capped = jaccard_pairs_exact(base, jaccard_threshold=0.6, max_shingle_df=1)
+    assert capped.count() == 0
