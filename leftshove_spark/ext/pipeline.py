@@ -34,7 +34,7 @@ pipeline stage of this kind; these extend SURVEY.md §2.13.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -355,3 +355,33 @@ def pack_sequences(
         return pdf[[id_col, "bucket", "seq_id", "n_tokens"]]
 
     return slim.groupBy("bucket").applyInPandas(pack, schema=out_schema)
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "kpg:",
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample (or the whole group when
+    smaller) — the balanced-eval-set / per-domain-cap primitive that
+    rate-based :func:`stratified_sample` cannot express (a rate keeps a
+    FRACTION; this keeps a COUNT).
+
+    Rows are ranked inside each group by the md5 of their salted id — a
+    pure function of the id, so membership survives repartitioning,
+    task retries, and incremental ingestion, and different salts give
+    independent draws (the same stability contract as
+    :func:`hash_split`). One shuffle on the group key; the per-group
+    sort prunes to k inside the window operator (WindowGroupLimit), so
+    nothing beyond the k winners leaves the sort."""
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    c = F.col(id_col)
+    rank_key = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    w = Window.partitionBy(*keys).orderBy(rank_key, c)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -112,6 +112,8 @@ GATE_ORDER = [
     "x_dedup_jaccard_exact",
     "x_dedup_minhash_recall",
     "x_winsorize",
+    "j5_scd2_history",
+    "x_sample_k_per_group",
     "q16_supplier_part_counts",
     "q22_dormant_customers",
     "q21_latest_shipper",
@@ -124,12 +126,12 @@ GATE_ORDER = [
     "x_dedup_ngram_jaccard",
     "x_dedup_embedding_cosine",
     "x_knn_lsh",
-    "x_dedup_resolution",
     "x_dedup_connected_components",
-    "x_dedup_minhash_lsh",
     # --- tail (entries 51+): also cheap-first, so a driver budget cut
     # costs the fewest rows. All are additionally guarded by
     # tests/test_gate_tail_oracle.py regardless of gate reach.
+    "x_dedup_resolution",
+    "x_dedup_minhash_lsh",
     "t1_asof_join_latest_order",
     "cdc_at_least_once_dedup",
     "a1_a5_scan_aggregates",
@@ -275,6 +277,38 @@ def j3_dedup_latest_window(spark: SparkSession, sf: str) -> DataFrame:
     view (J3). One shuffle on the key; the right plan at 100 TB."""
     ev = load_table(spark, sf, "events")
     return views.latest_per_key_window(ev, "user_id", order_col="ts", tiebreak_cols=["event_id"])
+
+
+@_q(
+    "j5_scd2_history",
+    """
+    WITH v AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+               AS valid_to
+      FROM orders)
+    SELECT o_orderkey, o_custkey,
+           o_orderdate AS valid_from,
+           valid_to,
+           valid_to IS NULL AS is_current
+    FROM v
+    """,
+)
+def j5_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD-Type-2 history view — every version per key with half-open
+    [valid_from, valid_to) validity intervals and an is_current flag,
+    the "what did this row say at time T" companion of the
+    current-state view (J3). Same single (key, order) window as the
+    dedup view, so history costs exactly what current-state costs; see
+    :func:`views.history_view`."""
+    o = load_table(spark, sf, "orders")
+    out = views.history_view(
+        o, "o_custkey", order_col="o_orderdate", tiebreak_cols=["o_orderkey"]
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", "valid_from", "valid_to", "is_current"
+    )
 
 
 @_q(

@@ -860,6 +860,28 @@ def x_hash_split(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "x_sample_k_per_group",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat('kpg:', CAST(doc_id AS VARCHAR))), doc_id
+             ) AS rn
+      FROM documents)
+    SELECT doc_id, source FROM ranked WHERE rn <= 10
+    """,
+)
+def x_sample_k_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-10-per-source deterministic sample — the balanced
+    eval-set / per-domain-cap primitive a rate-based sample cannot
+    express; see :func:`ext.pipeline.sample_k_per_group` for the
+    md5-rank stability contract and the WindowGroupLimit plan note."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    return P.sample_k_per_group(docs, "source", k=10)
+
+
+@_q(
     "x_mixture_sample",
     f"""
     WITH n AS (SELECT lang AS s, count(*) AS n_s FROM documents GROUP BY lang),

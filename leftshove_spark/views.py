@@ -75,3 +75,36 @@ def create_current_state_view(
     """Register the current-state view in the session catalog — the
     ``CREATE VIEW <t> AS ...`` analog (bigquery.go:101-110, D5)."""
     latest_per_key_window(spark_df, key_cols, order_col).createOrReplaceTempView(view_name)
+
+
+def history_view(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    order_col: str = "snapshot_tm",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """SCD-Type-2 history view over an append-only snapshot table — the
+    companion of the current-state view (bigquery.go:187-207 keeps only
+    the NEWEST row per key; this keeps every version with its validity
+    interval, the query users run to ask "what did this row say at time
+    T").
+
+    Each version row gains ``valid_from`` (its own snapshot stamp),
+    ``valid_to`` (the NEXT version's stamp — half-open [from, to), the
+    same convention as the capture windows), and ``is_current``
+    (no successor). One window over the same (key, order) spec as the
+    dedup view: one shuffle on key, sort within partitions — identical
+    cost to latest-per-key, so materializing history is never more
+    expensive than materializing current state.
+
+    ``tiebreak_cols`` make the version order total when ``order_col``
+    ties (same contract as latest_per_key_window) — required for a
+    deterministic interval chain."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [F.col(order_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("valid_from", F.col(order_col))
+        .withColumn("valid_to", F.lead(order_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
