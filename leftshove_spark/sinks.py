@@ -116,3 +116,51 @@ def write_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_landing(
+    spark,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction — coalesce a landing directory's file soup
+    into ~``target_file_bytes`` files. Micro-batch ingest (the engine's
+    own append sink included) accretes one file per trigger per
+    partition; at scale the resulting file population dominates scan
+    cost (footer reads, task scheduling, no row-group locality). This
+    rewrites the directory with file count = ceil(bytes / target),
+    preserving rows exactly.
+
+    Returns the new file count. Plan: one read + ``repartition(n)``
+    round-robin shuffle + atomic swap via a staging directory (write to
+    ``path/.compact_tmp``, then replace) — readers never observe a
+    half-compacted directory on a posix filesystem; on object stores
+    run it inside the table-format's commit protocol instead. The
+    repartition is deliberate (not ``coalesce``): coalesce would chain
+    the narrow dependency into the scan and skew output file sizes with
+    input file sizes; compaction EXISTS to fix size skew, so it pays
+    the one shuffle."""
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.format(fmt).load(path)
+    tmp = os.path.join(path, ".compact_tmp")
+    df.repartition(n).write.mode("overwrite").format(fmt).save(tmp)
+    for entry in os.listdir(path):
+        if entry != ".compact_tmp":
+            full = os.path.join(path, entry)
+            shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+    for entry in os.listdir(tmp):
+        os.rename(os.path.join(tmp, entry), os.path.join(path, entry))
+    os.rmdir(tmp)
+    return n

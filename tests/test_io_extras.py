@@ -161,3 +161,24 @@ def test_write_clustered_yields_disjoint_file_ranges(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == ev.count()
     assert back.exceptAll(ev).count() == 0
+
+
+def test_compact_landing_preserves_rows_and_reduces_files(spark, tmp_path):
+    """Micro-batch soup (40 tiny files) compacts to the byte-targeted
+    count with the row multiset intact and the directory swapped
+    atomically (no staging dir left behind)."""
+    from leftshove_spark.sinks import compact_landing
+
+    path = str(tmp_path / "landing")
+    df = load_table(spark, "/root/testdata/sf0.001", "orders")
+    df.repartition(40).write.parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 40
+    before = sorted(r["o_orderkey"] for r in spark.read.parquet(path).collect())
+
+    n = compact_landing(spark, path, target_file_bytes=10**9)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert n == 1 and len(files) == 1
+    assert ".compact_tmp" not in os.listdir(path)
+    after = sorted(r["o_orderkey"] for r in spark.read.parquet(path).collect())
+    assert after == before
