@@ -93,3 +93,33 @@ def salted_agg(
         *[F.sum("__n").cast("long").alias(a) for a in counts],
         *[F.sum(f"__s_{c}").alias(a) for c, a in sums.items()],
     )
+
+
+def skew_diagnostics(df, key_cols):
+    """Key-distribution diagnostics — the measurement that decides WHEN
+    the salting operators in this module are worth their extra merge
+    level (and what AQE's skew-join threshold will see): per-key row
+    counts reduced to one row of max / mean / p99 / distinct-key
+    stats plus ``skew_factor`` = max/mean (a balanced key space is
+    ~1; hundreds means one task owns the join).
+
+    Two-level shape: count per key (one shuffle with map-side
+    partials), then a single-row aggregate over the O(distinct keys)
+    count relation — the corpus is touched once. Exactness: counts are
+    integers, mean is one division, p99 is the (n-1)·p interpolated
+    percentile (quantile_cont-identical, o7-pinned)."""
+    from pyspark.sql import functions as F
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_per_key"),
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_per_key"),
+        F.expr("percentile(n, 0.99)").alias("p99_per_key"),
+        (
+            F.max("n").cast("double")
+            / (F.sum("n").cast("double") / F.count(F.lit(1)))
+        ).alias("skew_factor"),
+    )

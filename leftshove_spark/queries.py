@@ -114,6 +114,7 @@ GATE_ORDER = [
     "x_winsorize",
     "j5_scd2_history",
     "x_sample_k_per_group",
+    "k5_skew_diagnostics",
     "q16_supplier_part_counts",
     "q22_dormant_customers",
     "q21_latest_shipper",
@@ -125,11 +126,11 @@ GATE_ORDER = [
     "x_knn_ivf",
     "x_dedup_ngram_jaccard",
     "x_dedup_embedding_cosine",
-    "x_knn_lsh",
     "x_dedup_connected_components",
     # --- tail (entries 51+): also cheap-first, so a driver budget cut
     # costs the fewest rows. All are additionally guarded by
     # tests/test_gate_tail_oracle.py regardless of gate reach.
+    "x_knn_lsh",
     "x_dedup_resolution",
     "x_dedup_minhash_lsh",
     "t1_asof_join_latest_order",
@@ -1579,6 +1580,32 @@ def x_profile_columns(spark: SparkSession, sf: str) -> DataFrame:
     return R.profile_columns(
         o, ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
     )
+
+
+@_q(
+    "k5_skew_diagnostics",
+    """
+    WITH counts AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           max(n) AS max_per_key,
+           CAST(sum(n) AS DOUBLE) / count(*) AS mean_per_key,
+           quantile_cont(n, 0.99) AS p99_per_key,
+           CAST(max(n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) / count(*))
+             AS skew_factor
+    FROM counts
+    """,
+)
+def k5_skew_diagnostics(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-distribution diagnostics over the event stream's user_id —
+    the measurement that decides when K1/K2 salting pays; see
+    :func:`operators.skew.skew_diagnostics` (two-level shape: one
+    per-key count shuffle, then a single-row aggregate over the
+    O(keys) relation)."""
+    from .operators import skew
+
+    ev = load_table(spark, sf, "events").select("user_id")
+    return skew.skew_diagnostics(ev, "user_id")
 
 
 @_q(
