@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from conftest import SF001
+from conftest import SF001, SF0001
 from leftshove_spark.operators import analytic as A
 from leftshove_spark.sources import load_table
 
@@ -202,3 +202,63 @@ def test_exact_global_rank_permutation_across_partition_counts(spark):
         assert (agg["cnt"], agg["mn"], agg["mx"], agg["nd"], agg["tot"]) == (
             n, 1, n, n, n,
         ), f"rank not a permutation at num_partitions={p}: {agg}"
+
+
+def test_history_view_interval_chain(spark):
+    """SCD2 contract: per key the versions chain — valid_to equals the
+    NEXT version's valid_from (half-open, no gaps, no overlaps) and
+    exactly one row per key is current."""
+    from leftshove_spark.sources import load_table
+    from leftshove_spark.views import history_view
+
+    o = load_table(spark, SF0001, "orders")
+    h = history_view(
+        o, "o_custkey", order_col="o_orderdate", tiebreak_cols=["o_orderkey"]
+    ).select("o_custkey", "o_orderkey", "valid_from", "valid_to", "is_current")
+    rows = h.collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["o_custkey"], []).append(r)
+    assert by_key
+    for key, versions in by_key.items():
+        versions.sort(key=lambda r: (r["valid_from"], r["o_orderkey"]))
+        assert sum(r["is_current"] for r in versions) == 1
+        assert versions[-1]["is_current"] and versions[-1]["valid_to"] is None
+        for prev, nxt in zip(versions, versions[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]
+
+
+def test_winsorize_per_row_contract(spark):
+    """Winsorize contract, per row against independently recomputed
+    group bounds: interior values pass through untouched, values below
+    lo land exactly ON lo, values above hi exactly ON hi — and the
+    clamp actually fires on this fixture. (Winsorization is NOT
+    exactly idempotent: clamping piles mass on the boundary, which
+    shifts the interpolated percentile of the clamped distribution a
+    hair inward — a property of (n-1)·p interpolation, not a bug.)"""
+    from leftshove_spark.operators.analytic import winsorize
+    from leftshove_spark.sources import load_table
+
+    ev = load_table(spark, SF0001, "events").select("event_id", "event_type", "value")
+    out = winsorize(ev, "value", ["event_type"], lo=0.05, hi=0.95)
+    bounds = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.05)").alias("lo"),
+            F.expr("percentile(value, 0.95)").alias("hi"),
+        )
+        .collect()
+    }
+    clamped = 0
+    for r in out.collect():
+        lo, hi = bounds[r["event_type"]]
+        if r["value"] < lo:
+            assert r["value_wins"] == lo
+            clamped += 1
+        elif r["value"] > hi:
+            assert r["value_wins"] == hi
+            clamped += 1
+        else:
+            assert r["value_wins"] == r["value"]
+    assert clamped > 0

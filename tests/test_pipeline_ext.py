@@ -191,3 +191,29 @@ def test_mixture_sample_corpus_never_shuffles(spark):
     # the corpus joins the broadcast rate table; any Exchange in the plan
     # belongs to the tiny per-source count aggregation
     assert "BroadcastHashJoin" in plan
+
+
+def test_sample_k_per_group_stable_under_repartition(spark):
+    """The md5-rank membership is a pure function of the id: the sample
+    is identical at any physical partitioning, and different salts give
+    different draws."""
+    from leftshove_spark.ext.pipeline import sample_k_per_group
+    from leftshove_spark.sources import load_table
+
+    docs = load_table(spark, SF0001, "documents").select("doc_id", "source")
+    base = {
+        (r["doc_id"], r["source"])
+        for r in sample_k_per_group(docs, "source", k=5).collect()
+    }
+    shuffled = {
+        (r["doc_id"], r["source"])
+        for r in sample_k_per_group(docs.repartition(7), "source", k=5).collect()
+    }
+    assert base == shuffled
+    other_salt = {
+        (r["doc_id"], r["source"])
+        for r in sample_k_per_group(docs, "source", k=5, salt="other:").collect()
+    }
+    assert other_salt != base
+    sizes = sample_k_per_group(docs, "source", k=5).groupBy("source").count()
+    assert all(r["count"] <= 5 for r in sizes.collect())
