@@ -25,9 +25,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Gate dict: exactly the scored entries (≤50 — the r2 gate cut at 50
-    rows), cheapest-first so a time-budgeted run scores maximal rows.
-    The full registry (incl. bench-only extras) is Q.QUERIES."""
+    """Gate dict in GATE_ORDER: the driver scores from the front (~50
+    per round), so first-time entries lead and long-green veterans sit
+    in the tail (which tests/test_gate_tail_oracle.py oracle-checks
+    every round regardless). The full registry is Q.QUERIES."""
     return Q.gate_queries()
 
 
