@@ -403,3 +403,78 @@ def curate_stream(
         min_quality=min_quality,
     )
     return hash_split(gated, id_col=id_col)
+
+
+def maintain_history(
+    spark: SparkSession,
+    state_dir: str,
+    batch: DataFrame,
+    key_cols: list[str] | str,
+    order_col: str,
+    tiebreak_cols: list[str] | None = None,
+    n_buckets: int = 16,
+) -> None:
+    """W18 — incremental SCD-Type-2 maintenance: fold one micro-batch of
+    new versions into a persistent history table (``views.history_view``
+    intervals), rewriting ONLY the key buckets the batch touches.
+
+    The state parquet is partitioned by ``bucket = crc32(key) % n``;
+    a batch whose keys land in b buckets reads and rewrites those b
+    partitions and leaves the rest byte-identical — the
+    partition-selective merge pattern plain parquet supports without an
+    ACID table format (on Delta/Iceberg this becomes a MERGE; the
+    bucketing stays, it is what bounds the merge's scan). Within the
+    touched buckets, stored rows (open AND closed intervals — late
+    versions may split a closed interval) union the batch and the
+    interval chain is re-derived by the SAME window as the batch view,
+    so `streaming state == history_view(all data so far)` by
+    construction; the parity test drives three chunks through and
+    compares against the one-shot batch answer.
+
+    Cost per batch at scale: O(batch + rows in touched buckets); with
+    hash bucketing, hot-key concentration caps at the bucket grain —
+    raise ``n_buckets`` so a bucket fits executor memory."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .views import history_view
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    bucket = (
+        F.abs(F.crc32(F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])))
+        % n_buckets
+    ).cast("int")
+    value_cols = [c for c in batch.columns]
+    incoming = batch.withColumn("__bucket", bucket)
+    touched = [r["__bucket"] for r in incoming.select("__bucket").distinct().collect()]
+    if not touched:
+        return
+    if os.path.isdir(state_dir) and any(
+        e.startswith("__bucket=") for e in os.listdir(state_dir)
+    ):
+        stored = (
+            spark.read.parquet(state_dir)
+            .filter(F.col("__bucket").isin(touched))
+            .select(*value_cols, "__bucket")
+        )
+        merged = stored.unionByName(incoming)
+    else:
+        merged = incoming
+    # at-least-once delivery: a redelivered version must not create a
+    # duplicate (zero-length-interval) link in the chain
+    merged = merged.dropDuplicates(keys + [order_col] + list(tiebreak_cols or []))
+    hist = history_view(
+        merged, keys, order_col=order_col, tiebreak_cols=tiebreak_cols
+    )
+    # rewrite only the touched buckets (dynamic partition overwrite)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            hist.write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(state_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

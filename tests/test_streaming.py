@@ -308,3 +308,75 @@ def test_curate_stream_matches_batch(spark, tmp_path):
     assert {r["split"] for r in got.select("split").distinct().collect()} <= {
         "train", "val", "test"
     }
+
+
+def test_maintain_history_incremental_equals_batch(spark, tmp_path):
+    """W18 parity: three micro-batches (with one redelivered chunk for
+    at-least-once) folded through maintain_history produce EXACTLY the
+    one-shot history_view of all rows — intervals, tiebreaks, and
+    is_current flags included."""
+    from leftshove_spark.sources import load_table
+    from leftshove_spark.streaming import maintain_history
+    from leftshove_spark.views import history_view
+
+    state = str(tmp_path / "hist")
+    o = load_table(spark, SF0001, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    chunks = [o.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    for batch in [chunks[0], chunks[1], chunks[1], chunks[2]]:  # chunk 1 twice
+        maintain_history(
+            spark, state, batch, "o_custkey", "o_orderdate",
+            tiebreak_cols=["o_orderkey"],
+        )
+    got = {
+        (r["o_orderkey"], r["o_custkey"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in spark.read.parquet(state).drop("__bucket").collect()
+    }
+    want = {
+        (r["o_orderkey"], r["o_custkey"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in history_view(
+            o, "o_custkey", order_col="o_orderdate", tiebreak_cols=["o_orderkey"]
+        )
+        .select("o_orderkey", "o_custkey", "valid_from", "valid_to", "is_current")
+        .collect()
+    }
+    assert got == want
+
+
+def test_maintain_history_rewrites_only_touched_buckets(spark, tmp_path):
+    """Partition-selective merge: a batch touching one key leaves every
+    untouched bucket's files byte-identical (mtime+size preserved —
+    dynamic partition overwrite never rewrote them)."""
+    import os
+
+    from leftshove_spark.sources import load_table
+    from leftshove_spark.streaming import maintain_history
+
+    state = str(tmp_path / "hist")
+    o = load_table(spark, SF0001, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    maintain_history(spark, state, o, "o_custkey", "o_orderdate",
+                     tiebreak_cols=["o_orderkey"])
+
+    def snapshot():
+        out = {}
+        for dp, _, fs in os.walk(state):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dp, f)
+                    out[p] = (os.path.getsize(p), os.path.getmtime(p))
+        return out
+
+    before = snapshot()
+    one = o.orderBy("o_orderkey").limit(1)
+    maintain_history(spark, state, one, "o_custkey", "o_orderdate",
+                     tiebreak_cols=["o_orderkey"])
+    after = snapshot()
+    untouched_same = sum(
+        1 for p, meta in before.items() if p in after and after[p] == meta
+    )
+    # 16 buckets; the single-key batch touches exactly one
+    assert untouched_same >= len(before) - len(before) // 16 - 1
+    assert untouched_same < len(after)  # and at least one bucket DID change
