@@ -113,6 +113,7 @@ GATE_ORDER = [
     "x_dedup_minhash_recall",
     "x_winsorize",
     "j5_scd2_history",
+    "j6_asof_state",
     "x_sample_k_per_group",
     "k5_skew_diagnostics",
     "q16_supplier_part_counts",
@@ -309,6 +310,37 @@ def j5_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
     )
     return out.select(
         "o_orderkey", "o_custkey", "valid_from", "valid_to", "is_current"
+    )
+
+
+@_q(
+    "j6_asof_state",
+    """
+    WITH v AS (
+      SELECT o_orderkey, o_custkey, o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+               AS valid_to
+      FROM orders)
+    SELECT o_orderkey, o_custkey, valid_from, valid_to
+    FROM v
+    WHERE valid_from <= TIMESTAMP '1997-06-01 00:00:00'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '1997-06-01 00:00:00')
+    """,
+)
+def j6_asof_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time state — "which version was current at T" over the
+    SCD2 history (one row per key that existed by T). The filter is a
+    pure predicate pushed into the scan; on a clustered/bucketed
+    history table it prunes to the versions overlapping T. Completes
+    the current-state (J3) / full-history (J5) / as-of (J6) triad every
+    CDC consumer needs."""
+    o = load_table(spark, sf, "orders")
+    h = views.history_view(
+        o, "o_custkey", order_col="o_orderdate", tiebreak_cols=["o_orderkey"]
+    )
+    return views.as_of(h, datetime(1997, 6, 1)).select(
+        "o_orderkey", "o_custkey", "valid_from", "valid_to"
     )
 
 

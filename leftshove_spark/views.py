@@ -108,3 +108,17 @@ def history_view(
         .withColumn("valid_to", F.lead(order_col).over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def as_of(history: DataFrame, ts, ts_type: str = "timestamp") -> DataFrame:
+    """Point-in-time query over a :func:`history_view` table — the rows
+    that were current at instant ``ts``: ``valid_from <= ts < valid_to``
+    with an open ``valid_to`` meaning "still current". Pure filter —
+    pushed into the scan, so on a range-clustered or bucket-partitioned
+    history table this prunes files/row-groups and touches only the
+    versions overlapping ``ts``."""
+    t = F.lit(ts).cast(ts_type)
+    return history.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )
