@@ -67,6 +67,28 @@ def _plan(spark, name):
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
+def test_single_partition_exchanges_carry_partials_only(spark, name):
+    """Every ``Exchange SinglePartition`` in a gated plan must be fed by
+    a PARTIAL aggregate — i.e. it moves O(partitions) pre-aggregated
+    rows, never the data. A single-partition exchange over raw rows is
+    the global-sort / global-window anti-pattern (one task owns the
+    corpus); the engine's answer to those shapes is exact_global_rank /
+    TakeOrderedAndProject. Audited round 7: 17 of 99 plans have such
+    exchanges, all fed by partial_* aggregates."""
+    p = _plan(spark, name)
+    lines = p.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        assert "partial_" in child, (
+            f"{name}: Exchange SinglePartition fed by non-partial child "
+            f"{child.strip()[:80]!r} — a full-data single-partition stage "
+            "entered a gated plan (see SCALE.md global posture)"
+        )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_row_udf_and_no_all_pairs_join(spark, name):
     p = _plan(spark, name)
     markers = _ROW_UDF_MARKERS + (
