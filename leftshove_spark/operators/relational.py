@@ -116,3 +116,32 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             F.max(c).alias(f"{c}_max"),
         ]
     return df.agg(*aggs)
+
+
+def referential_orphans(
+    child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
+) -> DataFrame:
+    """Rows of ``child`` whose ``child_key`` has no match in
+    ``parent.parent_key`` — the referential-integrity probe run before
+    trusting a captured snapshot pair (CDC capture windows can land
+    child rows before their parents; the count should be transient
+    zero). One LEFT ANTI hash join on the key — at scale the parent
+    side broadcasts when small, else both sides shuffle once on the
+    key; no fact re-scan, no subquery."""
+    return child.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        child_key,
+        "left_anti",
+    )
+
+
+def duplicate_keys(df: DataFrame, key_cols: list[str] | str) -> DataFrame:
+    """(key, n_copies) for keys violating uniqueness — the primary-key
+    check of the data-quality battery. One hash-groupBy with map-side
+    partials; output is O(violations)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )

@@ -116,6 +116,7 @@ GATE_ORDER = [
     "j6_asof_state",
     "x_sample_k_per_group",
     "k5_skew_diagnostics",
+    "x_integrity_check",
     "q16_supplier_part_counts",
     "q22_dormant_customers",
     "q21_latest_shipper",
@@ -125,12 +126,12 @@ GATE_ORDER = [
     "x_quality_deciles",
     "c16_json_null_battery",
     "x_knn_ivf",
-    "x_dedup_ngram_jaccard",
     "x_dedup_embedding_cosine",
     "x_dedup_connected_components",
     # --- tail (entries 51+): also cheap-first, so a driver budget cut
     # costs the fewest rows. All are additionally guarded by
     # tests/test_gate_tail_oracle.py regardless of gate reach.
+    "x_dedup_ngram_jaccard",
     "x_knn_lsh",
     "x_dedup_resolution",
     "x_dedup_minhash_lsh",
@@ -1611,6 +1612,65 @@ def x_profile_columns(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders")
     return R.profile_columns(
         o, ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    )
+
+
+@_q(
+    "x_integrity_check",
+    """
+    SELECT
+      CAST((SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        AS n_orders_orphan_custkey,
+      CAST((SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        AS n_lineitem_orphan_orderkey,
+      CAST((SELECT count(*) FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = e.user_id)) AS BIGINT)
+        AS n_events_orphan_user,
+      CAST((SELECT count(*) FROM
+             (SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT)
+        AS n_dup_order_pk
+    """,
+)
+def x_integrity_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity + primary-key battery over the captured
+    star — orphaned foreign keys via LEFT ANTI joins (orders→customer,
+    lineitem→orders, events→customer) and duplicate-pk violations via
+    group-having. The fixture is referentially intact, so every count
+    is a certified ZERO — the value of the probe is that a capture bug
+    (child rows landing without parents, double-applied batches) flips
+    a pinned zero to a red row. Each probe is one keyed anti join /
+    one hash agg — no subquery re-scans; the four single-row results
+    assemble on a constant key."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    li = load_table(spark, sf, "lineitem")
+    ev = load_table(spark, sf, "events")
+    n1 = R.referential_orphans(o, "o_custkey", c, "c_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders_orphan_custkey")
+    )
+    n2 = R.referential_orphans(li, "l_orderkey", o, "o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lineitem_orphan_orderkey")
+    )
+    ev_k = ev.select(F.col("user_id").alias("c_custkey"))
+    n3 = R.referential_orphans(ev_k, "c_custkey", c, "c_custkey").agg(
+        F.count(F.lit(1)).alias("n_events_orphan_user")
+    )
+    n4 = R.duplicate_keys(o, "o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_dup_order_pk")
+    )
+    k = F.lit(1)
+    return (
+        n1.withColumn("k", k)
+        .join(F.broadcast(n2.withColumn("k", k)), "k")
+        .join(F.broadcast(n3.withColumn("k", k)), "k")
+        .join(F.broadcast(n4.withColumn("k", k)), "k")
+        .drop("k")
     )
 
 

@@ -49,6 +49,8 @@ _BNLJ_ALLOWED = {
     # single-row exact-pair-count scalar joined on a constant key
     # (same shape as the ANN recall metrics)
     "x_dedup_minhash_recall",
+    # four single-row integrity counts assembled on a constant key
+    "x_integrity_check",
     # the documented brute-force baseline: corpus x broadcast(query
     # set), k queries bounded by the caller — the subquadratic paths
     # are x_knn_lsh / x_knn_ivf
