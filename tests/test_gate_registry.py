@@ -56,3 +56,27 @@ def test_entry_module_mirrors_registry():
     assert set(entrymod.oracle_sql()) == {
         n for n in Q.gate_queries() if n in Q.ORACLES
     }
+
+
+def test_bench_headliners_are_registered():
+    """Every bench headliner must be a registered query — a renamed or
+    retired entry would crash the driver's bench run at warmup."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in Q.QUERIES]
+    assert not missing
+
+
+def test_maybe_broadcast_gate(spark, monkeypatch):
+    """The footer-stats broadcast gate: dimension-sized tables get the
+    hint; past the row threshold the hint is withheld and AQE decides
+    from runtime sizes (the 100 TB OOM guard)."""
+    from conftest import SF0001
+    from leftshove_spark.sources import load_table
+
+    cust = load_table(spark, SF0001, "customer")
+    hinted = Q._maybe_broadcast(cust, SF0001, "customer")
+    assert "hint" in hinted._jdf.queryExecution().logical().toString().lower()
+    monkeypatch.setattr(Q, "_BROADCAST_MAX_ROWS", 10)
+    unhinted = Q._maybe_broadcast(cust, SF0001, "customer")
+    assert "hint" not in unhinted._jdf.queryExecution().logical().toString().lower()
