@@ -344,6 +344,34 @@ class Engine:
         """Read the current-state view — what reference users query."""
         return self.spark.table(table)
 
+    def _cdc_df(self, table: str):
+        st = next(s for s in self.state.all() if s.name == table)
+        if not st.pkey_column:
+            raise ValueError(f"{table}: no pkey — history is undefined")
+        reader = self.spark.read
+        if self.config.evolve_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(self.sink_path(st)), st
+
+    def history(self, table: str) -> DataFrame:
+        """SCD-Type-2 history over the ``<t>_cdc`` sink: every captured
+        version per pkey with [valid_from, valid_to) intervals and an
+        is_current flag (views.history_view) — the full-history
+        companion of :meth:`current_state`. Same single window cost as
+        the current-state view."""
+        from .views import history_view
+
+        cdc, st = self._cdc_df(table)
+        return history_view(cdc, st.pkey_column, order_col="snapshot_tm")
+
+    def state_as_of(self, table: str, ts) -> DataFrame:
+        """Point-in-time state: the versions current at instant ``ts``
+        (views.as_of over :meth:`history`) — "what did the table say at
+        T", the third leg of the current/history/as-of triad."""
+        from .views import as_of
+
+        return as_of(self.history(table), ts)
+
     # ------------------------------------------------------- S7 config sink
     def write_stream_configs(self, config_dir: str) -> None:
         """S7 — stream-config sink (benthos.go:146-160: every built

@@ -81,3 +81,29 @@ def test_row_count_cached_no_spark_job(spark, tmp_path):
     before = dict(st.extra["file_counts"])
     n2 = eng._source_row_count(st)
     assert n2 == n1 and st.extra["file_counts"] == before
+
+
+def test_engine_history_and_as_of(spark, tmp_path):
+    """J5/J6 through the engine API: after multi-cycle capture, the
+    history view's current slice equals current_state, each pkey has
+    exactly one open interval, and state_as_of at the final watermark
+    matches current_state's keys."""
+    eng = _engine(spark, tmp_path)
+    eng.seed(eng.discover(SF0001, "ts", pkey_columns={"events": "event_id"}))
+    eng.create_sinks()
+    clock = {"t": datetime(2026, 8, 1)}
+
+    def now_fn():
+        clock["t"] += timedelta(hours=1)
+        return clock["t"]
+
+    eng.run(max_cycles=4, now_fn=now_fn, snapshot_at=datetime(2026, 1, 1))
+    hist = eng.history("events")
+    cur = eng.current_state("events")
+    open_per_key = (
+        hist.filter(F.col("is_current")).groupBy("event_id").count().collect()
+    )
+    assert all(r["count"] == 1 for r in open_per_key)
+    assert hist.filter(F.col("is_current")).count() == cur.count()
+    asof = eng.state_as_of("events", datetime(2030, 1, 1))
+    assert asof.count() == cur.count()
