@@ -345,7 +345,9 @@ class Engine:
         return self.spark.table(table)
 
     def _cdc_df(self, table: str):
-        st = next(s for s in self.state.all() if s.name == table)
+        st = next((s for s in self.state.all() if s.name == table), None)
+        if st is None:
+            raise KeyError(f"{table}: not a seeded capture table")
         if not st.pkey_column:
             raise ValueError(f"{table}: no pkey — history is undefined")
         reader = self.spark.read

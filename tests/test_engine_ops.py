@@ -107,3 +107,20 @@ def test_engine_history_and_as_of(spark, tmp_path):
     assert hist.filter(F.col("is_current")).count() == cur.count()
     asof = eng.state_as_of("events", datetime(2030, 1, 1))
     assert asof.count() == cur.count()
+
+
+def test_engine_history_error_paths(spark, tmp_path):
+    """history() names its failure modes: unknown table -> KeyError,
+    seeded-but-pkeyless table -> ValueError (history is undefined
+    without a key to chain versions on)."""
+    import pytest
+
+    eng = _engine(spark, tmp_path)
+    eng.seed(eng.discover(SF0001, "ts", pkey_columns={"events": "event_id"}))
+    with pytest.raises(KeyError):
+        eng.history("nonexistent")
+    for st in eng.state.all():
+        st.pkey_column = None
+        eng.state.upsert(st)
+    with pytest.raises(ValueError):
+        eng.history("events")
