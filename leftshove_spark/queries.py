@@ -131,6 +131,7 @@ GATE_ORDER = [
     # --- tail (entries 51+): also cheap-first, so a driver budget cut
     # costs the fewest rows. All are additionally guarded by
     # tests/test_gate_tail_oracle.py regardless of gate reach.
+    "w19_nav_battery",
     "x_dedup_ngram_jaccard",
     "x_knn_lsh",
     "x_dedup_resolution",

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .queries import _cents, _cents_sql, _disc_price_cents, _maybe_broadcast, _q
@@ -470,6 +470,43 @@ def x_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("cohort", "week_no")
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@_q(
+    "w19_nav_battery",
+    """
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_v,
+           last_value(value) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_v,
+           nth_value(value, 3) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS third_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w19_nav_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional navigation functions w15 doesn't cover: first_value
+    over the default running frame, last_value and nth_value over the
+    FULL partition frame (the default frame would make last_value ≡
+    the current row — the classic window gotcha, made explicit here on
+    both engines). Values are copied, not aggregated, so doubles hash
+    exactly; (ts, event_id) totalizes the order. One user_id shuffle,
+    one sort, every function on the same window chain."""
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(wfull).alias("last_v"),
+        F.nth_value("value", 3).over(wfull).alias("third_v"),
     )
 
 
