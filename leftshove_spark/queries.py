@@ -132,6 +132,7 @@ GATE_ORDER = [
     # costs the fewest rows. All are additionally guarded by
     # tests/test_gate_tail_oracle.py regardless of gate reach.
     "w19_nav_battery",
+    "c19_math_battery",
     "x_dedup_ngram_jaccard",
     "x_knn_lsh",
     "x_dedup_resolution",

@@ -1052,6 +1052,46 @@ def c17_temporal_battery(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "c19_math_battery",
+    """
+    SELECT o_orderkey,
+           abs(o_totalprice - 100000.0) AS abs_diff,
+           CAST(ceiling(o_totalprice) AS BIGINT) AS ceil_p,
+           CAST(floor(o_totalprice) AS BIGINT) AS floor_p,
+           CAST(sign(o_totalprice - 100000.0) AS DOUBLE) AS sgn,
+           o_custkey % 7 AS mod7,
+           sqrt(o_totalprice) AS sqrt_p,
+           greatest(o_totalprice, 100000.0) AS hi,
+           least(o_totalprice, 100000.0) AS lo
+    FROM orders
+    """,
+)
+def c19_math_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Math scalars restricted to the CROSS-ENGINE-EXACT subset:
+    abs/ceil/floor/sign/mod/greatest/least are value-level operations
+    and sqrt is a correctly-rounded IEEE primitive, so every output
+    hashes bit-identically. Deliberately ABSENT: round() on doubles
+    (Spark HALF_UP vs DuckDB HALF_EVEN — the engine's monetary path
+    handles rounding explicitly in int64 cents instead), and the
+    transcendental family (exp/ln/pow are not correctly-rounded and
+    drift in the last ulp across libm implementations — where needed,
+    the fixed-point tf-idf weights show the exact alternative). Pure
+    codegen, zero shuffles."""
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.abs(F.col("o_totalprice") - 100000.0).alias("abs_diff"),
+        F.ceil("o_totalprice").alias("ceil_p"),
+        F.floor("o_totalprice").alias("floor_p"),
+        F.signum(F.col("o_totalprice") - 100000.0).alias("sgn"),
+        (F.col("o_custkey") % 7).alias("mod7"),
+        F.sqrt("o_totalprice").alias("sqrt_p"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("hi"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("lo"),
+    )
+
+
+@_q(
     "c18_string_battery",
     """
     SELECT doc_id,
