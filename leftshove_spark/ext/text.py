@@ -285,3 +285,41 @@ def tfidf_search(
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(k)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    chunker every RAG index and long-document training pipeline runs
+    (``chunk_tokens`` window, ``stride`` hop; stride < chunk_tokens
+    gives overlap so no boundary context is lost).
+
+    Pure codegen, zero Python: tokenize → ``sequence`` of window starts
+    → ``transform`` + ``slice`` + ``concat_ws`` rebuilds each window's
+    text → ``posexplode``. One narrow pass over the corpus; at 100 TB
+    chunking is scan-bound, exactly as it should be. Emits
+    ``(id, chunk_id, n_chunk_tokens, chunk_text)``; the trailing window
+    is kept short rather than dropped (a document shorter than one
+    window is one chunk)."""
+    t = tokenize(text_col)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(t) - (chunk_tokens - stride), F.lit(1)),
+        F.lit(stride),
+    )
+    chunks = F.transform(starts, lambda s: F.slice(t, s, chunk_tokens))
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunks).alias("chunk_id", "toks"),
+    )
+    return out.select(
+        "id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("toks").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "toks").alias("chunk_text"),
+    ).filter(F.col("n_chunk_tokens") > 0)

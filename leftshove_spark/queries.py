@@ -133,6 +133,7 @@ GATE_ORDER = [
     # tests/test_gate_tail_oracle.py regardless of gate reach.
     "w19_nav_battery",
     "c19_math_battery",
+    "x_chunk_documents",
     "x_dedup_ngram_jaccard",
     "x_knn_lsh",
     "x_dedup_resolution",

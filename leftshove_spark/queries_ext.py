@@ -202,6 +202,32 @@ def x_tfidf_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "x_chunk_documents",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOK.format(e="text")} AS t FROM documents),
+    st AS (SELECT doc_id, t,
+                  range(1, greatest(len(t) - 16, 1) + 1, 48) AS starts
+           FROM toks WHERE len(t) > 0),
+    ch AS (SELECT doc_id,
+                  list_transform(starts, s -> list_slice(t, s, s + 63))
+                    AS chunks
+           FROM st)
+    SELECT doc_id AS id,
+           CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_id,
+           CAST(len(unnest(chunks)) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(unnest(chunks), ' ') AS chunk_text
+    FROM ch
+    """,
+)
+def x_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping fixed-window chunking (64-token windows, stride 48)
+    — see :func:`ext.text.chunk_documents`: pure codegen
+    sequence→transform→slice→posexplode, one narrow pass, scan-bound
+    at any scale."""
+    return X.chunk_documents(load_table(spark, sf, "documents"))
+
+
 # ================================================================= dedup ops
 
 @_q(
