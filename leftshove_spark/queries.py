@@ -334,11 +334,15 @@ def j5_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
 )
 def j6_asof_state(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-time state — "which version was current at T" over the
-    SCD2 history (one row per key that existed by T). The filter is a
-    pure predicate pushed into the scan; on a clustered/bucketed
-    history table it prunes to the versions overlapping T. Completes
-    the current-state (J3) / full-history (J5) / as-of (J6) triad every
-    CDC consumer needs."""
+    SCD2 history (one row per key that existed by T), WITH the validity
+    interval columns. Scan note: deriving history on the fly, the
+    lead() window blocks predicate pushdown (verified: PushedFilters
+    empty) — pruning applies when the filter hits a MATERIALIZED
+    history table; when intervals aren't needed, ``views.state_at`` is
+    the pushdown fast path (filter ≤ T first, then latest-per-key —
+    provably identical rows, predicate reaches the scan; pytest pins
+    both claims). Completes the current-state (J3) / full-history (J5)
+    / as-of (J6) triad every CDC consumer needs."""
     o = load_table(spark, sf, "orders")
     h = views.history_view(
         o, "o_custkey", order_col="o_orderdate", tiebreak_cols=["o_orderkey"]

@@ -122,3 +122,34 @@ def as_of(history: DataFrame, ts, ts_type: str = "timestamp") -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     )
+
+
+def state_at(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    ts,
+    order_col: str = "snapshot_tm",
+    tiebreak_cols: list[str] | None = None,
+    ts_type: str = "timestamp",
+) -> DataFrame:
+    """State as of instant ``ts`` computed DIRECTLY from the snapshot
+    source with the time predicate pushed to the scan — the fast path
+    beside ``as_of(history_view(df), ts)`` when the validity interval
+    columns aren't needed.
+
+    Equivalence argument (pytest-pinned): the version current at T is
+    the one with the greatest ``order_col`` ≤ T per key; versions AFTER
+    T can only ever be its successors, so dropping them changes nothing
+    about which row wins — it merely opens that row's interval. Hence
+    ``filter(order_col <= T)`` then latest-per-key ≡ the interval
+    filter over the full history. The filter is a plain scan predicate,
+    so a clustered/partitioned snapshot table prunes files and row
+    groups — the derived-history form cannot (the lead() window blocks
+    pushdown; see j6's plan)."""
+    t = F.lit(ts).cast(ts_type)
+    return latest_per_key_window(
+        df.filter(F.col(order_col) <= t),
+        key_cols,
+        order_col=order_col,
+        tiebreak_cols=tiebreak_cols,
+    )

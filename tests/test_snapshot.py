@@ -72,3 +72,31 @@ def test_stringify_arrays_for_ndjson_sink(spark):
     assert isinstance(fld["embedding"], T.StringType)  # F3 array→JSON
     first = cap.select("embedding").first()[0]
     assert first.startswith("[")
+
+
+def test_state_at_equals_asof_history_and_pushes_down(spark):
+    """The state_at fast path: identical rows to the interval filter
+    over the derived history (versions after T cannot change which
+    version is current at T), and — unlike the derived form, whose
+    lead() window blocks pushdown — its time predicate reaches the
+    parquet scan."""
+    from datetime import datetime
+
+    from leftshove_spark.sources import load_table
+    from leftshove_spark.views import as_of, history_view, state_at
+
+    o = load_table(spark, SF0001, "orders")
+    T = datetime(1997, 6, 1)
+    fast = state_at(
+        o, "o_custkey", T, order_col="o_orderdate", tiebreak_cols=["o_orderkey"]
+    )
+    slow = as_of(
+        history_view(o, "o_custkey", order_col="o_orderdate",
+                     tiebreak_cols=["o_orderkey"]),
+        T,
+    )
+    a = {(r["o_orderkey"], r["o_custkey"]) for r in fast.select("o_orderkey", "o_custkey").collect()}
+    b = {(r["o_orderkey"], r["o_custkey"]) for r in slow.select("o_orderkey", "o_custkey").collect()}
+    assert a == b and a
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "LessThanOrEqual(o_orderdate" in plan
