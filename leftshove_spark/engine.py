@@ -367,12 +367,25 @@ class Engine:
         return history_view(cdc, st.pkey_column, order_col="snapshot_tm")
 
     def state_as_of(self, table: str, ts) -> DataFrame:
-        """Point-in-time state: the versions current at instant ``ts``
-        (views.as_of over :meth:`history`) — "what did the table say at
-        T", the third leg of the current/history/as-of triad."""
+        """Point-in-time state WITH validity intervals (views.as_of over
+        :meth:`history`) — "what did the table say at T", the third leg
+        of the current/history/as-of triad. When the interval columns
+        aren't needed, prefer :meth:`state_at`: same rows, but the time
+        predicate reaches the sink scan."""
         from .views import as_of
 
         return as_of(self.history(table), ts)
+
+    def state_at(self, table: str, ts) -> DataFrame:
+        """Point-in-time state via the pushdown fast path
+        (views.state_at: filter ``snapshot_tm <= T`` at the scan, then
+        latest-per-key) — provably the same rows as
+        :meth:`state_as_of` minus the interval columns, with file/
+        row-group pruning on a clustered sink."""
+        from .views import state_at
+
+        cdc, st = self._cdc_df(table)
+        return state_at(cdc, st.pkey_column, ts, order_col="snapshot_tm")
 
     # ------------------------------------------------------- S7 config sink
     def write_stream_configs(self, config_dir: str) -> None:

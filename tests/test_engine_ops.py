@@ -124,3 +124,22 @@ def test_engine_history_error_paths(spark, tmp_path):
         eng.state.upsert(st)
     with pytest.raises(ValueError):
         eng.history("events")
+
+
+def test_engine_state_at_matches_state_as_of(spark, tmp_path):
+    """The pushdown fast path and the interval path answer the same
+    question: identical pkey sets at T through the engine API."""
+    eng = _engine(spark, tmp_path)
+    eng.seed(eng.discover(SF0001, "ts", pkey_columns={"events": "event_id"}))
+    eng.create_sinks()
+    clock = {"t": datetime(2026, 8, 1)}
+
+    def now_fn():
+        clock["t"] += timedelta(hours=1)
+        return clock["t"]
+
+    eng.run(max_cycles=3, now_fn=now_fn, snapshot_at=datetime(2026, 1, 1))
+    T = datetime(2030, 1, 1)
+    fast = {r["event_id"] for r in eng.state_at("events", T).select("event_id").collect()}
+    slow = {r["event_id"] for r in eng.state_as_of("events", T).select("event_id").collect()}
+    assert fast == slow and fast
