@@ -30,6 +30,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from leftshove_spark import queries as Q  # noqa: E402
+from leftshove_spark.ext import cache  # noqa: E402
 from leftshove_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -87,6 +88,7 @@ def main() -> None:
     # warmup: JVM/codegen/parquet-footer caches (untimed, one full pass)
     for name in HEADLINE:
         Q.QUERIES[name](spark, SF_DIR).collect()
+        cache.release_pins()
         spark.catalog.clearCache()
 
     # Three INTERLEAVED passes, min per query: single-shot timings on a
@@ -103,10 +105,12 @@ def main() -> None:
             assert rows is not None
             timings[name] = min(timings.get(name, dt), dt)
             # drop blocks persisted INSIDE an operator (LSH stages pin
-            # MEMORY_AND_DISK blocks for their own lifetime); leaving
-            # them pinned steals execution memory from every later
-            # query, so each timed run starts from an empty block
-            # manager.
+            # MEMORY_AND_DISK blocks via ext.cache for their own
+            # lifetime); leaving them pinned steals execution memory
+            # from every later query, so each timed run starts from an
+            # empty block manager. release_pins() is the surgical owner
+            # release; clearCache() stays as the belt-and-braces sweep.
+            cache.release_pins()
             spark.catalog.clearCache()
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = round(sum(timings.values()), 3)

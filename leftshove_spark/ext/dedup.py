@@ -25,7 +25,7 @@ from collections.abc import Iterator
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
-from pyspark.storagelevel import StorageLevel
+from leftshove_spark.ext import cache as _cache
 
 from .hashing import MINHASH_P, hash60, hash60_py, minhash_seeds
 from .text import tokenize, tokenize_py
@@ -159,11 +159,12 @@ def _staged_shingles(
     pandas-UDF escape hatch: the semantics are expressible in built-ins,
     the throughput is not.
 
-    The result is ``persist(MEMORY_AND_DISK)``-ed when ``pin`` (the
-    default): the near-dup callers read it at least twice (signature
-    build + verification joins), and without the pin each reference
-    re-runs tokenize+md5 over the whole corpus (420 s → 35 s for the
-    full minhash pipeline at sf0.1). Single-read callers
+    The result is pinned (persist MEMORY_AND_DISK, registered with
+    ext.cache so an owner can ``release_pins()`` after consumption) when
+    ``pin`` (the default): the near-dup callers read it at least twice
+    (signature build + verification joins), and without the pin each
+    reference re-runs tokenize+md5 over the whole corpus (420 s → 35 s
+    for the full minhash pipeline at sf0.1). Single-read callers
     (ext.pipeline.decontaminate) pass ``pin=False`` to skip both the
     pin and the key repartition — their plan stays narrow WHEN the scan
     is already parallel. When the source has fewer partitions than the
@@ -185,12 +186,14 @@ def _staged_shingles(
         *[F.col(c) for c in extras],
         F.col(content_col).alias("__text"),
     )
-    if pin:
-        src = src.repartition("id")
-    else:
-        width = src.sparkSession.sparkContext.defaultParallelism
-        if src.rdd.getNumPartitions() < width:
-            src = src.repartition(width)
+    # Fan out ONLY when the scan is narrower than the cluster (a single
+    # local parquet file): at 100 TB the scan already has cluster-width
+    # splits and an unconditional repartition would be one avoidable
+    # full-corpus shuffle before the Arrow stage. The pin path keys the
+    # fan-out by id so the persisted shingle table is evenly spread.
+    width = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < width:
+        src = src.repartition(width, "id") if pin else src.repartition(width)
 
     def gen(batches: Iterator) -> Iterator:
         for pdf in batches:
@@ -217,7 +220,7 @@ def _staged_shingles(
             yield out
 
     out = src.mapInPandas(gen, out_schema).filter(F.size("sh") > 0)
-    return out.persist(StorageLevel.MEMORY_AND_DISK) if pin else out
+    return _cache.pin(out) if pin else out
 
 
 def minhash_signature(sh: Column) -> Column:
@@ -344,9 +347,14 @@ def _staged_simhash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     out_schema = StructType(
         [StructField("id", df.schema[id_col].dataType), StructField("sim", LongType())]
     )
-    src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("__text")).repartition(
-        "id"
-    )
+    src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("__text"))
+    # fan out only when the scan is narrower than the cluster — at scale
+    # the scan already has cluster-width splits and the repartition
+    # would be an avoidable full-corpus shuffle (same rule as
+    # _staged_shingles)
+    _width = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < _width:
+        src = src.repartition(_width, "id")
     bits = np.arange(SIMHASH_BITS, dtype=np.uint64)
 
     def gen(batches: Iterator) -> Iterator:
@@ -366,7 +374,7 @@ def _staged_simhash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
             out["sim"] = sims
             yield out
 
-    return src.mapInPandas(gen, out_schema).persist(StorageLevel.MEMORY_AND_DISK)
+    return _cache.pin(src.mapInPandas(gen, out_schema))
 
 
 def simhash_pairs(

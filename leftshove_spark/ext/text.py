@@ -177,9 +177,14 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             StructField("min_shingle_fp", LongType()),
         ]
     )
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")).repartition(
-        "id"
-    )
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    # fan out only when the scan is narrower than the cluster — at scale
+    # the scan already has cluster-width splits and the repartition
+    # would be an avoidable full-corpus shuffle (same rule as
+    # dedup._staged_shingles)
+    _width = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < _width:
+        src = src.repartition(_width, "id")
 
     def gen(batches: Iterator) -> Iterator:
         for pdf in batches:

@@ -59,6 +59,16 @@ GATE_EXCLUDE = frozenset(
 # the expensive LSH/stream entries close the schedule. Names absent from
 # this list (future additions) are appended in registration order.
 #
+# Round-8 rotation: the three never-driver-scored entries
+# (w19_nav_battery, c19_math_battery, x_chunk_documents — added late in
+# r7, green in the full-surface local oracle) move into the head-50 for
+# first-time certification; the multimodal decode/frames pair STAYS in
+# the head (their r7 reds were output-typing, fixed this round — the
+# green rows must be recorded). To make room, the three longest-green
+# veterans q16/q22/q21/q7 (driver-green r6 AND r7) retire to the tail;
+# x_dedup_connected_components (green r6, missed r7's head at pos 51)
+# re-enters for a second certification round.
+#
 # Round-7 rotation: the driver certifies ~50 entries per round, so the
 # schedule ROTATES. This round the 13 never-driver-scored tail entries
 # (hash split, PII, packing, vocab, q13/q15/q17, funnel, cohort,
@@ -117,17 +127,16 @@ GATE_ORDER = [
     "x_sample_k_per_group",
     "k5_skew_diagnostics",
     "x_integrity_check",
-    "q16_supplier_part_counts",
-    "q22_dormant_customers",
-    "q21_latest_shipper",
-    "q7_volume_shipping",
+    "w19_nav_battery",
+    "c19_math_battery",
+    "x_chunk_documents",
+    "x_dedup_connected_components",
     "w15_window_battery",
     "o6_grouping_sets",
     "x_quality_deciles",
     "c16_json_null_battery",
     "x_knn_ivf",
     "x_dedup_embedding_cosine",
-    "x_dedup_connected_components",
     # --- tail (entries 51+): also cheap-first, so a driver budget cut
     # costs the fewest rows. All are additionally guarded by
     # tests/test_gate_tail_oracle.py regardless of gate reach.
@@ -183,6 +192,12 @@ GATE_ORDER = [
     "a3_agg_string_list",
     "j3_dedup_latest_window",
     "x_dedup_simhash",
+    # r8 retirees (2 consecutive driver-green rounds each; stay covered
+    # every round by tests/test_gate_tail_oracle.py's full surface):
+    "q16_supplier_part_counts",
+    "q22_dormant_customers",
+    "q21_latest_shipper",
+    "q7_volume_shipping",
 ]
 
 

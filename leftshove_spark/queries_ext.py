@@ -374,9 +374,9 @@ def x_dedup_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") >= 100000) | (F.col("doc_id") % 50 == 0)
     )
     idx = D.build_minhash_index(corpus)
-    from pyspark import StorageLevel
+    from leftshove_spark.ext import cache as _cache
 
-    idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
+    idx = _cache.pin(idx)
     return D.minhash_lsh_pairs_incremental(batch, idx, jaccard_threshold=0.6)
 
 
@@ -1419,9 +1419,11 @@ def x_quality_deciles(spark: SparkSession, sf: str) -> DataFrame:
     "x_multimodal_decode",
     """
     SELECT doc_id,
-           list_transform(range(0, 8),
-             i -> CAST(CAST(concat('0x', substr(md5(text), (i % 16) * 2 + 1, 2))
-                            AS INTEGER) / 255.0 AS FLOAT)) AS features,
+           to_json(list_transform(range(0, 8),
+             i -> CAST(round(CAST(CAST(concat('0x',
+                              substr(md5(text), (i % 16) * 2 + 1, 2))
+                            AS INTEGER) / 255.0 AS FLOAT) * 255)
+                       AS INTEGER))) AS features_json,
            'fake-md5' AS decode_backend
     FROM documents
     """,
@@ -1434,9 +1436,26 @@ def x_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     bytes, proving the Arrow batching/schema plumbing end-to-end, not
     just the metadata projection). With a real codec installed the
     backend flag changes and this entry would be re-oracled against a
-    reference decode."""
+    reference decode.
+
+    Gate projection: the driver's pandas canonicalizer cannot sort
+    ARRAY cells (r7's only red), so the float32 vector is projected
+    back to its exact underlying digest bytes — ``round(x*255)`` is a
+    lossless inverse of ``b/255.0`` in float32 for b ∈ 0..255 — and
+    emitted as an int-array JSON string, which formats identically in
+    Spark and DuckDB (float reprs do not: DuckDB prints the
+    float64-widened value). Both sides run the full /255.0 float
+    round-trip, so a divergence in the float arithmetic still trips
+    the hash."""
     docs = load_table(spark, sf, "documents")
-    return M.decode_features(M.attach_payload(docs))
+    feats = M.decode_features(M.attach_payload(docs))
+    return feats.select(
+        "doc_id",
+        F.to_json(
+            F.expr("transform(features, x -> cast(round(x * 255) as int))")
+        ).alias("features_json"),
+        "decode_backend",
+    )
 
 
 @_q(
@@ -1452,7 +1471,8 @@ def x_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
                                 CAST(i AS INTEGER) * greatest(blen // 4, 1) * 2 + 1,
                                 greatest(blen // 4, 1) * 2)) AS frame
       FROM p, range(0, 4) t(i))
-    SELECT doc_id, frame_idx, frame FROM f WHERE octet_length(frame) > 0
+    SELECT doc_id, frame_idx, hex(frame) AS frame_hex
+    FROM f WHERE octet_length(frame) > 0
     """,
 )
 def x_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
@@ -1461,6 +1481,14 @@ def x_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     mapInPandas; the oracle re-slices the same bytes with SQL
     substring arithmetic. Trailing short payloads emit fewer frames on
     both sides (empty-slice break ≡ empty-slice filter, since all
-    slices after an empty one are empty)."""
+    slices after an empty one are empty).
+
+    Gate projection: the frame bytes go out as ``hex(frame)`` — the
+    driver's pandas canonicalizer cannot sort bytearray cells (r7 red);
+    hex is uppercase and byte-exact in both engines, so the check
+    still covers the full payload."""
     docs = load_table(spark, sf, "documents")
-    return M.frame_sample(M.attach_payload(docs), n_frames=4)
+    frames = M.frame_sample(M.attach_payload(docs), n_frames=4)
+    return frames.select(
+        "doc_id", "frame_idx", F.hex("frame").alias("frame_hex")
+    )

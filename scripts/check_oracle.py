@@ -1,6 +1,8 @@
 """Local mimic of the driver's t2 correctness gate: run every
-queries()[name] on Spark and oracle_sql()[name] on DuckDB at sf0.01,
-compare row count + column names + order-insensitive stringified values.
+queries()[name] on Spark and oracle_sql()[name] on DuckDB at sf0.01 and
+compare with the driver-mechanism-mirrored canonicalizer
+(leftshove_spark/gatecheck.py: pandas oracle fetch + pandas sort_values
+canon + order-insensitive normalized values).
 
 Usage: python scripts/check_oracle.py [sf_dir] [name_filter...]
 """
@@ -11,30 +13,12 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb  # noqa: E402
 
+from leftshove_spark import gatecheck  # noqa: E402
+
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 FILTERS = sys.argv[2:]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-
-
-def norm_cell(v):
-    import math
-
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, bool):
-        return str(v).lower()
-    return str(v)
-
-
-def frame_sig(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
-    return [cols[i] for i in order], out
 
 
 def main():
@@ -73,30 +57,17 @@ def main():
                 print(f"FAIL {name}: oracle types drift under pandas fetch: {drifting}")
                 continue
             sdf = fn(spark, SF)
-            srows = sdf.collect()
+            srows = [tuple(r) for r in sdf.collect()]
             scols = sdf.columns
-            ores = con.execute(oracles[name])
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
-            s_cols, s_sig = frame_sig(scols, [tuple(r) for r in srows])
-            o_cols, o_sig = frame_sig(ocols, orows)
-            if s_cols != o_cols:
+            # r8: driver-mechanism-mirrored compare (pandas oracle
+            # fetch + pandas sort_values canon) — leftshove_spark/gatecheck.py
+            ok, detail = gatecheck.compare(scols, srows, con, oracles[name])
+            if not ok:
                 fails.append(name)
-                print(f"FAIL {name}: columns {s_cols} != {o_cols}")
-                continue
-            if len(s_sig) != len(o_sig):
-                fails.append(name)
-                print(f"FAIL {name}: rows {len(s_sig)} != {len(o_sig)}")
-                continue
-            bad = [(a, b) for a, b in zip(s_sig, o_sig) if a != b]
-            if bad:
-                fails.append(name)
-                print(f"FAIL {name}: {len(bad)} mismatched rows; first:")
-                print("  spark :", bad[0][0][:300])
-                print("  duckdb:", bad[0][1][:300])
+                print(f"FAIL {name}: {detail}")
                 continue
             passes.append(name)
-            print(f"PASS {name} ({len(s_sig)} rows)")
+            print(f"PASS {name} ({detail})")
         except Exception as e:
             fails.append(name)
             print(f"ERROR {name}: {type(e).__name__}: {str(e)[:500]}")

@@ -4,17 +4,21 @@ and nothing else executes their DuckDB oracles automatically — without
 this test a regression in q13–q22 / the pipeline ops / CC / IVF would
 ship invisibly while SURVEY.md still advertises them as oracled.
 
-Runs the same compare the driver's gate performs (row count + sorted
-column names + order-insensitive stringified values) at sf0.001 so the
-whole tail stays fast.
+Runs the same compare the driver's gate performs at sf0.001 so the
+whole tail stays fast. r8: the compare now mirrors the driver's
+canonicalization MECHANISM (pandas fetch of the oracle + a pandas
+sort_values over all columns), not just its comparison semantics — see
+leftshove_spark/gatecheck.py. Two rounds running, the only driver reds
+were local-vs-driver harness divergence (r6 HUGEINT-via-pandas, r7
+unsortable ARRAY/BINARY cells); with the shared mirror, any future
+driver-canon incompatibility fails here first.
 """
-
-import math
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
+from leftshove_spark import gatecheck
 
 from conftest import SF0001
 
@@ -29,24 +33,6 @@ PROVEN_GATE_REACH = 0
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
-
-
-def _norm(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        return "NaN" if math.isnan(v) else repr(v)
-    if isinstance(v, bool):
-        return str(v).lower()
-    return str(v)
-
-
-def _sig(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return (
-        [cols[i] for i in order],
-        sorted("|".join(_norm(r[i]) for i in order) for r in rows),
-    )
 
 
 @pytest.fixture(scope="module")
@@ -70,10 +56,28 @@ def test_gate_tail_query_matches_oracle(spark, ddb, name):
     q = entrymod.queries()
     sdf = q[name](spark, SF0001)
     scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
-    res = ddb.execute(entrymod.oracle_sql()[name])
-    ocols, orows = [d[0] for d in res.description], res.fetchall()
-    s_cols, s_sig = _sig(scols, srows)
-    o_cols, o_sig = _sig(ocols, orows)
-    assert s_cols == o_cols
-    assert len(s_sig) == len(o_sig)
-    assert s_sig == o_sig
+    ok, detail = gatecheck.compare(scols, srows, ddb, entrymod.oracle_sql()[name])
+    assert ok, f"{name}: {detail}"
+
+
+def test_canon_reproduces_r7_unsortable_typeerror():
+    """The driver mechanism must reproduce locally: ARRAY / BINARY
+    cells (r7's two reds) blow up inside the pandas sort, exactly as
+    the driver's _canon did."""
+    with pytest.raises(TypeError, match="unhashable"):
+        gatecheck.canon(["a", "f"], [(1, [0.1, 0.2]), (2, [0.3, 0.4])])
+    with pytest.raises(TypeError, match="unhashable"):
+        gatecheck.canon(["a", "b"], [(1, bytearray(b"xy")), (2, bytearray(b"zz"))])
+
+
+def test_canon_reproduces_r6_hugeint_coercion(ddb):
+    """The pandas oracle fetch must surface DuckDB's HUGEINT→float64
+    coercion (r6's red): an uncast sum(INTEGER) compares as 10.0, not
+    10, and diverges from a Spark BIGINT."""
+    _, pdf = gatecheck.fetch_oracle(
+        ddb, "SELECT sum(n) AS s FROM (SELECT 4 AS n UNION ALL SELECT 6)"
+    )
+    _, sig = gatecheck.canon(["s"], pdf)
+    assert sig == ["10.0"]  # the driver sees the float64 — and so do we
+    _, spark_sig = gatecheck.canon(["s"], [(10,)])
+    assert spark_sig == ["10"] and spark_sig != sig

@@ -85,3 +85,44 @@ def test_lint_catches_bare_date_output(ddb):
     """DATE widens to datetime64 under pandas — must trip the lint."""
     flagged = _flagged_types(ddb, "SELECT DATE '1995-01-02' AS d")
     assert flagged == [("d", "DATE")]
+
+
+# ---------------------------------------------------------------------------
+# Spark-side twin of the oracle lint (r7's blind spot): the driver
+# canonicalizes BOTH frames with a pandas sort over all columns, which
+# raises TypeError on unhashable cells — list (ArrayType), bytearray
+# (BinaryType), dict (MapType), Row (StructType). r7's only two reds
+# (x_multimodal_decode / x_multimodal_frames) were exactly this: correct
+# values, unsortable output typing. This lint makes the class
+# structurally impossible: every gated query's SPARK output schema must
+# contain only atomic, pandas-sortable types.
+# ---------------------------------------------------------------------------
+
+
+def _unsortable_fields(schema):
+    from pyspark.sql import types as T
+
+    bad = (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+    return [(f.name, f.dataType.simpleString()) for f in schema.fields
+            if isinstance(f.dataType, bad)]
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_gate_spark_output_schema_is_driver_sortable(spark, name):
+    sdf = entrymod.queries()[name](spark, SF0001)
+    flagged = _unsortable_fields(sdf.schema)
+    assert not flagged, (
+        f"{name}: Spark output columns {flagged} are ARRAY/MAP/STRUCT/"
+        "BINARY; the driver's pandas canonicalizer cannot sort those "
+        "cells (TypeError: unhashable type) and the row goes red before "
+        "any value compare. Project to_json(...) / hex(...) scalars in "
+        "the gate query (the operator itself can keep the rich type)."
+    )
+
+
+def test_spark_lint_catches_array_output(spark):
+    """Self-check: the exact r7 bug shape must trip the Spark-side lint."""
+    df = spark.range(1).selectExpr("array(1.0f, 2.0f) AS features",
+                                   "cast('ab' as binary) AS frame")
+    flagged = _unsortable_fields(df.schema)
+    assert [c for c, _ in flagged] == ["features", "frame"]
