@@ -355,6 +355,25 @@ class Engine:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(self.sink_path(st)), st
 
+    @staticmethod
+    def _version_tiebreaks(cdc: DataFrame, pkey: str) -> list[str]:
+        """Deterministic version order when two captured versions of a
+        pkey share ``snapshot_tm`` (a same-cycle duplicate in the
+        source): tiebreak on the remaining payload columns, sorted by
+        name — views.history_view's contract requires a total order for
+        a deterministic interval chain, and without it history /
+        state_as_of / state_at could disagree run-to-run. Map columns
+        are skipped (not orderable in Spark); arrays/structs order
+        lexicographically."""
+        from pyspark.sql import types as T
+
+        return sorted(
+            f.name
+            for f in cdc.schema.fields
+            if f.name not in (pkey, "snapshot_tm")
+            and not isinstance(f.dataType, T.MapType)
+        )
+
     def history(self, table: str) -> DataFrame:
         """SCD-Type-2 history over the ``<t>_cdc`` sink: every captured
         version per pkey with [valid_from, valid_to) intervals and an
@@ -364,7 +383,12 @@ class Engine:
         from .views import history_view
 
         cdc, st = self._cdc_df(table)
-        return history_view(cdc, st.pkey_column, order_col="snapshot_tm")
+        return history_view(
+            cdc,
+            st.pkey_column,
+            order_col="snapshot_tm",
+            tiebreak_cols=self._version_tiebreaks(cdc, st.pkey_column),
+        )
 
     def state_as_of(self, table: str, ts) -> DataFrame:
         """Point-in-time state WITH validity intervals (views.as_of over
@@ -385,7 +409,13 @@ class Engine:
         from .views import state_at
 
         cdc, st = self._cdc_df(table)
-        return state_at(cdc, st.pkey_column, ts, order_col="snapshot_tm")
+        return state_at(
+            cdc,
+            st.pkey_column,
+            ts,
+            order_col="snapshot_tm",
+            tiebreak_cols=self._version_tiebreaks(cdc, st.pkey_column),
+        )
 
     # ------------------------------------------------------- S7 config sink
     def write_stream_configs(self, config_dir: str) -> None:

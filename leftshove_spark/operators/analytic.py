@@ -28,6 +28,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -244,17 +246,31 @@ def winsorize(
     clamp is a comparison, so winsorized values hash exactly
     cross-engine. At 100 TB with high-cardinality groups, swap in
     ``approx_percentile`` bounds (t-digest, mergeable) — the clamp is
-    unchanged."""
+    unchanged.
+
+    NULL group keys are clamped against their own bounds, not dropped:
+    the join is null-safe (``<=>``), so the NULL group — which groupBy
+    does produce a bounds row for — matches it, and a clamp operator
+    preserves row count by construction. (A plain equi-join silently
+    dropped those rows pre-r8.) The SQL twin is ``JOIN ... ON g IS NOT
+    DISTINCT FROM g``, not ``USING``."""
     out = out_col or f"{value_col}_wins"
     bounds = df.groupBy(*group_cols).agg(
         F.expr(f"percentile({value_col}, {lo})").alias("__lo"),
         F.expr(f"percentile({value_col}, {hi})").alias("__hi"),
     )
+    b = bounds.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols], "__lo", "__hi"
+    )
+    cond = reduce(
+        lambda x, y: x & y,
+        [F.col(c).eqNullSafe(F.col(f"__g_{c}")) for c in group_cols],
+    )
     return (
-        df.join(F.broadcast(bounds), group_cols)
+        df.join(F.broadcast(b), cond)
         .withColumn(
             out,
             F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
         )
-        .drop("__lo", "__hi")
+        .drop("__lo", "__hi", *[f"__g_{c}" for c in group_cols])
     )

@@ -1731,7 +1731,7 @@ def k5_skew_diagnostics(spark: SparkSession, sf: str) -> DataFrame:
                FROM events GROUP BY event_type)
     SELECT e.event_id, e.event_type, e.value,
            least(greatest(e.value, b.lo), b.hi) AS value_wins
-    FROM events e JOIN b USING (event_type)
+    FROM events e JOIN b ON e.event_type IS NOT DISTINCT FROM b.event_type
     """,
 )
 def x_winsorize(spark: SparkSession, sf: str) -> DataFrame:

@@ -134,33 +134,59 @@ def compact_landing(
     preserving rows exactly.
 
     Returns the new file count. Plan: one read + ``repartition(n)``
-    round-robin shuffle + atomic swap via a staging directory (write to
-    ``path/.compact_tmp``, then replace) — readers never observe a
-    half-compacted directory on a posix filesystem; on object stores
-    run it inside the table-format's commit protocol instead. The
-    repartition is deliberate (not ``coalesce``): coalesce would chain
-    the narrow dependency into the scan and skew output file sizes with
-    input file sizes; compaction EXISTS to fix size skew, so it pays
-    the one shuffle."""
+    round-robin shuffle + swap via staging directories: write to
+    ``path/.compact_tmp``, move the old files into ``path/.compact_trash``
+    (ONE recoverable step — a crash after it leaves all data intact in
+    the trash dir), promote tmp, then drop the trash. The swap is NOT
+    atomic — directory renames over a populated directory aren't
+    portable — so a concurrent reader listing mid-swap can see a
+    partial file set; schedule compaction in the ingest loop's quiet
+    window, or on object stores run it inside the table-format's
+    commit protocol instead. The repartition is deliberate (not
+    ``coalesce``): coalesce would chain the narrow dependency into the
+    scan and skew output file sizes with input file sizes; compaction
+    EXISTS to fix size skew, so it pays the one shuffle."""
     import math
     import os
     import shutil
 
-    total = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _, fs in os.walk(path)
-        for f in fs
-        if not f.startswith(("_", "."))
-    )
+    tmp = os.path.join(path, ".compact_tmp")
+    trash = os.path.join(path, ".compact_trash")
+    # stale staging dirs from a crashed prior run: recover trash (it
+    # holds the then-authoritative files) only if the promote loop never
+    # ran (path has no data files); always drop stale tmp. Neither may
+    # leak into the size estimate below.
+    if os.path.isdir(trash):
+        has_live = any(
+            not e.startswith(("_", ".")) for e in os.listdir(path)
+        )
+        for entry in os.listdir(trash):
+            dst = os.path.join(path, entry)
+            if not has_live and not os.path.exists(dst):
+                os.rename(os.path.join(trash, entry), dst)
+        shutil.rmtree(trash, ignore_errors=True)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+
+    total = 0
+    for dp, dns, fs in os.walk(path):
+        # prune hidden/metadata subtrees (a stale staging dir counted
+        # by basename-only filtering used to inflate the estimate)
+        dns[:] = [d for d in dns if not d.startswith(("_", "."))]
+        total += sum(
+            os.path.getsize(os.path.join(dp, f))
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
     n = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.format(fmt).load(path)
-    tmp = os.path.join(path, ".compact_tmp")
     df.repartition(n).write.mode("overwrite").format(fmt).save(tmp)
+    os.makedirs(trash)
     for entry in os.listdir(path):
-        if entry != ".compact_tmp":
-            full = os.path.join(path, entry)
-            shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+        if entry not in (".compact_tmp", ".compact_trash"):
+            os.rename(os.path.join(path, entry), os.path.join(trash, entry))
     for entry in os.listdir(tmp):
         os.rename(os.path.join(tmp, entry), os.path.join(path, entry))
     os.rmdir(tmp)
+    shutil.rmtree(trash)
     return n

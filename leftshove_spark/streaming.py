@@ -433,7 +433,15 @@ def maintain_history(
 
     Cost per batch at scale: O(batch + rows in touched buckets); with
     hash bucketing, hot-key concentration caps at the bucket grain —
-    raise ``n_buckets`` so a bucket fits executor memory."""
+    raise ``n_buckets`` so a bucket fits executor memory.
+
+    Version-key contract: ``(key_cols, order_col, tiebreak_cols)`` must
+    uniquely identify a version's PAYLOAD. Byte-identical redeliveries
+    (at-least-once upstream) collapse harmlessly; two different
+    payloads carrying the same version stamp raise ``ValueError``
+    before anything is written (previous state intact) — silently
+    keeping an arbitrary one would make state nondeterministic across
+    runs."""
     import os
 
     from pyspark.sql import functions as F
@@ -462,8 +470,31 @@ def maintain_history(
     else:
         merged = incoming
     # at-least-once delivery: a redelivered version must not create a
-    # duplicate (zero-length-interval) link in the chain
-    merged = merged.dropDuplicates(keys + [order_col] + list(tiebreak_cols or []))
+    # duplicate (zero-length-interval) link in the chain. Dedup on ALL
+    # columns — only byte-identical redeliveries collapse; a genuine
+    # update that reuses the same (key, order, tiebreak) stamp with a
+    # DIFFERENT payload is not a redelivery and must not be silently
+    # resolved by an arbitrary row pick (nondeterministic state across
+    # runs, pre-r8 behavior). Such version-stamp conflicts are surfaced
+    # below instead; the previous state stays intact (nothing is
+    # written before the check).
+    merged = merged.dropDuplicates(value_cols)
+    vkey = keys + [order_col] + list(tiebreak_cols or [])
+    conflicts = (
+        merged.groupBy(*vkey)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(5)
+        .collect()
+    )
+    if conflicts:
+        sample = [tuple(r[c] for c in vkey) for r in conflicts]
+        raise ValueError(
+            "maintain_history: conflicting payloads share a version key "
+            f"{tuple(vkey)} — e.g. {sample}; a version key must uniquely "
+            "identify its payload. Add a discriminating tiebreak column "
+            "(capture sequence) or repair the upstream duplicate."
+        )
     hist = history_view(
         merged, keys, order_col=order_col, tiebreak_cols=tiebreak_cols
     )

@@ -7,6 +7,12 @@ row accounting:
     (drop eval collisions) → deterministic split + per-source cap →
     greedy sequence packing
 
+plus the CDC consumer triad (r8): incremental SCD2 maintenance
+(maintain_history over 3 micro-batches, one redelivered) read back
+point-in-time from stored intervals vs derived history, and the same
+triad through the Engine API (current_state / history / state_as_of /
+state_at) over the engine's own capture sink.
+
 Every stage is an operator that is ALSO individually hash-certified in
 the driver gate (see queries_ext.py); this script shows they compose —
 each stage consumes the previous stage's DataFrame, nothing
@@ -79,11 +85,84 @@ def main() -> None:
     packed = P.pack_sequences(tc, budget=512)
     counts["packed_sequences"] = packed.select("bucket", "seq_id").distinct().count()
 
+    # 6. CDC consumer triad (W18 + J5/J6): fold three micro-batches of
+    #    orders — one redelivered, at-least-once style — through
+    #    incremental SCD2 maintenance, then answer the same
+    #    point-in-time question from (a) the maintained state's stored
+    #    intervals and (b) the one-shot derived history. Equal by
+    #    construction; shown equal here.
+    import tempfile
+
+    from leftshove_spark.streaming import maintain_history
+    from leftshove_spark.views import as_of, history_view
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    with tempfile.TemporaryDirectory(prefix="ls_demo_hist_") as state_dir:
+        chunks = [orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+        for batch in [chunks[0], chunks[1], chunks[1], chunks[2]]:  # 1 redelivered
+            maintain_history(
+                spark, state_dir, batch, "o_custkey", "o_orderdate",
+                tiebreak_cols=["o_orderkey"],
+            )
+        maintained = spark.read.parquet(state_dir)
+        counts["scd2_versions"] = maintained.count()
+
+        lohi = orders.agg(
+            F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+        ).collect()[0]
+        t_mid = lohi["lo"] + (lohi["hi"] - lohi["lo"]) / 2
+        incr = as_of(maintained, t_mid).select(
+            "o_custkey", "o_orderkey", "o_orderdate"
+        )
+        derived = as_of(
+            history_view(orders, "o_custkey", order_col="o_orderdate",
+                         tiebreak_cols=["o_orderkey"]),
+            t_mid,
+        ).select("o_custkey", "o_orderkey", "o_orderdate")
+        counts["state_as_of_mid"] = incr.count()
+        assert incr.exceptAll(derived).count() == 0
+        assert derived.exceptAll(incr).count() == 0
+
+    # 7. the same triad through the Engine API over its OWN capture
+    #    sink: current_state / history / state_as_of / state_at (the
+    #    pushdown fast path) — what a reference user runs day-to-day.
+    import shutil
+    from datetime import datetime
+
+    from leftshove_spark.engine import Engine
+    from leftshove_spark.session import EngineConfig
+
+    work = tempfile.mkdtemp(prefix="ls_demo_eng_")
+    try:
+        eng = Engine(
+            spark,
+            EngineConfig(replication_buffer_secs=0),
+            state_path=f"{work}/state.json",
+            sink_root=f"{work}/sink",
+        )
+        eng.seed([{"name": "events", "path": f"{SF}/events.parquet",
+                   "nms_column": "ts", "pkey_column": "event_id"}])
+        eng.create_sinks()
+        eng.run_cycle(now=datetime(2030, 1, 1), snapshot_at=datetime(2030, 1, 1))
+        t = datetime(2030, 6, 1)
+        counts["engine_current_state"] = eng.current_state("events").count()
+        counts["engine_state_at"] = eng.state_at("events", t).count()
+        assert counts["engine_state_at"] == eng.state_as_of("events", t).count()
+        assert counts["engine_state_at"] == counts["engine_current_state"]
+        assert eng.history("events").filter(F.col("is_current")).count() == (
+            counts["engine_current_state"]
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     print(json.dumps(counts))
     assert counts["ingested"] > counts["after_quality_gate"] >= counts[
         "after_near_dedup"
     ] > counts["after_decontaminate"] >= counts["after_split_and_cap"] > 0
     assert counts["packed_sequences"] > 0
+    assert counts["scd2_versions"] > 0 and counts["state_as_of_mid"] > 0
     print("PIPELINE DEMO OK")
     spark.stop()
 

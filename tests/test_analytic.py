@@ -262,3 +262,21 @@ def test_winsorize_per_row_contract(spark):
         else:
             assert r["value_wins"] == r["value"]
     assert clamped > 0
+
+
+def test_winsorize_clamps_null_group_rows(spark):
+    """r7 advice: a clamp operator must preserve row count — rows whose
+    group column is NULL clamp against the NULL group's own bounds
+    (groupBy produces one) via the null-safe join, instead of silently
+    vanishing through a plain equi-join."""
+    from leftshove_spark.operators.analytic import winsorize
+
+    rows = [(i, None if i < 10 else "g", float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = winsorize(df, "v", ["grp"], lo=0.0, hi=0.5)
+    got = out.collect()
+    assert len(got) == 20  # no rows dropped
+    # the NULL group's hi bound is its own median (0..9 -> 4.5), so its
+    # large values clamp to 4.5 — proof it matched ITS bounds row
+    null_rows = {r["id"]: r["v_wins"] for r in got if r["grp"] is None}
+    assert null_rows[9] == 4.5 and null_rows[0] == 0.0

@@ -143,3 +143,46 @@ def test_engine_state_at_matches_state_as_of(spark, tmp_path):
     fast = {r["event_id"] for r in eng.state_at("events", T).select("event_id").collect()}
     slow = {r["event_id"] for r in eng.state_as_of("events", T).select("event_id").collect()}
     assert fast == slow and fast
+
+
+def test_engine_history_deterministic_on_snapshot_tm_ties(spark, tmp_path):
+    """r7 advice: two captured versions of a pkey sharing snapshot_tm (a
+    same-cycle source duplicate) must yield a DETERMINISTIC interval
+    chain — Engine now passes the payload columns as tiebreaks, so the
+    winner is the max over (snapshot_tm, payload) and history /
+    state_as_of / state_at agree on the same row, not an arbitrary
+    partition-order pick."""
+    from datetime import datetime
+
+    src = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1), "a")], "id long, ts timestamp, v string"
+    )
+    p = str(tmp_path / "acc.parquet")
+    src.write.parquet(p)
+    eng = _engine(spark, tmp_path)
+    eng.seed([{"name": "acc", "path": p, "nms_column": "ts", "pkey_column": "id"}])
+    eng.create_sinks()
+    st = next(s for s in eng.state.all() if s.name == "acc")
+    t0, t1 = datetime(2026, 2, 1), datetime(2026, 3, 1)
+    cdc = spark.createDataFrame(
+        [
+            (1, datetime(2026, 1, 1), "a", t0),
+            (1, datetime(2026, 1, 2), "b", t1),  # tie pair at t1 with
+            (1, datetime(2026, 1, 3), "c", t1),  # different payloads
+        ],
+        "id long, ts timestamp, v string, snapshot_tm timestamp",
+    )
+    cdc.write.mode("overwrite").parquet(eng.sink_path(st))
+
+    hist = eng.history("acc")
+    cur = hist.filter(F.col("is_current")).collect()
+    # max over (snapshot_tm, ts, v): both candidates share t1, ts breaks
+    assert len(cur) == 1 and cur[0]["v"] == "c"
+    # the interval chain is total: valid_to of the 'b' version is t1
+    b = hist.filter(F.col("v") == "b").collect()[0]
+    assert b["valid_to"] == t1 and not b["is_current"]
+
+    T = datetime(2026, 4, 1)
+    fast = [(r["id"], r["v"]) for r in eng.state_at("acc", T).select("id", "v").collect()]
+    slow = [(r["id"], r["v"]) for r in eng.state_as_of("acc", T).select("id", "v").collect()]
+    assert fast == slow == [(1, "c")]

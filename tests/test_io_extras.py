@@ -182,3 +182,39 @@ def test_compact_landing_preserves_rows_and_reduces_files(spark, tmp_path):
     assert ".compact_tmp" not in os.listdir(path)
     after = sorted(r["o_orderkey"] for r in spark.read.parquet(path).collect())
     assert after == before
+
+
+def test_compact_landing_recovers_from_stale_staging_dirs(spark, tmp_path):
+    """r7 advice: a crashed prior compaction leaves .compact_tmp (and
+    possibly .compact_trash holding the authoritative files). The next
+    run must (a) not count the stale staging bytes in its size
+    estimate, (b) restore trash contents when the promote never ran,
+    and (c) still preserve rows exactly."""
+    import os
+    import shutil
+
+    from leftshove_spark.sinks import compact_landing
+
+    path = str(tmp_path / "landing")
+    df = spark.range(1000).selectExpr("id", "id % 7 AS k")
+    df.repartition(6).write.parquet(path)
+    want = 1000
+
+    # crash scenario 1: stale tmp from a run that died mid-write
+    tmp = os.path.join(path, ".compact_tmp")
+    df.limit(10).write.parquet(tmp)
+    compact_landing(spark, path, target_file_bytes=10**9)
+    assert not os.path.exists(tmp)
+    assert spark.read.parquet(path).count() == want
+
+    # crash scenario 2: every data file moved to trash, promote never
+    # ran (the worst spot — directory looks empty) -> recovered
+    trash = os.path.join(path, ".compact_trash")
+    os.makedirs(trash)
+    for entry in os.listdir(path):
+        if not entry.startswith(("_", ".")):
+            os.rename(os.path.join(path, entry), os.path.join(trash, entry))
+    compact_landing(spark, path, target_file_bytes=10**9)
+    assert spark.read.parquet(path).count() == want
+    assert not os.path.exists(trash) and not os.path.exists(tmp)
+    shutil.rmtree(path)

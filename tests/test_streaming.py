@@ -380,3 +380,32 @@ def test_maintain_history_rewrites_only_touched_buckets(spark, tmp_path):
     # 16 buckets; the single-key batch touches exactly one
     assert untouched_same >= len(before) - len(before) // 16 - 1
     assert untouched_same < len(after)  # and at least one bucket DID change
+
+
+def test_maintain_history_rejects_version_stamp_conflicts(spark, tmp_path):
+    """Version-key contract: byte-identical redeliveries collapse, but
+    two DIFFERENT payloads sharing (key, order, tiebreaks) raise before
+    anything is written — state on disk stays exactly as it was."""
+    import pytest
+
+    from leftshove_spark.streaming import maintain_history
+
+    state = str(tmp_path / "hist")
+    ok = spark.createDataFrame(
+        [(1, "2026-01-01", "a")], "k long, d string, v string"
+    )
+    maintain_history(spark, state, ok, "k", "d")
+    before = sorted(map(tuple, spark.read.parquet(state).drop("__bucket").collect()))
+
+    conflict = spark.createDataFrame(
+        [(1, "2026-01-02", "b"), (1, "2026-01-02", "c")],
+        "k long, d string, v string",
+    )
+    with pytest.raises(ValueError, match="version key"):
+        maintain_history(spark, state, conflict, "k", "d")
+    after = sorted(map(tuple, spark.read.parquet(state).drop("__bucket").collect()))
+    assert after == before  # nothing written
+
+    # identical redelivery is NOT a conflict
+    maintain_history(spark, state, ok, "k", "d")
+    assert spark.read.parquet(state).count() == 1
