@@ -385,3 +385,37 @@ def sample_k_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+    pos_col: str = "epoch_pos",
+    salt: str = "epoch:",
+) -> DataFrame:
+    """Deterministic per-epoch global training order: every row gets its
+    1-based position in a pseudo-random permutation seeded by ``epoch``
+    — the "shuffle the corpus differently every epoch, identically on
+    every retry" primitive a training-data loader needs. The order is a
+    pure function of (epoch, id): resumable mid-epoch from any
+    checkpoint, stable under repartitioning and task retries, and
+    different epochs give independent permutations (the same stability
+    contract as :func:`hash_split`).
+
+    Plan: md5 over the salted (epoch, id) as the sort key, then
+    :func:`operators.analytic.exact_global_rank` for the global
+    position — a range-partitioned parallel rank, NOT a
+    single-partition ``row_number() OVER (ORDER BY ...)`` window; every
+    stage stays at full parallelism at 100 TB. In practice each epoch's
+    output is written ordered-by-position and consumed sequentially;
+    epochs are independent runs, never joined."""
+    from leftshove_spark.operators.analytic import exact_global_rank
+
+    key = F.md5(
+        F.concat_ws("\x1f", F.lit(f"{salt}{epoch}"), F.col(id_col).cast("string"))
+    )
+    out = df.withColumn("__shuffle_key", key)
+    return exact_global_rank(
+        out, ["__shuffle_key", id_col], rank_col=pos_col
+    ).drop("__shuffle_key")

@@ -130,9 +130,9 @@ GATE_ORDER = [
     "w19_nav_battery",
     "c19_math_battery",
     "x_chunk_documents",
+    "x_epoch_shuffle",
     "x_dedup_connected_components",
     "w15_window_battery",
-    "o6_grouping_sets",
     "x_quality_deciles",
     "c16_json_null_battery",
     "x_knn_ivf",
@@ -140,9 +140,6 @@ GATE_ORDER = [
     # --- tail (entries 51+): also cheap-first, so a driver budget cut
     # costs the fewest rows. All are additionally guarded by
     # tests/test_gate_tail_oracle.py regardless of gate reach.
-    "w19_nav_battery",
-    "c19_math_battery",
-    "x_chunk_documents",
     "x_dedup_ngram_jaccard",
     "x_knn_lsh",
     "x_dedup_resolution",
@@ -198,6 +195,7 @@ GATE_ORDER = [
     "q22_dormant_customers",
     "q21_latest_shipper",
     "q7_volume_shipping",
+    "o6_grouping_sets",
 ]
 
 

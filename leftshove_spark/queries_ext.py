@@ -1492,3 +1492,38 @@ def x_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.hex("frame").alias("frame_hex")
     )
+
+
+@_q(
+    "x_epoch_shuffle",
+    """
+    SELECT CAST(0 AS INTEGER) AS epoch, doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5(concat('epoch:0', chr(31),
+                                 CAST(doc_id AS VARCHAR))), doc_id
+           ) AS BIGINT) AS epoch_pos
+    FROM documents
+    UNION ALL
+    SELECT CAST(1 AS INTEGER), doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5(concat('epoch:1', chr(31),
+                                 CAST(doc_id AS VARCHAR))), doc_id
+           ) AS BIGINT)
+    FROM documents
+    """,
+)
+def x_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-epoch global training order for two epochs —
+    each epoch an independent md5-seeded permutation, hash-checked
+    against the oracle's global row_number. The Spark side computes the
+    position via exact_global_rank (range-partitioned parallel rank),
+    NOT a single-partition ORDER BY window — the whole point of the
+    operator at 100 TB; see :func:`ext.pipeline.epoch_shuffle`."""
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    epochs = [
+        P.epoch_shuffle(docs, epoch=e).select(
+            F.lit(e).alias("epoch"), "doc_id", "epoch_pos"
+        )
+        for e in (0, 1)
+    ]
+    return epochs[0].unionByName(epochs[1])

@@ -34,6 +34,15 @@ def docs(spark):
     return read_parquet_normalized(spark, f"{SF0001}/documents.parquet")
 
 
+@pytest.fixture(autouse=True)
+def clean_cache(spark):
+    """The cache-empty assertions are about THIS test's pins; a shared
+    session may carry caches from earlier suites — start clean."""
+    cache.release_pins()
+    spark.catalog.clearCache()
+    yield
+
+
 # The gate queries whose plans pin intermediates (LSH stages, the
 # incremental index). Each must leave the cache manager empty once the
 # consumer releases the pins.

@@ -217,3 +217,29 @@ def test_sample_k_per_group_stable_under_repartition(spark):
     assert other_salt != base
     sizes = sample_k_per_group(docs, "source", k=5).groupBy("source").count()
     assert all(r["count"] <= 5 for r in sizes.collect())
+
+
+def test_epoch_shuffle_is_deterministic_independent_permutation(spark):
+    """Each epoch is an exact permutation 1..N of the corpus; the order
+    is a pure function of (epoch, id) — identical under repartitioning
+    — and different epochs give genuinely different orders."""
+    from leftshove_spark.ext.pipeline import epoch_shuffle
+    from leftshove_spark.sources import load_table
+
+    docs = load_table(spark, SF0001, "documents").select("doc_id")
+    n = docs.count()
+
+    e0 = {r["doc_id"]: r["epoch_pos"] for r in epoch_shuffle(docs, 0).collect()}
+    assert sorted(e0.values()) == list(range(1, n + 1))  # exact permutation
+
+    # stable under physical layout changes (retry / different cluster)
+    e0b = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in epoch_shuffle(docs.repartition(7), 0).collect()
+    }
+    assert e0 == e0b
+
+    e1 = {r["doc_id"]: r["epoch_pos"] for r in epoch_shuffle(docs, 1).collect()}
+    assert sorted(e1.values()) == list(range(1, n + 1))
+    moved = sum(1 for k in e0 if e0[k] != e1[k])
+    assert moved > n * 0.9  # epochs are independent draws
