@@ -270,7 +270,23 @@ def _maybe_broadcast(df: DataFrame, sf: str, table: str) -> DataFrame:
 
 def _q(name: str, oracle: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark, sf):
+            # gate consumers (driver, check_oracle, tail test, bench)
+            # run queries SEQUENTIALLY and collect each before calling
+            # the next — so releasing the PREVIOUS query's pinned
+            # intermediates here bounds cache leakage to one query's
+            # pins across an arbitrarily long gate run. (A pin created
+            # inside this call survives until the caller collects and
+            # the next query enters.)
+            from leftshove_spark.ext import cache as _pin_cache
+
+            _pin_cache.release_pins()
+            return fn(spark, sf)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

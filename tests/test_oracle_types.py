@@ -102,7 +102,12 @@ def test_lint_catches_bare_date_output(ddb):
 def _unsortable_fields(schema):
     from pyspark.sql import types as T
 
-    bad = (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+    # Array/Map/Struct/Binary: pandas sort_values raises (r7's reds).
+    # Date: a pandas-path fetch widens to datetime64 midnight while a
+    # Python-native fetch keeps datetime.date — the same fetch-path
+    # drift class as DuckDB DATE (linted above); emit TIMESTAMP or a
+    # formatted string instead.
+    bad = (T.ArrayType, T.MapType, T.StructType, T.BinaryType, T.DateType)
     return [(f.name, f.dataType.simpleString()) for f in schema.fields
             if isinstance(f.dataType, bad)]
 
@@ -123,6 +128,7 @@ def test_gate_spark_output_schema_is_driver_sortable(spark, name):
 def test_spark_lint_catches_array_output(spark):
     """Self-check: the exact r7 bug shape must trip the Spark-side lint."""
     df = spark.range(1).selectExpr("array(1.0f, 2.0f) AS features",
-                                   "cast('ab' as binary) AS frame")
+                                   "cast('ab' as binary) AS frame",
+                                   "date'1995-01-02' AS d")
     flagged = _unsortable_fields(df.schema)
-    assert [c for c, _ in flagged] == ["features", "frame"]
+    assert [c for c, _ in flagged] == ["features", "frame", "d"]
