@@ -152,20 +152,38 @@ def compact_landing(
 
     tmp = os.path.join(path, ".compact_tmp")
     trash = os.path.join(path, ".compact_trash")
-    # stale staging dirs from a crashed prior run: recover trash (it
-    # holds the then-authoritative files) only if the promote loop never
-    # ran (path has no data files); always drop stale tmp. Neither may
-    # leak into the size estimate below.
+    _STAGING = (".compact_tmp", ".compact_trash")
+    # Stale staging dirs from a crashed prior run. The invariant that
+    # makes recovery unambiguous: trash is created only AFTER the tmp
+    # write completed, so trash-present ⇒ tmp (if still present) holds
+    # the COMPLETE new state and its listing defines it. Neither
+    # staging dir may leak into the size estimate below.
     if os.path.isdir(trash):
-        has_live = any(
-            not e.startswith(("_", ".")) for e in os.listdir(path)
-        )
-        for entry in os.listdir(trash):
-            dst = os.path.join(path, entry)
-            if not has_live and not os.path.exists(dst):
-                os.rename(os.path.join(trash, entry), dst)
-        shutil.rmtree(trash, ignore_errors=True)
-    if os.path.isdir(tmp):
+        if os.path.isdir(tmp):
+            # crashed mid-swap: finish it. Anything in path that is not
+            # part of the new state is an old file the crash left
+            # behind — into the trash with it, then promote the rest.
+            new_names = set(os.listdir(tmp))
+            for entry in os.listdir(path):
+                if entry not in _STAGING and entry not in new_names:
+                    os.rename(os.path.join(path, entry), os.path.join(trash, entry))
+            for entry in os.listdir(tmp):
+                # os.replace: a same-named old leftover (e.g. _SUCCESS)
+                # yields to the new state
+                os.replace(os.path.join(tmp, entry), os.path.join(path, entry))
+            os.rmdir(tmp)
+            shutil.rmtree(trash, ignore_errors=True)
+        elif any(not e.startswith(("_", ".")) for e in os.listdir(path)):
+            # promote finished, crash before the trash drop
+            shutil.rmtree(trash, ignore_errors=True)
+        else:
+            # defensive (unreachable via this code's own crash points):
+            # no new state anywhere — restore the old files
+            for entry in os.listdir(trash):
+                os.rename(os.path.join(trash, entry), os.path.join(path, entry))
+            shutil.rmtree(trash, ignore_errors=True)
+    elif os.path.isdir(tmp):
+        # no trash ⇒ the tmp write may be incomplete; old state intact
         shutil.rmtree(tmp)
 
     total = 0
@@ -183,7 +201,7 @@ def compact_landing(
     df.repartition(n).write.mode("overwrite").format(fmt).save(tmp)
     os.makedirs(trash)
     for entry in os.listdir(path):
-        if entry not in (".compact_tmp", ".compact_trash"):
+        if entry not in _STAGING:
             os.rename(os.path.join(path, entry), os.path.join(trash, entry))
     for entry in os.listdir(tmp):
         os.rename(os.path.join(tmp, entry), os.path.join(path, entry))

@@ -217,4 +217,22 @@ def test_compact_landing_recovers_from_stale_staging_dirs(spark, tmp_path):
     compact_landing(spark, path, target_file_bytes=10**9)
     assert spark.read.parquet(path).count() == want
     assert not os.path.exists(trash) and not os.path.exists(tmp)
+
+    # crash scenario 3: mid-swap — tmp holds the COMPLETE new state
+    # (trash's existence certifies the write finished), some old files
+    # still sit in path, none promoted yet. Recovery must finish the
+    # swap from tmp: rows = the new state exactly, no old/new mix.
+    new_state = df.selectExpr("id", "k", "'new' AS tag").limit(600)
+    new_state.coalesce(1).write.parquet(tmp)
+    os.makedirs(trash)
+    # move only SOME old files to trash to model the interrupted loop
+    moved = 0
+    for entry in os.listdir(path):
+        if not entry.startswith(("_", ".")) and moved < 1:
+            os.rename(os.path.join(path, entry), os.path.join(trash, entry))
+            moved += 1
+    compact_landing(spark, path, target_file_bytes=10**9)
+    out = spark.read.parquet(path)
+    assert out.count() == 600 and "tag" in out.columns
+    assert not os.path.exists(trash) and not os.path.exists(tmp)
     shutil.rmtree(path)
