@@ -419,3 +419,39 @@ def epoch_shuffle(
     return exact_global_rank(
         out, ["__shuffle_key", id_col], rank_col=pos_col
     ).drop("__shuffle_key")
+
+
+def token_budget_cap(
+    df: DataFrame,
+    budget_per_group: int,
+    group_cols: list[str] | str,
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "tbc:",
+    keep_cum: bool = False,
+) -> DataFrame:
+    """Per-group TOKEN-budget cap: keep the deterministic md5-ranked
+    prefix of each group whose cumulative ``weight_col`` fits
+    ``budget_per_group`` — the knob corpus mixing actually turns
+    (a source's contribution is budgeted in tokens, not documents;
+    :func:`sample_k_per_group` caps a COUNT, this caps a SUM).
+
+    Selection is a pure function of the ids in the group: stable under
+    repartitioning and retries, and re-running after an append only
+    admits/evicts at the budget boundary. One shuffle on the group key;
+    the running sum is a cumulative window inside each group partition
+    — a hot group serializes its own window (same caveat as any
+    per-key window; split the group or sub-bucket the salt if one
+    group dominates the corpus)."""
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    c = F.col(id_col)
+    rank_key = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(rank_key, c)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("__cum", F.sum(weight_col).over(w).cast("long")).filter(
+        F.col("__cum") <= budget_per_group
+    )
+    return out.withColumnRenamed("__cum", "cum_weight") if keep_cum else out.drop("__cum")

@@ -131,8 +131,8 @@ GATE_ORDER = [
     "c19_math_battery",
     "x_chunk_documents",
     "x_epoch_shuffle",
+    "x_token_budget_cap",
     "x_dedup_connected_components",
-    "w15_window_battery",
     "x_quality_deciles",
     "c16_json_null_battery",
     "x_knn_ivf",
@@ -196,6 +196,7 @@ GATE_ORDER = [
     "q21_latest_shipper",
     "q7_volume_shipping",
     "o6_grouping_sets",
+    "w15_window_battery",
 ]
 
 

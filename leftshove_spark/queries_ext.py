@@ -1527,3 +1527,29 @@ def x_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
         for e in (0, 1)
     ]
     return epochs[0].unionByName(epochs[1])
+
+
+@_q(
+    "x_token_budget_cap",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(sum(n_chars) OVER (
+               PARTITION BY lang
+               ORDER BY md5(concat('tbc:', CAST(doc_id AS VARCHAR))), doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum_weight
+      FROM documents)
+    SELECT doc_id, lang, n_chars, cum_weight
+    FROM ranked WHERE cum_weight <= 20000
+    """,
+)
+def x_token_budget_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language 20k-char token-budget cap — the SUM-capped
+    complement of the COUNT-capped k-per-group sample; see
+    :func:`ext.pipeline.token_budget_cap` for the md5-prefix stability
+    contract and the per-group cumulative-window plan."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return P.token_budget_cap(
+        docs, 20000, "lang", weight_col="n_chars", keep_cum=True
+    )

@@ -243,3 +243,33 @@ def test_epoch_shuffle_is_deterministic_independent_permutation(spark):
     assert sorted(e1.values()) == list(range(1, n + 1))
     moved = sum(1 for k in e0 if e0[k] != e1[k])
     assert moved > n * 0.9  # epochs are independent draws
+
+
+def test_token_budget_cap_prefix_and_stability(spark):
+    """Budget cap keeps exactly the md5-ranked prefix whose cumulative
+    weight fits the budget, per group — never exceeds the budget, is a
+    pure id function (repartition-stable), and admits strictly more
+    under a bigger budget (monotone)."""
+    from leftshove_spark.ext.pipeline import token_budget_cap
+    from leftshove_spark.sources import load_table
+
+    docs = load_table(spark, SF0001, "documents").select("doc_id", "lang", "n_chars")
+    small = token_budget_cap(docs, 5000, "lang", weight_col="n_chars", keep_cum=True)
+    rows = small.collect()
+    assert rows, "budget must admit something at sf0.001"
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in per_lang.items():
+        assert max(x["cum_weight"] for x in rs) <= 5000
+        # cum_weight of the kept set is exactly the running sum of its
+        # own weights under the deterministic order -> a true prefix
+        assert sorted(x["cum_weight"] for x in rs)[-1] == sum(x["n_chars"] for x in rs)
+
+    stable = token_budget_cap(
+        docs.repartition(7), 5000, "lang", weight_col="n_chars", keep_cum=True
+    )
+    assert {r["doc_id"] for r in stable.collect()} == {r["doc_id"] for r in rows}
+
+    big = token_budget_cap(docs, 20000, "lang", weight_col="n_chars")
+    assert {r["doc_id"] for r in rows} <= {r["doc_id"] for r in big.collect()}
