@@ -129,3 +129,112 @@ def range_join_bucketed(
         .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
         .drop("__bucket")
     )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on_left: str,
+    on_right: str,
+    by_left: str,
+    by_right: str,
+    value_cols: list[str],
+    bucket_seconds: int,
+) -> DataFrame:
+    """:func:`asof_join` with the hot-key escape hatch engaged: the
+    running-fill window partitions on **(key, time bucket)** instead of
+    the key alone, so one dominant key spreads across
+    ``time_range / bucket_seconds`` parallel partitions instead of
+    serializing one sort. Identical results to :func:`asof_join` by
+    construction (pytest-pinned) — choose it when skew diagnostics
+    (operators.skew) show a key owning a partition-sized share of the
+    stream.
+
+    Plan:
+    1. union both sides keyed by ``(k, b = floor(t / bucket))`` and run
+       the same running ``last(ignorenulls)`` INSIDE each bucket — the
+       big window, now skew-free;
+    2. summarize the right side to its latest value per (k, b) — an
+       O(active key-buckets) relation — and chain the carry across
+       buckets with a per-key window **over that summary grid**, rows
+       strictly before the current bucket (the only per-key sequential
+       pass, on bucket-count rows, not data);
+    3. left rows whose in-bucket fill is null coalesce to the carried
+       value joined back on (k, b) — the join key equals the window's
+       partitioning, so the big side does not re-shuffle.
+
+    Trade-off: the carry grid is O(distinct (key, bucket)) rows; with
+    millions of keys and fine buckets prefer the plain
+    :func:`asof_join` (AQE handles mild skew) — this variant is for the
+    few-hot-keys regime, and ``bucket_seconds`` should give tens to
+    thousands of buckets over the data's time range."""
+    t_type = left.schema[on_left].dataType
+    b_us = F.lit(int(bucket_seconds) * 1_000_000)
+
+    def _b(tcol):
+        return F.floor(F.unix_micros(tcol.cast("timestamp")) / b_us)
+
+    lrow = F.struct(*[F.col(c) for c in left.columns]).alias("__lrow")
+    l_tagged = left.select(
+        F.col(by_left).alias("__k"),
+        F.col(on_left).cast(t_type).alias("__t"),
+        F.lit(1).alias("__side"),
+        lrow,
+    )
+    r_tagged = right.select(
+        F.col(by_right).alias("__k"),
+        F.col(on_right).cast(t_type).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True).withColumn(
+        "__b", _b(F.col("__t"))
+    )
+
+    # 1. skew-free in-bucket running fill
+    w_local = (
+        Window.partitionBy("__k", "__b")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = u.select(
+        "__side",
+        "__k",
+        "__b",
+        "__lrow",
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w_local).alias(f"__lf_{c}")
+            for c in value_cols
+        ],
+    )
+
+    # 2. per-(k, b) right summary + strictly-previous-bucket carry over
+    #    the O(key-buckets) grid
+    r_sum = r_tagged.withColumn("__b", _b(F.col("__t"))).groupBy("__k", "__b").agg(
+        *[F.max_by(f"__v_{c}", "__t").alias(f"__s_{c}") for c in value_cols]
+    )
+    grid = u.select("__k", "__b").distinct().join(r_sum, ["__k", "__b"], "left")
+    w_carry = (
+        Window.partitionBy("__k")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = grid.select(
+        "__k",
+        "__b",
+        *[
+            F.last(f"__s_{c}", ignorenulls=True).over(w_carry).alias(f"__c_{c}")
+            for c in value_cols
+        ],
+    )
+
+    # 3. coalesce in-bucket fill with the carried boundary value
+    out = local.filter(F.col("__side") == 1).join(carry, ["__k", "__b"])
+    return out.select(
+        F.col("__lrow.*"),
+        *[
+            F.coalesce(F.col(f"__lf_{c}"), F.col(f"__c_{c}")).alias(c)
+            for c in value_cols
+        ],
+    )

@@ -132,9 +132,9 @@ GATE_ORDER = [
     "x_chunk_documents",
     "x_epoch_shuffle",
     "x_token_budget_cap",
+    "t3_asof_join_bucketed",
     "x_dedup_connected_components",
     "x_quality_deciles",
-    "c16_json_null_battery",
     "x_knn_ivf",
     "x_dedup_embedding_cosine",
     # --- tail (entries 51+): also cheap-first, so a driver budget cut
@@ -197,6 +197,7 @@ GATE_ORDER = [
     "q7_volume_shipping",
     "o6_grouping_sets",
     "w15_window_battery",
+    "c16_json_null_battery",
 ]
 
 
@@ -1269,6 +1270,44 @@ def t1_asof_join_latest_order(spark: SparkSession, sf: str) -> DataFrame:
         by_left="user_id",
         by_right="o_custkey",
         value_cols=["last_order_key", "order_dt"],
+    )
+
+
+@_q(
+    "t3_asof_join_bucketed",
+    """
+    WITH ord AS (
+      SELECT o_custkey, o_orderdate AS order_dt, max(o_orderkey) AS last_order_key
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.ts, e.user_id, o.last_order_key, o.order_dt
+    FROM events e ASOF LEFT JOIN ord o
+      ON e.user_id = o.o_custkey AND e.ts >= o.order_dt
+    """,
+)
+def t3_asof_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME as-of semantics as t1, through the hot-key escape hatch
+    (operators.temporal.asof_join_bucketed): the running-fill window
+    partitions on (key, 90-day bucket) so a dominant key parallelizes,
+    with the cross-bucket carry chained over the O(key-buckets) summary
+    grid. Hash-checked against DuckDB's native ASOF JOIN — and thereby
+    against t1's plain form, proving the rewrite exact."""
+    ev = load_table(spark, sf, "events").select("event_id", "ts", "user_id")
+    ords = (
+        load_table(spark, sf, "orders")
+        .select("o_custkey", F.col("o_orderdate").alias("order_dt"), "o_orderkey")
+        .groupBy("o_custkey", "order_dt")
+        .agg(F.max("o_orderkey").alias("last_order_key"))
+    )
+    return T.asof_join_bucketed(
+        ev,
+        ords,
+        on_left="ts",
+        on_right="order_dt",
+        by_left="user_id",
+        by_right="o_custkey",
+        value_cols=["last_order_key", "order_dt"],
+        bucket_seconds=90 * 86_400,
     )
 
 

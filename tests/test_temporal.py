@@ -4,6 +4,8 @@ overlap multiplicity, bucket-boundary edges)."""
 
 from datetime import datetime
 
+from conftest import SF0001
+
 from pyspark.sql import functions as F
 
 from leftshove_spark.operators.temporal import asof_join, range_join_bucketed
@@ -122,3 +124,61 @@ def test_range_join_fact_side_does_not_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     # the only exchange is the broadcast of the window side
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_asof_join_bucketed_equals_plain(spark):
+    """The hot-key rewrite is exact: identical row multiset to the plain
+    asof_join on the fixture join (events × latest-order)."""
+    from leftshove_spark.operators.temporal import asof_join_bucketed
+    from leftshove_spark.sources import load_table
+
+    ev = load_table(spark, SF0001, "events").select("event_id", "ts", "user_id")
+    ords = (
+        load_table(spark, SF0001, "orders")
+        .select("o_custkey", F.col("o_orderdate").alias("order_dt"), "o_orderkey")
+        .groupBy("o_custkey", "order_dt")
+        .agg(F.max("o_orderkey").alias("last_order_key"))
+    )
+    kw = dict(
+        on_left="ts", on_right="order_dt", by_left="user_id",
+        by_right="o_custkey", value_cols=["last_order_key", "order_dt"],
+    )
+    plain = asof_join(ev, ords, **kw)
+    bucketed = asof_join_bucketed(ev, ords, bucket_seconds=90 * 86_400, **kw)
+    assert bucketed.count() == ev.count() == plain.count()
+    assert bucketed.exceptAll(plain).count() == 0
+    assert plain.exceptAll(bucketed).count() == 0
+
+
+def test_asof_join_bucketed_hot_key_and_boundaries(spark):
+    """One dominant key; right rows at exact bucket boundaries, ties at
+    the left timestamp (inclusive pick), empty leading buckets (carry
+    must chain across a right-less bucket), and a key with no right
+    rows at all (stays NULL)."""
+    from leftshove_spark.operators.temporal import asof_join_bucketed
+
+    B = 60  # 1-minute buckets
+    mk = lambda s: datetime(2026, 1, 1, 0, 0, s) if s < 60 else datetime(2026, 1, 1, 0, s // 60, s % 60)
+    left = spark.createDataFrame(
+        [(i, mk(i * 37 % 600), 1) for i in range(200)]  # hot key 1, many buckets
+        + [(900, mk(5), 2)],                            # key 2: no right rows
+        "event_id long, t timestamp, k long",
+    )
+    right = spark.createDataFrame(
+        [(1, mk(0), 100), (1, mk(60), 200),   # exact bucket boundaries
+         (1, mk(185), 300)],                  # mid-bucket; buckets 2,4.. empty
+        "k long, t timestamp, v long",
+    )
+    out = asof_join_bucketed(
+        left, right,
+        on_left="t", on_right="t", by_left="k", by_right="k",
+        value_cols=["v"], bucket_seconds=B,
+    ).collect()
+    assert len(out) == 201
+    for r in out:
+        if r["k"] == 2:
+            assert r["v"] is None
+            continue
+        s = r["t"].minute * 60 + r["t"].second
+        want = 300 if s >= 185 else 200 if s >= 60 else 100  # inclusive >=
+        assert r["v"] == want, (s, r["v"])
