@@ -54,6 +54,10 @@ HEADLINE = [
     "cdc_at_least_once_dedup",
     "w7_tumbling_window_agg",
     "t1_asof_join_latest_order",
+    # round-8: the hot-key as-of form — a new plan class (windows on
+    # (key, time bucket) + carry over the key-bucket grid); keep t1 for
+    # the round-over-round comparison, t3 rows beside it
+    "t3_asof_join_bucketed",
     "x_dedup_minhash_lsh",
     # round-7: the banded-SRP embedding near-dup (the 100 TB ANN-dedup
     # path — candidates from the band-key self-join, never all pairs)

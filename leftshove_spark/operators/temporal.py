@@ -214,7 +214,17 @@ def asof_join_bucketed(
     r_sum = r_tagged.withColumn("__b", _b(F.col("__t"))).groupBy("__k", "__b").agg(
         *[F.max_by(f"__v_{c}", "__t").alias(f"__s_{c}") for c in value_cols]
     )
-    grid = u.select("__k", "__b").distinct().join(r_sum, ["__k", "__b"], "left")
+    # grid = left's (k, b) set ∪ right's summary buckets — derived from
+    # a NARROW projection of each side, not from `u` (re-deriving the
+    # union here would recompute the right side's upstream plan a
+    # second time; the left contribution is a 2-column scan + map-side
+    # distinct)
+    grid = (
+        l_tagged.select("__k", _b(F.col("__t")).alias("__b"))
+        .unionByName(r_sum.select("__k", "__b"))
+        .distinct()
+        .join(r_sum, ["__k", "__b"], "left")
+    )
     w_carry = (
         Window.partitionBy("__k")
         .orderBy("__b")
