@@ -133,6 +133,7 @@ GATE_ORDER = [
     "x_epoch_shuffle",
     "x_token_budget_cap",
     "t3_asof_join_bucketed",
+    "x_snapshot_diff",
     "x_dedup_connected_components",
     "x_quality_deciles",
     "x_knn_ivf",

@@ -1553,3 +1553,48 @@ def x_token_budget_cap(spark: SparkSession, sf: str) -> DataFrame:
     return P.token_budget_cap(
         docs, 20000, "lang", weight_col="n_chars", keep_cum=True
     )
+
+
+@_q(
+    "x_snapshot_diff",
+    """
+    WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+                 FROM orders WHERE o_orderkey % 3 <> 0),
+    new AS (SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0
+                        THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE o_orderkey % 5 <> 0)
+    SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                     OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+          OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+          OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+    """,
+)
+def x_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-level snapshot diff (views.snapshot_diff — the row
+    complement of the D6 schema diff): two derived snapshots of orders
+    (disjoint membership slices; every 7th price doubled in the new
+    one) classified added/removed/changed per key. Per-column
+    IS-DISTINCT-FROM on native types, so floats never stringify; one
+    full outer join on the key."""
+    base = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = base.filter(F.col("o_orderkey") % 3 != 0)
+    new = base.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    from leftshove_spark.views import snapshot_diff
+
+    return snapshot_diff(old, new, "o_orderkey")

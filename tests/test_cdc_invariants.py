@@ -162,3 +162,39 @@ def test_concurrent_fanout_matches_sequential(spark, tmp_path):
         cols = [c for c in a.columns if c != "snapshot_tm"]
         assert a.select(cols).exceptAll(b.select(cols)).count() == 0
         assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+
+def test_snapshot_diff_classification_and_null_semantics(spark):
+    """Diff classification on a crafted table: membership changes,
+    value changes, NULL->value and value->NULL transitions (both are
+    'changed'), NULL-equal columns ('unchanged'), and a NULL key row
+    present in both sides (matched by the null-safe key join, not
+    misread as added+removed)."""
+    from leftshove_spark.views import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, None), (3, None, "c"), (4, 40.0, "d"),
+         (None, 99.0, "nk")],
+        "k int, v double, s string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "a"),            # unchanged
+         (2, 20.0, "now-set"),      # NULL -> value = changed
+         (3, None, "c"),            # NULL == NULL = unchanged
+         (5, 50.0, "e"),            # added (4 removed)
+         (None, 99.0, "nk")],       # NULL key, identical = unchanged
+        "k int, v double, s string",
+    )
+    got = {
+        (r["k"], r["change_type"])
+        for r in snapshot_diff(old, new, "k").collect()
+    }
+    assert got == {(2, "changed"), (4, "removed"), (5, "added")}
+
+    full = {
+        (r["k"], r["change_type"])
+        for r in snapshot_diff(old, new, "k", include_unchanged=True).collect()
+    }
+    assert (1, "unchanged") in full and (3, "unchanged") in full
+    assert (None, "unchanged") in full  # null-safe key match
+    assert len(full) == 6
