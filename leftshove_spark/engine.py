@@ -417,6 +417,26 @@ class Engine:
             tiebreak_cols=self._version_tiebreaks(cdc, st.pkey_column),
         )
 
+    def changes_between(self, table: str, t1, t2) -> DataFrame:
+        """Change feed between two instants: per pkey, was the row
+        ``added``, ``removed`` or ``changed`` from the state at ``t1``
+        to the state at ``t2``? Composes the two pushdown point-in-time
+        states through views.snapshot_diff (full outer null-safe key
+        join, per-column IS-DISTINCT-FROM on native types, output
+        O(changes)) — the "what did this capture cycle do" audit query
+        a CDC consumer replays. Both sides prune the sink scan with
+        their ``snapshot_tm <=`` predicate; with an append-only source
+        'removed' rows indicate sink corruption, which is exactly why
+        the category exists."""
+        from .views import snapshot_diff
+
+        _, st = self._cdc_df(table)
+        return snapshot_diff(
+            self.state_at(table, t1).drop("snapshot_tm"),
+            self.state_at(table, t2).drop("snapshot_tm"),
+            st.pkey_column,
+        )
+
     # ------------------------------------------------------- S7 config sink
     def write_stream_configs(self, config_dir: str) -> None:
         """S7 — stream-config sink (benthos.go:146-160: every built

@@ -186,3 +186,37 @@ def test_engine_history_deterministic_on_snapshot_tm_ties(spark, tmp_path):
     fast = [(r["id"], r["v"]) for r in eng.state_at("acc", T).select("id", "v").collect()]
     slow = [(r["id"], r["v"]) for r in eng.state_as_of("acc", T).select("id", "v").collect()]
     assert fast == slow == [(1, "c")]
+
+
+def test_engine_changes_between(spark, tmp_path):
+    """Change feed across capture instants: keys captured in (t1, t2]
+    show as 'added' on an append-only sink; an updated version of an
+    existing pkey shows as 'changed'; nothing is 'removed'."""
+    from datetime import datetime
+
+    src = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1), "a")], "id long, ts timestamp, v string"
+    )
+    p = str(tmp_path / "acc.parquet")
+    src.write.parquet(p)
+    eng = _engine(spark, tmp_path)
+    eng.seed([{"name": "acc", "path": p, "nms_column": "ts", "pkey_column": "id"}])
+    eng.create_sinks()
+    st = next(s for s in eng.state.all() if s.name == "acc")
+    t0, t1, t2 = (datetime(2026, 2, 1), datetime(2026, 3, 1), datetime(2026, 4, 1))
+    cdc = spark.createDataFrame(
+        [
+            (1, datetime(2026, 1, 1), "a", t0),   # initial
+            (2, datetime(2026, 1, 2), "b", t1),   # new key in (t0, t1]
+            (1, datetime(2026, 1, 3), "a2", t2),  # new version of 1 in (t1, t2]
+        ],
+        "id long, ts timestamp, v string, snapshot_tm timestamp",
+    )
+    cdc.write.mode("overwrite").parquet(eng.sink_path(st))
+
+    d01 = {(r["id"], r["change_type"]) for r in eng.changes_between("acc", t0, t1).collect()}
+    assert d01 == {(2, "added")}
+    d12 = {(r["id"], r["change_type"]) for r in eng.changes_between("acc", t1, t2).collect()}
+    assert d12 == {(1, "changed")}
+    d02 = {(r["id"], r["change_type"]) for r in eng.changes_between("acc", t0, t2).collect()}
+    assert d02 == {(1, "changed"), (2, "added")}
