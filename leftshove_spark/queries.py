@@ -134,6 +134,7 @@ GATE_ORDER = [
     "x_token_budget_cap",
     "t3_asof_join_bucketed",
     "x_snapshot_diff",
+    "x_zorder_layout",
     "x_dedup_connected_components",
     "x_quality_deciles",
     "x_knn_ivf",

@@ -1598,3 +1598,57 @@ def x_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     from leftshove_spark.views import snapshot_diff
 
     return snapshot_diff(old, new, "o_orderkey")
+
+
+def _zorder_oracle_sql(bits: int = 8) -> str:
+    """DuckDB twin of sinks.bucket_rank + zorder_value over
+    (o_custkey, o_orderkey): IEEE double scaling + floor both sides,
+    then the explicit bit interleave."""
+    def rank(col, lo, hi):
+        return (
+            f"least(greatest(CAST(floor((CAST({col} AS DOUBLE) - {lo})"
+            f" / greatest({hi} - {lo}, 1.0) * {(1 << bits) - 1}) AS BIGINT),"
+            f" 0), {(1 << bits) - 1})"
+        )
+
+    r1 = rank("o_custkey", "b.lo1", "b.hi1")
+    r2 = rank("o_orderkey", "b.lo2", "b.hi2")
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({r1} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({r2} >> {b}) & 1) << {2 * b + 1})")
+    z = " + ".join(terms)
+    return f"""
+    WITH b AS (SELECT CAST(min(o_custkey) AS DOUBLE) AS lo1,
+                      CAST(max(o_custkey) AS DOUBLE) AS hi1,
+                      CAST(min(o_orderkey) AS DOUBLE) AS lo2,
+                      CAST(max(o_orderkey) AS DOUBLE) AS hi2 FROM orders)
+    SELECT o_orderkey, CAST({z} AS BIGINT) AS zval
+    FROM orders, b
+    """
+
+
+@_q("x_zorder_layout", _zorder_oracle_sql())
+def x_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """The z-order (Morton) clustering key hash-checked per row: global
+    min/max bounds -> floor-scaled 8-bit ranks -> bit interleave — the
+    exact expression :func:`sinks.write_zordered` clusters by, so the
+    multi-dimension layout's key is oracle-certified even though the
+    file layout itself is a write-side property (pinned by
+    tests/test_scale_ops.py: per-file min/max ranges narrow on BOTH
+    dimensions)."""
+    from leftshove_spark import sinks as S
+
+    orders = load_table(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    b = orders.agg(
+        F.min("o_custkey").alias("lo1"), F.max("o_custkey").alias("hi1"),
+        F.min("o_orderkey").alias("lo2"), F.max("o_orderkey").alias("hi2"),
+    ).collect()[0]
+    z = S.zorder_value(
+        [
+            S.bucket_rank("o_custkey", b["lo1"], b["hi1"], bits=8),
+            S.bucket_rank("o_orderkey", b["lo2"], b["hi2"], bits=8),
+        ],
+        bits=8,
+    )
+    return orders.select("o_orderkey", z.alias("zval"))

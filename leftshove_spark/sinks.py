@@ -208,3 +208,78 @@ def compact_landing(
     os.rmdir(tmp)
     shutil.rmtree(trash)
     return n
+
+
+def zorder_value(cols: list, bits: int = 16):
+    """Z-order (Morton) key over 2+ pre-bucketed integer columns: the
+    bits of each input interleave into one long, so rows close in the
+    z-value are close in EVERY input dimension — range-clustering by it
+    yields files whose parquet min/max stats are tight on all the
+    columns at once, where single-column clustering helps only its
+    leading column (the Delta/Iceberg OPTIMIZE ZORDER layout, as a pure
+    codegen expression).
+
+    Inputs must already be integer bucket ranks in [0, 2^bits) —
+    use :func:`bucket_rank` for the min/max scaling. bits × len(cols)
+    must fit in int64 (≤ 62)."""
+    n = len(cols)
+    assert n >= 2 and bits * n <= 62
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cs):
+            # bit b of column i lands at interleaved position b*n + i
+            z = z + F.shiftleft(
+                F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1)), b * n + i
+            )
+    return z
+
+
+def bucket_rank(col, lo, hi, bits: int = 16):
+    """Min/max-scaled integer rank in [0, 2^bits) for :func:`zorder_value`
+    — linear scaling against broadcast global bounds (two scalar
+    aggregates). For heavily skewed columns swap in a range-partition
+    rank; the interleave is unchanged."""
+    c = F.col(col) if isinstance(col, str) else col
+    span = F.greatest(F.lit(hi).cast("double") - F.lit(lo).cast("double"), F.lit(1.0))
+    scaled = (c.cast("double") - F.lit(lo).cast("double")) / span * ((1 << bits) - 1)
+    # floor, not round: unambiguous at .5 boundaries, so the expression
+    # is bit-identical cross-engine (IEEE doubles + floor both sides)
+    return F.least(
+        F.greatest(F.floor(scaled).cast("long"), F.lit(0)), F.lit((1 << bits) - 1)
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    *,
+    n_files: int = 32,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimension clustered layout: compute global min/max per
+    z-order column (one scalar aggregate pass), bucket-rank each,
+    interleave into the Morton key, then range-cluster + sort by it —
+    :func:`write_clustered` generalized so range predicates on ANY of
+    the z-order columns prune files/row groups, not just the first.
+    Cost: one extra narrow projection over the clustering shuffle
+    write_clustered already pays."""
+    bounds = df.agg(
+        *[F.min(c).alias(f"__lo_{c}") for c in zorder_cols],
+        *[F.max(c).alias(f"__hi_{c}") for c in zorder_cols],
+    ).collect()[0]
+    ranks = [
+        bucket_rank(c, bounds[f"__lo_{c}"], bounds[f"__hi_{c}"], bits)
+        for c in zorder_cols
+    ]
+    z = zorder_value(ranks, bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -81,3 +81,47 @@ def test_salted_agg_matches_plain(spark):
     for k in exp:
         assert got[k][0] == exp[k][0]
         assert got[k][1] == pytest.approx(exp[k][1])
+
+
+def test_write_zordered_files_are_narrow_in_both_dimensions(spark, tmp_path):
+    """The property that makes z-ordering prune: each output file's
+    min/max span is a small fraction of the global domain on BOTH
+    z-order columns — single-column clustering can only achieve this on
+    its leading column. (Parquet zone-map skipping follows directly
+    from narrow per-file ranges.)"""
+    import os
+
+    from leftshove_spark.sinks import write_zordered
+    from leftshove_spark.sources import load_table
+
+    ev = load_table(spark, SF0001, "events").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("tus")
+    )
+    path = str(tmp_path / "z")
+    write_zordered(ev, path, ["user_id", "tus"], n_files=16)
+
+    g = ev.agg(
+        (F.max("user_id") - F.min("user_id")).alias("du"),
+        (F.max("tus") - F.min("tus")).alias("dt"),
+    ).collect()[0]
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    assert len(files) >= 8
+    u_fracs, t_fracs = [], []
+    for f in files:
+        st = (
+            spark.read.parquet(f)
+            .agg(
+                (F.max("user_id") - F.min("user_id")).alias("du"),
+                (F.max("tus") - F.min("tus")).alias("dt"),
+            )
+            .collect()[0]
+        )
+        u_fracs.append(st["du"] / g["du"])
+        t_fracs.append(st["dt"] / g["dt"])
+    # average per-file span well under the whole domain on BOTH dims
+    assert sum(u_fracs) / len(u_fracs) < 0.5, u_fracs
+    assert sum(t_fracs) / len(t_fracs) < 0.5, t_fracs
