@@ -417,6 +417,29 @@ class Engine:
             tiebreak_cols=self._version_tiebreaks(cdc, st.pkey_column),
         )
 
+    def vacuum_snapshots(self, table: str, horizon) -> int:
+        """Retention purge of the ``<t>_cdc`` sink: drop versions older
+        than ``horizon`` EXCEPT each pkey's latest pre-horizon version —
+        the baseline that keeps every :meth:`state_at` /
+        :meth:`state_as_of` at ``ts >= horizon`` byte-identical after
+        the purge (pytest-pinned); history before the horizon is
+        forfeited, which is the point. Rewrites the sink via the
+        crash-recoverable staged swap (sinks.rewrite_dir_staged).
+        Returns the number of retained rows."""
+        from .sinks import rewrite_dir_staged
+        from .views import retention_select
+
+        cdc, st = self._cdc_df(table)
+        keep = retention_select(
+            cdc,
+            horizon,
+            st.pkey_column,
+            order_col="snapshot_tm",
+            tiebreak_cols=self._version_tiebreaks(cdc, st.pkey_column),
+        )
+        rewrite_dir_staged(keep, self.sink_path(st))
+        return self.spark.read.parquet(self.sink_path(st)).count()
+
     def changes_between(self, table: str, t1, t2) -> DataFrame:
         """Change feed between two instants: per pkey, was the row
         ``added``, ``removed`` or ``changed`` from the state at ``t1``

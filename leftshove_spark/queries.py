@@ -135,6 +135,7 @@ GATE_ORDER = [
     "t3_asof_join_bucketed",
     "x_snapshot_diff",
     "x_zorder_layout",
+    "x_retention_policy",
     "x_dedup_connected_components",
     "x_quality_deciles",
     "x_knn_ivf",

@@ -1652,3 +1652,49 @@ def x_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
         bits=8,
     )
     return orders.select("o_orderkey", z.alias("zval"))
+
+
+@_q(
+    "x_retention_policy",
+    """
+    WITH cdc AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate AS snapshot_tm
+      FROM orders),
+    horizon AS (
+      SELECT min(snapshot_tm)
+             + (max(snapshot_tm) - min(snapshot_tm)) / 2 AS h FROM cdc),
+    pre AS (
+      SELECT c.*, row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY snapshot_tm DESC, o_totalprice DESC, o_orderkey DESC
+             ) AS rn
+      FROM cdc c, horizon WHERE snapshot_tm < h)
+    SELECT o_orderkey, o_custkey, o_totalprice, snapshot_tm
+    FROM cdc, horizon WHERE snapshot_tm >= h
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, snapshot_tm
+    FROM pre WHERE rn = 1
+    """,
+)
+def x_retention_policy(spark: SparkSession, sf: str) -> DataFrame:
+    """The retention KEEP-set (views.retention_select) hash-checked:
+    treating orders as a versioned capture of o_custkey ordered by
+    o_orderdate, keep everything at/after the mid-range horizon plus
+    each key's latest pre-horizon version — the baseline making every
+    point-in-time query at ts >= horizon identical after the purge
+    (Engine.vacuum_snapshots applies this selection with the staged
+    sink rewrite)."""
+    from leftshove_spark.views import retention_select
+
+    cdc = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.col("o_orderdate").alias("snapshot_tm"),
+    )
+    lohi = cdc.agg(
+        F.min("snapshot_tm").alias("lo"), F.max("snapshot_tm").alias("hi")
+    ).collect()[0]
+    h = lohi["lo"] + (lohi["hi"] - lohi["lo"]) / 2
+    return retention_select(
+        cdc, h, "o_custkey",
+        tiebreak_cols=["o_totalprice", "o_orderkey"],
+    )

@@ -118,6 +118,72 @@ def write_clustered(
     )
 
 
+_STAGING = (".compact_tmp", ".compact_trash")
+
+
+def _recover_staging(path) -> None:
+    """Recover stale staging dirs from a crashed staged rewrite. The
+    invariant that makes recovery unambiguous: the trash dir is created
+    only AFTER the tmp write completed, so trash-present ⇒ tmp (if
+    still present) holds the COMPLETE new state and its listing defines
+    it."""
+    import os
+    import shutil
+
+    tmp = os.path.join(path, ".compact_tmp")
+    trash = os.path.join(path, ".compact_trash")
+    if os.path.isdir(trash):
+        if os.path.isdir(tmp):
+            # crashed mid-swap: finish it. Anything in path that is not
+            # part of the new state is an old file the crash left
+            # behind — into the trash with it, then promote the rest.
+            new_names = set(os.listdir(tmp))
+            for entry in os.listdir(path):
+                if entry not in _STAGING and entry not in new_names:
+                    os.rename(os.path.join(path, entry), os.path.join(trash, entry))
+            for entry in os.listdir(tmp):
+                # os.replace: a same-named old leftover (e.g. _SUCCESS)
+                # yields to the new state
+                os.replace(os.path.join(tmp, entry), os.path.join(path, entry))
+            os.rmdir(tmp)
+            shutil.rmtree(trash, ignore_errors=True)
+        elif any(not e.startswith(("_", ".")) for e in os.listdir(path)):
+            # promote finished, crash before the trash drop
+            shutil.rmtree(trash, ignore_errors=True)
+        else:
+            # defensive (unreachable via this code's own crash points):
+            # no new state anywhere — restore the old files
+            for entry in os.listdir(trash):
+                os.rename(os.path.join(trash, entry), os.path.join(path, entry))
+            shutil.rmtree(trash, ignore_errors=True)
+    elif os.path.isdir(tmp):
+        # no trash ⇒ the tmp write may be incomplete; old state intact
+        shutil.rmtree(tmp)
+
+
+def rewrite_dir_staged(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Replace ``path``'s contents with ``df`` — which may READ from
+    ``path`` (the write to the staging dir materializes it before any
+    original file moves) — via the crash-recoverable trash-then-promote
+    swap (see compact_landing's docstring for the recovery contract
+    and the non-atomicity caveat)."""
+    import os
+    import shutil
+
+    _recover_staging(path)
+    tmp = os.path.join(path, ".compact_tmp")
+    trash = os.path.join(path, ".compact_trash")
+    df.write.mode("overwrite").format(fmt).save(tmp)
+    os.makedirs(trash)
+    for entry in os.listdir(path):
+        if entry not in _STAGING:
+            os.rename(os.path.join(path, entry), os.path.join(trash, entry))
+    for entry in os.listdir(tmp):
+        os.rename(os.path.join(tmp, entry), os.path.join(path, entry))
+    os.rmdir(tmp)
+    shutil.rmtree(trash)
+
+
 def compact_landing(
     spark,
     path: str,
@@ -148,43 +214,8 @@ def compact_landing(
     EXISTS to fix size skew, so it pays the one shuffle."""
     import math
     import os
-    import shutil
 
-    tmp = os.path.join(path, ".compact_tmp")
-    trash = os.path.join(path, ".compact_trash")
-    _STAGING = (".compact_tmp", ".compact_trash")
-    # Stale staging dirs from a crashed prior run. The invariant that
-    # makes recovery unambiguous: trash is created only AFTER the tmp
-    # write completed, so trash-present ⇒ tmp (if still present) holds
-    # the COMPLETE new state and its listing defines it. Neither
-    # staging dir may leak into the size estimate below.
-    if os.path.isdir(trash):
-        if os.path.isdir(tmp):
-            # crashed mid-swap: finish it. Anything in path that is not
-            # part of the new state is an old file the crash left
-            # behind — into the trash with it, then promote the rest.
-            new_names = set(os.listdir(tmp))
-            for entry in os.listdir(path):
-                if entry not in _STAGING and entry not in new_names:
-                    os.rename(os.path.join(path, entry), os.path.join(trash, entry))
-            for entry in os.listdir(tmp):
-                # os.replace: a same-named old leftover (e.g. _SUCCESS)
-                # yields to the new state
-                os.replace(os.path.join(tmp, entry), os.path.join(path, entry))
-            os.rmdir(tmp)
-            shutil.rmtree(trash, ignore_errors=True)
-        elif any(not e.startswith(("_", ".")) for e in os.listdir(path)):
-            # promote finished, crash before the trash drop
-            shutil.rmtree(trash, ignore_errors=True)
-        else:
-            # defensive (unreachable via this code's own crash points):
-            # no new state anywhere — restore the old files
-            for entry in os.listdir(trash):
-                os.rename(os.path.join(trash, entry), os.path.join(path, entry))
-            shutil.rmtree(trash, ignore_errors=True)
-    elif os.path.isdir(tmp):
-        # no trash ⇒ the tmp write may be incomplete; old state intact
-        shutil.rmtree(tmp)
+    _recover_staging(path)
 
     total = 0
     for dp, dns, fs in os.walk(path):
@@ -198,15 +229,7 @@ def compact_landing(
         )
     n = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.format(fmt).load(path)
-    df.repartition(n).write.mode("overwrite").format(fmt).save(tmp)
-    os.makedirs(trash)
-    for entry in os.listdir(path):
-        if entry not in _STAGING:
-            os.rename(os.path.join(path, entry), os.path.join(trash, entry))
-    for entry in os.listdir(tmp):
-        os.rename(os.path.join(tmp, entry), os.path.join(path, entry))
-    os.rmdir(tmp)
-    shutil.rmtree(trash)
+    rewrite_dir_staged(df.repartition(n), path, fmt=fmt)
     return n
 
 

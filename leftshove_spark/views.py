@@ -211,3 +211,33 @@ def snapshot_diff(
         change_type.alias("change_type"),
     )
     return out if include_unchanged else out.filter(F.col("change_type") != "unchanged")
+
+
+def retention_select(
+    df: DataFrame,
+    horizon,
+    key_cols: list[str] | str,
+    order_col: str = "snapshot_tm",
+    tiebreak_cols: list[str] | None = None,
+    ts_type: str = "timestamp",
+) -> DataFrame:
+    """The rows a snapshot-retention pass KEEPS: everything at or after
+    the ``horizon``, plus each key's single latest version from before
+    it. That baseline version is exactly what makes every
+    :func:`state_at` / :func:`as_of` query with ``ts >= horizon``
+    return identical results after the purge (pytest-pinned); history
+    before the horizon is forfeited — that is the point of retention.
+
+    Plan: a pushed-down split on ``order_col`` (both branches prune a
+    clustered sink), latest-per-key only over the pre-horizon slice,
+    union. Cost ~ one current-state view of the expired slice."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    t = F.lit(horizon).cast(ts_type)
+    recent = df.filter(F.col(order_col) >= t)
+    baseline = latest_per_key_window(
+        df.filter(F.col(order_col) < t),
+        keys,
+        order_col=order_col,
+        tiebreak_cols=tiebreak_cols,
+    )
+    return recent.unionByName(baseline)

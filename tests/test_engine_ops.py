@@ -220,3 +220,51 @@ def test_engine_changes_between(spark, tmp_path):
     assert d12 == {(1, "changed")}
     d02 = {(r["id"], r["change_type"]) for r in eng.changes_between("acc", t0, t2).collect()}
     assert d02 == {(1, "changed"), (2, "added")}
+
+
+def test_engine_vacuum_snapshots_preserves_post_horizon_state(spark, tmp_path):
+    """Retention contract: after vacuum(horizon), every state_at(ts)
+    with ts >= horizon is IDENTICAL to before; pre-horizon versions are
+    gone except each key's baseline; sink has no staging leftovers."""
+    import os
+    from datetime import datetime
+
+    src = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1), "a")], "id long, ts timestamp, v string"
+    )
+    p = str(tmp_path / "acc.parquet")
+    src.write.parquet(p)
+    eng = _engine(spark, tmp_path)
+    eng.seed([{"name": "acc", "path": p, "nms_column": "ts", "pkey_column": "id"}])
+    eng.create_sinks()
+    st = next(s for s in eng.state.all() if s.name == "acc")
+    ts = [datetime(2026, m, 1) for m in range(1, 7)]
+    cdc = spark.createDataFrame(
+        # key 1: versions in months 1,2,5; key 2: months 1,3; key 3: month 6
+        [(1, datetime(2026, 1, 1), "a1", ts[0]),
+         (1, datetime(2026, 1, 2), "a2", ts[1]),
+         (1, datetime(2026, 1, 3), "a5", ts[4]),
+         (2, datetime(2026, 1, 4), "b1", ts[0]),
+         (2, datetime(2026, 1, 5), "b3", ts[2]),
+         (3, datetime(2026, 1, 6), "c6", ts[5])],
+        "id long, ts timestamp, v string, snapshot_tm timestamp",
+    )
+    cdc.write.mode("overwrite").parquet(eng.sink_path(st))
+
+    horizon = datetime(2026, 4, 1)
+    before = {
+        t: sorted((r["id"], r["v"]) for r in eng.state_at("acc", t).collect())
+        for t in ts[3:] + [datetime(2027, 1, 1)]
+    }
+    kept = eng.vacuum_snapshots("acc", horizon)
+    # keys 1,2 keep one pre-horizon baseline each (a2, b3) + months 5,6
+    assert kept == 4
+    after = {
+        t: sorted((r["id"], r["v"]) for r in eng.state_at("acc", t).collect())
+        for t in before
+    }
+    assert after == before
+    # forfeited history: a1/b1 gone
+    vs = {r["v"] for r in spark.read.parquet(eng.sink_path(st)).collect()}
+    assert vs == {"a2", "b3", "a5", "c6"}
+    assert not any(e.startswith(".compact") for e in os.listdir(eng.sink_path(st)))
