@@ -154,6 +154,13 @@ def main() -> None:
         assert eng.history("events").filter(F.col("is_current")).count() == (
             counts["engine_current_state"]
         )
+        # lifecycle ops (r8): change feed + retention vacuum — state at
+        # the horizon is byte-identical after the purge
+        ch = eng.changes_between("events", datetime(1970, 1, 1), t)
+        counts["engine_changes_feed"] = ch.count()
+        assert {r["change_type"] for r in ch.select("change_type").distinct().collect()} == {"added"}
+        counts["vacuum_retained"] = eng.vacuum_snapshots("events", t)
+        assert eng.state_at("events", t).count() == counts["engine_state_at"]
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
