@@ -22,10 +22,25 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def main():
+    import os
+
     import __spark_entry__ as entrymod
     from leftshove_spark.session import get_spark
 
-    spark = get_spark(shuffle_partitions=8)
+    if os.environ.get("SPARK_GRAFT_BARE") == "1":
+        # driver-mimic: a session with NONE of our confs (the real
+        # driver builds its own) — any conf-dependent query passes the
+        # default net but dies on the driver (r1's nanosAsLong class)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("bare-gate-mimic")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark(shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

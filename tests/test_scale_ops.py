@@ -125,3 +125,24 @@ def test_write_zordered_files_are_narrow_in_both_dimensions(spark, tmp_path):
     # average per-file span well under the whole domain on BOTH dims
     assert sum(u_fracs) / len(u_fracs) < 0.5, u_fracs
     assert sum(t_fracs) / len(t_fracs) < 0.5, t_fracs
+
+
+def test_parquet_manifest_reflects_clustered_layout(spark, tmp_path):
+    """The manifest (pure footer reads, no Spark jobs) exposes the
+    property clustering exists for: disjoint per-file key ranges on a
+    write_clustered output, total rows preserved, and per-file stats
+    for the requested column only."""
+    from leftshove_spark.sinks import write_clustered
+    from leftshove_spark.sources import parquet_manifest
+
+    df = spark.range(0, 10_000).selectExpr("id", "id % 97 AS k")
+    path = str(tmp_path / "c")
+    write_clustered(df, path, ["id"], n_files=8)
+
+    man = parquet_manifest(path, columns=["id"])
+    assert sum(m["rows"] for m in man) == 10_000
+    assert all(set(m["stats"]) == {"id"} for m in man)
+    spans = sorted((m["stats"]["id"][0], m["stats"]["id"][1]) for m in man)
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # disjoint ranges: the zone-map pruning property
+    assert all(m["stats"]["id"][2] == 0 for m in man)  # null counts
