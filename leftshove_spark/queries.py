@@ -59,15 +59,15 @@ GATE_EXCLUDE = frozenset(
 # the expensive LSH/stream entries close the schedule. Names absent from
 # this list (future additions) are appended in registration order.
 #
-# Round-8 rotation: the three never-driver-scored entries
-# (w19_nav_battery, c19_math_battery, x_chunk_documents — added late in
-# r7, green in the full-surface local oracle) move into the head-50 for
-# first-time certification; the multimodal decode/frames pair STAYS in
-# the head (their r7 reds were output-typing, fixed this round — the
-# green rows must be recorded). To make room, the three longest-green
-# veterans q16/q22/q21/q7 (driver-green r6 AND r7) retire to the tail;
-# x_dedup_connected_components (green r6, missed r7's head at pos 51)
-# re-enters for a second certification round.
+# Round-8 rotation: into the head-50 — the three never-driver-scored
+# r7 leftovers (w19_nav_battery, c19_math_battery, x_chunk_documents),
+# the six NEW r8 operators (epoch shuffle, token-budget cap, bucketed
+# as-of, snapshot diff, z-order key, retention policy), the multimodal
+# decode/frames pair (their r7 reds were output-typing, fixed this
+# round — the green rows must be recorded), and
+# x_dedup_connected_components (green r6, missed r7's head at pos 51).
+# To make room, the seven longest-green veterans (driver-green r6 AND
+# r7: q16/q22/q21/q7/o6/w15/c16) retire to the tail.
 #
 # Round-7 rotation: the driver certifies ~50 entries per round, so the
 # schedule ROTATES. This round the 13 never-driver-scored tail entries
