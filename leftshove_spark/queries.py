@@ -136,6 +136,7 @@ GATE_ORDER = [
     "x_snapshot_diff",
     "x_zorder_layout",
     "x_retention_policy",
+    "x_dedup_cc_incremental",
     "x_dedup_connected_components",
     "x_quality_deciles",
     "x_knn_ivf",

@@ -1698,3 +1698,29 @@ def x_retention_policy(spark: SparkSession, sf: str) -> DataFrame:
         cdc, h, "o_custkey",
         tiebreak_cols=["o_totalprice", "o_orderkey"],
     )
+
+
+@_q(
+    "x_dedup_cc_incremental",
+    # the ORACLE recomputes components from the FULL pair history from
+    # scratch (identical SQL to x_dedup_connected_components) — so a
+    # green row proves the incremental fold ≡ from-scratch clustering
+    _ORACLES["x_dedup_connected_components"],
+)
+def x_dedup_cc_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental clustering: the MinHash pair edges split into two
+    deterministic batches; batch 1 is clustered from scratch, batch 2
+    folds into the standing labels via the star-graph trick
+    (graph.connected_components_incremental — edge volume
+    O(nodes + batch), existing clusters collapse through their star
+    centers in one round). Hash-checked against the from-scratch
+    transitive closure over ALL pairs."""
+    from leftshove_spark.ext import graph as G
+
+    base = _perturbed_docs(spark, sf)
+    pairs = D.minhash_lsh_pairs(base, jaccard_threshold=0.6)
+    parity = (F.col("id_a") + F.col("id_b")) % 2
+    labels = G.connected_components(pairs.filter(parity == 0))
+    return G.connected_components_incremental(
+        labels, pairs.filter(parity == 1)
+    ).select(F.col("node").alias("doc_id"), "component")

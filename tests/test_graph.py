@@ -52,3 +52,32 @@ def test_resolution_keeps_exactly_one_per_cluster(spark):
     # a chain a-b, b-c WITHOUT the (a, c) edge it keeps nothing extra
     # only because b is dropped via (a, b); the component form is what
     # guarantees one-per-cluster for arbitrary chain shapes.
+
+
+def test_connected_components_incremental_equals_scratch(spark):
+    """Star-graph fold ≡ from-scratch CC over the full edge history,
+    including: a new edge MERGING two existing clusters, a brand-new
+    cluster, an untouched cluster, and chain edges inside the batch."""
+    from leftshove_spark.ext.graph import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    e1 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    e2 = spark.createDataFrame(
+        # merge {1,2,3} with {10,11}; new cluster {30,31,32} as a chain
+        [(3, 10), (30, 31), (31, 32)], "id_a long, id_b long"
+    )
+    labels = connected_components(e1)
+    inc = {
+        (r["node"], r["component"])
+        for r in connected_components_incremental(labels, e2).collect()
+    }
+    full = {
+        (r["node"], r["component"])
+        for r in connected_components(e1.unionByName(e2)).collect()
+    }
+    assert inc == full
+    assert (11, 1) in inc and (32, 30) in inc and (21, 20) in inc
