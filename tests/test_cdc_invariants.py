@@ -198,3 +198,51 @@ def test_snapshot_diff_classification_and_null_semantics(spark):
     assert (1, "unchanged") in full and (3, "unchanged") in full
     assert (None, "unchanged") in full  # null-safe key match
     assert len(full) == 6
+
+
+def test_retention_select_preserves_post_horizon_state_randomized(spark):
+    """Model-based check on a seeded random version history (80 keys ×
+    geometric version counts, colliding timestamps included): for ANY
+    query instant ts >= horizon, state over the retained rows equals
+    state over the full history — verified against a pure-Python model
+    at every distinct version timestamp and both boundaries."""
+    import random
+    from datetime import datetime, timedelta
+
+    from leftshove_spark.views import retention_select, latest_per_key_window
+
+    rng = random.Random(80843)
+    base = datetime(2026, 1, 1)
+    rows = []
+    for k in range(80):
+        for _ in range(rng.choice([1, 1, 2, 3, 5])):
+            # coarse timestamp grid -> deliberate (key, tm) collisions
+            tm = base + timedelta(hours=rng.randrange(0, 48))
+            rows.append((k, tm, rng.randrange(10**6)))
+    df = spark.createDataFrame(rows, "k long, snapshot_tm timestamp, v long")
+    horizon = base + timedelta(hours=24)
+    kept = retention_select(df, horizon, "k", tiebreak_cols=["v"]).collect()
+
+    def model_state(rs, ts):
+        best = {}
+        for k, tm, v in rs:
+            if tm <= ts and (k not in best or (tm, v) > best[k]):
+                best[k] = (tm, v)
+        return {k: tv for k, (tm, tv) in ((k, b) for k, b in best.items())}
+
+    kept_rows = [(r["k"], r["snapshot_tm"], r["v"]) for r in kept]
+    probe_ts = sorted({tm for _, tm, _ in rows if tm >= horizon})
+    probe_ts += [horizon, base + timedelta(days=30)]
+    for ts in probe_ts:
+        assert model_state(kept_rows, ts) == model_state(rows, ts), ts
+
+    # and the Spark state_at over the retained rows agrees with the model
+    ts = probe_ts[len(probe_ts) // 2]
+    kept_df = spark.createDataFrame(kept_rows, "k long, snapshot_tm timestamp, v long")
+    got = {
+        r["k"]: r["v"]
+        for r in latest_per_key_window(
+            kept_df.filter(F.col("snapshot_tm") <= ts), "k", tiebreak_cols=["v"]
+        ).collect()
+    }
+    assert got == {k: v for k, v in model_state(rows, ts).items()}

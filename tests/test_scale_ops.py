@@ -146,3 +146,21 @@ def test_parquet_manifest_reflects_clustered_layout(spark, tmp_path):
     for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 < lo2  # disjoint ranges: the zone-map pruning property
     assert all(m["stats"]["id"][2] == 0 for m in man)  # null counts
+
+
+def test_zorder_value_is_bijective_on_the_rank_grid(spark):
+    """Interleave invariant: over the full 2-D rank grid the Morton key
+    is a bijection (no two cells collide, range exactly [0, 4^bits)),
+    so clustering by it loses no resolution in either dimension."""
+    from leftshove_spark.sinks import zorder_value
+
+    bits = 5
+    grid = spark.range(1 << bits).selectExpr("id AS x").crossJoin(
+        spark.range(1 << bits).selectExpr("id AS y")
+    )
+    z = grid.select(zorder_value(["x", "y"], bits=bits).alias("z"))
+    n = 1 << (2 * bits)
+    stats = z.agg(
+        F.countDistinct("z").alias("d"), F.min("z").alias("lo"), F.max("z").alias("hi")
+    ).collect()[0]
+    assert (stats["d"], stats["lo"], stats["hi"]) == (n, 0, n - 1)
