@@ -67,8 +67,6 @@ def canon(cols, rows) -> tuple[list[str], list[str]]:
         pdf = rows
     else:
         pdf = pd.DataFrame(list(rows), columns=list(cols))
-        if not len(pdf.columns):  # zero-row fetch loses the columns
-            pdf = pd.DataFrame(columns=list(cols))
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     if len(pdf) and len(pdf.columns):
         # the driver's mechanism — keep even though the output is

@@ -211,19 +211,42 @@ def asof_join_bucketed(
 
     # 2. per-(k, b) right summary + strictly-previous-bucket carry over
     #    the O(key-buckets) grid
+    # per-column last NON-NULL value in the bucket (max_by keyed on a
+    # null-masked timestamp: rows whose value is null are ignored, so a
+    # trailing null row cannot erase an earlier value — mirroring the
+    # per-column last(ignorenulls) semantics of the plain form)
     r_sum = r_tagged.withColumn("__b", _b(F.col("__t"))).groupBy("__k", "__b").agg(
-        *[F.max_by(f"__v_{c}", "__t").alias(f"__s_{c}") for c in value_cols]
+        *[
+            F.max_by(
+                f"__v_{c}",
+                F.when(F.col(f"__v_{c}").isNotNull(), F.col("__t")),
+            ).alias(f"__s_{c}")
+            for c in value_cols
+        ]
     )
     # grid = left's (k, b) set ∪ right's summary buckets — derived from
     # a NARROW projection of each side, not from `u` (re-deriving the
     # union here would recompute the right side's upstream plan a
     # second time; the left contribution is a 2-column scan + map-side
     # distinct)
+    r_sum_r = r_sum.select(
+        F.col("__k").alias("__sk"),
+        F.col("__b").alias("__sb"),
+        *[F.col(f"__s_{c}") for c in value_cols],
+    )
     grid = (
         l_tagged.select("__k", _b(F.col("__t")).alias("__b"))
         .unionByName(r_sum.select("__k", "__b"))
         .distinct()
-        .join(r_sum, ["__k", "__b"], "left")
+        # null-safe: NULL-key grid cells still pick up NULL-key right
+        # summaries, mirroring the plain form's NULL window partition
+        .join(
+            r_sum_r,
+            F.col("__k").eqNullSafe(F.col("__sk"))
+            & F.col("__b").eqNullSafe(F.col("__sb")),
+            "left",
+        )
+        .drop("__sk", "__sb")
     )
     w_carry = (
         Window.partitionBy("__k")
@@ -239,8 +262,22 @@ def asof_join_bucketed(
         ],
     )
 
-    # 3. coalesce in-bucket fill with the carried boundary value
-    out = local.filter(F.col("__side") == 1).join(carry, ["__k", "__b"])
+    # 3. coalesce in-bucket fill with the carried boundary value. The
+    # join is NULL-SAFE on (k, b): a left row with a NULL key (or NULL
+    # timestamp → NULL bucket) matches its own grid row instead of
+    # silently dropping — the left-join row-preservation contract. The
+    # grid contains every left (k, b) by construction, so the null-safe
+    # equi-join is total over left rows.
+    carry_r = carry.select(
+        F.col("__k").alias("__ck"),
+        F.col("__b").alias("__cb"),
+        *[F.col(f"__c_{c}") for c in value_cols],
+    )
+    out = local.filter(F.col("__side") == 1).join(
+        carry_r,
+        F.col("__k").eqNullSafe(F.col("__ck"))
+        & F.col("__b").eqNullSafe(F.col("__cb")),
+    )
     return out.select(
         F.col("__lrow.*"),
         *[

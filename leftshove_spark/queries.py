@@ -92,9 +92,6 @@ GATE_ORDER = [
     "x_pii_scan",
     "x_vocab_topk",
     "x_pack_sequences",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
     "x_funnel_conversion",
     "x_cohort_retention",
     "x_multimodal_decode",
@@ -108,7 +105,6 @@ GATE_ORDER = [
     "q11_important_parts",
     "q20_heavy_shippers",
     "x_mixture_sample",
-    "c17_temporal_battery",
     "c18_string_battery",
     "o7_percentile_battery",
     "w17_range_frame_battery",
@@ -202,6 +198,12 @@ GATE_ORDER = [
     "o6_grouping_sets",
     "w15_window_battery",
     "c16_json_null_battery",
+    # r8 late-trim (1 driver-green each, stable shapes; the head must
+    # hold exactly 50 so the new-operator block is not cut):
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "c17_temporal_battery",
 ]
 
 
@@ -1247,7 +1249,12 @@ def w10_hopping_window_agg(spark: SparkSession, sf: str) -> DataFrame:
       SELECT o_custkey, o_orderdate AS order_dt, max(o_orderkey) AS last_order_key
       FROM orders GROUP BY 1, 2
     )
-    SELECT e.event_id, e.ts, e.user_id, o.last_order_key, o.order_dt
+    -- last_order_key goes out as VARCHAR: a nullable BIGINT coerces to
+    -- float64 under the driver's pandas fetch ('15.0' vs Spark '15' —
+    -- the r6 drift class) the moment any event precedes its user's
+    -- first order; VARCHAR keeps NULLs as object dtype on both sides
+    SELECT e.event_id, e.ts, e.user_id,
+           CAST(o.last_order_key AS VARCHAR) AS last_order_key, o.order_dt
     FROM events e ASOF LEFT JOIN ord o
       ON e.user_id = o.o_custkey AND e.ts >= o.order_dt
     """,
@@ -1266,7 +1273,7 @@ def t1_asof_join_latest_order(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("o_custkey", "order_dt")
         .agg(F.max("o_orderkey").alias("last_order_key"))
     )
-    return T.asof_join(
+    out = T.asof_join(
         ev,
         ords,
         on_left="ts",
@@ -1274,6 +1281,10 @@ def t1_asof_join_latest_order(spark: SparkSession, sf: str) -> DataFrame:
         by_left="user_id",
         by_right="o_custkey",
         value_cols=["last_order_key", "order_dt"],
+    )
+    # string form for the nullable key — see the oracle comment
+    return out.withColumn(
+        "last_order_key", F.col("last_order_key").cast("string")
     )
 
 
@@ -1284,7 +1295,12 @@ def t1_asof_join_latest_order(spark: SparkSession, sf: str) -> DataFrame:
       SELECT o_custkey, o_orderdate AS order_dt, max(o_orderkey) AS last_order_key
       FROM orders GROUP BY 1, 2
     )
-    SELECT e.event_id, e.ts, e.user_id, o.last_order_key, o.order_dt
+    -- last_order_key goes out as VARCHAR: a nullable BIGINT coerces to
+    -- float64 under the driver's pandas fetch ('15.0' vs Spark '15' —
+    -- the r6 drift class) the moment any event precedes its user's
+    -- first order; VARCHAR keeps NULLs as object dtype on both sides
+    SELECT e.event_id, e.ts, e.user_id,
+           CAST(o.last_order_key AS VARCHAR) AS last_order_key, o.order_dt
     FROM events e ASOF LEFT JOIN ord o
       ON e.user_id = o.o_custkey AND e.ts >= o.order_dt
     """,
@@ -1303,7 +1319,7 @@ def t3_asof_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("o_custkey", "order_dt")
         .agg(F.max("o_orderkey").alias("last_order_key"))
     )
-    return T.asof_join_bucketed(
+    out = T.asof_join_bucketed(
         ev,
         ords,
         on_left="ts",
@@ -1312,6 +1328,9 @@ def t3_asof_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
         by_right="o_custkey",
         value_cols=["last_order_key", "order_dt"],
         bucket_seconds=90 * 86_400,
+    )
+    return out.withColumn(
+        "last_order_key", F.col("last_order_key").cast("string")
     )
 
 

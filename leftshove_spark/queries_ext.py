@@ -1661,8 +1661,12 @@ def x_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
       SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate AS snapshot_tm
       FROM orders),
     horizon AS (
-      SELECT min(snapshot_tm)
-             + (max(snapshot_tm) - min(snapshot_tm)) / 2 AS h FROM cdc),
+      -- integer-microsecond midpoint: interval/2 TRUNCATES fractional
+      -- days (12h off on odd-day spans); epoch_us floor-div matches the
+      -- Spark side's integer arithmetic exactly on any span
+      SELECT make_timestamp(
+               (epoch_us(min(snapshot_tm)) + epoch_us(max(snapshot_tm))) // 2
+             ) AS h FROM cdc),
     pre AS (
       SELECT c.*, row_number() OVER (
                PARTITION BY o_custkey
@@ -1693,7 +1697,13 @@ def x_retention_policy(spark: SparkSession, sf: str) -> DataFrame:
     lohi = cdc.agg(
         F.min("snapshot_tm").alias("lo"), F.max("snapshot_tm").alias("hi")
     ).collect()[0]
-    h = lohi["lo"] + (lohi["hi"] - lohi["lo"]) / 2
+    # integer-microsecond midpoint — bit-identical to the oracle's
+    # epoch_us floor-div on any span (timedelta/2 would round, float
+    # epoch seconds would lose microsecond precision)
+    from datetime import timedelta
+
+    span_us = (lohi["hi"] - lohi["lo"]) // timedelta(microseconds=1)
+    h = lohi["lo"] + timedelta(microseconds=span_us // 2)
     return retention_select(
         cdc, h, "o_custkey",
         tiebreak_cols=["o_totalprice", "o_orderkey"],

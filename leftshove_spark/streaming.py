@@ -478,34 +478,39 @@ def maintain_history(
     # runs, pre-r8 behavior). Such version-stamp conflicts are surfaced
     # below instead; the previous state stays intact (nothing is
     # written before the check).
-    merged = merged.dropDuplicates(value_cols)
-    vkey = keys + [order_col] + list(tiebreak_cols or [])
-    conflicts = (
-        merged.groupBy(*vkey)
-        .count()
-        .filter(F.col("count") > 1)
-        .limit(5)
-        .collect()
-    )
-    if conflicts:
-        sample = [tuple(r[c] for c in vkey) for r in conflicts]
-        raise ValueError(
-            "maintain_history: conflicting payloads share a version key "
-            f"{tuple(vkey)} — e.g. {sample}; a version key must uniquely "
-            "identify its payload. Add a discriminating tiebreak column "
-            "(capture sequence) or repair the upstream duplicate."
-        )
-    hist = history_view(
-        merged, keys, order_col=order_col, tiebreak_cols=tiebreak_cols
-    )
-    # rewrite only the touched buckets (dynamic partition overwrite)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # cached across the conflict check AND the history write — without
+    # it the touched buckets are read+merged twice per micro-batch
+    merged = merged.dropDuplicates(value_cols).persist()
     try:
-        (
-            hist.write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(state_dir)
+        vkey = keys + [order_col] + list(tiebreak_cols or [])
+        conflicts = (
+            merged.groupBy(*vkey)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(5)
+            .collect()
         )
+        if conflicts:
+            sample = [tuple(r[c] for c in vkey) for r in conflicts]
+            raise ValueError(
+                "maintain_history: conflicting payloads share a version key "
+                f"{tuple(vkey)} — e.g. {sample}; a version key must uniquely "
+                "identify its payload. Add a discriminating tiebreak column "
+                "(capture sequence) or repair the upstream duplicate."
+            )
+        hist = history_view(
+            merged, keys, order_col=order_col, tiebreak_cols=tiebreak_cols
+        )
+        # rewrite only the touched buckets (dynamic partition overwrite)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                hist.write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(state_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        merged.unpersist()

@@ -182,3 +182,35 @@ def test_asof_join_bucketed_hot_key_and_boundaries(spark):
         s = r["t"].minute * 60 + r["t"].second
         want = 300 if s >= 185 else 200 if s >= 60 else 100  # inclusive >=
         assert r["v"] == want, (s, r["v"])
+
+
+def test_asof_join_bucketed_null_keys_times_and_values(spark):
+    """Review findings pinned: (a) left rows with NULL key or NULL
+    timestamp are PRESERVED (left-join contract) and filled exactly as
+    the plain form fills them; (b) a trailing NULL value in a bucket
+    does not erase an earlier non-null value from the carry."""
+    from leftshove_spark.operators.temporal import asof_join_bucketed
+
+    left = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 0, 2, 0), 1),
+         (2, datetime(2026, 1, 1, 0, 2, 0), None),   # NULL key
+         (3, None, 1)],                              # NULL timestamp
+        "event_id long, t timestamp, k long",
+    )
+    right = spark.createDataFrame(
+        # one bucket (60s): v=5 then a LATER NULL value — carry must be 5
+        [(1, datetime(2026, 1, 1, 0, 0, 10), 5),
+         (1, datetime(2026, 1, 1, 0, 0, 40), None)],
+        "k long, t timestamp, v long",
+    )
+    kw = dict(on_left="t", on_right="t", by_left="k", by_right="k",
+              value_cols=["v"], bucket_seconds=60)
+    got = {r["event_id"]: r["v"]
+           for r in asof_join_bucketed(left, right, **kw).collect()}
+    assert got == {1: 5, 2: None, 3: None}
+
+    # and full parity with the plain form on the same frame
+    kw2 = dict(on_left="t", on_right="t", by_left="k", by_right="k",
+               value_cols=["v"])
+    p = {r["event_id"]: r["v"] for r in asof_join(left, right, **kw2).collect()}
+    assert got == p
