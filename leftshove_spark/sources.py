@@ -240,8 +240,9 @@ def read_landing(
     **options,
 ) -> DataFrame:
     """Format-agnostic landing reader — raw pipeline data arrives as
-    parquet, ORC, CSV, or line-JSON; normalize all four behind one
-    call (the S1/S4 source surface generalized to file landings).
+    parquet, ORC, CSV, line-JSON, or XML (Spark 4 built-in source);
+    normalize all five behind one call (the S1/S4 source surface
+    generalized to file landings).
 
     Parquet routes through :func:`read_parquet_normalized` (nanos
     handling); ORC is self-describing; CSV and JSON REQUIRE an explicit
@@ -257,7 +258,7 @@ def read_landing(
         if schema is not None or mode != "FAILFAST" or options:
             raise ValueError(
                 "parquet landings are self-describing: schema/mode/options "
-                "are not applied — remove them or use csv/json/orc"
+                "are not applied — remove them or use csv/json/orc/xml"
             )
         return read_parquet_normalized(spark, path)
     if fmt == "orc":
@@ -265,12 +266,19 @@ def read_landing(
         if schema is not None:
             reader = reader.schema(schema)
         return reader.orc(path)
-    if fmt in ("csv", "json"):
+    if fmt in ("csv", "json", "xml"):
         if schema is None:
             raise ValueError(f"{fmt} landing requires an explicit schema")
         reader = spark.read.schema(schema).option("mode", mode).options(**options)
         if fmt == "csv":
             return reader.option("header", options.get("header", "true")).csv(path)
+        if fmt == "xml":
+            # Spark 4 built-in XML source; rowTag names the repeating
+            # record element (same explicit-schema rule as csv/json —
+            # XML inference is an extra full scan plus type guessing)
+            return reader.option(
+                "rowTag", options.get("rowTag", "row")
+            ).format("xml").load(path)
         return reader.json(path)
     raise ValueError(f"unsupported landing format: {fmt}")
 

@@ -236,3 +236,27 @@ def test_compact_landing_recovers_from_stale_staging_dirs(spark, tmp_path):
     assert out.count() == 600 and "tag" in out.columns
     assert not os.path.exists(trash) and not os.path.exists(tmp)
     shutil.rmtree(path)
+
+
+def test_read_landing_xml_roundtrip(spark, tmp_path):
+    """XML landing (Spark 4 built-in source) through the same explicit-
+    schema contract as csv/json: write, read back with the declared
+    schema, values intact including a null."""
+    from pyspark.sql import types as T
+
+    from leftshove_spark.sources import read_landing
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, -2.0)], "id long, s string, v double"
+    )
+    p = str(tmp_path / "xmlland")
+    (df.write.format("xml").option("rootTag", "rows").option("rowTag", "row").save(p))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    back = read_landing(spark, p, fmt="xml", schema=schema)
+    assert sorted(map(tuple, back.collect())) == [(1, "a", 1.5), (2, None, -2.0)]
