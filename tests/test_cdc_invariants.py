@@ -246,3 +246,56 @@ def test_retention_select_preserves_post_horizon_state_randomized(spark):
         ).collect()
     }
     assert got == {k: v for k, v in model_state(rows, ts).items()}
+
+
+def test_snapshot_diff_randomized_against_model(spark):
+    """Model-based: seeded random old/new snapshots (overlapping keys,
+    NULL-able value columns, disjoint adds/removes) — classification
+    matches a pure-Python dict model exactly, and include_unchanged
+    covers every key exactly once."""
+    import random
+
+    from leftshove_spark.views import snapshot_diff
+
+    rng = random.Random(424242)
+
+    def snap(keys):
+        return {
+            k: (
+                rng.choice([None, rng.randrange(5)]),
+                rng.choice([None, "x", "y"]),
+            )
+            for k in keys
+        }
+
+    old_keys = set(rng.sample(range(200), 120))
+    new_keys = set(rng.sample(range(200), 120))
+    old, new = snap(old_keys), snap(new_keys)
+    # force some unchanged rows (same payload both sides)
+    for k in list(old_keys & new_keys)[:30]:
+        new[k] = old[k]
+
+    old_df = spark.createDataFrame(
+        [(k, v, s) for k, (v, s) in old.items()], "k long, v long, s string"
+    )
+    new_df = spark.createDataFrame(
+        [(k, v, s) for k, (v, s) in new.items()], "k long, v long, s string"
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old_df, new_df, "k", include_unchanged=True).collect()
+    }
+    want = {}
+    for k in old_keys | new_keys:
+        if k not in old:
+            want[k] = "added"
+        elif k not in new:
+            want[k] = "removed"
+        else:
+            want[k] = "unchanged" if old[k] == new[k] else "changed"
+    assert got == want
+    filtered = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old_df, new_df, "k").collect()
+    }
+    assert filtered == {k: c for k, c in want.items() if c != "unchanged"}
