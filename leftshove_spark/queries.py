@@ -105,7 +105,6 @@ GATE_ORDER = [
     "q11_important_parts",
     "q20_heavy_shippers",
     "x_mixture_sample",
-    "c18_string_battery",
     "o7_percentile_battery",
     "w17_range_frame_battery",
     "x_dedup_index_incremental",
@@ -132,6 +131,7 @@ GATE_ORDER = [
     "x_snapshot_diff",
     "x_zorder_layout",
     "x_retention_policy",
+    "j7_temporal_join",
     "x_dedup_cc_incremental",
     "x_dedup_connected_components",
     "x_quality_deciles",
@@ -204,6 +204,7 @@ GATE_ORDER = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "c17_temporal_battery",
+    "c18_string_battery",
 ]
 
 

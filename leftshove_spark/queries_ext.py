@@ -1734,3 +1734,58 @@ def x_dedup_cc_incremental(spark: SparkSession, sf: str) -> DataFrame:
     return G.connected_components_incremental(
         labels, pairs.filter(parity == 1)
     ).select(F.col("node").alias("doc_id"), "component")
+
+
+@_q(
+    "j7_temporal_join",
+    """
+    WITH eh0 AS (
+      SELECT user_id, event_id, value, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM events WHERE user_id % 20 = 0),
+    oh0 AS (
+      SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+               AS valid_to
+      FROM orders WHERE o_custkey % 20 = 0)
+    SELECT e.user_id, e.event_id, e.value, o.o_orderkey,
+           greatest(e.valid_from, o.valid_from) AS valid_from,
+           least(e.valid_to, o.valid_to) AS valid_to,
+           (e.valid_to IS NULL AND o.valid_to IS NULL) AS is_current
+    FROM eh0 e JOIN oh0 o ON e.user_id = o.o_custkey
+    WHERE (o.valid_to IS NULL OR e.valid_from < o.valid_to)
+      AND (e.valid_to IS NULL OR o.valid_from < e.valid_to)
+    """,
+)
+def j7_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL:2011-style temporal join (views.temporal_join): the per-user
+    event version history aligned with the same customer's order
+    version history — one row per overlapping version pair carrying the
+    intersected validity interval, open intervals composing via the
+    NULL-ignoring least/greatest both engines share. The CDC consumer's
+    'what did A and B say at the same moments' query."""
+    from leftshove_spark.views import history_view, temporal_join
+
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("user_id") % 20 == 0)
+        .select("user_id", "event_id", "value", "ts")
+    )
+    eh = history_view(ev, "user_id", order_col="ts", tiebreak_cols=["event_id"]).drop(
+        "ts"
+    )
+    orders = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_custkey") % 20 == 0)
+        .select(F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate")
+    )
+    oh = history_view(
+        orders, "user_id", order_col="o_orderdate", tiebreak_cols=["o_orderkey"]
+    ).drop("o_orderdate")
+    out = temporal_join(eh.drop("is_current"), oh.drop("is_current"), "user_id")
+    return out.select(
+        "user_id", "event_id", "value", "o_orderkey",
+        "valid_from", "valid_to", "is_current",
+    )

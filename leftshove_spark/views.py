@@ -241,3 +241,60 @@ def retention_select(
         tiebreak_cols=tiebreak_cols,
     )
     return recent.unionByName(baseline)
+
+
+def temporal_join(
+    left_hist: DataFrame,
+    right_hist: DataFrame,
+    key_cols: list[str] | str,
+    lsuffix: str = "_l",
+    rsuffix: str = "_r",
+) -> DataFrame:
+    """SQL:2011-style temporal join of two :func:`history_view` tables:
+    one output row per pair of versions whose validity intervals
+    OVERLAP on the same key, carrying the INTERSECTED interval — "align
+    these two tables' histories", the query a CDC consumer writes to
+    ask what table A and table B said at the same moments (each
+    output interval is a maximal span where neither side changed).
+
+    Open intervals (``valid_to`` NULL = still current) compose
+    naturally: both engines' ``least``/``greatest`` ignore NULLs, so
+    the intersection's ``valid_to`` is the earlier close, or NULL when
+    both sides are open. ``is_current`` = both inputs current.
+
+    Plan: ONE equi-join (hash) on the key; the overlap predicate is a
+    post-join filter, so per-key cost is |versions_l| × |versions_r| —
+    fine for the typical handful of versions per key; a key with
+    thousands of versions on both sides should pre-filter by time
+    range (as_of slices) first. Payload columns that collide get
+    lsuffix/rsuffix."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    meta = {"valid_from", "valid_to", "is_current"}
+    l_pay = [c for c in left_hist.columns if c not in meta and c not in keys]
+    r_pay = [c for c in right_hist.columns if c not in meta and c not in keys]
+    clash = set(l_pay) & set(r_pay)
+    l = left_hist.select(
+        *keys,
+        *[F.col(c).alias(c + lsuffix if c in clash else c) for c in l_pay],
+        F.col("valid_from").alias("__lf"),
+        F.col("valid_to").alias("__lt"),
+    )
+    r = right_hist.select(
+        *[F.col(k).alias(f"__rk_{k}") for k in keys],
+        *[F.col(c).alias(c + rsuffix if c in clash else c) for c in r_pay],
+        F.col("valid_from").alias("__rf"),
+        F.col("valid_to").alias("__rt"),
+    )
+    cond = [F.col(k).eqNullSafe(F.col(f"__rk_{k}")) for k in keys]
+    overlap = (
+        F.col("__rt").isNull() | (F.col("__lf") < F.col("__rt"))
+    ) & (F.col("__lt").isNull() | (F.col("__rf") < F.col("__lt")))
+    joined = l.join(r, cond).filter(overlap)
+    return joined.select(
+        *keys,
+        *[c + lsuffix if c in clash else c for c in l_pay],
+        *[c + rsuffix if c in clash else c for c in r_pay],
+        F.greatest("__lf", "__rf").alias("valid_from"),
+        F.least("__lt", "__rt").alias("valid_to"),
+        (F.col("__lt").isNull() & F.col("__rt").isNull()).alias("is_current"),
+    )

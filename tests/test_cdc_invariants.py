@@ -299,3 +299,40 @@ def test_snapshot_diff_randomized_against_model(spark):
         for r in snapshot_diff(old_df, new_df, "k").collect()
     }
     assert filtered == {k: c for k, c in want.items() if c != "unchanged"}
+
+
+def test_temporal_join_asof_slice_equals_joined_states(spark):
+    """Temporal-join correctness from first principles: for any probe
+    instant, as_of over the ALIGNED intervals must equal the plain join
+    of the two sides' as_of states — checked at several instants over a
+    crafted two-key history with open intervals and version churn."""
+    from datetime import datetime
+
+    from leftshove_spark.views import as_of, history_view, temporal_join
+
+    t = lambda d: datetime(2026, 1, d)
+    a = spark.createDataFrame(
+        [(1, t(1), "a1"), (1, t(5), "a2"), (1, t(9), "a3"), (2, t(2), "b1")],
+        "k long, ts timestamp, av string",
+    )
+    b = spark.createDataFrame(
+        [(1, t(3), 10), (1, t(7), 20), (2, t(1), 30), (2, t(8), 40)],
+        "k long, ts timestamp, bv long",
+    )
+    ah = history_view(a, "k", order_col="ts").drop("ts", "is_current")
+    bh = history_view(b, "k", order_col="ts").drop("ts", "is_current")
+    tj = temporal_join(ah, bh, "k")
+
+    for probe in [t(3), t(4), t(6), t(8), t(10), datetime(2027, 1, 1)]:
+        aligned = {
+            (r["k"], r["av"], r["bv"]) for r in as_of(tj, probe).collect()
+        }
+        av = {(r["k"], r["av"]) for r in as_of(history_view(a, "k", order_col="ts"), probe).collect()}
+        bv = {(r["k"], r["bv"]) for r in as_of(history_view(b, "k", order_col="ts"), probe).collect()}
+        want = {(k, x, y) for (k, x) in av for (k2, y) in bv if k == k2}
+        assert aligned == want, probe
+    # open-interval composition: exactly one current row per key
+    cur = [r for r in tj.collect() if r["is_current"]]
+    assert sorted((r["k"], r["av"], r["bv"]) for r in cur) == [
+        (1, "a3", 20), (2, "b1", 40),
+    ]
