@@ -362,16 +362,17 @@ class Engine:
         source): tiebreak on the remaining payload columns, sorted by
         name — views.history_view's contract requires a total order for
         a deterministic interval chain, and without it history /
-        state_as_of / state_at could disagree run-to-run. Map columns
-        are skipped (not orderable in Spark); arrays/structs order
-        lexicographically."""
-        from pyspark.sql import types as T
+        state_as_of / state_at could disagree run-to-run. Columns whose
+        type contains a map ANYWHERE (top-level, or nested in an
+        array/struct — Spark rejects both in orderBy) are skipped;
+        map-free arrays/structs order lexicographically."""
+        from .schema import type_contains_map
 
         return sorted(
             f.name
             for f in cdc.schema.fields
             if f.name not in (pkey, "snapshot_tm")
-            and not isinstance(f.dataType, T.MapType)
+            and not type_contains_map(f.dataType)
         )
 
     def history(self, table: str) -> DataFrame:

@@ -154,3 +154,20 @@ def diff_schemas(a: T.StructType, b: T.StructType) -> dict[str, list[str]]:
         "removed": sorted(set(af) - set(bf)),
         "retyped": sorted(n for n in set(af) & set(bf) if af[n] != bf[n]),
     }
+
+
+def type_contains_map(dt: T.DataType) -> bool:
+    """True when ``dt`` has a MapType anywhere in it — top-level or
+    nested inside arrays/structs. Spark rejects map-bearing columns in
+    ordering (``orderBy``) and set-style operations
+    (``dropDuplicates``/``except``), and the restriction applies to
+    NESTED maps too, so callers deciding orderability must recurse
+    (ADVICE r8: the top-level-only check let ``array<map<...>>``
+    payloads reach an AnalysisException)."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return type_contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(type_contains_map(f.dataType) for f in dt.fields)
+    return False

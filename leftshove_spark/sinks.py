@@ -119,42 +119,86 @@ def write_clustered(
 
 
 _STAGING = (".compact_tmp", ".compact_trash")
+_MANIFEST = ".manifest"
+
+
+def _displace_to_trash(src: str, trash: str, name: str) -> None:
+    """Move ``src`` into ``trash`` under ``name``, suffixing on the
+    (unreachable-by-design, defensively handled) name collision so an
+    old file is never silently destroyed."""
+    import os
+
+    dst = os.path.join(trash, name)
+    i = 0
+    while os.path.exists(dst):
+        i += 1
+        dst = os.path.join(trash, f"{name}.old{i}")
+    os.rename(src, dst)
+
+
+def _finish_swap(path: str, tmp: str, trash: str, new_names: set) -> None:
+    """Drive (or re-drive — every step is idempotent) the swap to its
+    committed end state: path holds exactly ``new_names``, staging dirs
+    gone. Old entries not in the manifest are displaced to the trash;
+    manifest entries still in tmp are promoted, displacing any
+    same-named old leftover (e.g. _SUCCESS) first — never the other
+    way round, so a crash at ANY point loses nothing (ADVICE r8: the
+    pre-manifest recovery trashed already-promoted files)."""
+    import os
+    import shutil
+
+    for entry in os.listdir(path):
+        if entry not in _STAGING and entry not in new_names:
+            _displace_to_trash(os.path.join(path, entry), trash, entry)
+    if os.path.isdir(tmp):
+        for entry in os.listdir(tmp):
+            dst = os.path.join(path, entry)
+            if os.path.exists(dst):
+                # an old same-named entry the displace loop kept (its
+                # name is in the manifest): the tmp copy is the new one
+                _displace_to_trash(dst, trash, entry)
+            os.rename(os.path.join(tmp, entry), dst)
+        os.rmdir(tmp)
+    shutil.rmtree(trash, ignore_errors=True)
 
 
 def _recover_staging(path) -> None:
-    """Recover stale staging dirs from a crashed staged rewrite. The
-    invariant that makes recovery unambiguous: the trash dir is created
-    only AFTER the tmp write completed, so trash-present ⇒ tmp (if
-    still present) holds the COMPLETE new state and its listing defines
-    it."""
+    """Recover stale staging dirs from a crashed staged rewrite.
+
+    The committed-state record is ``.compact_trash/.manifest`` — the
+    complete listing of the new state, persisted (atomic rename) BEFORE
+    any file moves, so recovery never has to infer which path entries
+    are new: manifest ⇒ roll the swap forward via :func:`_finish_swap`.
+    Pre-manifest states are unambiguous too: trash-present without a
+    manifest means no move has happened yet (the manifest write is the
+    first action after ``makedirs(trash)``), so tmp — if present —
+    still holds the complete new state and its listing serves as the
+    manifest; with neither manifest nor tmp, a populated path means the
+    promote finished (drop trash) and an empty one means restore from
+    trash."""
     import os
     import shutil
 
     tmp = os.path.join(path, ".compact_tmp")
     trash = os.path.join(path, ".compact_trash")
     if os.path.isdir(trash):
-        if os.path.isdir(tmp):
-            # crashed mid-swap: finish it. Anything in path that is not
-            # part of the new state is an old file the crash left
-            # behind — into the trash with it, then promote the rest.
-            new_names = set(os.listdir(tmp))
-            for entry in os.listdir(path):
-                if entry not in _STAGING and entry not in new_names:
-                    os.rename(os.path.join(path, entry), os.path.join(trash, entry))
-            for entry in os.listdir(tmp):
-                # os.replace: a same-named old leftover (e.g. _SUCCESS)
-                # yields to the new state
-                os.replace(os.path.join(tmp, entry), os.path.join(path, entry))
-            os.rmdir(tmp)
-            shutil.rmtree(trash, ignore_errors=True)
+        manifest = os.path.join(trash, _MANIFEST)
+        if os.path.isfile(manifest):
+            with open(manifest, encoding="utf-8") as fh:
+                new_names = {line for line in fh.read().split("\n") if line}
+            _finish_swap(path, tmp, trash, new_names)
+        elif os.path.isdir(tmp):
+            # crash before the manifest landed ⇒ nothing was moved yet
+            # and tmp's listing defines the complete new state
+            _finish_swap(path, tmp, trash, set(os.listdir(tmp)))
         elif any(not e.startswith(("_", ".")) for e in os.listdir(path)):
             # promote finished, crash before the trash drop
             shutil.rmtree(trash, ignore_errors=True)
         else:
-            # defensive (unreachable via this code's own crash points):
             # no new state anywhere — restore the old files
             for entry in os.listdir(trash):
-                os.rename(os.path.join(trash, entry), os.path.join(path, entry))
+                if not entry.startswith(_MANIFEST):
+                    os.rename(os.path.join(trash, entry), os.path.join(path, entry))
             shutil.rmtree(trash, ignore_errors=True)
     elif os.path.isdir(tmp):
         # no trash ⇒ the tmp write may be incomplete; old state intact
@@ -165,23 +209,25 @@ def rewrite_dir_staged(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """Replace ``path``'s contents with ``df`` — which may READ from
     ``path`` (the write to the staging dir materializes it before any
     original file moves) — via the crash-recoverable trash-then-promote
-    swap (see compact_landing's docstring for the recovery contract
-    and the non-atomicity caveat)."""
+    swap. The new-state manifest is fsync'd into the trash dir (atomic
+    rename) before the first move, so a crash at any later point rolls
+    FORWARD deterministically in :func:`_recover_staging` (see
+    compact_landing's docstring for the non-atomicity caveat)."""
     import os
-    import shutil
 
     _recover_staging(path)
     tmp = os.path.join(path, ".compact_tmp")
     trash = os.path.join(path, ".compact_trash")
     df.write.mode("overwrite").format(fmt).save(tmp)
     os.makedirs(trash)
-    for entry in os.listdir(path):
-        if entry not in _STAGING:
-            os.rename(os.path.join(path, entry), os.path.join(trash, entry))
-    for entry in os.listdir(tmp):
-        os.rename(os.path.join(tmp, entry), os.path.join(path, entry))
-    os.rmdir(tmp)
-    shutil.rmtree(trash)
+    new_names = set(os.listdir(tmp))
+    manifest = os.path.join(trash, _MANIFEST)
+    with open(manifest + ".part", "w", encoding="utf-8") as fh:
+        fh.write("\n".join(sorted(new_names)))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(manifest + ".part", manifest)
+    _finish_swap(path, tmp, trash, new_names)
 
 
 def compact_landing(

@@ -478,9 +478,26 @@ def maintain_history(
     # runs, pre-r8 behavior). Such version-stamp conflicts are surfaced
     # below instead; the previous state stays intact (nothing is
     # written before the check).
+    # Map-bearing columns (top-level or nested — Spark rejects both in
+    # dropDuplicates, ADVICE r8) dedup through a to_json proxy: a
+    # byte-identical redelivery serializes identically and collapses; a
+    # same-entries-reordered map serializes differently and surfaces as
+    # a version-stamp conflict below — fail-safe, never a silent pick.
+    from .schema import type_contains_map
+
+    map_cols = [
+        f.name for f in batch.schema.fields if type_contains_map(f.dataType)
+    ]
+    dedup_cols = [c for c in value_cols if c not in map_cols] + [
+        f"__dd_{c}" for c in map_cols
+    ]
+    for c in map_cols:
+        merged = merged.withColumn(f"__dd_{c}", F.to_json(F.col(c)))
     # cached across the conflict check AND the history write — without
     # it the touched buckets are read+merged twice per micro-batch
-    merged = merged.dropDuplicates(value_cols).persist()
+    merged = merged.dropDuplicates(dedup_cols).drop(
+        *[f"__dd_{c}" for c in map_cols]
+    ).persist()
     try:
         vkey = keys + [order_col] + list(tiebreak_cols or [])
         conflicts = (

@@ -238,6 +238,110 @@ def test_compact_landing_recovers_from_stale_staging_dirs(spark, tmp_path):
     shutil.rmtree(path)
 
 
+def test_staged_swap_recovers_mid_promote_crash(spark, tmp_path):
+    """ADVICE r8 (high): a crash DURING the promote loop — some new
+    files already in path, the rest still in tmp — must roll forward to
+    the complete new state. The pre-manifest recovery trashed the
+    already-promoted files (kept only the not-yet-promoted remainder);
+    the manifest makes the new state explicit."""
+    import os
+
+    from leftshove_spark.sinks import _recover_staging
+
+    path = str(tmp_path / "landing")
+    old = spark.range(1000).selectExpr("id", "'old' AS tag")
+    old.repartition(3).write.parquet(path)
+    new = spark.range(600).selectExpr("id", "'new' AS tag")
+
+    tmp = os.path.join(path, ".compact_tmp")
+    trash = os.path.join(path, ".compact_trash")
+    new.repartition(3).write.parquet(tmp)
+    os.makedirs(trash)
+    new_names = sorted(os.listdir(tmp))
+    with open(os.path.join(trash, ".manifest"), "w") as fh:
+        fh.write("\n".join(new_names))
+    # old files fully displaced, then promote 2 of 3 new files -> crash
+    for entry in os.listdir(path):
+        if entry not in (".compact_tmp", ".compact_trash"):
+            os.rename(os.path.join(path, entry), os.path.join(trash, entry))
+    promoted = 0
+    for entry in list(new_names):
+        if promoted < 2:
+            os.rename(os.path.join(tmp, entry), os.path.join(path, entry))
+            promoted += 1
+
+    _recover_staging(path)
+    out = spark.read.parquet(path)
+    assert out.count() == 600
+    assert out.filter("tag <> 'new'").count() == 0
+    assert not os.path.exists(tmp) and not os.path.exists(trash)
+
+
+def test_staged_swap_recovers_post_promote_crash(spark, tmp_path):
+    """ADVICE r8 (high), worst case: crash between the last promote and
+    ``rmdir(tmp)`` — tmp empty, trash present, path holds the full new
+    state. The pre-manifest recovery treated empty-tmp's listing as the
+    new state and deleted the ENTIRE dataset; with the manifest the
+    recovery is a no-op cleanup."""
+    import os
+
+    from leftshove_spark.sinks import _recover_staging
+
+    path = str(tmp_path / "landing")
+    new = spark.range(600).selectExpr("id", "'new' AS tag")
+    new.repartition(3).write.parquet(path)
+
+    tmp = os.path.join(path, ".compact_tmp")
+    trash = os.path.join(path, ".compact_trash")
+    os.makedirs(tmp)  # empty: every entry was promoted
+    os.makedirs(trash)
+    names = sorted(
+        e
+        for e in os.listdir(path)
+        if e not in (".compact_tmp", ".compact_trash")
+    )
+    with open(os.path.join(trash, ".manifest"), "w") as fh:
+        fh.write("\n".join(names))
+    with open(os.path.join(trash, "part-oldfile.parquet"), "wb") as fh:
+        fh.write(b"stale old bytes")
+
+    _recover_staging(path)
+    out = spark.read.parquet(path)
+    assert out.count() == 600
+    assert not os.path.exists(tmp) and not os.path.exists(trash)
+
+
+def test_staged_swap_recovers_mid_displace_crash(spark, tmp_path):
+    """Crash while displacing old files (manifest committed, no promote
+    yet): recovery finishes the displace AND the promote — final rows =
+    new state exactly."""
+    import os
+
+    from leftshove_spark.sinks import _recover_staging
+
+    path = str(tmp_path / "landing")
+    spark.range(1000).selectExpr("id", "'old' AS tag").repartition(
+        4
+    ).write.parquet(path)
+    tmp = os.path.join(path, ".compact_tmp")
+    trash = os.path.join(path, ".compact_trash")
+    spark.range(600).selectExpr("id", "'new' AS tag").repartition(2).write.parquet(tmp)
+    os.makedirs(trash)
+    with open(os.path.join(trash, ".manifest"), "w") as fh:
+        fh.write("\n".join(sorted(os.listdir(tmp))))
+    moved = 0
+    for entry in os.listdir(path):
+        if entry not in (".compact_tmp", ".compact_trash") and moved < 2:
+            os.rename(os.path.join(path, entry), os.path.join(trash, entry))
+            moved += 1
+
+    _recover_staging(path)
+    out = spark.read.parquet(path)
+    assert out.count() == 600
+    assert out.filter("tag <> 'new'").count() == 0
+    assert not os.path.exists(tmp) and not os.path.exists(trash)
+
+
 def test_read_landing_xml_roundtrip(spark, tmp_path):
     """XML landing (Spark 4 built-in source) through the same explicit-
     schema contract as csv/json: write, read back with the declared

@@ -409,3 +409,44 @@ def test_maintain_history_rejects_version_stamp_conflicts(spark, tmp_path):
     # identical redelivery is NOT a conflict
     maintain_history(spark, state, ok, "k", "d")
     assert spark.read.parquet(state).count() == 1
+
+
+def test_maintain_history_map_payload_column(spark, tmp_path):
+    """ADVICE r8: map-typed payload columns are illegal in
+    dropDuplicates, so the redelivery dedup goes through a to_json
+    proxy — identical redeliveries still collapse, genuine updates
+    still chain, and no AnalysisException escapes."""
+    from leftshove_spark.streaming import maintain_history
+
+    state = str(tmp_path / "hist")
+    b1 = spark.createDataFrame(
+        [(1, "2026-01-01", {"a": 1})], "k long, d string, m map<string,int>"
+    )
+    maintain_history(spark, state, b1, "k", "d")
+    maintain_history(spark, state, b1, "k", "d")  # redelivery collapses
+    assert spark.read.parquet(state).count() == 1
+
+    b2 = spark.createDataFrame(
+        [(1, "2026-01-02", {"a": 2})], "k long, d string, m map<string,int>"
+    )
+    maintain_history(spark, state, b2, "k", "d")
+    rows = spark.read.parquet(state).orderBy("d").collect()
+    assert [r["is_current"] for r in rows] == [False, True]
+    assert rows[1]["m"] == {"a": 2}
+
+
+def test_version_tiebreaks_skip_nested_maps(spark):
+    """ADVICE r8: a map nested in an array/struct payload column is as
+    unorderable as a top-level map — _version_tiebreaks must skip both
+    so history()/state_at()/vacuum never hit orderBy AnalysisException."""
+    from leftshove_spark.engine import Engine
+
+    df = spark.createDataFrame(
+        [],
+        "k long, snapshot_tm timestamp, plain string, "
+        "top_map map<string,int>, arr_map array<map<string,int>>, "
+        "struct_map struct<inner:map<string,int>>, "
+        "deep array<struct<x:int,m:map<string,int>>>, "
+        "safe_struct struct<a:int,b:string>",
+    )
+    assert Engine._version_tiebreaks(df, "k") == ["plain", "safe_struct"]
