@@ -633,3 +633,135 @@ def jaccard_pairs_exact(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def window_hashes_with_pos(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+) -> DataFrame:
+    """(id, pos, window_hash) for EVERY length-``window`` token window —
+    the positional sibling of :func:`shingle_hashes_from_tokens` (which
+    distincts and drops positions). One narrow codegen pass: tokens are
+    staged as a column reference first (same re-evaluation economics as
+    the shingle builder's docstring), then
+    ``posexplode(transform(sequence, ...))`` yields one row per window
+    start. ``pos`` is 1-based. Rows per doc = len - window + 1 — linear
+    fan-out, no shuffle here.
+
+    The md5-based :func:`hash60` per window keeps the operator
+    oracle-exact cross-engine; a production variant can swap in a
+    Rabin-Karp rolling hash (O(len) instead of O(len·window) char
+    touches) without changing any downstream plan."""
+    toks = df.select(F.col(id_col).alias("id"), tokenize(content_col).alias("t"))
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("t") - F.lit(window - 1)),
+        lambda i: hash60(
+            F.concat_ws(
+                " ", *[F.element_at(F.col("t"), i + F.lit(j)) for j in range(window)]
+            )
+        ),
+    )
+    return (
+        toks.filter(F.size("t") >= window)
+        .select("id", F.posexplode(wins).alias("pos0", "window_hash"))
+        .select(
+            "id", (F.col("pos0") + 1).cast("long").alias("pos"), "window_hash"
+        )
+    )
+
+
+def duplicated_passages(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    min_docs: int = 2,
+    max_window_df: int | None = None,
+) -> DataFrame:
+    """Cross-document duplicated-passage detection (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better" exact-
+    substring modality): every token window of length ``window`` that
+    appears in >= ``min_docs`` DISTINCT documents, emitted as
+    (doc_id, pos, window_hash, n_docs) cluster rows — the operator a
+    curation pipeline runs alongside whole-doc MinHash to catch shared
+    boilerplate/quotes/licenses that doc-level Jaccard never flags.
+
+    Plan: positional window hashes (narrow) → groupBy(window_hash)
+    countDistinct(doc) → join back on window_hash. Two shuffles on the
+    window hash, output ∝ Σ_flagged df — never all-pairs (no doc×doc
+    join exists; commonality is counted on the hash key directly).
+
+    ``max_window_df`` is the 100 TB knob (same role as
+    :func:`jaccard_pairs_exact`'s ``max_shingle_df``): a boilerplate
+    window in millions of docs contributes df output rows and a hot
+    shuffle key while carrying no per-pair information; capping drops
+    windows with n_docs > cap from the CLUSTER listing (they remain
+    countable upstream). Skew in the groupBy itself is bounded — the
+    aggregation is a partial-agg count, not a row collection."""
+    wins = window_hashes_with_pos(df, content_col, id_col, window=window)
+    flagged = (
+        wins.groupBy("window_hash")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    if max_window_df is not None:
+        flagged = flagged.filter(F.col("n_docs") <= max_window_df)
+    return wins.join(flagged, "window_hash").select(
+        F.col("id").alias("doc_id"), "pos", "window_hash", "n_docs"
+    )
+
+
+def duplicated_span_fraction(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    min_docs: int = 2,
+    max_window_df: int | None = None,
+) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of each doc's
+    tokens covered by the UNION of its :func:`duplicated_passages`
+    windows — the per-doc signal a quality gate thresholds on ("drop
+    docs that are >80% shared boilerplate").
+
+    The union length needs no interval explosion: flagged window starts
+    sorted per doc, each start contributes ``min(window, next - pos)``
+    tokens (the last contributes ``window``) — one lead() window over
+    O(flagged) rows, then a left join back so undup'd docs report 0.0.
+    Exactly the classic fixed-length-interval union; SQL-identical in
+    the oracle."""
+    passages = duplicated_passages(
+        df,
+        content_col,
+        id_col,
+        window=window,
+        min_docs=min_docs,
+        max_window_df=max_window_df,
+    )
+    wl = F.lit(window).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = (
+        passages.select("doc_id", "pos")
+        .withColumn("nxt", F.lead("pos").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.least(wl, F.coalesce(F.col("nxt") - F.col("pos"), wl))
+            ).alias("covered_tokens")
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(content_col)).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+        (
+            F.coalesce("covered_tokens", F.lit(0)).cast("double")
+            / F.col("n_tokens")
+        ).alias("dup_fraction"),
+    )

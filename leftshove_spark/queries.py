@@ -48,16 +48,24 @@ ORACLES: dict[str, str] = {}
 #     the gated one, and pytest proves the two forms identical.
 #   x_text_stats — its full output (all stat columns) is a strict subset
 #     of the gated x_quality_filter rows (X8 = stats + gate, one row).
-#   q3_shipping_priority — TPC-H bench extra, not a SURVEY §2 component;
-#     stays a bench headline.
-GATE_EXCLUDE = frozenset(
-    {"j3_dedup_latest_semijoin", "x_text_stats", "q3_shipping_priority"}
-)
+#   (q3_shipping_priority was excluded r6-r8 as a bench extra; re-gated
+#   in r9 — its only driver rows were stale r1/r2 hash-reds and the
+#   query passes its oracle, so the green row should be on record.)
+GATE_EXCLUDE = frozenset({"j3_dedup_latest_semijoin", "x_text_stats"})
 
 # Gate schedule: cheapest queries first (measured at sf0.01) so a
 # time-budgeted gate scores the maximum number of rows before any cut;
 # the expensive LSH/stream entries close the schedule. Names absent from
 # this list (future additions) are appended in registration order.
+#
+# Round-9 rotation: the head leads with the never-driver-green entries
+# — q3_shipping_priority (re-gated: its only driver rows are stale
+# r1/r2 reds) and the two NEW substring-dedup operators — followed by
+# the 14 r8 first-timers (one green each; a second green certifies
+# them for retirement). The fill is the r7+r8 double-green veteran
+# block in its existing cheap-first order; the three most expensive
+# double-greens (x_quality_deciles, x_knn_ivf,
+# x_dedup_embedding_cosine) retire to the tail.
 #
 # Round-8 rotation: into the head-50 — the three never-driver-scored
 # r7 leftovers (w19_nav_battery, c19_math_battery, x_chunk_documents),
@@ -87,6 +95,26 @@ GATE_EXCLUDE = frozenset(
 # tests/test_gate_tail_oracle.py, which oracle-checks the FULL gate
 # surface regardless of rotation position.
 GATE_ORDER = [
+    # never-driver-green first — these rows MUST be scored this round
+    "q3_shipping_priority",
+    "x_dedup_substring",
+    "x_dedup_substring_spans",
+    # r8 first-timers (one driver green each; second green certifies)
+    "w19_nav_battery",
+    "c19_math_battery",
+    "x_chunk_documents",
+    "x_epoch_shuffle",
+    "x_token_budget_cap",
+    "t3_asof_join_bucketed",
+    "x_snapshot_diff",
+    "x_zorder_layout",
+    "x_retention_policy",
+    "j7_temporal_join",
+    "x_dedup_cc_incremental",
+    "x_dedup_connected_components",
+    "x_multimodal_decode",
+    "x_multimodal_frames",
+    # r7+r8 double-green veterans, cheap-first (existing order)
     "q12_shipmode_priority",
     "x_hash_split",
     "x_pii_scan",
@@ -94,8 +122,6 @@ GATE_ORDER = [
     "x_pack_sequences",
     "x_funnel_conversion",
     "x_cohort_retention",
-    "x_multimodal_decode",
-    "x_multimodal_frames",
     "x_decontaminate",
     "x_repetition",
     "x_dedup_embedding_lsh",
@@ -122,24 +148,13 @@ GATE_ORDER = [
     "x_sample_k_per_group",
     "k5_skew_diagnostics",
     "x_integrity_check",
-    "w19_nav_battery",
-    "c19_math_battery",
-    "x_chunk_documents",
-    "x_epoch_shuffle",
-    "x_token_budget_cap",
-    "t3_asof_join_bucketed",
-    "x_snapshot_diff",
-    "x_zorder_layout",
-    "x_retention_policy",
-    "j7_temporal_join",
-    "x_dedup_cc_incremental",
-    "x_dedup_connected_components",
-    "x_quality_deciles",
-    "x_knn_ivf",
-    "x_dedup_embedding_cosine",
     # --- tail (entries 51+): also cheap-first, so a driver budget cut
     # costs the fewest rows. All are additionally guarded by
     # tests/test_gate_tail_oracle.py regardless of gate reach.
+    # r9 retirees (r7+r8 double-green, most expensive of the block):
+    "x_quality_deciles",
+    "x_knn_ivf",
+    "x_dedup_embedding_cosine",
     "x_dedup_ngram_jaccard",
     "x_knn_lsh",
     "x_dedup_resolution",

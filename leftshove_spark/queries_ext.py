@@ -347,6 +347,74 @@ def x_dedup_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SUBSTR_WIN = 20
+_SUBSTR_GRAM = "concat_ws(' ', " + ", ".join(
+    f"t[pos+{j}]" if j else "t[pos]" for j in range(_SUBSTR_WIN)
+) + ")"
+# shared derivation: positional window hashes -> window doc-frequency
+_SUBSTR_WINS_SQL = f"""
+    base AS ({_BASE_DOCS_SQL}),
+    toks AS (SELECT doc_id, {_TOK.format(e="text")} AS t FROM base),
+    st AS (SELECT doc_id, t, unnest(range(1, len(t) - {_SUBSTR_WIN - 2})) AS pos
+           FROM toks WHERE len(t) >= {_SUBSTR_WIN}),
+    wins AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                    {_h60(_SUBSTR_GRAM)} AS window_hash
+             FROM st),
+    flag AS (SELECT window_hash, count(DISTINCT doc_id) AS n_docs
+             FROM wins GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+    passages AS (
+      SELECT w.doc_id, w.pos, w.window_hash, f.n_docs
+      FROM wins w JOIN flag f USING (window_hash))
+"""
+
+
+@_q(
+    "x_dedup_substring",
+    f"""
+    WITH {_SUBSTR_WINS_SQL}
+    SELECT doc_id, pos, window_hash, n_docs FROM passages
+    """,
+)
+def x_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document duplicated-passage dedup (the exact-substring
+    modality): every 20-token window appearing in >= 2 distinct docs of
+    the planted-near-dup corpus, as (doc_id, pos, window_hash, n_docs)
+    cluster rows — the curation pass that catches shared boilerplate /
+    quotes doc-level Jaccard never flags. See
+    :func:`ext.dedup.duplicated_passages` for the plan (two window-hash
+    shuffles, output ∝ Σ df, never all-pairs) and the ``max_window_df``
+    hot-window cap."""
+    return D.duplicated_passages(_perturbed_docs(spark, sf), window=_SUBSTR_WIN)
+
+
+@_q(
+    "x_dedup_substring_spans",
+    f"""
+    WITH {_SUBSTR_WINS_SQL},
+    cov0 AS (SELECT doc_id, pos,
+                    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+             FROM passages),
+    cov AS (SELECT doc_id,
+                   sum(least({_SUBSTR_WIN}, coalesce(nxt - pos, {_SUBSTR_WIN})))
+                     AS c
+            FROM cov0 GROUP BY doc_id),
+    lens AS (SELECT doc_id, len(t) AS n FROM toks WHERE len(t) > 0)
+    SELECT l.doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(coalesce(c, 0) AS BIGINT) AS covered_tokens,
+           CAST(coalesce(c, 0) AS DOUBLE) / n AS dup_fraction
+    FROM lens l LEFT JOIN cov USING (doc_id)
+    """,
+)
+def x_dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document duplicated-span coverage: fraction of each doc's
+    tokens covered by the UNION of its flagged 20-token windows — the
+    thresholdable "how much of this doc is shared boilerplate" signal.
+    Interval union via one lead() window over O(flagged) rows (each
+    start contributes min(window, next-pos)); docs with no flagged
+    window report 0.0. See :func:`ext.dedup.duplicated_span_fraction`."""
+    return D.duplicated_span_fraction(_perturbed_docs(spark, sf), window=_SUBSTR_WIN)
+
+
 @_q(
     "x_dedup_index_incremental",
     f"""

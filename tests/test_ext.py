@@ -373,3 +373,49 @@ def test_jaccard_exact_hot_shingle_cap(spark):
     assert permissive == exact
     capped = jaccard_pairs_exact(base, jaccard_threshold=0.6, max_shingle_df=1)
     assert capped.count() == 0
+
+
+def test_duplicated_passages_planted_boilerplate(spark):
+    """A 6-token boilerplate shared by docs 1/2/3 (at different offsets)
+    is flagged at the right positions with n_docs=3; the unique doc is
+    untouched."""
+    boiler = "all rights reserved see license file"
+    rows = [
+        (1, f"{boiler} alpha beta gamma"),
+        (2, f"intro words here {boiler} tail"),
+        (3, f"one two three four {boiler}"),
+        (4, "completely unique text with no shared windows at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.duplicated_passages(df, window=6, min_docs=2).collect()
+    got = {(r["doc_id"], r["pos"]) for r in out}
+    assert got == {(1, 1), (2, 4), (3, 5)}
+    assert all(r["n_docs"] == 3 for r in out)
+
+
+def test_duplicated_span_fraction_interval_union(spark):
+    """Overlapping flagged windows must union, not double-count: two
+    docs sharing a 5-token passage with window=3 flag starts {1,2,3},
+    whose union covers 5 tokens, not 9."""
+    shared = "v w x y z"
+    rows = [(1, f"{shared} a b c d e"), (2, f"{shared} f g h i j")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"], r["dup_fraction"])
+        for r in D.duplicated_span_fraction(df, window=3, min_docs=2).collect()
+    }
+    assert out[1] == (10, 5, 0.5) and out[2] == (10, 5, 0.5)
+
+
+def test_duplicated_passages_hot_window_cap(spark):
+    """max_window_df drops ultra-common windows from the cluster
+    listing (boilerplate in 'every' doc) while keeping rarer ones."""
+    boiler = "p q r"
+    rows = [(i, f"{boiler} unique{i} filler{i} end{i}") for i in range(1, 6)]
+    rows += [(10, "rare shared bit one more pad"), (11, "rare shared bit two other pad")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = D.duplicated_passages(df, window=3, min_docs=2, max_window_df=4)
+    hashes = {r["n_docs"] for r in capped.collect()}
+    assert hashes and max(hashes) <= 4
+    uncapped = D.duplicated_passages(df, window=3, min_docs=2)
+    assert 5 in {r["n_docs"] for r in uncapped.collect()}
