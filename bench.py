@@ -62,6 +62,10 @@ HEADLINE = [
     # round-7: the banded-SRP embedding near-dup (the 100 TB ANN-dedup
     # path — candidates from the band-key self-join, never all pairs)
     "x_dedup_embedding_lsh",
+    # round-9: duplicated-passage dedup — a new plan class (positional
+    # window hashes + doc-frequency groupBy + join-back); the 22 prior
+    # headliners stay untouched for round-over-round comparability
+    "x_dedup_substring",
     # round-3 breadth: sessionization and grouping-set classes
     "w9_session_window",
     "o4_cube_pricing",
@@ -100,14 +104,15 @@ def main() -> None:
     # back-to-back repeats of one query share a burst, whole-list
     # rounds don't, so the per-query min is a far better steady-state
     # estimator at the same total cost.
-    timings: dict[str, float] = {}
-    for _ in range(3):
-        for name in HEADLINE:
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+
+    def timed_round(names: list[str]) -> None:
+        for name in names:
             t0 = time.perf_counter()
             rows = Q.QUERIES[name](spark, SF_DIR).collect()
             dt = time.perf_counter() - t0
             assert rows is not None
-            timings[name] = min(timings.get(name, dt), dt)
+            samples[name].append(dt)
             # drop blocks persisted INSIDE an operator (LSH stages pin
             # MEMORY_AND_DISK blocks via ext.cache for their own
             # lifetime); leaving them pinned steals execution memory
@@ -116,7 +121,19 @@ def main() -> None:
             # release; clearCache() stays as the belt-and-braces sweep.
             cache.release_pins()
             spark.catalog.clearCache()
-    timings = {k: round(v, 3) for k, v in timings.items()}
+
+    for _ in range(3):
+        timed_round(HEADLINE)
+    # Sub-second headliners drown in shared-host noise bursts even with
+    # min-of-3 (r8's q3/q10 "+17%" was ~0.1 s of drift): two extra
+    # interleaved rounds for them, and a per-query spread (max−min over
+    # rounds) in the artifact so drift vs noise is decidable from
+    # BENCH_r{N}.json alone.
+    fast = [n for n in HEADLINE if min(samples[n]) < 1.0]
+    for _ in range(2):
+        timed_round(fast)
+    timings = {k: round(min(v), 3) for k, v in samples.items()}
+    spread = {k: round(max(v) - min(v), 3) for k, v in samples.items()}
     total = round(sum(timings.values()), 3)
     import pyspark
 
@@ -127,11 +144,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": _sf_from_dir(SF_DIR),
                 # provenance: runtime flips moved the whole curve ±1.5×
                 # in past rounds (r5) — pin what produced these numbers
                 "pyspark_version": pyspark.__version__,
-                "timing": "min_of_3_interleaved_rounds_after_warmup",
+                "timing": "min_of_3_interleaved_rounds_after_warmup"
+                "_plus_2_for_subsecond",
             }
         )
     )

@@ -59,8 +59,13 @@ def connected_components(
             .agg(F.min("lb").alias("min_nb"))
             .select(F.col("a").alias("node"), "min_nb")
         )
+        # the round's OLD label rides along as __old so the convergence
+        # check below is a narrow filter-count over the checkpointed
+        # blocks — no join back to the previous labeling, no extra
+        # shuffle job per round (VERDICT r8 #4)
         stepped = labels.join(nb, "node", "left").select(
             "node",
+            F.col("label").alias("__old"),
             F.least(F.col("label"), F.coalesce(F.col("min_nb"), F.col("label"))).alias(
                 "label"
             ),
@@ -77,21 +82,15 @@ def connected_components(
                 "label",
                 "left",
             )
-            .select("node", F.coalesce("ll", "label").alias("label"))
+            .select("node", "__old", F.coalesce("ll", "label").alias("label"))
         ).localCheckpoint()
+        labels = jumped.select("node", "label")
         # round 0 always changes when any edge exists — skip its
         # convergence job; check from round 1 on
         if it > 0:
-            changed = (
-                jumped.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            changed = jumped.filter(F.col("label") != F.col("__old")).count()
             if changed == 0:
-                labels = jumped
                 break
-        labels = jumped
     return labels.select("node", F.col("label").alias("component"))
 
 

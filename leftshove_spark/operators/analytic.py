@@ -34,6 +34,38 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Above this boundary count the O(p)-per-row indicator sum switches to
+# the O(log p) WHEN-tree binary search. 64 keeps the common local[32]
+# plans on the flat codegen-friendliest form.
+_LINEAR_PID_MAX = 64
+
+
+def _partition_of(key: Column, bound_lits: list[Column]) -> Column:
+    """``#{b in bounds : key > b}`` for ASCENDING-sorted boundary
+    literals — the analytic range-partition assignment. Small boundary
+    sets use the flat indicator sum; large ones a balanced WHEN-tree
+    binary search: O(p) expression nodes either way, but each row
+    evaluates only the O(log p) comparisons on its root-to-leaf path
+    (the documented escape for thousands-of-partitions clusters — both
+    forms are pure functions of the row, so determinism is unchanged)."""
+    if len(bound_lits) <= _LINEAR_PID_MAX:
+        pid = F.lit(0)
+        for b in bound_lits:
+            pid = pid + (key > b).cast("int")
+        return pid
+
+    def go(lo: int, hi: int) -> Column:
+        # pid for keys whose answer is known to lie in [lo, hi]
+        if lo >= hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(key > bound_lits[mid], go(mid + 1, hi)).otherwise(
+            go(lo, mid)
+        )
+
+    return go(0, len(bound_lits))
+
+
 def exact_global_rank(
     df: DataFrame,
     order_cols: list[str],
@@ -70,10 +102,12 @@ def exact_global_rank(
     its maximum key, and the ranking pass re-derives the partition id
     ANALYTICALLY — ``pid = #{boundaries < key}`` against the collected
     maxima as literals — a pure function of the row that no re-sampled
-    boundary can perturb. Cost of the analytic assignment is O(p)
-    struct comparisons per row (p = cluster width, codegen'd); at
-    thousands of partitions swap the indicator sum for a binary search
-    over a literal array."""
+    boundary can perturb. The assignment expression is a flat indicator
+    sum (O(p) struct comparisons per row, codegen'd) up to 64
+    boundaries, and a balanced WHEN-tree binary search (O(log p)
+    comparisons evaluated per row) past that — at 1000-executor scale
+    p ≈ 10⁴ and the linear form would burn 10⁴ comparisons per row;
+    both forms are pytest-pinned identical at p ∈ {8, 64, 512}."""
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     key = F.struct(*[F.col(c) for c in order_cols])
@@ -97,12 +131,11 @@ def exact_global_rank(
     for i, r in enumerate(nonempty):
         offsets.append((i, acc))
         acc += r["n"]
-    pid = F.lit(0)
-    for b in bounds:
-        lit_b = F.struct(
-            *[F.lit(b[i]).alias(c) for i, c in enumerate(order_cols)]
-        )
-        pid = pid + (key > lit_b).cast("int")
+    bound_lits = [
+        F.struct(*[F.lit(b[i]).alias(c) for i, c in enumerate(order_cols)])
+        for b in bounds
+    ]
+    pid = _partition_of(key, bound_lits)
     assigned = df.withColumn("__pid", pid)
     wloc = Window.partitionBy("__pid").orderBy(*order_cols)
     local = assigned.withColumn("__lrank", F.row_number().over(wloc))

@@ -36,7 +36,7 @@ from .snapshot import (
     munge_timestamp_to_null,
     window_predicate,
 )
-from .sources import estimate_rows, load_table
+from .sources import estimate_bytes, estimate_rows, load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -276,20 +276,30 @@ def _disc_price_cents():
     throughput-headline aggregations (see q1's docstring)."""
     return _cents("l_extendedprice") * (F.lit(100).cast("long") - _cents("l_discount"))
 
-# ~hundreds of MB of dim rows — past this, broadcasting a "dimension"
-# side would OOM executors at large SF; drop the hint and let AQE pick.
+# Broadcast gate: BYTES first (the real executor-memory constraint —
+# an explicit F.broadcast hint bypasses Spark's own size threshold
+# entirely, so a wide-string 10M-row "dimension" would be a multi-GB
+# broadcast under a row gate), estimated uncompressed from the parquet
+# footers; the row cap stays as a backstop for footers that under-report
+# byte size (dictionary-heavy encodings).
+_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 _BROADCAST_MAX_ROWS = 10_000_000
 
 
 def _maybe_broadcast(df: DataFrame, sf: str, table: str) -> DataFrame:
-    """Broadcast hint gated on a parquet footer-stats row estimate: tables
-    that are dimension-sized at test SF but SCALE with the data
-    (customer, supplier, part) must not be unconditionally broadcast —
-    at 100 TB the hint becomes an executor OOM. Under the threshold the
-    fact side never shuffles for the join; over it AQE chooses from
-    runtime sizes."""
-    est = estimate_rows(os.path.join(sf, f"{table}.parquet"))
-    return F.broadcast(df) if est <= _BROADCAST_MAX_ROWS else df
+    """Broadcast hint gated on parquet footer stats: tables that are
+    dimension-sized at test SF but SCALE with the data (customer,
+    supplier, part) must not be unconditionally broadcast — at 100 TB
+    the hint becomes an executor OOM. Under both the ~256MB estimated
+    uncompressed bytes gate and the row backstop, the fact side never
+    shuffles for the join; over either, the hint is dropped and AQE
+    chooses from runtime sizes."""
+    p = os.path.join(sf, f"{table}.parquet")
+    if estimate_bytes(p) <= _BROADCAST_MAX_BYTES and (
+        estimate_rows(p) <= _BROADCAST_MAX_ROWS
+    ):
+        return F.broadcast(df)
+    return df
 
 
 def _q(name: str, oracle: str | None = None):

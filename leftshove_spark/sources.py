@@ -167,6 +167,32 @@ def _estimate_rows_cached(path: str, _fp: tuple) -> int:
     return pq.read_metadata(path).num_rows
 
 
+def estimate_bytes(path: str) -> int:
+    """Uncompressed-size estimate from parquet footers (sum of row-group
+    ``total_byte_size``), driver-side, no Spark job — the companion of
+    :func:`estimate_rows` for BYTE-gated decisions. Broadcast hints must
+    gate on bytes, not rows: a 10M-row dim of wide strings is multiple
+    GB in executor memory even though its row count reads
+    dimension-sized. Uncompressed is the right basis — that is what the
+    broadcast relation occupies after decoding."""
+    return _estimate_bytes_cached(path, _fingerprint(path))
+
+
+def _meta_total_bytes(md) -> int:
+    return sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+
+
+@lru_cache(maxsize=256)
+def _estimate_bytes_cached(path: str, _fp: tuple) -> int:
+    if os.path.isdir(path):
+        return sum(
+            _meta_total_bytes(pq.read_metadata(os.path.join(path, f)))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return _meta_total_bytes(pq.read_metadata(path))
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

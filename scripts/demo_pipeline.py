@@ -164,6 +164,49 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    # 8. the fully-incremental curation loop (r9): a standing corpus
+    #    with a persisted LSH index and standing cluster labels receives
+    #    one ingest batch of near-duplicate twins. Pairs are mined
+    #    incrementally (cost ∝ batch collisions), clusters folded
+    #    incrementally (edge volume O(nodes + batch)), resolution
+    #    applied — and the result is asserted IDENTICAL to running the
+    #    whole from-scratch pipeline over corpus ∪ batch. Each piece is
+    #    pytest/oracle-proven; this is the composed cycle.
+    base = load_table(spark, SF, "documents").select("doc_id", "text")
+    toks = X.tokenize("text")
+    batch = base.filter(F.size(toks) > 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 6, F.size(toks) - 5)).alias("text"),
+    )
+    with tempfile.TemporaryDirectory(prefix="ls_demo_idx_") as idx_dir:
+        # production mode: the index lives in a sink, not a cache
+        D.build_minhash_index(base).write.mode("overwrite").parquet(idx_dir)
+        idx = spark.read.parquet(idx_dir)
+        standing = G.connected_components(
+            D.minhash_lsh_pairs(base, jaccard_threshold=0.6).select("id_a", "id_b")
+        )
+        inc_pairs = D.minhash_lsh_pairs_incremental(
+            batch, idx, jaccard_threshold=0.6
+        )
+        labels = G.connected_components_incremental(
+            standing, inc_pairs.select("id_a", "id_b")
+        )
+        union_corpus = base.unionByName(batch)
+        kept_inc = G.resolve_keep_one_per_component(union_corpus, labels)
+        counts["incremental_loop_kept"] = kept_inc.count()
+        scratch_labels = G.connected_components(
+            D.minhash_lsh_pairs(union_corpus, jaccard_threshold=0.6).select(
+                "id_a", "id_b"
+            )
+        )
+        kept_scratch = G.resolve_keep_one_per_component(
+            union_corpus, scratch_labels
+        )
+        ids_inc = {r["doc_id"] for r in kept_inc.select("doc_id").collect()}
+        ids_scr = {r["doc_id"] for r in kept_scratch.select("doc_id").collect()}
+        assert ids_inc == ids_scr, "incremental loop diverged from from-scratch"
+        assert counts["incremental_loop_kept"] < union_corpus.count()
+
     print(json.dumps(counts))
     assert counts["ingested"] > counts["after_quality_gate"] >= counts[
         "after_near_dedup"

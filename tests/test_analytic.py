@@ -280,3 +280,52 @@ def test_winsorize_clamps_null_group_rows(spark):
     # large values clamp to 4.5 — proof it matched ITS bounds row
     null_rows = {r["id"]: r["v_wins"] for r in got if r["grp"] is None}
     assert null_rows[9] == 4.5 and null_rows[0] == 0.0
+
+
+def test_exact_global_rank_binary_search_parity(spark):
+    """The WHEN-tree binary-search partition assignment (p > 64) must
+    produce exactly the ranks the flat indicator sum produces: the full
+    1..N permutation at p ∈ {8, 64, 512} on the same 5000-key input."""
+    import pyspark.sql.functions as F
+    from leftshove_spark.operators.analytic import exact_global_rank
+
+    df = spark.range(5000).select(
+        ((F.col("id") * 2654435761) % 100003).alias("k"), F.col("id")
+    )
+    want = None
+    for p in (8, 64, 512):
+        got = exact_global_rank(df, ["k", "id"], rank_col="r", num_partitions=p)
+        rows = sorted(
+            (r["k"], r["id"], r["r"]) for r in got.collect()
+        )
+        assert sorted(r[2] for r in rows) == list(range(1, 5001))
+        if want is None:
+            want = rows
+        else:
+            assert rows == want
+
+
+def test_partition_of_linear_equals_binary_search(spark):
+    """_partition_of: both forms agree cell-for-cell on a 200-boundary
+    grid (forced past and under the switchover) including keys exactly
+    AT boundary values (ties go low: pid counts strict key > bound)."""
+    import pyspark.sql.functions as F
+    from leftshove_spark.operators import analytic as A
+
+    bounds = [F.struct(F.lit(v).alias("v")) for v in range(0, 1000, 5)]
+    key = F.struct(F.col("id").alias("v"))
+    df = spark.range(-10, 1010)
+    lin = A._partition_of(key, bounds[: A._LINEAR_PID_MAX])
+    # same prefix through the tree path by forcing the threshold
+    tree_all = A._partition_of(key, bounds)  # 200 > 64 -> tree
+    # linear twin of the full set, built inline
+    lin_all = F.lit(0)
+    for b in bounds:
+        lin_all = lin_all + (key > b).cast("int")
+    out = df.select(
+        (tree_all == lin_all).alias("full_eq"),
+    )
+    assert out.filter(~F.col("full_eq")).count() == 0
+    assert df.select((lin == A._partition_of(key, bounds[:64])).alias("e")).filter(
+        ~F.col("e")
+    ).count() == 0

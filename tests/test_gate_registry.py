@@ -80,3 +80,37 @@ def test_maybe_broadcast_gate(spark, monkeypatch):
     monkeypatch.setattr(Q, "_BROADCAST_MAX_ROWS", 10)
     unhinted = Q._maybe_broadcast(cust, SF0001, "customer")
     assert "hint" not in unhinted._jdf.queryExecution().logical().toString().lower()
+
+def test_maybe_broadcast_gates_on_bytes_not_just_rows(spark, tmp_path, monkeypatch):
+    """VERDICT r8: the hint must drop for a wide-row table that passes
+    the ROW gate — byte estimate (uncompressed, from footers) is the
+    binding constraint. A 200-row/~2MB-string fixture with the byte
+    threshold at 1MB gets no hint despite being far under the row cap;
+    the current dims keep their hints (plans unchanged)."""
+    import os
+
+    from conftest import SF0001
+    from leftshove_spark.sources import estimate_bytes, load_table
+
+    wide_dir = tmp_path / "sfdir"
+    os.makedirs(wide_dir)
+    # unique payloads — identical strings dictionary-encode down to
+    # nothing in the footer's total_byte_size and would defeat the gate
+    spark.range(300).selectExpr(
+        "id", "concat(cast(id AS string), repeat('x', 9999)) AS payload"
+    ).coalesce(1).write.parquet(str(wide_dir / "widedim.parquet"))
+    assert estimate_bytes(str(wide_dir / "widedim.parquet")) > 1024 * 1024
+
+    wd = spark.read.parquet(str(wide_dir / "widedim.parquet"))
+    monkeypatch.setattr(Q, "_BROADCAST_MAX_BYTES", 1024 * 1024)
+    unhinted = Q._maybe_broadcast(wd, str(wide_dir), "widedim")
+    assert "hint" not in unhinted._jdf.queryExecution().logical().toString().lower()
+
+    # row cap alone would have allowed it
+    assert 300 <= Q._BROADCAST_MAX_ROWS
+
+    # current dims: under both gates -> hint still applied
+    cust = load_table(spark, SF0001, "customer")
+    monkeypatch.undo()
+    hinted = Q._maybe_broadcast(cust, SF0001, "customer")
+    assert "hint" in hinted._jdf.queryExecution().logical().toString().lower()
