@@ -700,7 +700,10 @@ def duplicated_passages(
     windows with n_docs > cap from the CLUSTER listing (they remain
     countable upstream). Skew in the groupBy itself is bounded — the
     aggregation is a partial-agg count, not a row collection."""
-    wins = window_hashes_with_pos(df, content_col, id_col, window=window)
+    # the positional windows feed BOTH the doc-frequency branch and the
+    # join-back — pinned (MEMORY_AND_DISK, owner-released like the
+    # staged shingles) so the corpus is tokenized+hashed once, not twice
+    wins = _cache.pin(window_hashes_with_pos(df, content_col, id_col, window=window))
     flagged = (
         wins.groupBy("window_hash")
         .agg(F.countDistinct("id").alias("n_docs"))

@@ -23,6 +23,8 @@ from __future__ import annotations
 import re
 from collections.abc import Iterator
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
@@ -328,3 +330,73 @@ def chunk_documents(
         F.size("toks").cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", "toks").alias("chunk_text"),
     ).filter(F.col("n_chunk_tokens") > 0)
+
+
+# ------------------------------------------------------------------ unicode
+
+# \p{L}\p{N} runs — unicode-aware tokenization. Java (Spark) and RE2
+# (DuckDB) agree on these property classes; combining marks (Mn) are in
+# neither class, so a mark that fails to compose under NFC splits the
+# token identically in both engines.
+UNICODE_TOKEN_RE = r"[\p{L}\p{N}]+"
+
+
+def unicode_normalize(col: Column | str, form: str = "NFC") -> Column:
+    """Unicode normalization as an Arrow-batched pandas UDF (Spark has
+    no built-in normalizer). NFC is the cross-engine-exact form —
+    ``unicodedata.normalize("NFC", s)`` and DuckDB's ``nfc_normalize``
+    agree bit-for-bit (gated: c20_unicode_battery). NFKC (compatibility
+    folding: ﬁ→fi, ＡＢＣ→ABC, ①→1) has no DuckDB twin and is
+    pytest-pinned instead. Narrow per-row transform — no shuffle, the
+    scan→project→write shape at any scale."""
+    from pyspark.sql.functions import pandas_udf
+
+    assert form in ("NFC", "NFD", "NFKC", "NFKD")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _norm(c)
+
+
+def strip_accents(col: Column | str) -> Column:
+    """Accent stripping: NFD-decompose, drop combining marks (the
+    multilingual search-key canonicalization). Bit-identical to
+    DuckDB's ``strip_accents`` on the gated battery (both are the
+    utf8proc/unicodedata decompose-and-drop-Mn definition)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _strip(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def go(x):
+            if x is None:
+                return None
+            return "".join(
+                ch
+                for ch in unicodedata.normalize("NFD", x)
+                if not unicodedata.combining(ch)
+            )
+
+        return s.map(go)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _strip(c)
+
+
+def unicode_tokens(col: Column | str) -> Column:
+    """Unicode-aware token array — \\p{L}\\p{N} runs, pure codegen
+    (``regexp_extract_all``); the multilingual counterpart of the
+    ASCII-pinned :func:`tokenize`. Case is preserved: lowercase folding
+    is deliberately NOT fused here because JVM and utf8proc casefolds
+    diverge on İ and final sigma — fold with :func:`unicode_normalize`
+    + an explicit policy when needed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(UNICODE_TOKEN_RE), 0)

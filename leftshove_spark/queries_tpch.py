@@ -1147,6 +1147,91 @@ def c18_string_battery(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Multilingual battery fixture: deterministic unicode suffixes cycled
+# onto the (ASCII) documents text by doc_id — combining-vs-precomposed
+# accents, ligature/fullwidth/circled compatibility forms, Greek,
+# Cyrillic, CJK, an astral-plane emoji, stacked combining marks.
+# Raw UTF-8 glyphs except the astral emoji (escaped for greppability).
+_UNI_SAMPLES = [
+    "café",  # precomposed e-acute
+    "café",  # decomposed: NFC must re-compose it
+    "naïve façade",
+    "ñandú",
+    "ﬁle ﬂow",  # fi/fl ligatures (NFKC folds; NFC keeps)
+    "ＡＢＣ１２３",  # fullwidth ABC123
+    "①②③",  # circled 1-3
+    "Ελληνικά γλώσσα",
+    "мир и труд май",
+    "北京 2024 年",
+    "\U0001f680 launch déjà-vu",
+    "Grüße aus Österreich",
+    "ASCII only text 42",
+    "há̧ček",  # stacked marks: cedilla blocks nothing, NFC reorders
+]
+_UNI_CASE = (
+    f"CASE doc_id % {len(_UNI_SAMPLES)} "
+    + " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(_UNI_SAMPLES))
+    + " END"
+)
+
+
+@_q(
+    "c20_unicode_battery",
+    f"""
+    WITH s AS (SELECT doc_id, concat_ws(' ', text, {_UNI_CASE}) AS t2
+               FROM documents),
+    n AS (SELECT doc_id, t2, nfc_normalize(t2) AS nfc_text,
+                 strip_accents(t2) AS stripped
+          FROM s)
+    SELECT doc_id, nfc_text,
+           CAST(length(nfc_text) AS BIGINT) AS n_chars,
+           stripped,
+           array_to_string(
+             regexp_extract_all(nfc_text, '[\\p{{L}}\\p{{N}}]+'), '|')
+             AS tokens,
+           CAST(len(regexp_extract_all(nfc_text, '[\\p{{L}}\\p{{N}}]+'))
+             AS BIGINT) AS n_tokens
+    FROM n
+    """,
+)
+def c20_unicode_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode battery on the CROSS-ENGINE-EXACT subset: NFC
+    normalization (unicodedata ≡ DuckDB nfc_normalize — both implement
+    UAX#15 over the same Unicode tables), accent stripping (NFD +
+    drop-Mn ≡ strip_accents), codepoint-length, and \\p{{L}}\\p{{N}}
+    tokenization (Java and RE2 agree on the property classes; a
+    combining mark that NFC cannot compose splits tokens identically).
+    Deliberately ABSENT from the gate: NFKC (no DuckDB twin —
+    pytest-pinned: ﬁ→fi, fullwidth→ASCII, ①→1) and lowercase folding
+    (JVM is context-sensitive on final sigma, utf8proc is not; İ
+    diverges too — pinned engine-side in pytest, policy documented in
+    ext.text.unicode_tokens). The normalize/strip stages are
+    Arrow-batched pandas UDFs (Spark has no normalizer built-in), the
+    rest pure codegen; narrow per-row plan, zero shuffles."""
+    from .ext.text import strip_accents, unicode_normalize, unicode_tokens
+
+    docs = load_table(spark, sf, "documents")
+    arr = F.array(*[F.lit(s) for s in _UNI_SAMPLES])
+    t2 = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.element_at(arr, (F.col("doc_id") % len(_UNI_SAMPLES) + 1).cast("int")),
+    )
+    staged = docs.select("doc_id", t2.alias("t2")).select(
+        "doc_id", unicode_normalize("t2").alias("nfc_text"),
+        strip_accents("t2").alias("stripped"),
+    )
+    toks = unicode_tokens("nfc_text")
+    return staged.select(
+        "doc_id",
+        "nfc_text",
+        F.length("nfc_text").cast("long").alias("n_chars"),
+        "stripped",
+        F.array_join(toks, "|").alias("tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+
+
 @_q(
     "o7_percentile_battery",
     """

@@ -419,3 +419,50 @@ def test_duplicated_passages_hot_window_cap(spark):
     assert hashes and max(hashes) <= 4
     uncapped = D.duplicated_passages(df, window=3, min_docs=2)
     assert 5 in {r["n_docs"] for r in uncapped.collect()}
+
+
+def test_unicode_nfkc_compat_folding(spark):
+    """NFKC (no DuckDB twin — pytest-pinned): ligatures, fullwidth and
+    circled digits fold to their ASCII compatibility forms; NFC leaves
+    them alone; both agree with Python's unicodedata on every sample."""
+    import unicodedata
+
+    from leftshove_spark.ext.text import unicode_normalize
+
+    samples = ["ﬁle ﬂow", "ＡＢＣ１２３",
+               "①②③", "café", "ASCII"]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i long, s string"
+    )
+    rows = df.select(
+        "i",
+        unicode_normalize("s", "NFC").alias("nfc"),
+        unicode_normalize("s", "NFKC").alias("nfkc"),
+    ).collect()
+    for r in rows:
+        s = samples[r["i"]]
+        assert r["nfc"] == unicodedata.normalize("NFC", s)
+        assert r["nfkc"] == unicodedata.normalize("NFKC", s)
+    by_i = {r["i"]: r for r in rows}
+    assert by_i[0]["nfkc"] == "file flow"
+    assert by_i[1]["nfkc"] == "ABC123"
+    assert by_i[2]["nfkc"] == "123"
+    assert by_i[3]["nfc"] == "café"  # decomposed re-composes
+
+
+def test_unicode_tokens_preserve_case_policy(spark):
+    """unicode_tokens deliberately does NOT casefold (JVM lower() is
+    context-sensitive on final sigma where utf8proc is not; U+0130
+    diverges too) — tokens come back case-preserved, and the JVM
+    lowercase behavior itself is pinned here so a Spark upgrade that
+    changes it surfaces as a test diff, not an oracle surprise."""
+    from pyspark.sql import functions as F
+
+    from leftshove_spark.ext.text import unicode_tokens
+
+    df = spark.createDataFrame([(1, "Ο ΣΩΣΙΑΣ Café")], "i long, s string")
+    toks = df.select(F.array_join(unicode_tokens("s"), "|").alias("t")).first()["t"]
+    assert toks == "Ο|ΣΩΣΙΑΣ|Café"
+    low = df.select(F.lower("s").alias("l")).first()["l"]
+    # JVM: final sigma -> ς, non-final -> σ (context-sensitive)
+    assert low == "ο σωσιας café"
