@@ -768,3 +768,69 @@ def duplicated_span_fraction(
             / F.col("n_tokens")
         ).alias("dup_fraction"),
     )
+
+
+def redact_duplicated_spans(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    min_docs: int = 2,
+    max_window_df: int | None = None,
+) -> DataFrame:
+    """Drop the duplicated passages from each document (the Lee et al.
+    remedy, not just the diagnosis): every token covered by a flagged
+    :func:`duplicated_passages` window is removed and the SURVIVING
+    token stream re-joined — (doc_id, text_redacted, n_tokens_kept,
+    n_tokens_dropped). The output is the normalized token stream, not
+    the original bytes (tokenization already lowercased and stripped
+    punctuation); pipelines that must preserve raw bytes should treat
+    the flagged spans as annotations instead.
+
+    Plan: flagged windows explode to covered token positions
+    (O(flagged · window) rows — bounded by the window multiplier, and
+    by ``max_window_df`` under boilerplate storms), one distinct, one
+    left-anti join against the posexploded token stream, and an
+    order-stable reassembly (collect_list of (pos, token) structs →
+    array_sort → join). Everything keys on doc_id — co-partitioned
+    shuffles, no corpus×corpus join anywhere."""
+    passages = duplicated_passages(
+        df,
+        content_col,
+        id_col,
+        window=window,
+        min_docs=min_docs,
+        max_window_df=max_window_df,
+    )
+    covered = passages.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))
+        ).alias("tokpos"),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(content_col).alias("t")
+    ).filter(F.size("t") > 0)
+    tp = toks.select("doc_id", F.posexplode("t").alias("p0", "token")).select(
+        "doc_id", (F.col("p0") + 1).cast("long").alias("tokpos"), "token"
+    )
+    kept = tp.join(covered, ["doc_id", "tokpos"], "left_anti")
+    red = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tokpos", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("text_redacted"),
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+    )
+    base = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    return base.join(red, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text_redacted", F.lit("")).alias("text_redacted"),
+        F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+        (F.col("n_tokens") - F.coalesce("n_tokens_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_dropped"),
+    )

@@ -416,6 +416,39 @@ def x_dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "x_dedup_substring_redact",
+    f"""
+    WITH {_SUBSTR_WINS_SQL},
+    cov AS (SELECT DISTINCT doc_id, tokpos FROM (
+              SELECT doc_id, unnest(range(pos, pos + {_SUBSTR_WIN})) AS tokpos
+              FROM passages)),
+    tp AS (SELECT doc_id, unnest(t) AS token,
+                  generate_subscripts(t, 1) AS tokpos
+           FROM toks WHERE len(t) > 0),
+    kept AS (SELECT tp.doc_id, tp.tokpos, tp.token
+             FROM tp ANTI JOIN cov USING (doc_id, tokpos)),
+    red AS (SELECT doc_id,
+                   array_to_string(list(token ORDER BY tokpos), ' ')
+                     AS text_redacted,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+    lens AS (SELECT doc_id, len(t) AS n FROM toks WHERE len(t) > 0)
+    SELECT l.doc_id, coalesce(text_redacted, '') AS text_redacted,
+           CAST(coalesce(n_kept, 0) AS BIGINT) AS n_tokens_kept,
+           CAST(n - coalesce(n_kept, 0) AS BIGINT) AS n_tokens_dropped
+    FROM lens l LEFT JOIN red USING (doc_id)
+    """,
+)
+def x_dedup_substring_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """The remedy companion of x_dedup_substring: every token covered
+    by a flagged duplicated window is dropped and the surviving token
+    stream re-joined per document (Lee-et-al-style exact-substring
+    removal). See :func:`ext.dedup.redact_duplicated_spans` — covered
+    positions explode O(flagged·window), everything keys on doc_id."""
+    return D.redact_duplicated_spans(_perturbed_docs(spark, sf), window=_SUBSTR_WIN)
+
+
+@_q(
     "x_dedup_index_incremental",
     f"""
     WITH full_pairs AS ({ORACLES["x_dedup_minhash_lsh"]})

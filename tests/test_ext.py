@@ -466,3 +466,40 @@ def test_unicode_tokens_preserve_case_policy(spark):
     low = df.select(F.lower("s").alias("l")).first()["l"]
     # JVM: final sigma -> ς, non-final -> σ (context-sensitive)
     assert low == "ο σωσιας café"
+
+
+def test_redact_duplicated_spans_removes_shared_passage(spark):
+    """The planted boilerplate vanishes from every doc carrying it; the
+    unique doc comes back as its own (normalized) token stream; kept +
+    dropped = total."""
+    boiler = "all rights reserved see license file"
+    rows = [
+        (1, f"{boiler} alpha beta gamma"),
+        (2, f"intro words here {boiler} tail"),
+        (3, "completely unique text stays whole"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in D.redact_duplicated_spans(df, window=6, min_docs=2).collect()
+    }
+    assert out[1]["text_redacted"] == "alpha beta gamma"
+    assert out[2]["text_redacted"] == "intro words here tail"
+    assert out[3]["text_redacted"] == "completely unique text stays whole"
+    for r in out.values():
+        assert r["n_tokens_dropped"] == (6 if r["doc_id"] in (1, 2) else 0)
+
+
+def test_redact_duplicated_spans_fully_covered_doc(spark):
+    """A doc that IS the shared passage redacts to the empty string with
+    zero kept tokens — the left-join-back must not drop the row."""
+    s = "one two three four five six"
+    df = spark.createDataFrame(
+        [(1, s), (2, s)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.redact_duplicated_spans(df, window=6, min_docs=2).collect()
+    }
+    assert out[1]["text_redacted"] == "" and out[1]["n_tokens_kept"] == 0
+    assert out[1]["n_tokens_dropped"] == 6
