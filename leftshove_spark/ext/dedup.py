@@ -635,25 +635,19 @@ def jaccard_pairs_exact(
     )
 
 
-def window_hashes_with_pos(
-    df: DataFrame,
-    content_col: str = "text",
-    id_col: str = "doc_id",
-    window: int = 20,
+def _window_hashes_with_pos_expr(
+    df: DataFrame, content_col: str, id_col: str, window: int
 ) -> DataFrame:
-    """(id, pos, window_hash) for EVERY length-``window`` token window —
-    the positional sibling of :func:`shingle_hashes_from_tokens` (which
-    distincts and drops positions). One narrow codegen pass: tokens are
-    staged as a column reference first (same re-evaluation economics as
-    the shingle builder's docstring), then
-    ``posexplode(transform(sequence, ...))`` yields one row per window
-    start. ``pos`` is 1-based. Rows per doc = len - window + 1 — linear
-    fan-out, no shuffle here.
-
-    The md5-based :func:`hash60` per window keeps the operator
-    oracle-exact cross-engine; a production variant can swap in a
-    Rabin-Karp rolling hash (O(len) instead of O(len·window) char
-    touches) without changing any downstream plan."""
+    """Catalyst-expression twin of :func:`window_hashes_with_pos` —
+    ``posexplode(transform(sequence, ...))`` with the md5 hash inside
+    the lambda. Kept as the bit-parity reference for the Arrow fast
+    path (pytest-pinned identical); the HOF lambda evaluates
+    INTERPRETED, one expression-tree walk per window — the per-window
+    cost grows with ``window`` (20 element_at walks each), so the Arrow
+    stage is the production form. On the short-doc sf0.1 fixture the
+    two are within ~10% (tokenize dominates); the gap widens with
+    document length × window size, where the interpreted walks compound
+    (the _staged_shingles economics)."""
     toks = df.select(F.col(id_col).alias("id"), tokenize(content_col).alias("t"))
     wins = F.transform(
         F.sequence(F.lit(1), F.size("t") - F.lit(window - 1)),
@@ -670,6 +664,56 @@ def window_hashes_with_pos(
             "id", (F.col("pos0") + 1).cast("long").alias("pos"), "window_hash"
         )
     )
+
+
+def window_hashes_with_pos(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+) -> DataFrame:
+    """(id, pos, window_hash) for EVERY length-``window`` token window —
+    the positional sibling of :func:`shingle_hashes_from_tokens` (which
+    distincts and drops positions). ``pos`` is 1-based; rows per doc =
+    len − window + 1 — linear fan-out, no shuffle here.
+
+    Arrow-batched ``mapInPandas`` (tokenize_py + hash60_py per window,
+    bit-identical to the expression twin) for the same reason as
+    :func:`_staged_shingles`: the md5 inside a higher-order-function
+    lambda runs interpreted per window. Input is fanned out round-robin
+    only when the scan is narrower than the cluster (local single-file
+    case); at scale the scan already has cluster-width splits.
+
+    The md5-based hash keeps the operator oracle-exact cross-engine; a
+    production variant can swap in a Rabin-Karp rolling hash (O(len)
+    instead of O(len·window) char touches) without changing any
+    downstream plan."""
+    out_schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("pos", LongType()),
+            StructField("window_hash", LongType()),
+        ]
+    )
+    src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("__text"))
+    width = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < width:
+        src = src.repartition(width)
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for i, text in zip(pdf["id"], pdf["__text"]):
+                toks = tokenize_py(text)
+                for p in range(len(toks) - window + 1):
+                    ids.append(i)
+                    poss.append(p + 1)
+                    hs.append(hash60_py(" ".join(toks[p : p + window])))
+            yield pd.DataFrame({"id": ids, "pos": poss, "window_hash": hs})
+
+    return src.mapInPandas(gen, out_schema)
 
 
 def duplicated_passages(

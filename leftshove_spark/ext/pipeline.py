@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from .dedup import _staged_shingles, shingle_hashes_from_tokens
+from .hashing import hash60
 from .text import tokenize
 
 # ------------------------------------------------------------------ PII
@@ -455,3 +456,45 @@ def token_budget_cap(
         F.col("__cum") <= budget_per_group
     )
     return out.withColumnRenamed("__cum", "cum_weight") if keep_cum else out.drop("__cum")
+
+
+def dataset_fingerprint(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Order-insensitive corpus fingerprint — the reproducibility
+    primitive: two pipeline runs (different partitioning, different
+    ingestion order, different cluster) produced the SAME multiset of
+    documents iff every fingerprint column matches, without sorting or
+    diffing a corpus. Per group (e.g. source, split):
+
+    - ``n_docs`` / ``n_tokens`` — volume accounting;
+    - ``content_sum`` — Σ hash60(text) as DECIMAL(38,0), emitted as a
+      string (exact in both engines at any corpus size; the driver's
+      pandas fetch would coerce a huge decimal to float);
+    - ``content_xor`` — bitwise XOR of the hashes (order-insensitive,
+      but blind to documents duplicated an even number of times — the
+      sum catches those; together they are a strong multiset check);
+    - ``id_hash_min`` / ``id_hash_max`` — cheap spot probes.
+
+    One groupBy shuffle of O(groups) output; every aggregate is a
+    partial-agg (map-side combine), so the fingerprint of a 100 TB
+    corpus moves O(groups) rows."""
+    gcols = list(group_cols or [])
+    h = hash60(F.col(content_col))
+    toks = F.size(
+        F.filter(
+            F.split(F.col(content_col), r"[ ]+"), lambda x: x != F.lit("")
+        )
+    ).cast("long")
+    grouped = df.groupBy(*gcols) if gcols else df.groupBy()
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+        F.sum(h.cast("decimal(38,0)")).cast("string").alias("content_sum"),
+        F.bit_xor(h).alias("content_xor"),
+        F.min(hash60(F.col(id_col).cast("string"))).alias("id_hash_min"),
+        F.max(hash60(F.col(id_col).cast("string"))).alias("id_hash_max"),
+    )

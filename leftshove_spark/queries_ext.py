@@ -1657,6 +1657,34 @@ def x_token_budget_cap(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "x_dataset_fingerprint",
+    f"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(list_filter(string_split_regex(text, '[ ]+'),
+                                    x -> x != ''))) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST({_h60("text")} AS DECIMAL(38,0))) AS VARCHAR)
+             AS content_sum,
+           bit_xor({_h60("text")}) AS content_xor,
+           min({_h60("CAST(doc_id AS VARCHAR)")}) AS id_hash_min,
+           max({_h60("CAST(doc_id AS VARCHAR)")}) AS id_hash_max
+    FROM documents GROUP BY source
+    """,
+)
+def x_dataset_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus fingerprint — the reproducibility primitive:
+    two runs produced the same document multiset iff every column
+    matches, with no sorting/diffing. Exact DECIMAL(38,0) hash sum
+    (emitted as string — the driver's pandas fetch would float-coerce a
+    huge decimal) + order-insensitive XOR + volume counts; all
+    partial-agg, O(groups) output at any corpus size. See
+    :func:`ext.pipeline.dataset_fingerprint`."""
+    return P.dataset_fingerprint(
+        load_table(spark, sf, "documents"), group_cols=["source"]
+    )
+
+
+@_q(
     "x_snapshot_diff",
     """
     WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus

@@ -503,3 +503,17 @@ def test_redact_duplicated_spans_fully_covered_doc(spark):
     }
     assert out[1]["text_redacted"] == "" and out[1]["n_tokens_kept"] == 0
     assert out[1]["n_tokens_dropped"] == 6
+
+
+def test_window_hashes_arrow_matches_expression_twin(spark):
+    """The Arrow window-hash stage must be bit-identical to the
+    Catalyst expression form — same (id, pos, window_hash) multiset on
+    a corpus slice including sub-window docs."""
+    docs = load_table(spark, SF0001, "documents").limit(60)
+    a = sorted(
+        map(tuple, D.window_hashes_with_pos(docs, window=8).collect())
+    )
+    b = sorted(
+        map(tuple, D._window_hashes_with_pos_expr(docs, "text", "doc_id", 8).collect())
+    )
+    assert a == b and len(a) > 0

@@ -273,3 +273,36 @@ def test_token_budget_cap_prefix_and_stability(spark):
 
     big = token_budget_cap(docs, 20000, "lang", weight_col="n_chars")
     assert {r["doc_id"] for r in rows} <= {r["doc_id"] for r in big.collect()}
+
+
+def test_dataset_fingerprint_order_and_partition_invariant(spark):
+    """The fingerprint must be identical for any row order / partition
+    layout of the same multiset, differ when one document changes, and
+    catch an even-count duplication that XOR alone is blind to."""
+    from leftshove_spark.ext.pipeline import dataset_fingerprint
+
+    rows = [(i, f"doc number {i} body", "s1" if i % 2 else "s2") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def fp(frame):
+        return sorted(
+            map(tuple, dataset_fingerprint(frame, group_cols=["source"]).collect())
+        )
+
+    base = fp(df)
+    assert fp(df.orderBy(F.desc("doc_id")).repartition(13)) == base
+
+    changed = spark.createDataFrame(
+        [(i, f"doc number {i} body" + ("!" if i == 7 else ""), "s1" if i % 2 else "s2")
+         for i in range(50)],
+        "doc_id long, text string, source string",
+    )
+    assert fp(changed) != base
+
+    # duplicate every doc once (even count): XOR cancels, sum must not
+    doubled = df.unionAll(df)
+    d, b = dict([(r[0], r) for r in fp(doubled)]), dict([(r[0], r) for r in base])
+    for src in d:
+        assert d[src][4] == 0  # every hash XORed twice cancels — blind
+        assert d[src][3] != b[src][3]  # content_sum catches it
+        assert d[src][1] == 2 * b[src][1]
