@@ -498,3 +498,48 @@ def dataset_fingerprint(
         F.min(hash60(F.col(id_col).cast("string"))).alias("id_hash_min"),
         F.max(hash60(F.col(id_col).cast("string"))).alias("id_hash_max"),
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Cross-split near-duplicate leakage audit — the check every
+    train/val/test split needs before a benchmark number is trusted: a
+    test document near-duplicating a train document inflates eval
+    scores without any code bug. Hash splits are id-pure (X13), so
+    CONTENT duplicates with different ids cross splits freely; this
+    surfaces exactly those pairs as (id_a, id_b, split_a, split_b,
+    jaccard).
+
+    Plan: MinHash-LSH candidate mining (band-bucket join — never
+    all-pairs) + two id→split equi-joins + a cross-split filter. The
+    split map is a projection of the corpus (no extra scan cost beyond
+    the join); output ∝ leaking pairs. Remediation composes: feed the
+    pairs to connected_components and re-assign whole clusters to one
+    split (cluster-level splitting)."""
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        df, content_col, id_col, jaccard_threshold=jaccard_threshold
+    )
+    sp = df.select(F.col(id_col), F.col(split_col))
+    return (
+        pairs.join(
+            sp.select(
+                F.col(id_col).alias("id_a"), F.col(split_col).alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sp.select(
+                F.col(id_col).alias("id_b"), F.col(split_col).alias("split_b")
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )

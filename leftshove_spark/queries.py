@@ -102,6 +102,7 @@ GATE_ORDER = [
     "c20_unicode_battery",
     "x_dedup_substring_redact",
     "x_dataset_fingerprint",
+    "x_split_leakage",
     # r8 first-timers (one driver green each; second green certifies)
     "w19_nav_battery",
     "c19_math_battery",
@@ -147,13 +148,13 @@ GATE_ORDER = [
     "x_dedup_minhash_recall",
     "x_winsorize",
     "j5_scd2_history",
-    "j6_asof_state",
     # --- tail (entries 51+): also cheap-first, so a driver budget cut
     # costs the fewest rows. All are additionally guarded by
     # tests/test_gate_tail_oracle.py regardless of gate reach.
     # r9 retirees (r7+r8 double-green, most expensive of the block),
     # plus x_integrity_check / k5_skew_diagnostics bumped from the head
-    # by the five new r9 entries:
+    # by the seven new r9 entries:
+    "j6_asof_state",
     "x_sample_k_per_group",
     "k5_skew_diagnostics",
     "x_integrity_check",

@@ -368,6 +368,40 @@ _SUBSTR_WINS_SQL = f"""
 """
 
 
+def _split_leakage_oracle() -> str:
+    from .ext.pipeline import SPLIT_BUCKETS, bucket_sql
+
+    sb = bucket_sql("doc_id", "split:")
+    train_hi, val_hi = int(0.9 * SPLIT_BUCKETS), int(0.95 * SPLIT_BUCKETS)
+    return f"""
+    WITH lsh AS ({ORACLES["x_dedup_minhash_lsh"]}),
+    sp AS (SELECT doc_id AS id,
+                  CASE WHEN {sb} < {train_hi} THEN 'train'
+                       WHEN {sb} < {val_hi} THEN 'val'
+                       ELSE 'test' END AS split
+           FROM ({_BASE_DOCS_SQL}))
+    SELECT l.id_a, l.id_b, sa.split AS split_a, sb.split AS split_b,
+           l.jaccard
+    FROM lsh l JOIN sp sa ON l.id_a = sa.id JOIN sp sb ON l.id_b = sb.id
+    WHERE sa.split != sb.split
+    """
+
+
+@_q("x_split_leakage", _split_leakage_oracle())
+def x_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-split near-dup leakage audit: hash-split the planted
+    near-dup corpus, then surface every LSH-mined near-dup pair whose
+    members landed in different splits — the pairs that silently
+    inflate benchmark numbers. See :func:`ext.pipeline.split_leakage`
+    (LSH candidates + two id→split joins, output ∝ leaking pairs;
+    remediate by re-assigning whole connected components)."""
+    from .ext import pipeline as _P
+
+    return _P.split_leakage(
+        _P.hash_split(_perturbed_docs(spark, sf)), jaccard_threshold=0.6
+    )
+
+
 @_q(
     "x_dedup_substring",
     f"""

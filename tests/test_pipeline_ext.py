@@ -306,3 +306,45 @@ def test_dataset_fingerprint_order_and_partition_invariant(spark):
         assert d[src][4] == 0  # every hash XORed twice cancels — blind
         assert d[src][3] != b[src][3]  # content_sum catches it
         assert d[src][1] == 2 * b[src][1]
+
+
+def test_split_leakage_found_then_fixed_by_cluster_split(spark):
+    """Planted near-dup twins with id-pure hash splits leak across
+    splits; re-assigning every connected component to its min-member's
+    split drives the audit to zero — the documented remediation."""
+    from leftshove_spark.ext import graph as G
+    from leftshove_spark.ext.pipeline import hash_split, split_leakage
+    from leftshove_spark.queries_ext import _perturbed_docs_df
+    from leftshove_spark.sources import load_table
+
+    docs = _perturbed_docs_df(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    with_split = hash_split(docs)
+    leaks = split_leakage(with_split, jaccard_threshold=0.6)
+    assert leaks.count() > 0  # id-pure splits must leak on planted twins
+
+    # remediation: component-level split assignment
+    from leftshove_spark.ext.dedup import minhash_lsh_pairs
+
+    comp = G.connected_components(
+        minhash_lsh_pairs(docs, jaccard_threshold=0.6).select("id_a", "id_b")
+    )
+    rep_split = (
+        with_split.join(
+            comp.select(F.col("node").alias("doc_id"), "component"), "doc_id"
+        )
+        .join(
+            with_split.select(
+                F.col("doc_id").alias("component"), F.col("split").alias("rep")
+            ),
+            "component",
+        )
+        .select("doc_id", F.col("rep").alias("split2"))
+    )
+    fixed = (
+        with_split.join(rep_split, "doc_id", "left")
+        .withColumn("split", F.coalesce("split2", "split"))
+        .drop("split2")
+    )
+    assert split_leakage(fixed, jaccard_threshold=0.6).count() == 0
