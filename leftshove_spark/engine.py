@@ -350,10 +350,24 @@ class Engine:
             raise KeyError(f"{table}: not a seeded capture table")
         if not st.pkey_column:
             raise ValueError(f"{table}: no pkey — history is undefined")
+        path = self.sink_path(st)
         reader = self.spark.read
         if self.config.evolve_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(self.sink_path(st)), st
+            try:
+                return reader.parquet(path), st
+            except Exception as e:
+                if "CANNOT_MERGE_SCHEMAS" not in str(e):
+                    raise
+                # the sink mixes pre- and post-widening files (D7b):
+                # mergeSchema refuses int/long-style mixes even though
+                # the reader up-casts them when handed the widened
+                # schema explicitly — derive it from the footers
+                from .schema import widened_live_schema
+
+                wide = widened_live_schema(path)
+                return self.spark.read.schema(wide).parquet(path), st
+        return reader.parquet(path), st
 
     @staticmethod
     def _version_tiebreaks(cdc: DataFrame, pkey: str) -> list[str]:

@@ -116,7 +116,11 @@ def schemas_equal(a: T.StructType, b: T.StructType) -> bool:
 
 
 def apply_schema_diff(
-    spark, sink_path: str, expected: T.StructType, live: T.StructType | None = None
+    spark,
+    sink_path: str,
+    expected: T.StructType,
+    live: T.StructType | None = None,
+    allow_widening: bool = False,
 ) -> dict[str, list[str]]:
     """D7 APPLY path — evolve a parquet sink to ``expected`` (the
     reference ships a worked ADD-COLUMN sample, bigquery.go:366-389,
@@ -128,17 +132,31 @@ def apply_schema_diff(
     every mergeSchema read surface the added columns (old files yield
     NULL). That is the exact analog of BigQuery's metadata-only ADD
     COLUMN: O(1) regardless of sink size — at 100 TB a rewrite would be
-    a full-corpus job; this is one footer. Removed/retyped columns raise
-    (the reference's sample evolves additively only; destructive changes
-    need an explicit migration). Pass ``live`` when the caller already
-    holds the merged sink schema — the merge is a distributed O(files)
-    footer job, not worth running twice."""
+    a full-corpus job; this is one footer. Removed columns raise, and
+    retyped columns raise UNLESS every retype is a lossless
+    :func:`is_widening` and ``allow_widening`` is set — a widened sink
+    also needs no rewrite (Spark 4's reader up-casts old narrow files
+    when handed the widened schema explicitly; ``mergeSchema`` refuses
+    the mix, so post-widening reads go through
+    :func:`widened_live_schema` — engine._cdc_df does this
+    automatically). Destructive changes need an explicit migration.
+    Pass ``live`` when the caller already holds the merged sink
+    schema — the merge is a distributed O(files) footer job, not worth
+    running twice."""
     if live is None:
         live = spark.read.option("mergeSchema", "true").parquet(sink_path).schema
     d = diff_schemas(live, expected)
-    if d["removed"] or d["retyped"]:
-        raise ValueError(f"only additive evolution is supported, diff={d}")
-    if d["added"]:
+    af = {f.name: f.dataType for f in live.fields}
+    bf = {f.name: f.dataType for f in expected.fields}
+    narrowed = [n for n in d["retyped"] if not is_widening(af[n], bf[n])]
+    if d["removed"] or narrowed or (d["retyped"] and not allow_widening):
+        raise ValueError(
+            f"only additive{'/widening' if allow_widening else ''} evolution "
+            f"is supported, diff={d}"
+        )
+    if d["added"] or d["retyped"]:
+        # zero-row file carrying the full new (widened) schema: makes
+        # the widened types discoverable from footers alone
         spark.createDataFrame([], expected).write.mode("append").parquet(sink_path)
     return d
 
@@ -171,3 +189,76 @@ def type_contains_map(dt: T.DataType) -> bool:
     if isinstance(dt, T.StructType):
         return any(type_contains_map(f.dataType) for f in dt.fields)
     return False
+
+
+# Widenings Spark 4's vectorized parquet reader performs at SCAN time
+# when handed an explicit target schema (probed: byte/short→int/long,
+# int→long, int→double, float→double, date→timestamp_ntz; long→double
+# is NOT supported). This is what makes metadata-only type evolution
+# possible: old narrow files and new wide files coexist in one sink and
+# an explicit-schema read up-casts per file — no rewrite.
+_NUMERIC_LADDER = (T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType())
+
+
+def is_widening(src: T.DataType, dst: T.DataType) -> bool:
+    """True when a parquet sink written with ``src`` can be READ as
+    ``dst`` by handing the reader an explicit schema — the lossless,
+    rewrite-free subset of type changes."""
+    if src == dst:
+        return True
+    if src in _NUMERIC_LADDER:
+        i = _NUMERIC_LADDER.index(src)
+        if dst in _NUMERIC_LADDER[i + 1 :]:
+            return True
+        # int32-and-under widen to double losslessly AND the reader
+        # supports it; long→double would lose precision and is refused
+        # by the reader anyway
+        if isinstance(dst, T.DoubleType) and not isinstance(src, T.LongType):
+            return True
+        return False
+    if isinstance(src, T.FloatType) and isinstance(dst, T.DoubleType):
+        return True
+    if isinstance(src, T.DateType) and isinstance(dst, T.TimestampNTZType):
+        return True
+    return False
+
+
+def widen_types(a: T.DataType, b: T.DataType) -> T.DataType:
+    """The wider of two types under :func:`is_widening`; raises when
+    neither direction is a supported widening (a genuine retype)."""
+    if is_widening(a, b):
+        return b
+    if is_widening(b, a):
+        return a
+    raise ValueError(f"no lossless widening between {a} and {b}")
+
+
+def widened_live_schema(sink_path: str) -> T.StructType:
+    """The widest schema over every parquet footer in a sink — the
+    fallback when ``mergeSchema`` refuses a sink whose files mix
+    pre- and post-widening types (Spark's merge rejects int/long
+    mixes even though its reader up-casts them happily). Pure pyarrow
+    footer reads, no Spark jobs; column order follows first
+    appearance."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    merged: dict[str, T.DataType] = {}
+    order: list[str] = []
+    for root, dirs, files in os.walk(sink_path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in sorted(files):
+            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                continue
+            sch = from_arrow_schema(
+                pq.read_schema(os.path.join(root, f))
+            )
+            for fld in sch.fields:
+                if fld.name not in merged:
+                    merged[fld.name] = fld.dataType
+                    order.append(fld.name)
+                else:
+                    merged[fld.name] = widen_types(merged[fld.name], fld.dataType)
+    return T.StructType([T.StructField(n, merged[n], True) for n in order])

@@ -170,3 +170,103 @@ def test_schema_json_roundtrip_and_diff_laws(a, b):
     assert d_ab["retyped"] == d_ba["retyped"]
     if sch.schemas_equal(a, b):
         assert d_ab == {"added": [], "removed": [], "retyped": []}
+
+
+def test_is_widening_matrix(spark):
+    """The widening predicate mirrors exactly what Spark 4's vectorized
+    parquet reader accepts with an explicit schema (probed): the
+    numeric ladder, small-int/float -> double, date -> timestamp_ntz —
+    and refuses long -> double (lossy) and every narrowing."""
+    from pyspark.sql import types as T
+
+    from leftshove_spark.schema import is_widening, widen_types
+
+    assert is_widening(T.IntegerType(), T.LongType())
+    assert is_widening(T.ShortType(), T.LongType())
+    assert is_widening(T.IntegerType(), T.DoubleType())
+    assert is_widening(T.FloatType(), T.DoubleType())
+    assert is_widening(T.DateType(), T.TimestampNTZType())
+    assert not is_widening(T.LongType(), T.DoubleType())
+    assert not is_widening(T.LongType(), T.IntegerType())
+    assert not is_widening(T.StringType(), T.LongType())
+    assert widen_types(T.IntegerType(), T.LongType()) == T.LongType()
+    assert widen_types(T.LongType(), T.IntegerType()) == T.LongType()
+    import pytest
+
+    with pytest.raises(ValueError, match="widening"):
+        widen_types(T.LongType(), T.DoubleType())
+
+
+def test_schema_widening_end_to_end(spark, tmp_path):
+    """D7b: int sink widens to long with NO rewrite — apply_schema_diff
+    records the widening and appends a zero-row wide file; subsequent
+    reads go through the widened footer schema and see every row with
+    the wide type. A genuine retype (long -> string) still raises."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from leftshove_spark.schema import apply_schema_diff, widened_live_schema
+
+    sink = str(tmp_path / "sink")
+    spark.createDataFrame([(1, 10), (2, 20)], "k int, v int").write.parquet(sink)
+    wide = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    with pytest.raises(ValueError, match="evolution"):
+        apply_schema_diff(spark, sink, wide)  # widening off by default
+    d = apply_schema_diff(spark, sink, wide, allow_widening=True)
+    assert d["retyped"] == ["k", "v"]
+
+    # post-widening appends write longs; mergeSchema would now refuse
+    spark.createDataFrame(
+        [(3_000_000_000, 30)], "k long, v long"
+    ).write.mode("append").parquet(sink)
+    live = widened_live_schema(sink)
+    assert [f.dataType for f in live.fields] == [T.LongType(), T.LongType()]
+    rows = sorted(
+        r["k"] for r in spark.read.schema(live).parquet(sink).collect()
+    )
+    assert rows == [1, 2, 3_000_000_000]
+
+    with pytest.raises(ValueError, match="evolution"):
+        apply_schema_diff(
+            spark,
+            sink,
+            T.StructType([T.StructField("k", T.StringType())]),
+            live=live,
+            allow_widening=True,
+        )
+
+
+def test_engine_reads_through_widened_sink(spark, tmp_path):
+    """The engine's history/state path survives a widened capture sink:
+    mergeSchema fails on the int/long mix and _cdc_df falls back to the
+    footer-derived widened schema."""
+    from datetime import datetime
+
+    from leftshove_spark.engine import Engine
+    from leftshove_spark.session import EngineConfig
+
+    work = str(tmp_path)
+    eng = Engine(
+        spark,
+        EngineConfig(replication_buffer_secs=0, evolve_schema=True),
+        state_path=f"{work}/state.json",
+        sink_root=f"{work}/sink",
+    )
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [(1, 5, datetime(2030, 1, 1))], "pk int, v int, ts timestamp"
+    ).write.parquet(src)
+    eng.seed([{"name": "t", "path": src, "nms_column": "ts", "pkey_column": "pk"}])
+    eng.create_sinks()
+    eng.run_cycle(now=datetime(2030, 1, 2), snapshot_at=datetime(2030, 1, 2))
+    # widened upstream: append a LONG version of the same table
+    sink = eng.sink_path(next(s for s in eng.state.all() if s.name == "t"))
+    spark.createDataFrame(
+        [(2_999_999_999, 7, datetime(2030, 2, 1), datetime(2030, 2, 1))],
+        "pk long, v long, ts timestamp, snapshot_tm timestamp",
+    ).write.mode("append").parquet(sink)
+    hist = eng.history("t")
+    assert hist.schema["pk"].dataType.typeName() == "long"
+    assert sorted(r["pk"] for r in hist.collect()) == [1, 2_999_999_999]
