@@ -531,3 +531,144 @@ def maintain_history(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     finally:
         merged.unpersist()
+
+
+def start_near_dedup_stream(
+    spark: SparkSession,
+    *,
+    landing_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.6,
+    once: bool = True,
+    processing_time: str = "20 seconds",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """W20 — streaming near-dup ADMISSION CONTROL: every micro-batch of
+    documents is screened against the persisted LSH index before it may
+    join the corpus. The streaming engine runs EXACTLY the incremental
+    batch loop (minhash_lsh_pairs_incremental → in-batch connected
+    components → keep-one), so stream-admitted ≡ batch-folded — no
+    second dedup discipline to keep consistent.
+
+    Per micro-batch, inside ``foreachBatch``:
+
+    1. mine pairs TOUCHING the batch against the standing index (cost ∝
+       the batch's bucket collisions — the corpus contributes only its
+       stored index, never re-shingled);
+    2. drop every batch doc that near-dups an already-admitted corpus
+       doc; among batch-internal near-dup clusters keep the min id
+       (exact connected components — batches are small, the O(log d)
+       rounds are cheap here);
+    3. append survivors to ``out_dir`` and their (id, sh, bands) rows
+       to ``index_dir`` — the index grows with ADMITTED docs only.
+
+    Delivery: the checkpoint offset commits after the appends, so a
+    crash mid-batch replays it — appends are at-least-once. Replay is
+    convergent for the index (id-collision upsert semantics) but can
+    duplicate out_dir rows; downstream reads dedup exactly like every
+    other at-least-once sink here (J3 view / exact_dedup). At 100 TB
+    the index lives partitioned by a band-key prefix and the per-batch
+    cost stays O(batch + collisions) — the same envelope as
+    minhash_lsh_pairs_incremental."""
+    import os as _os
+
+    from .ext.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+    from .ext.graph import connected_components
+
+    src = _streaming_source(spark, landing_dir, max_files_per_trigger)
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.select(id_col, content_col).persist()
+        try:
+            if batch_df.rdd.isEmpty():
+                return
+            have_index = _os.path.isdir(index_dir) and any(
+                not e.startswith(("_", ".")) for e in _os.listdir(index_dir)
+            )
+            if have_index:
+                idx = spark.read.parquet(index_dir)
+                corpus_ids = idx.select(F.col("id").alias("__cid"))
+                pairs = minhash_lsh_pairs_incremental(
+                    batch_df,
+                    idx,
+                    content_col,
+                    id_col,
+                    jaccard_threshold=jaccard_threshold,
+                ).persist()
+            else:
+                from .ext.dedup import minhash_lsh_pairs
+
+                corpus_ids = None
+                pairs = minhash_lsh_pairs(
+                    batch_df,
+                    content_col,
+                    id_col,
+                    jaccard_threshold=jaccard_threshold,
+                ).persist()
+            try:
+                batch_ids = batch_df.select(F.col(id_col).alias("__bid")).distinct()
+                if corpus_ids is not None:
+                    # batch docs pairing with an admitted corpus doc: out
+                    vs_corpus = (
+                        pairs.join(
+                            corpus_ids, pairs.id_a == F.col("__cid"), "left_semi"
+                        )
+                        .select(F.col("id_b").alias("__drop"))
+                        .unionAll(
+                            pairs.join(
+                                corpus_ids, pairs.id_b == F.col("__cid"), "left_semi"
+                            ).select(F.col("id_a").alias("__drop"))
+                        )
+                        .distinct()
+                    )
+                else:
+                    vs_corpus = spark.createDataFrame([], "__drop long")
+                # batch-internal clusters: keep the min id per component
+                internal = pairs.join(
+                    batch_ids, pairs.id_a == F.col("__bid"), "left_semi"
+                ).join(batch_ids, pairs.id_b == F.col("__bid"), "left_semi")
+                comp = connected_components(internal.select("id_a", "id_b"))
+                internal_drops = comp.filter(
+                    F.col("node") != F.col("component")
+                ).select(F.col("node").alias("__drop"))
+                drops = vs_corpus.unionAll(internal_drops).distinct()
+                survivors = batch_df.join(
+                    drops, batch_df[id_col] == F.col("__drop"), "left_anti"
+                ).persist()
+                try:
+                    survivors.write.mode("append").parquet(out_dir)
+                    build_minhash_index(
+                        survivors, content_col, id_col
+                    ).write.mode("append").parquet(index_dir)
+                finally:
+                    survivors.unpersist()
+            finally:
+                pairs.unpersist()
+        finally:
+            batch_df.unpersist()
+            # the LSH stages pin shingle intermediates (ext.cache); a
+            # long-running stream must release them per batch or the
+            # block manager accumulates one pin set per trigger
+            from .ext import cache as _pin_cache
+
+            _pin_cache.release_pins()
+
+    _os.makedirs(checkpoint_dir, exist_ok=True)
+    writer = (
+        src.writeStream.queryName("near_dedup_admission")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(batch_fn)
+        .outputMode("append")
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -450,3 +450,61 @@ def test_version_tiebreaks_skip_nested_maps(spark):
         "safe_struct struct<a:int,b:string>",
     )
     assert Engine._version_tiebreaks(df, "k") == ["plain", "safe_struct"]
+
+
+def test_near_dedup_stream_admission(spark, tmp_path):
+    """W20: per-micro-batch near-dup admission against the persisted
+    index. Batch 1 (unique docs) is admitted whole — including only one
+    representative of an in-batch near-dup pair; batch 2's near-dups of
+    ADMITTED docs are rejected while its novel docs are admitted; the
+    index holds exactly the admitted ids."""
+    import os
+
+    from leftshove_spark.streaming import start_near_dedup_stream
+
+    landing = str(tmp_path / "landing")
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def doc(i, extra=""):
+        base = " ".join(f"tok{i} word{j} common{j % 3}" for j in range(12))
+        return (i, base + (" " + extra if extra else ""))
+
+    os.makedirs(landing)
+    b1 = [doc(i) for i in range(5)]
+    b1.append((100, b1[0][1] + " tail"))  # in-batch near-dup of doc 0
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    q = start_near_dedup_stream(
+        spark,
+        landing_dir=landing,
+        index_dir=index_dir,
+        out_dir=out_dir,
+        checkpoint_dir=ck,
+        once=True,
+    )
+    q.awaitTermination(120)
+    admitted1 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert admitted1 == {0, 1, 2, 3, 4}  # 100 deduped in-batch (min id kept)
+
+    # batch 2: near-dups of admitted docs + genuinely novel docs
+    b2 = [(200, b1[1][1] + " suffix"), (201, b1[3][1] + " x")]
+    b2 += [doc(i + 50) for i in range(2)]  # novel: 50, 51
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    q = start_near_dedup_stream(
+        spark,
+        landing_dir=landing,
+        index_dir=index_dir,
+        out_dir=out_dir,
+        checkpoint_dir=ck,
+        once=True,
+    )
+    q.awaitTermination(120)
+    admitted2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert admitted2 == {0, 1, 2, 3, 4, 50, 51}
+    idx_ids = {r["id"] for r in spark.read.parquet(index_dir).select("id").collect()}
+    assert idx_ids == admitted2
