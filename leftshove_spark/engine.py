@@ -455,6 +455,66 @@ class Engine:
         rewrite_dir_staged(keep, self.sink_path(st))
         return self.spark.read.parquet(self.sink_path(st)).count()
 
+    def backfill(self, table: str, lo: datetime, hi: datetime) -> int:
+        """K11 — idempotent historical re-capture: re-read the source
+        window ``(lo, hi]`` and fold only the versions the sink is
+        MISSING into it — the gap-repair op every CDC deployment
+        eventually needs (source outage, bug-window purge, late data
+        beyond the replication buffer). Returns rows appended.
+
+        Idempotent by construction: incoming versions anti-join the
+        sink on (pkey, nms) before the append, so re-running the same
+        backfill appends zero rows and partial failures are safe to
+        retry. Version stamping: backfilled rows carry
+        ``snapshot_tm = their own nms value`` — a historical version
+        must interleave into SCD2 history at its HISTORICAL position;
+        a repair-time stamp would make every backfilled version the
+        per-key "latest" and corrupt history()/state_as_of(). The
+        interleave is exact when captures are timely (snapshot_tm
+        tracks nms up to the replication buffer — the normal
+        deployment); a sink whose original stamps lag their nms by
+        more than the repaired gap orders the backfilled version by
+        its nms stamp, which is then the best-available position. The
+        watermark is NOT advanced: backfill repairs the past, the
+        controller's forward window is untouched.
+
+        Scale shape: both sides prune — the source read pushes the
+        half-open window predicate to its scan, the sink side reads
+        only (pkey, nms) projections of the same window — and the
+        anti-join keys on (pkey, nms), so cost ∝ window size, never
+        sink size."""
+        from .sinks import append_snapshot
+        from .snapshot import window_predicate
+
+        existing_df, st = self._cdc_df(table)
+        src = read_parquet_normalized(self.spark, st.path)
+        cap = build_capture(
+            src,
+            st.nms_column,
+            lo,
+            hi,
+            munge_to_null=self.config.munge_invalid_ts_to_null,
+            munge_to_min=self.config.munge_invalid_ts_to_min,
+            min_ts=self.config.munge_min_timestamp,
+        ).withColumn(
+            sch.SNAPSHOT_COL, F.col(st.nms_column).cast("timestamp")
+        )
+        hook = self.transforms.get(st.name)
+        if hook is not None:
+            cap = hook(cap)
+        keys = [st.pkey_column, st.nms_column]
+        existing = existing_df.filter(
+            window_predicate(st.nms_column, lo, hi)
+        ).select(*keys)
+        fresh = cap.join(existing, keys, "left_anti").persist()
+        try:
+            n = fresh.count()
+            if n:
+                append_snapshot(fresh, self.sink_path(st))
+            return n
+        finally:
+            fresh.unpersist()
+
     def changes_between(self, table: str, t1, t2) -> DataFrame:
         """Change feed between two instants: per pkey, was the row
         ``added``, ``removed`` or ``changed`` from the state at ``t1``

@@ -268,3 +268,65 @@ def test_engine_vacuum_snapshots_preserves_post_horizon_state(spark, tmp_path):
     vs = {r["v"] for r in spark.read.parquet(eng.sink_path(st)).collect()}
     assert vs == {"a2", "b3", "a5", "c6"}
     assert not any(e.startswith(".compact") for e in os.listdir(eng.sink_path(st)))
+
+
+def test_backfill_idempotent_late_data_repair(spark, tmp_path):
+    """K11: late rows landing with historical nms (beyond the
+    replication buffer) are folded in exactly once; already-captured
+    versions never duplicate; re-running the backfill appends 0; the
+    backfilled version interleaves into SCD2 history at its historical
+    position (snapshot_tm = nms), not at repair time."""
+    from datetime import datetime
+
+    from leftshove_spark.engine import Engine
+    from leftshove_spark.session import EngineConfig
+
+    work = str(tmp_path)
+    src_dir = f"{work}/src.parquet"
+    rows = [
+        (1, "a-v1", datetime(2030, 1, 1)),
+        (1, "a-v2", datetime(2030, 3, 1)),
+        (2, "b-v1", datetime(2030, 1, 15)),
+    ]
+    spark.createDataFrame(
+        rows, "pk long, v string, ts timestamp"
+    ).write.parquet(src_dir)
+
+    eng = Engine(
+        spark,
+        EngineConfig(replication_buffer_secs=0, max_step_hours=24 * 365),
+        state_path=f"{work}/state.json",
+        sink_root=f"{work}/sink",
+    )
+    eng.seed([{"name": "t", "path": src_dir, "nms_column": "ts",
+               "pkey_column": "pk"}])
+    eng.create_sinks()
+    # timely captures: each cycle stamps close to the versions it sees,
+    # so capture-time history tracks source-time (the deployment the
+    # nms-stamped backfill is designed for)
+    eng.run_cycle(now=datetime(2030, 1, 20), snapshot_at=datetime(2030, 1, 20))
+    eng.run_cycle(now=datetime(2030, 3, 10), snapshot_at=datetime(2030, 3, 10))
+    sink = eng.sink_path(next(s for s in eng.state.all() if s.name == "t"))
+    assert spark.read.parquet(sink).count() == 3
+
+    # late data: a version of pk=1 dated BETWEEN v1 and v2 arrives after
+    # the watermark has moved past it
+    spark.createDataFrame(
+        [(1, "a-v1.5", datetime(2030, 2, 1))], "pk long, v string, ts timestamp"
+    ).write.mode("append").parquet(src_dir)
+
+    n = eng.backfill("t", datetime(2030, 1, 1), datetime(2030, 3, 1))
+    assert n == 1  # only the late row; captured versions not re-appended
+    assert spark.read.parquet(sink).count() == 4
+    assert eng.backfill("t", datetime(2030, 1, 1), datetime(2030, 3, 1)) == 0
+
+    hist = {(r["v"]): r for r in eng.history("t").filter("pk = 1").collect()}
+    assert set(hist) == {"a-v1", "a-v1.5", "a-v2"}
+    # historical interleave: v1 -> v1.5 -> v2, v2 current
+    assert hist["a-v1"]["valid_to"] == hist["a-v1.5"]["valid_from"]
+    assert hist["a-v1.5"]["valid_to"] == hist["a-v2"]["valid_from"]
+    assert hist["a-v2"]["is_current"] and not hist["a-v1.5"]["is_current"]
+    # point-in-time query lands on the backfilled version: after its
+    # nms stamp (2030-02-01), before v2's capture (2030-03-10)
+    mid = eng.state_as_of("t", datetime(2030, 2, 15)).filter("pk = 1").collect()
+    assert [r["v"] for r in mid] == ["a-v1.5"]
