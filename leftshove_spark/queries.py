@@ -103,6 +103,7 @@ GATE_ORDER = [
     "x_dedup_substring_redact",
     "x_dataset_fingerprint",
     "x_split_leakage",
+    "w21_rollup_incremental",
     # r8 first-timers (one driver green each; second green certifies)
     "w19_nav_battery",
     "c19_math_battery",
@@ -147,13 +148,13 @@ GATE_ORDER = [
     "x_dedup_jaccard_exact",
     "x_dedup_minhash_recall",
     "x_winsorize",
-    "j5_scd2_history",
     # --- tail (entries 51+): also cheap-first, so a driver budget cut
     # costs the fewest rows. All are additionally guarded by
     # tests/test_gate_tail_oracle.py regardless of gate reach.
     # r9 retirees (r7+r8 double-green, most expensive of the block),
     # plus x_integrity_check / k5_skew_diagnostics bumped from the head
-    # by the seven new r9 entries:
+    # by the eight new r9 entries:
+    "j5_scd2_history",
     "j6_asof_state",
     "x_sample_k_per_group",
     "k5_skew_diagnostics",
@@ -1174,6 +1175,61 @@ def w7_tumbling_window_agg(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(_dec4("value")).cast("double").alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@_q(
+    "w21_rollup_incremental",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           min(event_id) AS min_event,
+           max(event_id) AS max_event
+    FROM events GROUP BY 1, 2
+    """,
+)
+def w21_rollup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """W21 — incremental tumbling rollup (hypertable continuous
+    aggregate): events folded through streaming.maintain_rollup in
+    THREE micro-batches, state read back via rollup_view — the oracle
+    is the ONE-SHOT day-window aggregate, so the driver's hash check
+    certifies `incremental partial-merge ≡ batch groupBy` on counts,
+    decimal sums, and min/max, not just the plan shape."""
+    import tempfile
+
+    from .streaming import maintain_rollup, rollup_view
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "ts", _dec4("value").alias("value")
+    )
+    state = tempfile.mkdtemp(prefix="ls_rollup_gate_")
+    for i in range(3):
+        maintain_rollup(
+            spark,
+            state,
+            ev.filter(F.col("event_id") % 3 == i),
+            "ts",
+            ["event_type"],
+            sum_cols=["value"],
+            min_cols=["event_id"],
+            max_cols=["event_id"],
+            window="1 day",
+        )
+    return rollup_view(
+        spark,
+        state,
+        sum_cols=["value"],
+        min_cols=["event_id"],
+        max_cols=["event_id"],
+    ).select(
+        "window_start",
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("total_value"),
+        F.col("min_event_id").alias("min_event"),
+        F.col("max_event_id").alias("max_event"),
     )
 
 

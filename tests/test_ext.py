@@ -517,3 +517,65 @@ def test_window_hashes_arrow_matches_expression_twin(spark):
         map(tuple, D._window_hashes_with_pos_expr(docs, "text", "doc_id", 8).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_duplicated_passage_family_matches_python_model(spark):
+    """Randomized model check: on a seeded random corpus (shared
+    passages planted by construction of a tiny vocabulary), the passage
+    clusters, span fractions, and redaction all equal a brute-force
+    pure-Python reference."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for i in range(40):
+        n = rng.randint(3, 30)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    W = 4
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # python model
+    toks = {i: t.split() for i, t in docs}
+    wins: dict[int, list[tuple[int, str]]] = {}
+    for i, t in toks.items():
+        wins[i] = [
+            (p + 1, " ".join(t[p : p + W])) for p in range(len(t) - W + 1)
+        ]
+    from collections import defaultdict
+
+    docs_per_win: dict[str, set] = defaultdict(set)
+    for i, ws in wins.items():
+        for _, w in ws:
+            docs_per_win[w].add(i)
+    flagged = {w for w, ds in docs_per_win.items() if len(ds) >= 2}
+    want_passages = {
+        (i, p) for i, ws in wins.items() for p, w in ws if w in flagged
+    }
+    got_passages = {
+        (r["doc_id"], r["pos"])
+        for r in D.duplicated_passages(df, window=W, min_docs=2).collect()
+    }
+    assert got_passages == want_passages
+
+    # span fractions via position sets
+    covered: dict[int, set] = defaultdict(set)
+    for i, p in want_passages:
+        covered[i].update(range(p, p + W))
+    got_frac = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"])
+        for r in D.duplicated_span_fraction(df, window=W, min_docs=2).collect()
+    }
+    for i, t in toks.items():
+        assert got_frac[i] == (len(t), len(covered[i]))
+
+    # redaction drops exactly the covered positions, order preserved
+    got_red = {
+        r["doc_id"]: r["text_redacted"]
+        for r in D.redact_duplicated_spans(df, window=W, min_docs=2).collect()
+    }
+    for i, t in toks.items():
+        want = " ".join(
+            tok for p, tok in enumerate(t, start=1) if p not in covered[i]
+        )
+        assert got_red[i] == want

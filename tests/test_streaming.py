@@ -508,3 +508,71 @@ def test_near_dedup_stream_admission(spark, tmp_path):
     assert admitted2 == {0, 1, 2, 3, 4, 50, 51}
     idx_ids = {r["id"] for r in spark.read.parquet(index_dir).select("id").collect()}
     assert idx_ids == admitted2
+
+
+def test_maintain_rollup_incremental_equals_batch_and_touches_only_hit_days(
+    spark, tmp_path
+):
+    """W21 parity: three chunked folds (one re-delivered window of LATE
+    data) produce exactly the one-shot aggregate, and a batch touching
+    one day leaves every other day-partition's files byte-identical."""
+    import os
+
+    from leftshove_spark.sources import load_table
+    from leftshove_spark.streaming import maintain_rollup, rollup_view
+
+    state = str(tmp_path / "rollup")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "ts", F.col("value").cast("decimal(18,4)").alias("value")
+    )
+    for i in range(3):
+        maintain_rollup(
+            spark, state, ev.filter(F.col("event_id") % 3 == i),
+            "ts", ["event_type"], sum_cols=["value"], window="1 day",
+        )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in rollup_view(spark, state, sum_cols=["value"]).collect()
+    }
+    want = {
+        (r["w"]["start"], r["event_type"]): (r["n"], r["s"])
+        for r in ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+    def snapshot():
+        out = {}
+        for dp, _, fs in os.walk(state):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dp, f)
+                    out[p] = (os.path.getsize(p), os.path.getmtime(p))
+        return out
+
+    before = snapshot()
+    # late data for exactly one existing day
+    one_day = ev.orderBy("event_id").limit(1).withColumn(
+        "event_id", F.col("event_id") + 10_000_000
+    )
+    maintain_rollup(
+        spark, state, one_day, "ts", ["event_type"], sum_cols=["value"],
+        window="1 day",
+    )
+    after = snapshot()
+    changed_days = {
+        p.split("__wday=")[1].split("/")[0]
+        for p in set(after) - set(before)
+    }
+    assert len(changed_days) == 1
+    untouched_same = sum(
+        1 for p, m in before.items() if p in after and after[p] == m
+    )
+    n_days = len({p.split("__wday=")[1].split("/")[0] for p in before})
+    assert untouched_same >= len(before) - len(before) // n_days - 1
+    # and the late row is counted
+    total_n = sum(
+        r["n"] for r in rollup_view(spark, state, sum_cols=["value"]).collect()
+    )
+    assert total_n == ev.count() + 1
