@@ -1,0 +1,85 @@
+"""Deterministic mergeable sketches built on the 60-bit cross-engine hash.
+
+The engine's sketch family differs from the usual HLL/theta toolbox in
+one deliberate way: every sketch here is a DETERMINISTIC function of the
+data (ext.hashing's md5-based hash60, no RNG, no engine-specific
+hashing), so sketch contents AND estimates are bit-identical in any
+engine that can compute md5 — the driver's DuckDB oracle certifies the
+ESTIMATES by value hash, not just "close enough". The price is a fixed
+hash family (an adversary who knows it can craft collisions; irrelevant
+for corpus accounting, the target workload).
+
+KMV (k-minimum-values) distinct counting [Bar-Yossef et al. 2002]:
+keep the k smallest distinct hash values of a column; with U = 2^60 the
+estimate is ``(k-1) * U / kth_min`` (the k-th smallest of n uniform
+draws sits near k/n · U). Standard error ≈ 1/√(k−2).
+
+Why KMV and not HLL here: identical accuracy class for the same few KB,
+but the sketch is a sorted integer array — trivially mergeable with
+array built-ins (union = k smallest of the concatenation), exactly
+representable in parquet, and oracle-checkable. Each sketch row is
+O(k) longs; sketches for billions of rows per group move O(groups·k)
+data — the same partial-agg envelope as any count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import hash60
+
+U60 = float(1 << 60)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV sketch: ``sketch`` = the k smallest DISTINCT
+    hash60 values (ascending array), plus ``n_seen`` = |sketch|.
+
+    Plan: groupBy(group, hash) collapses duplicates with map-side
+    combine (the only corpus-sized shuffle, same as exact
+    countDistinct); a per-group window keeps rank ≤ k (WindowGroupLimit
+    prunes inside the sort); collect_list over ≤ k rows per group. At
+    100 TB the build costs what one countDistinct costs — the sketch's
+    value is afterwards: stored per source/day, merged without
+    rescanning (:func:`kmv_merge`), estimated anywhere
+    (:func:`kmv_estimate`)."""
+    gcols = list(group_cols or [])
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    distinct = df.groupBy(*gcols, hash60(c).alias("__h")).agg(F.lit(1).alias("__one"))
+    w = Window.partitionBy(*[F.col(g) for g in gcols] or [F.lit(1)]).orderBy("__h")
+    topk = distinct.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return topk.groupBy(*gcols).agg(
+        F.sort_array(F.collect_list("__h")).alias("sketch"),
+        F.count(F.lit(1)).cast("long").alias("n_seen"),
+    )
+
+
+def kmv_merge(sketch_a: Column, sketch_b: Column, k: int = 256) -> Column:
+    """Union of two sketches = the k smallest of the merged distinct
+    hash sets — pure array built-ins, no shuffle, associative and
+    commutative (pytest pins merge(sketch(A), sketch(B)) ≡
+    sketch(A ∪ B))."""
+    return F.slice(
+        F.array_sort(F.array_distinct(F.concat(sketch_a, sketch_b))), 1, k
+    )
+
+
+def kmv_estimate(sketch: Column, k: int = 256) -> Column:
+    """Distinct-count estimate from a sketch: exact |sketch| while the
+    sketch is unsaturated (fewer than k distinct values exist — the
+    sketch IS the distinct hash set), else ``(k-1)·2^60 / kth_min``.
+    Pure double arithmetic on integer inputs — bit-identical in any
+    IEEE engine, which is what lets the driver hash-check an
+    *estimate*."""
+    kth = F.element_at(sketch, k).cast("double")
+    return F.when(
+        F.size(sketch) < k, F.size(sketch).cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(U60) / kth)

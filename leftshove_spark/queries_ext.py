@@ -1690,6 +1690,63 @@ def x_token_budget_cap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_KMV_K = 256
+_KMV_U = "1152921504606846976.0"  # 2^60 as an exact double literal
+
+
+@_q(
+    "x_kmv_distinct",
+    f"""
+    WITH toks AS (SELECT lang, unnest({_TOK.format(e="text")}) AS tok
+                  FROM documents),
+    h AS (SELECT DISTINCT lang, {_h60("tok")} AS h FROM toks),
+    r AS (SELECT lang, h,
+                 row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+          FROM h),
+    agg AS (SELECT lang, count(*) AS n_exact,
+                   max(CASE WHEN rn = {_KMV_K} THEN h END) AS kth,
+                   sum(CASE WHEN rn <= {_KMV_K} THEN 1 ELSE 0 END) AS n_seen
+            FROM r GROUP BY lang)
+    SELECT lang,
+           coalesce(kth, -1) AS kth_hash,
+           CAST(n_seen AS BIGINT) AS n_seen,
+           CASE WHEN n_seen < {_KMV_K} THEN CAST(n_seen AS DOUBLE)
+                ELSE {float(_KMV_K - 1)} * {_KMV_U} / CAST(kth AS DOUBLE)
+           END AS est_distinct,
+           CAST(n_exact AS BIGINT) AS n_exact
+    FROM agg
+    """,
+)
+def x_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV distinct-count sketch, ESTIMATE hash-certified: per-language
+    distinct-token cardinality estimated from the 256 smallest hash60
+    values, beside the exact count — the driver verifies the estimate
+    VALUE cross-engine (deterministic hash family + IEEE double
+    arithmetic), something an HLL sketch can never offer. See
+    :func:`ext.sketch.kmv_sketch` for the build plan (one
+    distinct-collapse shuffle, WindowGroupLimit-pruned top-k) and the
+    merge/estimate companions."""
+    from .ext import sketch as SK
+    from .ext.text import tokenize
+
+    toks = load_table(spark, sf, "documents").select(
+        "lang", F.explode(tokenize("text")).alias("tok")
+    )
+    sk = SK.kmv_sketch(toks, "tok", ["lang"], k=_KMV_K)
+    from .ext.hashing import hash60 as _h
+
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct(_h(F.col("tok"))).alias("n_exact")
+    )
+    return sk.join(exact, "lang").select(
+        "lang",
+        F.coalesce(F.element_at("sketch", _KMV_K), F.lit(-1)).alias("kth_hash"),
+        "n_seen",
+        SK.kmv_estimate(F.col("sketch"), k=_KMV_K).alias("est_distinct"),
+        "n_exact",
+    )
+
+
 @_q(
     "x_dataset_fingerprint",
     f"""

@@ -48,3 +48,46 @@ def test_approx_aggs_are_partial_merge_shaped(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ObjectHashAggregate") + plan.count("HashAggregate") >= 2
     assert "partial" in plan.lower()
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """Mergeability: merge(sketch(A), sketch(B)) must equal
+    sketch(A ∪ B) exactly — array contents, not just estimates — and
+    the merged estimate lands within the 1/sqrt(k-2) error envelope of
+    the true distinct count."""
+    import pyspark.sql.functions as F
+
+    from leftshove_spark.ext import sketch as SK
+
+    k = 64
+    a = spark.range(0, 3000).selectExpr("concat('v', id % 2100) AS v")
+    b = spark.range(0, 3000).selectExpr("concat('v', 1500 + id % 2400) AS v")
+    sa = SK.kmv_sketch(a, "v", k=k).collect()[0]["sketch"]
+    sb = SK.kmv_sketch(b, "v", k=k).collect()[0]["sketch"]
+    su = SK.kmv_sketch(a.unionAll(b), "v", k=k).collect()[0]["sketch"]
+    merged = spark.createDataFrame(
+        [(sa, sb)], "sa array<long>, sb array<long>"
+    ).select(SK.kmv_merge(F.col("sa"), F.col("sb"), k=k).alias("m"))
+    assert merged.collect()[0]["m"] == su
+
+    true_n = a.unionAll(b).distinct().count()  # 2100 ∪ [1500,3900) = 3900
+    est = (
+        merged.select(SK.kmv_estimate(F.col("m"), k=k).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert abs(est - true_n) / true_n < 4 / (k - 2) ** 0.5
+
+
+def test_kmv_unsaturated_sketch_is_exact(spark):
+    """Below k distinct values the sketch IS the distinct hash set and
+    the estimate is exactly the distinct count."""
+    from leftshove_spark.ext import sketch as SK
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 500).selectExpr("concat('g', id % 3) AS g",
+                                        "concat('x', id % 40) AS v")
+    sk = SK.kmv_sketch(df, "v", ["g"], k=256)
+    out = sk.select("g", F.size("sketch").alias("n"),
+                    SK.kmv_estimate(F.col("sketch")).alias("est")).collect()
+    for r in out:
+        assert r["n"] == 40 and r["est"] == 40.0
