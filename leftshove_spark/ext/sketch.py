@@ -83,3 +83,20 @@ def kmv_estimate(sketch: Column, k: int = 256) -> Column:
     return F.when(
         F.size(sketch) < k, F.size(sketch).cast("double")
     ).otherwise(F.lit(float(k - 1)) * F.lit(U60) / kth)
+
+
+def kmv_jaccard(sketch_a: Column, sketch_b: Column, k: int = 256) -> Column:
+    """Jaccard resemblance of two SETS from their KMV sketches alone
+    [Beyer et al. 2007]: take the k smallest of the union of the two
+    sketches (a KMV sketch of A ∪ B), count how many of those lie in
+    BOTH sketches (a uniform sample of A ∪ B scored for membership in
+    A ∩ B), divide. Deterministic like everything in this module, so
+    the ESTIMATE is oracle-checkable; exact whenever both sketches are
+    unsaturated (they then ARE the distinct hash sets). Pure array
+    built-ins — pairwise group similarity matrices come from the
+    O(groups·k) sketch table with no second corpus scan."""
+    u = F.slice(
+        F.array_sort(F.array_distinct(F.concat(sketch_a, sketch_b))), 1, k
+    )
+    inter = F.size(F.array_intersect(F.array_intersect(u, sketch_a), sketch_b))
+    return inter.cast("double") / F.size(u)

@@ -105,6 +105,7 @@ GATE_ORDER = [
     "x_split_leakage",
     "w21_rollup_incremental",
     "x_kmv_distinct",
+    "x_kmv_jaccard",
     # r8 first-timers (one driver green each; second green certifies)
     "w19_nav_battery",
     "c19_math_battery",
@@ -147,13 +148,13 @@ GATE_ORDER = [
     "x_tfidf_search",
     "x_hybrid_search_rrf",
     "x_dedup_jaccard_exact",
-    "x_dedup_minhash_recall",
     # --- tail (entries 51+): also cheap-first, so a driver budget cut
     # costs the fewest rows. All are additionally guarded by
     # tests/test_gate_tail_oracle.py regardless of gate reach.
     # r9 retirees (r7+r8 double-green, most expensive of the block),
     # plus x_integrity_check / k5_skew_diagnostics bumped from the head
-    # by the nine new r9 entries:
+    # by the ten new r9 entries:
+    "x_dedup_minhash_recall",
     "x_winsorize",
     "j5_scd2_history",
     "j6_asof_state",

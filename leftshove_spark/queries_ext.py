@@ -1748,6 +1748,86 @@ def x_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "x_kmv_jaccard",
+    f"""
+    WITH toks AS (SELECT lang, unnest({_TOK.format(e="text")}) AS tok
+                  FROM documents),
+    h AS (SELECT DISTINCT lang, {_h60("tok")} AS h FROM toks),
+    r AS (SELECT lang, h,
+                 row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+          FROM h),
+    sk AS (SELECT lang, list_sort(list(h)) AS s FROM r
+           WHERE rn <= {_KMV_K} GROUP BY lang),
+    pairs AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, a.s AS sa, b.s AS sb,
+             list_slice(list_sort(list_distinct(list_concat(a.s, b.s))),
+                        1, {_KMV_K}) AS u
+      FROM sk a JOIN sk b ON a.lang < b.lang),
+    est AS (
+      SELECT lang_a, lang_b,
+             CAST(len(list_intersect(list_intersect(u, sa), sb)) AS DOUBLE)
+               / len(u) AS est_jaccard
+      FROM pairs),
+    ex AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS ni
+      FROM h a JOIN h b ON a.h = b.h AND a.lang < b.lang
+      GROUP BY 1, 2),
+    sizes AS (SELECT lang, count(*) AS n FROM h GROUP BY lang)
+    SELECT e.lang_a, e.lang_b, e.est_jaccard,
+           CAST(x.ni AS DOUBLE) / (na.n + nb.n - x.ni) AS exact_jaccard
+    FROM est e
+    JOIN ex x ON e.lang_a = x.lang_a AND e.lang_b = x.lang_b
+    JOIN sizes na ON na.lang = e.lang_a
+    JOIN sizes nb ON nb.lang = e.lang_b
+    """,
+)
+def x_kmv_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise language token-set resemblance from KMV sketches alone
+    (no second corpus scan), beside the exact Jaccard — both the
+    estimate and the ground truth hash-certified. The sketch-side plan
+    touches only the O(groups·k) sketch table; the exact side is the
+    inverted-index intersection count. See :func:`ext.sketch.kmv_jaccard`."""
+    from .ext import sketch as SK
+    from .ext.hashing import hash60 as _h
+    from .ext.text import tokenize
+
+    toks = load_table(spark, sf, "documents").select(
+        "lang", F.explode(tokenize("text")).alias("tok")
+    )
+    hset = toks.select("lang", _h(F.col("tok")).alias("h")).distinct()
+    sk = SK.kmv_sketch(toks, "tok", ["lang"], k=_KMV_K)
+    a = sk.select(F.col("lang").alias("lang_a"), F.col("sketch").alias("sa"))
+    b = sk.select(F.col("lang").alias("lang_b"), F.col("sketch").alias("sb"))
+    est = a.join(b, F.col("lang_a") < F.col("lang_b")).select(
+        "lang_a",
+        "lang_b",
+        SK.kmv_jaccard(F.col("sa"), F.col("sb"), k=_KMV_K).alias("est_jaccard"),
+    )
+    ha = hset.select(F.col("lang").alias("lang_a"), "h")
+    hb = hset.select(F.col("lang").alias("lang_b"), "h")
+    inter = (
+        ha.join(hb, "h")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sizes = hset.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        est.join(inter, ["lang_a", "lang_b"])
+        .join(sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("na")), "lang_a")
+        .join(sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("nb")), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "est_jaccard",
+            (F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))).alias(
+                "exact_jaccard"
+            ),
+        )
+    )
+
+
+@_q(
     "x_dataset_fingerprint",
     f"""
     SELECT source,

@@ -91,3 +91,36 @@ def test_kmv_unsaturated_sketch_is_exact(spark):
                     SK.kmv_estimate(F.col("sketch")).alias("est")).collect()
     for r in out:
         assert r["n"] == 40 and r["est"] == 40.0
+
+
+def test_kmv_jaccard_estimator_accuracy_and_exactness(spark):
+    """Sketch-based resemblance: exact when unsaturated; within the
+    sampling envelope when saturated (planted overlap fraction)."""
+    import pyspark.sql.functions as F
+
+    from leftshove_spark.ext import sketch as SK
+
+    # unsaturated: sets ARE the sketches -> estimate is exact
+    a = spark.range(0, 30).selectExpr("concat('v', id) AS v")
+    b = spark.range(15, 45).selectExpr("concat('v', id) AS v")
+    sa = SK.kmv_sketch(a, "v", k=256).collect()[0]["sketch"]
+    sb = SK.kmv_sketch(b, "v", k=256).collect()[0]["sketch"]
+    j = (
+        spark.createDataFrame([(sa, sb)], "sa array<long>, sb array<long>")
+        .select(SK.kmv_jaccard(F.col("sa"), F.col("sb"), k=256).alias("j"))
+        .collect()[0]["j"]
+    )
+    assert abs(j - 15 / 45) < 1e-12
+
+    # saturated: true J = 2000/6000; k=128 envelope ~ 4/sqrt(k)
+    k = 128
+    a = spark.range(0, 9000).selectExpr("concat('v', id % 4000) AS v")
+    b = spark.range(0, 9000).selectExpr("concat('v', 2000 + id % 4000) AS v")
+    sa = SK.kmv_sketch(a, "v", k=k).collect()[0]["sketch"]
+    sb = SK.kmv_sketch(b, "v", k=k).collect()[0]["sketch"]
+    j = (
+        spark.createDataFrame([(sa, sb)], "sa array<long>, sb array<long>")
+        .select(SK.kmv_jaccard(F.col("sa"), F.col("sb"), k=k).alias("j"))
+        .collect()[0]["j"]
+    )
+    assert abs(j - 2000 / 6000) < 4 / k ** 0.5
