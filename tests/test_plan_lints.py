@@ -60,6 +60,11 @@ _BNLJ_ALLOWED = {
     # against) plus two single-row constant-key scalar joins
     "x_ann_recall",
     "x_ann_recall_lsh",
+    # group-pair inequality join over the O(groups) sketch table (5
+    # langs -> 10 pairs) — pairwise similarity matrices ARE O(groups²)
+    # output by definition; the corpus itself is touched only by the
+    # keyed distinct-collapse and the keyed exact-Jaccard join
+    "x_kmv_jaccard",
 }
 
 
