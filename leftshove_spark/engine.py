@@ -515,7 +515,9 @@ class Engine:
         finally:
             fresh.unpersist()
 
-    def changes_between(self, table: str, t1, t2) -> DataFrame:
+    def changes_between(
+        self, table: str, t1, t2, include_payload: bool = False
+    ) -> DataFrame:
         """Change feed between two instants: per pkey, was the row
         ``added``, ``removed`` or ``changed`` from the state at ``t1``
         to the state at ``t2``? Composes the two pushdown point-in-time
@@ -525,7 +527,10 @@ class Engine:
         a CDC consumer replays. Both sides prune the sink scan with
         their ``snapshot_tm <=`` predicate; with an append-only source
         'removed' rows indicate sink corruption, which is exactly why
-        the category exists."""
+        the category exists. With ``include_payload`` the feed carries
+        the new-side values, making it APPLYABLE to a downstream
+        replica (views.apply_changes) — the pytest-pinned invariant:
+        apply(state_at(t1), changes_between(t1, t2)) ≡ state_at(t2)."""
         from .views import snapshot_diff
 
         _, st = self._cdc_df(table)
@@ -533,6 +538,7 @@ class Engine:
             self.state_at(table, t1).drop("snapshot_tm"),
             self.state_at(table, t2).drop("snapshot_tm"),
             st.pkey_column,
+            include_payload=include_payload,
         )
 
     # ------------------------------------------------------- S7 config sink

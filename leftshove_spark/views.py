@@ -161,6 +161,7 @@ def snapshot_diff(
     key_cols: list[str] | str,
     compare_cols: list[str] | None = None,
     include_unchanged: bool = False,
+    include_payload: bool = False,
 ) -> DataFrame:
     """Data-level diff of two snapshots of the same table — the row
     complement of the schema diff (schema.diff_schemas / D6): per key,
@@ -206,9 +207,18 @@ def snapshot_diff(
         .when(any_change, F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
+    payload = (
+        # new-side values ride along (NULL for removed rows) — the form
+        # a downstream replica can APPLY (views.apply_changes) rather
+        # than merely audit
+        [F.col(f"__n.{c}").alias(c) for c in compare_cols]
+        if include_payload
+        else []
+    )
     out = joined.select(
         *[F.coalesce(F.col(f"__n.{k}"), F.col(f"__o.{k}")).alias(k) for k in keys],
         change_type.alias("change_type"),
+        *payload,
     )
     return out if include_unchanged else out.filter(F.col("change_type") != "unchanged")
 
@@ -298,3 +308,38 @@ def temporal_join(
         F.least("__lt", "__rt").alias("valid_to"),
         (F.col("__lt").isNull() & F.col("__rt").isNull()).alias("is_current"),
     )
+
+
+def apply_changes(
+    spark,
+    replica_dir: str,
+    feed: DataFrame,
+    key_cols: list[str] | str,
+) -> None:
+    """Apply a payload-carrying change feed (:func:`snapshot_diff` with
+    ``include_payload=True``, or ``Engine.changes_between(...,
+    include_payload=True)``) to a downstream REPLICA directory — the
+    consumer half of the change-feed story: a warehouse copy follows
+    the capture sink by applying O(changes) rows per sync instead of
+    re-copying the table.
+
+    Semantics: ``removed`` keys are deleted, ``changed`` keys replaced,
+    ``added`` keys inserted — one left-anti join on the feed's keys
+    plus a union of the non-removed payloads, rewritten through the
+    crash-recoverable staged swap (sinks.rewrite_dir_staged), so a
+    crash mid-apply never leaves a half-applied replica. Applying the
+    same feed twice is idempotent (delete-then-insert of identical
+    rows). The invariant pytest pins:
+    ``apply(state_at(t1), changes_between(t1, t2)) ≡ state_at(t2)``.
+
+    At scale, partition the replica by a key bucket and swap only the
+    touched buckets (the maintain_history discipline); the feed side is
+    already O(changes)."""
+    from .sinks import rewrite_dir_staged
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    cur = spark.read.parquet(replica_dir)
+    upserts = feed.filter(F.col("change_type") != "removed").drop("change_type")
+    touched = feed.select(*keys).distinct()
+    nxt = cur.join(touched, keys, "left_anti").unionByName(upserts)
+    rewrite_dir_staged(nxt, replica_dir)

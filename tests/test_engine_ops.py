@@ -330,3 +330,64 @@ def test_backfill_idempotent_late_data_repair(spark, tmp_path):
     # nms stamp (2030-02-01), before v2's capture (2030-03-10)
     mid = eng.state_as_of("t", datetime(2030, 2, 15)).filter("pk = 1").collect()
     assert [r["v"] for r in mid] == ["a-v1.5"]
+
+
+def test_change_feed_applies_to_replica(spark, tmp_path):
+    """The change-feed consumer loop: a replica seeded from state_at(t1)
+    plus the applied payload feed equals state_at(t2) exactly; applying
+    the same feed twice is idempotent; a removed key disappears."""
+    from datetime import datetime
+
+    from leftshove_spark.engine import Engine
+    from leftshove_spark.session import EngineConfig
+    from leftshove_spark.views import apply_changes
+
+    work = str(tmp_path)
+    src_dir = f"{work}/src.parquet"
+    rows = [
+        (1, "a-v1", datetime(2030, 1, 1)),
+        (2, "b-v1", datetime(2030, 1, 1)),
+        (1, "a-v2", datetime(2030, 2, 1)),
+        (3, "c-v1", datetime(2030, 2, 1)),
+    ]
+    spark.createDataFrame(rows, "pk long, v string, ts timestamp").write.parquet(
+        src_dir
+    )
+    eng = Engine(
+        spark,
+        EngineConfig(replication_buffer_secs=0, max_step_hours=24 * 365),
+        state_path=f"{work}/state.json",
+        sink_root=f"{work}/sink",
+    )
+    eng.seed([{"name": "t", "path": src_dir, "nms_column": "ts",
+               "pkey_column": "pk"}])
+    eng.create_sinks()
+    eng.run_cycle(now=datetime(2030, 1, 10), snapshot_at=datetime(2030, 1, 10))
+    eng.run_cycle(now=datetime(2030, 2, 10), snapshot_at=datetime(2030, 2, 10))
+
+    t1, t2 = datetime(2030, 1, 15), datetime(2030, 2, 15)
+    replica = f"{work}/replica"
+    eng.state_at("t", t1).drop("snapshot_tm").write.parquet(replica)
+
+    feed = eng.changes_between("t", t1, t2, include_payload=True)
+    assert set(feed.columns) == {"pk", "change_type", "v", "ts"}
+    apply_changes(spark, replica, feed, "pk")
+    got = sorted(map(tuple, spark.read.parquet(replica).select("pk", "v").collect()))
+    want = sorted(
+        map(tuple, eng.state_at("t", t2).select("pk", "v").collect())
+    )
+    assert got == want == [(1, "a-v2"), (2, "b-v1"), (3, "c-v1")]
+
+    apply_changes(spark, replica, feed, "pk")  # idempotent
+    assert sorted(
+        map(tuple, spark.read.parquet(replica).select("pk", "v").collect())
+    ) == want
+
+    # synthetic removal flows through as a delete
+    removal = spark.createDataFrame(
+        [(2, "removed", None, None)], "pk long, change_type string, v string, ts timestamp"
+    )
+    apply_changes(spark, replica, removal, "pk")
+    assert sorted(
+        r["pk"] for r in spark.read.parquet(replica).collect()
+    ) == [1, 3]
