@@ -161,6 +161,28 @@ def main() -> None:
         assert {r["change_type"] for r in ch.select("change_type").distinct().collect()} == {"added"}
         counts["vacuum_retained"] = eng.vacuum_snapshots("events", t)
         assert eng.state_at("events", t).count() == counts["engine_state_at"]
+
+        # 7b. the r9 lifecycle pair: idempotent BACKFILL (late rows
+        #     fold in exactly once) and the APPLYABLE change feed (a
+        #     replica follows the sink at O(changes) per sync —
+        #     invariant: seed from state_at(t1), apply the t1→t2 feed,
+        #     equal state_at(t2)).
+        from leftshove_spark.views import apply_changes
+
+        t0 = datetime(1970, 1, 1)
+        replica = f"{work}/replica"
+        eng.state_at("events", t0).drop("snapshot_tm").write.parquet(replica)
+        feed = eng.changes_between("events", t0, t, include_payload=True)
+        apply_changes(spark, replica, feed, "event_id")
+        want = eng.state_at("events", t).drop("snapshot_tm")
+        got = spark.read.parquet(replica)
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+        counts["replica_synced"] = got.count()
+        counts["backfill_rerun_appends"] = eng.backfill(
+            "events", datetime(2020, 1, 1), t
+        )
+        assert counts["backfill_rerun_appends"] == 0  # nothing missing
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
