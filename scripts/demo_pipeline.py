@@ -179,10 +179,16 @@ def main() -> None:
         assert got.count() == want.count()
         assert got.exceptAll(want).count() == 0
         counts["replica_synced"] = got.count()
+        # first pass fills whatever the single capture cycle's window
+        # left behind (0 when the cycle drained the backlog); the
+        # RE-RUN is the idempotence proof — always 0
+        counts["backfill_filled"] = eng.backfill(
+            "events", datetime(2020, 1, 1), t
+        )
         counts["backfill_rerun_appends"] = eng.backfill(
             "events", datetime(2020, 1, 1), t
         )
-        assert counts["backfill_rerun_appends"] == 0  # nothing missing
+        assert counts["backfill_rerun_appends"] == 0
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
