@@ -156,10 +156,10 @@ class Engine:
                 # merge footers only when evolution can produce mixed-schema
                 # sinks; the default log-only sink is single-schema and one
                 # footer suffices (a merge is a distributed O(files) job)
-                reader = self.spark.read
                 if self.config.evolve_schema:
-                    reader = reader.option("mergeSchema", "true")
-                live = reader.parquet(path).schema
+                    live = self._read_sink_evolved(path).schema
+                else:
+                    live = self.spark.read.parquet(path).schema
                 if not sch.schemas_equal(live, expected):
                     if self.config.evolve_schema:
                         # D7 apply path: additive evolution (ADD COLUMN
@@ -186,6 +186,26 @@ class Engine:
     def sink_path(self, st: TableState) -> str:
         return os.path.join(self.sink_root, f"{st.name}_cdc")
 
+    def _read_sink_evolved(self, path: str) -> DataFrame:
+        """mergeSchema read with the D7b widening fallback: a sink
+        mixing pre- and post-widening files makes Spark's schema MERGE
+        throw even though its READER up-casts those same files when
+        handed the widened schema explicitly — so on
+        CANNOT_MERGE_SCHEMAS, derive the widest schema from the footers
+        (pure pyarrow) and read with it. Every evolved-sink read path
+        (capture views, consumer API, create_sinks diff) funnels
+        through here so widening cannot strand one of them (r9 review:
+        _cdc_df had the fallback, refresh_view/create_sinks did not)."""
+        reader = self.spark.read.option("mergeSchema", "true")
+        try:
+            return reader.parquet(path)
+        except Exception as e:
+            if "CANNOT_MERGE_SCHEMAS" not in str(e):
+                raise
+            from .schema import widened_live_schema
+
+            return self.spark.read.schema(widened_live_schema(path)).parquet(path)
+
     def refresh_view(self, st: TableState) -> None:
         """Register ``<t>`` = latest-per-pkey view over ``<t>_cdc`` (D5,
         bigquery.go:187-207); only when a pkey is known, as in
@@ -196,10 +216,10 @@ class Engine:
         # files with both the old and the widened schema and the view
         # must surface the union; the default sink is single-schema and
         # a footer-merge job per refresh would cost O(files) per cycle.
-        reader = self.spark.read
         if self.config.evolve_schema:
-            reader = reader.option("mergeSchema", "true")
-        cdc = reader.parquet(self.sink_path(st))
+            cdc = self._read_sink_evolved(self.sink_path(st))
+        else:
+            cdc = self.spark.read.parquet(self.sink_path(st))
         latest_per_key_window(cdc, st.pkey_column).createOrReplaceTempView(st.name)
 
     # ----------------------------------------------------------- row counts
@@ -351,23 +371,9 @@ class Engine:
         if not st.pkey_column:
             raise ValueError(f"{table}: no pkey — history is undefined")
         path = self.sink_path(st)
-        reader = self.spark.read
         if self.config.evolve_schema:
-            reader = reader.option("mergeSchema", "true")
-            try:
-                return reader.parquet(path), st
-            except Exception as e:
-                if "CANNOT_MERGE_SCHEMAS" not in str(e):
-                    raise
-                # the sink mixes pre- and post-widening files (D7b):
-                # mergeSchema refuses int/long-style mixes even though
-                # the reader up-casts them when handed the widened
-                # schema explicitly — derive it from the footers
-                from .schema import widened_live_schema
-
-                wide = widened_live_schema(path)
-                return self.spark.read.schema(wide).parquet(path), st
-        return reader.parquet(path), st
+            return self._read_sink_evolved(path), st
+        return self.spark.read.parquet(path), st
 
     @staticmethod
     def _version_tiebreaks(cdc: DataFrame, pkey: str) -> list[str]:
@@ -483,7 +489,6 @@ class Engine:
         only (pkey, nms) projections of the same window — and the
         anti-join keys on (pkey, nms), so cost ∝ window size, never
         sink size."""
-        from .sinks import append_snapshot
         from .snapshot import window_predicate
 
         existing_df, st = self._cdc_df(table)

@@ -144,7 +144,17 @@ def apply_schema_diff(
     schema — the merge is a distributed O(files) footer job, not worth
     running twice."""
     if live is None:
-        live = spark.read.option("mergeSchema", "true").parquet(sink_path).schema
+        try:
+            live = spark.read.option("mergeSchema", "true").parquet(sink_path).schema
+        except Exception as e:
+            # a previously-WIDENED sink mixes narrow and wide files —
+            # Spark's merge refuses the mix its reader handles fine, so
+            # fold the footers ourselves (same fallback as the engine's
+            # read path; without this, evolving a widened sink again
+            # would crash before any diffing)
+            if "CANNOT_MERGE_SCHEMAS" not in str(e):
+                raise
+            live = widened_live_schema(sink_path)
     d = diff_schemas(live, expected)
     af = {f.name: f.dataType for f in live.fields}
     bf = {f.name: f.dataType for f in expected.fields}

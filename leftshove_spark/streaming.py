@@ -583,11 +583,24 @@ def start_near_dedup_stream(
     from .ext.graph import connected_components
 
     src = _streaming_source(spark, landing_dir, max_files_per_trigger)
+    from pyspark.sql import types as _T
+
+    id_type = src.schema[id_col].dataType
+    if not isinstance(
+        id_type, (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)
+    ):
+        # connected_components casts ids to long; a string id would
+        # cast to NULL (non-ANSI) and silently disable in-batch dedup —
+        # fail loudly instead (hash string ids to int64 upstream)
+        raise TypeError(
+            f"near-dedup admission needs an integral {id_col!r} "
+            f"(got {id_type.simpleString()}); hash string ids to int64 first"
+        )
 
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.select(id_col, content_col).persist()
         try:
-            if batch_df.rdd.isEmpty():
+            if batch_df.isEmpty():
                 return
             have_index = _os.path.isdir(index_dir) and any(
                 not e.startswith(("_", ".")) for e in _os.listdir(index_dir)

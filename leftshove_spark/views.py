@@ -338,8 +338,15 @@ def apply_changes(
     from .sinks import rewrite_dir_staged
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    cur = spark.read.parquet(replica_dir)
+    cur = spark.read.parquet(replica_dir).alias("__cur")
     upserts = feed.filter(F.col("change_type") != "removed").drop("change_type")
-    touched = feed.select(*keys).distinct()
-    nxt = cur.join(touched, keys, "left_anti").unionByName(upserts)
+    touched = feed.select(*keys).distinct().alias("__tch")
+    # NULL-SAFE anti join: snapshot_diff matches NULL key values
+    # null-safely (its documented contract), so the delete must too — a
+    # plain anti join would keep an old NULL-key row (NULL != NULL),
+    # duplicating it beside its replacement and breaking idempotence
+    cond = [
+        F.col(f"__cur.{k}").eqNullSafe(F.col(f"__tch.{k}")) for k in keys
+    ]
+    nxt = cur.join(touched, cond, "left_anti").unionByName(upserts)
     rewrite_dir_staged(nxt, replica_dir)

@@ -391,3 +391,77 @@ def test_change_feed_applies_to_replica(spark, tmp_path):
     assert sorted(
         r["pk"] for r in spark.read.parquet(replica).collect()
     ) == [1, 3]
+
+
+def test_engine_lifecycle_survives_widened_sink(spark, tmp_path):
+    """r9 review: refresh_view (inside run_cycle) and a create_sinks
+    restart must not crash on the mixed-schema sink D7b widening
+    leaves behind — every evolved-sink read funnels through the
+    widened-schema fallback."""
+    from datetime import datetime
+
+    from leftshove_spark.engine import Engine
+    from leftshove_spark.session import EngineConfig
+
+    work = str(tmp_path)
+    src = f"{work}/src.parquet"
+    spark.createDataFrame(
+        [(1, 5, datetime(2030, 1, 1))], "pk int, v int, ts timestamp"
+    ).write.parquet(src)
+    eng = Engine(
+        spark,
+        EngineConfig(replication_buffer_secs=0, evolve_schema=True),
+        state_path=f"{work}/state.json",
+        sink_root=f"{work}/sink",
+    )
+    eng.seed([{"name": "t", "path": src, "nms_column": "ts", "pkey_column": "pk"}])
+    eng.create_sinks()
+    eng.run_cycle(now=datetime(2030, 1, 2), snapshot_at=datetime(2030, 1, 2))
+    sink = eng.sink_path(next(s for s in eng.state.all() if s.name == "t"))
+    spark.createDataFrame(
+        [(2_999_999_999, 7, datetime(2030, 2, 1), datetime(2030, 2, 1))],
+        "pk long, v long, ts timestamp, snapshot_tm timestamp",
+    ).write.mode("append").parquet(sink)
+
+    # run_cycle end-to-end (capture + refresh_view) over the mixed sink
+    eng.run_cycle(now=datetime(2030, 3, 1), snapshot_at=datetime(2030, 3, 1))
+    assert spark.table("t").count() == 2  # view readable, both pks
+
+    # engine restart: create_sinks diffs the live schema again
+    eng2 = Engine(
+        spark,
+        EngineConfig(replication_buffer_secs=0, evolve_schema=True),
+        state_path=f"{work}/state.json",
+        sink_root=f"{work}/sink",
+    )
+    eng2.create_sinks()
+    assert eng2.current_state("t").count() == 2
+
+
+def test_apply_changes_null_key_rows(spark, tmp_path):
+    """r9 review: NULL key values must delete/replace null-safely —
+    snapshot_diff matches them null-safely, so the apply must too."""
+    from leftshove_spark.views import apply_changes, snapshot_diff
+
+    replica = str(tmp_path / "rep")
+    old = spark.createDataFrame(
+        [(None, "x-old"), (1, "a")], "pk long, v string"
+    )
+    new = spark.createDataFrame(
+        [(None, "x-new"), (1, "a")], "pk long, v string"
+    )
+    old.write.parquet(replica)
+    feed = snapshot_diff(old, new, "pk", include_payload=True)
+    apply_changes(spark, replica, feed, "pk")
+    rows = sorted(
+        ((r["pk"], r["v"]) for r in spark.read.parquet(replica).collect()),
+        key=lambda t: (t[0] is not None, t[0]),
+    )
+    assert rows == [(None, "x-new"), (1, "a")]
+    apply_changes(spark, replica, feed, "pk")  # idempotent with NULL keys
+    assert spark.read.parquet(replica).count() == 2
+
+    removal = snapshot_diff(new, new.filter("pk IS NOT NULL"), "pk",
+                            include_payload=True)
+    apply_changes(spark, replica, removal, "pk")
+    assert [r["pk"] for r in spark.read.parquet(replica).collect()] == [1]

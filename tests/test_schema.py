@@ -270,3 +270,28 @@ def test_engine_reads_through_widened_sink(spark, tmp_path):
     hist = eng.history("t")
     assert hist.schema["pk"].dataType.typeName() == "long"
     assert sorted(r["pk"] for r in hist.collect()) == [1, 2_999_999_999]
+
+
+def test_apply_schema_diff_default_live_on_widened_sink(spark, tmp_path):
+    """r9 review: apply_schema_diff's live=None path must survive a
+    previously-widened (mixed int/long) sink — mergeSchema refuses the
+    mix, so the footer-fold fallback kicks in; adding a column on top
+    of the widening then works."""
+    from pyspark.sql import types as T
+
+    from leftshove_spark.schema import apply_schema_diff
+
+    sink = str(tmp_path / "sink")
+    spark.createDataFrame([(1, 10)], "k int, v int").write.parquet(sink)
+    spark.createDataFrame(
+        [(3_000_000_000, 30)], "k long, v long"
+    ).write.mode("append").parquet(sink)
+    wider_plus = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    d = apply_schema_diff(spark, sink, wider_plus, allow_widening=True)
+    assert d["added"] == ["note"]

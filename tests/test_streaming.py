@@ -576,3 +576,29 @@ def test_maintain_rollup_incremental_equals_batch_and_touches_only_hit_days(
         r["n"] for r in rollup_view(spark, state, sum_cols=["value"]).collect()
     )
     assert total_n == ev.count() + 1
+
+
+def test_near_dedup_stream_rejects_string_ids(spark, tmp_path):
+    """r9 review: a string id would cast to NULL inside connected
+    components and silently disable in-batch dedup — the stream must
+    refuse it loudly."""
+    import os
+
+    import pytest
+
+    from leftshove_spark.streaming import start_near_dedup_stream
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    spark.createDataFrame(
+        [("u-1", "some text here")], "doc_id string, text string"
+    ).write.mode("append").parquet(landing)
+    with pytest.raises(TypeError, match="integral"):
+        start_near_dedup_stream(
+            spark,
+            landing_dir=landing,
+            index_dir=str(tmp_path / "idx"),
+            out_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ck"),
+            once=True,
+        )
