@@ -458,6 +458,82 @@ def token_budget_cap(
     return out.withColumnRenamed("__cum", "cum_weight") if keep_cum else out.drop("__cum")
 
 
+def weighted_systematic_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wss:",
+) -> DataFrame:
+    """Exact probability-proportional-to-size sampling: draw ``k``
+    systematic strides from the corpus's weight axis, so a row with
+    weight ``w`` is selected with probability exactly ``min(1, k·w/W)``
+    (W = total weight) — THE sampler for "pick 1M documents weighted by
+    token count" (inclusion ∝ tokens, so the sample covers the token
+    mass, not the document count). Deterministic: rows are laid on the
+    weight axis in md5-shuffled order and every ``W/k``-th point is
+    taken, a pure function of (ids, weights) — stable under
+    repartitioning, retries, and re-runs ([Madow 1949] systematic PPS).
+
+    Returns the selected rows with ``cum_weight`` (position of the
+    row's right edge on the weight axis), ``stride`` (1-based index of
+    the first stride landing in the row), and ``multiplicity`` (number
+    of strides in the row — >1 when w > W/k; callers doing sampling
+    WITH replacement weight by it, callers selecting distinct rows
+    ignore it).
+
+    Plan — every stage parallel, overflow-safe at any scale:
+    - global prefix sum via
+      :func:`operators.analytic.exact_global_cumsum_with_total` (range
+      shuffle + per-partition windows; NO single-partition sort);
+    - stride membership WITHOUT the textbook ``floor(cum·k/W)`` product
+      (at 100 TB, cum·k overflows int64: 10¹⁴ tokens × 10⁶ strides =
+      10²⁰): thresholds ``t_i = ceil(i·W/k)`` are computed driver-side
+      in Python bigint and compiled into the O(log k) balanced
+      WHEN-tree (`_partition_of`), so the executor evaluates only
+      int64 comparisons. k beyond expression-tree practicality (~10⁴)
+      would range-join a broadcast threshold table instead — same
+      semantics, documented escape.
+
+    Weights must be non-negative and non-null; zero-weight rows are
+    never selected (they occupy no weight-axis span)."""
+    from leftshove_spark.operators.analytic import (
+        _partition_of,
+        exact_global_cumsum_with_total,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    c = F.col(id_col)
+    keyed = df.withColumn(
+        "__wss_key", F.md5(F.concat(F.lit(salt), c.cast("string")))
+    )
+    cum, total = exact_global_cumsum_with_total(
+        keyed, ["__wss_key", id_col], weight_col, cum_col="cum_weight"
+    )
+    if total <= 0:
+        return (
+            cum.filter(F.lit(False))
+            .drop("__wss_key")
+            .withColumn("stride", F.lit(None).cast("long"))
+            .withColumn("multiplicity", F.lit(None).cast("long"))
+        )
+    # t_i = ceil(i*W/k), i = 1..k — exact bigint arithmetic, then
+    # #{t_i <= v} as a WHEN-tree over (t_i - 1) boundaries (cum is
+    # integral, so v >= t_i  <=>  v > t_i - 1)
+    bounds = [F.lit((i * total + k - 1) // k - 1) for i in range(1, k + 1)]
+    n_le = lambda v: _partition_of(v, bounds)  # noqa: E731
+    lo = n_le(F.col("cum_weight") - F.col(weight_col).cast("long"))
+    hi = n_le(F.col("cum_weight"))
+    return (
+        cum.withColumn("__mult", (hi - lo).cast("long"))
+        .filter(F.col("__mult") > 0)
+        .withColumn("stride", (lo + 1).cast("long"))
+        .withColumnRenamed("__mult", "multiplicity")
+        .drop("__wss_key")
+    )
+
+
 def dataset_fingerprint(
     df: DataFrame,
     content_col: str = "text",

@@ -100,3 +100,75 @@ def kmv_jaccard(sketch_a: Column, sketch_b: Column, k: int = 256) -> Column:
     )
     inter = F.size(F.array_intersect(F.array_intersect(u, sketch_a), sketch_b))
     return inter.cast("double") / F.size(u)
+
+
+# ------------------------------------------------------- bottom-k quantiles
+def bottomk_sample_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+    id_col: str = "doc_id",
+    salt: str = "qs:",
+) -> DataFrame:
+    """Per-group bottom-k quantile sketch: the ``value_col`` of the k
+    rows with the smallest salted hash60(id) — a deterministic uniform
+    row sample held as ``sketch`` = array<struct{h, v}> sorted by h,
+    plus ``n_rows`` = the exact group size (it falls out of the same
+    aggregation; estimation needs only the sample, the count rides
+    along for accounting).
+
+    Unlike KMV (distinct-value hashing) the sample is over ROWS — the
+    hash is of the row id, so duplicate values keep their multiplicity
+    and the sample estimates the value DISTRIBUTION (quantiles, means),
+    not set cardinality. Deterministic like everything here: the sketch
+    and every estimate from it are bit-identical cross-engine, so the
+    driver hash-certifies the estimates.
+
+    Mergeable (the point at 100 TB): sketches per source/day/shard
+    combine with :func:`bottomk_merge` — k smallest of the union is
+    exactly the bottom-k sample of the combined rows, so quantiles of
+    any group combination come from the O(groups·k) sketch table with
+    no second corpus scan. Build plan: one groupBy-key shuffle with a
+    WindowGroupLimit-pruned per-group top-k — countDistinct cost."""
+    gcols = list(group_cols or [])
+    h = hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    base = df.select(
+        *gcols, h.alias("__h"), F.col(value_col).cast("long").alias("__v")
+    )
+    w = Window.partitionBy(*[F.col(g) for g in gcols] or [F.lit(1)]).orderBy("__h")
+    topk = base.withColumn("__rn", F.row_number().over(w))
+    return topk.groupBy(*gcols).agg(
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("__rn") <= k, F.struct(F.col("__h").alias("h"), F.col("__v").alias("v"))
+                )
+            )
+        ).alias("sketch"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def bottomk_merge(sketch_a: Column, sketch_b: Column, k: int = 256) -> Column:
+    """k smallest-by-hash of two merged row samples — pure array
+    built-ins (struct arrays sort lexicographically, h first), no
+    shuffle; associative/commutative, pytest-pinned ≡ sketching the
+    unioned rows."""
+    return F.slice(F.array_sort(F.concat(sketch_a, sketch_b)), 1, k)
+
+
+def bottomk_quantile(
+    sketch: Column, q_num: int, q_den: int
+) -> Column:
+    """Quantile estimate from a bottom-k sample: the value at 1-based
+    position ``ceil(q·n)`` of the value-sorted sample (percentile_disc
+    semantics). Positions use exact rational arithmetic —
+    ``(q_num·n + q_den - 1) div q_den`` — zero floating point, so the
+    estimate is bit-identical in any engine."""
+    vals = F.array_sort(F.transform(sketch, lambda x: x["v"]))
+    num = F.lit(q_num) * F.size(vals).cast("long") + F.lit(q_den - 1)
+    pos = F.greatest(F.lit(1), ((num - num % F.lit(q_den)) / F.lit(q_den))).cast(
+        "int"
+    )
+    return F.element_at(vals, pos)

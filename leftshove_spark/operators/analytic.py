@@ -151,6 +151,100 @@ def exact_global_rank(
     return out
 
 
+def exact_global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    *,
+    cum_col: str = "cum_weight",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """:func:`exact_global_cumsum_with_total` without the scalar."""
+    out, _ = exact_global_cumsum_with_total(
+        df,
+        order_cols,
+        weight_col,
+        cum_col=cum_col,
+        total_col=total_col,
+        num_partitions=num_partitions,
+    )
+    return out
+
+
+def exact_global_cumsum_with_total(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    *,
+    cum_col: str = "cum_weight",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact running ``SUM(weight) OVER (ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING)`` over a TOTAL order WITHOUT a single-partition
+    window — :func:`exact_global_rank`'s machinery generalized from
+    counting to weight accumulation (weighted sampling, token budgeting
+    and curriculum scheduling all need the global prefix sum, not the
+    rank). Returns ``(df_with_cum, total_weight)`` — the total falls
+    out of the sampling pass for free, and weighted-sampling callers
+    need it driver-side to derive stride thresholds.
+
+    Plan: identical envelope to ``exact_global_rank`` — one
+    range-partition sampling pass whose per-partition summary now also
+    carries ``sum(weight)``, the analytic boundary re-derivation (same
+    determinism argument: partition membership is a pure function of
+    the row against collected maxima literals), a per-partition window
+    sum at full parallelism, and a broadcast of ≤ num_partitions
+    cumulative-weight offsets. Every stage is parallel; the naive form
+    is a single-task sort of the entire input."""
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    key = F.struct(*[F.col(c) for c in order_cols])
+    parts = df.repartitionByRange(p, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    summary = sorted(
+        parts.groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(weight_col).cast("long")).alias("w"),
+            F.max(key).alias("mx"),
+        )
+        .collect(),
+        key=lambda r: r["__pid"],
+    )
+    nonempty = [r for r in summary if r["n"] > 0]
+    bounds = [r["mx"] for r in nonempty[:-1]]
+    offsets, acc = [], 0
+    for i, r in enumerate(nonempty):
+        offsets.append((i, acc))
+        acc += r["w"]
+    bound_lits = [
+        F.struct(*[F.lit(b[i]).alias(c) for i, c in enumerate(order_cols)])
+        for b in bounds
+    ]
+    pid = _partition_of(key, bound_lits)
+    assigned = df.withColumn("__pid", pid)
+    wloc = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = assigned.withColumn(
+        "__lcum", F.sum(F.col(weight_col).cast("long")).over(wloc)
+    )
+    off_df = spark.createDataFrame(offsets, "__pid int, __woff bigint")
+    out = (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(cum_col, (F.col("__woff") + F.col("__lcum")).cast("long"))
+        .drop("__pid", "__lcum", "__woff")
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(int(acc)).cast("long"))
+    return out, int(acc)
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,
@@ -306,4 +400,84 @@ def winsorize(
             F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
         )
         .drop("__lo", "__hi", *[f"__g_{c}" for c in group_cols])
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    c_num: int = 3,
+    c_den: int = 1,
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """Per-group robust outlier flags: mark a row when its absolute
+    deviation from the group MEDIAN exceeds ``(c_num/c_den) ×`` the
+    group's MEDIAN absolute deviation — the MAD rule, the
+    robust-statistics complement of :func:`winsorize` (which clamps by
+    tail quantiles; MAD *detects*, immune to the very outliers it
+    hunts, with a 50% breakdown point vs 0% for z-scores whose
+    mean/stddev the outliers themselves drag).
+
+    Adds ``__med``/``__mad``-derived columns: group median ``med``,
+    ``mad``, absolute deviation ``abs_dev``, and the boolean flag.
+    Medians are the DISCRETE lower median (value at position
+    ``ceil(n/2)`` of the value-sorted group) and the flag compares
+    ``abs_dev · c_den > c_num · mad`` — everything integer-exact on
+    integral inputs, no interpolation, no floats, so flags hash
+    identically cross-engine.
+
+    Plan: two per-group median passes (window rank + conditional agg,
+    O(groups) medians broadcast back each time) — the corpus shuffles
+    ONCE on the group key for the first window; the second window and
+    both broadcast joins reuse that partitioning (Catalyst reuses the
+    exchange), and the flag is pure codegen. A groupable corpus-sized
+    window is the same envelope as any per-key ranking at 100 TB; for
+    high-cardinality groups the medians could come from
+    :func:`ext.sketch.bottomk_sample_sketch` instead — the flag
+    expression is unchanged."""
+    gcols = list(group_cols)
+
+    def _group_median(d: DataFrame, col: str, out: str) -> DataFrame:
+        wv = Window.partitionBy(*gcols).orderBy(col)
+        wn = Window.partitionBy(*gcols)
+        ranked = d.withColumn("__vrn", F.row_number().over(wv)).withColumn(
+            "__n", F.count(F.lit(1)).over(wn)
+        )
+        # vrn == ceil(n/2)  <=>  2·vrn − 1 <= n < 2·vrn + 1 avoided:
+        # exact form 2·vrn == n + (n % 2 == 1 ? 1 : 0) — stated as
+        # products to stay in pure integer comparisons
+        pick = F.max(
+            F.when(
+                F.col("__vrn") * 2 == F.col("__n") + F.col("__n") % 2,
+                F.col(col),
+            )
+        ).alias(out)
+        return ranked.groupBy(*gcols).agg(pick)
+
+    med = _group_median(df, value_col, "med")
+    mcond = reduce(
+        lambda x, y: x & y,
+        [F.col(c).eqNullSafe(F.col(f"__g_{c}")) for c in gcols],
+    )
+    medb = med.select(
+        *[F.col(c).alias(f"__g_{c}") for c in gcols], "med"
+    )
+    devd = (
+        df.join(F.broadcast(medb), mcond)
+        .drop(*[f"__g_{c}" for c in gcols])
+        .withColumn(
+            "abs_dev", F.abs(F.col(value_col).cast("long") - F.col("med"))
+        )
+    )
+    mad = _group_median(devd, "abs_dev", "mad")
+    madb = mad.select(*[F.col(c).alias(f"__g_{c}") for c in gcols], "mad")
+    return (
+        devd.join(F.broadcast(madb), mcond)
+        .drop(*[f"__g_{c}" for c in gcols])
+        .withColumn(
+            flag_col,
+            F.col("abs_dev") * F.lit(c_den) > F.lit(c_num) * F.col("mad"),
+        )
     )

@@ -106,6 +106,10 @@ GATE_ORDER = [
     "w21_rollup_incremental",
     "x_kmv_distinct",
     "x_kmv_jaccard",
+    "x_weighted_sample",
+    "x_quantile_sketch",
+    "x_outlier_mad",
+    "k12_bloom_prune_join",
     # r8 first-timers (one driver green each; second green certifies)
     "w19_nav_battery",
     "c19_math_battery",

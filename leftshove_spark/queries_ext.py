@@ -2089,3 +2089,206 @@ def j7_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", "event_id", "value", "o_orderkey",
         "valid_from", "valid_to", "is_current",
     )
+
+
+# =========================================================================
+# X40 — weighted systematic (PPS) sampling
+# =========================================================================
+
+_WSS_K = 300
+
+
+@_q(
+    "x_weighted_sample",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             CAST(sum(n_chars) OVER (
+               ORDER BY md5(concat('wss:', CAST(doc_id AS VARCHAR))), doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight
+      FROM documents),
+    tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS w FROM documents)
+    SELECT doc_id, n_chars, cum_weight,
+           CAST((cum_weight - n_chars) * {_WSS_K} // w + 1 AS BIGINT) AS stride,
+           CAST(cum_weight * {_WSS_K} // w
+                - (cum_weight - n_chars) * {_WSS_K} // w AS BIGINT)
+             AS multiplicity
+    FROM ranked, tot
+    WHERE cum_weight * {_WSS_K} // w > (cum_weight - n_chars) * {_WSS_K} // w
+    """,
+)
+def x_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact PPS sample of {_WSS_K} strides weighted by document length
+    — inclusion probability exactly min(1, k·n_chars/Σn_chars), the
+    "sample by token mass, not doc count" primitive. The oracle states
+    the textbook ``floor(cum·k/W)`` product form (safe at fixture
+    scale); the Spark side proves the overflow-safe threshold form
+    (driver-side bigint thresholds + O(log k) WHEN-tree — no int64
+    product anywhere) computes the IDENTICAL set; the global prefix
+    sum is the range-partitioned parallel cumsum, never a
+    single-partition window. See
+    :func:`ext.pipeline.weighted_systematic_sample`."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    return P.weighted_systematic_sample(docs, _WSS_K, "n_chars")
+
+
+# =========================================================================
+# X41 — bottom-k quantile sketch (mergeable sample-based quantiles)
+# =========================================================================
+
+_QS_K = 256
+
+
+@_q(
+    "x_quantile_sketch",
+    f"""
+    WITH base AS (
+      SELECT lang, CAST(n_chars AS BIGINT) AS v, doc_id,
+             {_h60("concat('qs:', CAST(doc_id AS VARCHAR))")} AS h
+      FROM documents),
+    samp AS (
+      SELECT lang, v,
+             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS hrn
+      FROM base),
+    sv AS (
+      SELECT lang, v,
+             row_number() OVER (PARTITION BY lang ORDER BY v) AS vrn,
+             count(*) OVER (PARTITION BY lang) AS m
+      FROM samp WHERE hrn <= {_QS_K}),
+    est AS (
+      SELECT lang, CAST(max(m) AS BIGINT) AS n_sample,
+             max(CASE WHEN vrn = (m + 1) // 2 THEN v END) AS est_p50,
+             max(CASE WHEN vrn = (9*m + 9) // 10 THEN v END) AS est_p90,
+             max(CASE WHEN vrn = (99*m + 99) // 100 THEN v END) AS est_p99
+      FROM sv GROUP BY lang),
+    ex AS (
+      SELECT lang, v,
+             row_number() OVER (PARTITION BY lang ORDER BY v) AS vrn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM base),
+    exq AS (
+      SELECT lang, CAST(max(n) AS BIGINT) AS n_rows,
+             max(CASE WHEN vrn = (n + 1) // 2 THEN v END) AS exact_p50,
+             max(CASE WHEN vrn = (9*n + 9) // 10 THEN v END) AS exact_p90,
+             max(CASE WHEN vrn = (99*n + 99) // 100 THEN v END) AS exact_p99
+      FROM ex GROUP BY lang)
+    SELECT e.lang, x.n_rows, e.n_sample,
+           e.est_p50, e.est_p90, e.est_p99,
+           x.exact_p50, x.exact_p90, x.exact_p99
+    FROM est e JOIN exq x ON e.lang = x.lang
+    """,
+)
+def x_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable bottom-k quantile sketch, ESTIMATES hash-certified:
+    per-language p50/p90/p99 document-length quantiles from a
+    256-row deterministic sample beside the exact discrete quantiles —
+    the KMV pattern (deterministic hash family ⇒ the driver certifies
+    the estimate VALUES cross-engine) applied to distributions instead
+    of cardinalities. Positions use exact rational arithmetic
+    (``ceil(q·n)`` as ``(q_num·n + q_den−1) div q_den``) — zero
+    floating point anywhere. See :func:`ext.sketch.bottomk_sample_sketch`
+    for the build/merge plan (one group shuffle, WindowGroupLimit
+    top-k; per-source sketches combine with no second corpus scan)."""
+    from pyspark.sql import Window
+
+    from .ext import sketch as SK
+
+    docs = load_table(spark, sf, "documents").select(
+        "lang", "doc_id", F.col("n_chars").cast("long").alias("v")
+    )
+    sk = SK.bottomk_sample_sketch(docs, "v", ["lang"], k=_QS_K)
+    est = sk.select(
+        "lang",
+        "n_rows",
+        F.size("sketch").cast("long").alias("n_sample"),
+        SK.bottomk_quantile(F.col("sketch"), 1, 2).alias("est_p50"),
+        SK.bottomk_quantile(F.col("sketch"), 9, 10).alias("est_p90"),
+        SK.bottomk_quantile(F.col("sketch"), 99, 100).alias("est_p99"),
+    )
+    wv = Window.partitionBy("lang").orderBy("v")
+    wn = Window.partitionBy("lang")
+    ex = docs.withColumn("vrn", F.row_number().over(wv)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+
+    def pick(qn: int, qd: int, name: str):
+        pos = (F.lit(qn) * F.col("n") + F.lit(qd - 1)) - (
+            (F.lit(qn) * F.col("n") + F.lit(qd - 1)) % F.lit(qd)
+        )
+        return F.max(
+            F.when(F.col("vrn") * qd == pos, F.col("v"))
+        ).alias(name)
+
+    exq = ex.groupBy("lang").agg(
+        pick(1, 2, "exact_p50"), pick(9, 10, "exact_p90"), pick(99, 100, "exact_p99")
+    )
+    return est.join(exq, "lang").select(
+        "lang", "n_rows", "n_sample",
+        "est_p50", "est_p90", "est_p99",
+        "exact_p50", "exact_p90", "exact_p99",
+    )
+
+
+# =========================================================================
+# X42 — MAD robust outlier detection
+# =========================================================================
+
+
+@_q(
+    "x_outlier_mad",
+    """
+    WITH base AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents),
+    r1 AS (SELECT lang, v,
+                  row_number() OVER (PARTITION BY lang ORDER BY v) AS vrn,
+                  count(*) OVER (PARTITION BY lang) AS n
+           FROM base),
+    med AS (SELECT lang, max(CASE WHEN vrn = (n + 1) // 2 THEN v END) AS med
+            FROM r1 GROUP BY lang),
+    dev AS (SELECT b.lang, b.v, abs(b.v - m.med) AS abs_dev
+            FROM base b JOIN med m ON b.lang = m.lang),
+    r2 AS (SELECT lang, abs_dev,
+                  row_number() OVER (PARTITION BY lang ORDER BY abs_dev) AS drn,
+                  count(*) OVER (PARTITION BY lang) AS n
+           FROM dev),
+    mad AS (SELECT lang,
+                   max(CASE WHEN drn = (n + 1) // 2 THEN abs_dev END) AS mad
+            FROM r2 GROUP BY lang)
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n,
+           max(m1.med) AS med, max(m2.mad) AS mad,
+           CAST(sum(CASE WHEN d.abs_dev > 3 * m2.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(coalesce(max(CASE WHEN d.abs_dev > 3 * m2.mad
+                                  THEN d.abs_dev END), -1)
+                AS BIGINT) AS max_outlier_dev
+    FROM dev d
+    JOIN med m1 ON d.lang = m1.lang
+    JOIN mad m2 ON d.lang = m2.lang
+    GROUP BY d.lang
+    """,
+)
+def x_outlier_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-language outlier detection on document length: flag a
+    document when |len − median| > 3 × MAD — the 50%-breakdown-point
+    robust rule (a z-score's mean/stddev are dragged by the very
+    outliers it hunts; the median/MAD pair is immune). Discrete lower
+    medians + integer comparisons only, so flags hash identically
+    cross-engine. See :func:`operators.analytic.mad_outliers` for the
+    two-median-pass plan (corpus shuffles once on the group key; both
+    median tables broadcast back)."""
+    from leftshove_spark.operators.analytic import mad_outliers
+
+    docs = load_table(spark, sf, "documents").select(
+        "lang", F.col("n_chars").cast("long").alias("v")
+    )
+    flags = mad_outliers(docs, "v", ["lang"])
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("med").alias("med"),
+        F.max("mad").alias("mad"),
+        F.sum(F.col("is_outlier").cast("int")).cast("long").alias("n_outliers"),
+        F.coalesce(
+            F.max(F.when(F.col("is_outlier"), F.col("abs_dev"))), F.lit(-1)
+        )
+        .cast("long")
+        .alias("max_outlier_dev"),
+    )

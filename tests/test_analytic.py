@@ -329,3 +329,62 @@ def test_partition_of_linear_equals_binary_search(spark):
     assert df.select((lin == A._partition_of(key, bounds[:64])).alias("e")).filter(
         ~F.col("e")
     ).count() == 0
+
+
+def test_exact_global_cumsum_matches_global_window(spark):
+    """The distributed prefix sum must equal SUM(w) OVER (ORDER BY ...
+    ROWS UNBOUNDED PRECEDING) — same running totals, no
+    single-partition exchange, and the returned scalar is the grand
+    total."""
+    from conftest import SF0001
+    from leftshove_spark.operators.analytic import exact_global_cumsum_with_total
+    from leftshove_spark.sources import load_table
+    from pyspark.sql import Window as W
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, SF0001, "events").select("event_id", "ts").filter(
+        F.col("event_id") % 2 == 0
+    ).withColumn("w", (F.col("event_id") % 7 + 1).cast("long"))
+    got, total = exact_global_cumsum_with_total(
+        ev, ["ts", "event_id"], "w", cum_col="cum"
+    )
+    want = ev.withColumn(
+        "cum",
+        F.sum("w").over(
+            W.orderBy("ts", "event_id").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    )
+    assert (
+        got.select("event_id", "cum")
+        .exceptAll(want.select("event_id", "cum"))
+        .count()
+        == 0
+    )
+    assert total == ev.agg(F.sum("w")).first()[0]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_mad_outliers_flags_planted_outliers_only(spark):
+    """A tight cluster plus planted extremes: exactly the extremes are
+    flagged; med/mad match hand-computed discrete medians; NULL group
+    keys keep their rows (null-safe joins, winsorize's r8 lesson)."""
+    from leftshove_spark.operators.analytic import mad_outliers
+    import pyspark.sql.functions as F
+
+    rows = [("a", i, 100 + (i % 5)) for i in range(20)]          # 100..104
+    rows += [("a", 100, 5000), ("a", 101, 1)]                    # extremes
+    rows += [(None, 200 + i, 10 + i) for i in range(3)]          # NULL group
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    out = mad_outliers(df, "v", ["g"])
+    assert out.count() == len(rows)  # row count preserved incl. NULL group
+    a = {r["id"]: r for r in out.filter("g = 'a'").collect()}
+    # sorted values: 1, 100×4,101×4,102×4,103×4,104×4, 5000 → n=22,
+    # lower median = 11th = 102; devs sorted: ceil(22/2)=11th dev = 1
+    assert a[0]["med"] == 102 and a[0]["mad"] == 1
+    flagged = {i for i, r in a.items() if r["is_outlier"]}
+    assert flagged == {100, 101}
+    nullg = out.filter("g IS NULL").collect()
+    assert len(nullg) == 3 and {r["med"] for r in nullg} == {11}

@@ -124,3 +124,65 @@ def test_kmv_jaccard_estimator_accuracy_and_exactness(spark):
         .collect()[0]["j"]
     )
     assert abs(j - 2000 / 6000) < 4 / k ** 0.5
+
+
+def test_bottomk_merge_equals_sketch_of_union(spark):
+    """Mergeability — the 100 TB contract: bottom-k row sample of
+    A ∪ B ≡ k smallest of sketch(A) ∥ sketch(B); quantile estimates
+    from the merged sketch equal estimates from the union sketch."""
+    import pyspark.sql.functions as F
+
+    from leftshove_spark.ext import sketch as SK
+
+    rows_a = [(i, (i * 131) % 997) for i in range(400)]
+    rows_b = [(i, (i * 17) % 997) for i in range(400, 900)]
+    a = spark.createDataFrame(rows_a, "doc_id long, v long")
+    b = spark.createDataFrame(rows_b, "doc_id long, v long")
+    u = a.unionByName(b)
+
+    k = 64
+    sa = SK.bottomk_sample_sketch(a, "v", k=k).first()
+    sb = SK.bottomk_sample_sketch(b, "v", k=k).first()
+    su = SK.bottomk_sample_sketch(u, "v", k=k).first()
+    merged = (
+        spark.createDataFrame(
+            [(sa["sketch"], sb["sketch"])], "sa array<struct<h:long,v:long>>, sb array<struct<h:long,v:long>>"
+        )
+        .select(
+            SK.bottomk_merge(F.col("sa"), F.col("sb"), k=k).alias("m"),
+            SK.bottomk_quantile(
+                SK.bottomk_merge(F.col("sa"), F.col("sb"), k=k), 1, 2
+            ).alias("p50"),
+        )
+        .first()
+    )
+    assert merged["m"] == su["sketch"]
+    assert sa["n_rows"] + sb["n_rows"] == su["n_rows"] == 900
+
+    direct = (
+        spark.createDataFrame([(su["sketch"],)], "s array<struct<h:long,v:long>>")
+        .select(SK.bottomk_quantile(F.col("s"), 1, 2).alias("p50"))
+        .first()
+    )
+    assert merged["p50"] == direct["p50"]
+
+
+def test_bottomk_quantile_unsaturated_is_exact_and_row_multiset(spark):
+    """While n <= k the sample IS the group: estimates equal exact
+    discrete quantiles; duplicate values keep multiplicity (row sample,
+    not a distinct-value sample — the KMV contrast)."""
+    import pyspark.sql.functions as F
+
+    from leftshove_spark.ext import sketch as SK
+
+    # 30 rows, value 7 repeated 20 times: p50 must be 7
+    rows = [(i, 7 if i < 20 else 100 + i) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, v long")
+    sk = SK.bottomk_sample_sketch(df, "v", k=256).select(
+        F.size("sketch").alias("m"),
+        SK.bottomk_quantile(F.col("sketch"), 1, 2).alias("p50"),
+        SK.bottomk_quantile(F.col("sketch"), 99, 100).alias("p99"),
+    ).first()
+    assert sk["m"] == 30          # unsaturated: whole multiset held
+    assert sk["p50"] == 7         # multiplicity respected
+    assert sk["p99"] == 129       # ceil(.99*30)=30th of sorted values

@@ -348,3 +348,60 @@ def test_split_leakage_found_then_fixed_by_cluster_split(spark):
         .drop("split2")
     )
     assert split_leakage(fixed, jaccard_threshold=0.6).count() == 0
+
+
+def test_weighted_systematic_sample_exact_pps(spark):
+    """Stride membership must match the textbook floor(cum*k/W) product
+    form computed in Python bigint (the Spark side uses the
+    overflow-safe threshold WHEN-tree — both k<=64 linear and k>64
+    tree forms), total multiplicity must be exactly k, and a row
+    heavier than W/k must carry multiplicity > 1."""
+    import hashlib
+
+    from leftshove_spark.ext.pipeline import weighted_systematic_sample
+
+    rows = [(i, (i * 37) % 11 + (900 if i == 5 else 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    def brute(k):
+        order = sorted(
+            rows, key=lambda r: (hashlib.md5(f"wss:{r[0]}".encode()).hexdigest(), r[0])
+        )
+        W = sum(w for _, w in order)
+        out, cum = {}, 0
+        for i, w in order:
+            lo, cum = cum, cum + w
+            m = (cum * k) // W - (lo * k) // W
+            if m > 0:
+                out[i] = ((lo * k) // W + 1, m, cum)
+        return out
+
+    for k in (7, 100):  # linear and WHEN-tree threshold forms
+        got = {
+            r["doc_id"]: (r["stride"], r["multiplicity"], r["cum_weight"])
+            for r in weighted_systematic_sample(df, k, "w").collect()
+        }
+        assert got == brute(k), f"k={k}"
+        assert sum(m for _, m, _ in got.values()) == k
+    assert got[5][1] > 1  # the 900-weight row spans multiple strides
+
+
+def test_weighted_systematic_sample_stable_and_degenerate(spark):
+    """Selection is a pure function of (ids, weights): invariant under
+    repartitioning; zero-weight rows are never selected; zero total
+    weight yields an empty frame with the contract columns."""
+    from leftshove_spark.ext.pipeline import weighted_systematic_sample
+
+    df = spark.createDataFrame(
+        [(i, 0 if i % 3 == 0 else i) for i in range(30)], "doc_id long, w long"
+    )
+    a = weighted_systematic_sample(df, 10, "w").collect()
+    b = weighted_systematic_sample(df.repartition(7), 10, "w").collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    assert all(r["doc_id"] % 3 != 0 for r in a)
+
+    empty = weighted_systematic_sample(
+        spark.createDataFrame([(1, 0)], "doc_id long, w long"), 5, "w"
+    )
+    assert empty.count() == 0
+    assert {"stride", "multiplicity", "cum_weight"} <= set(empty.columns)
