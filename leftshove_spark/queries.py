@@ -65,7 +65,9 @@ GATE_EXCLUDE = frozenset({"j3_dedup_latest_semijoin", "x_text_stats"})
 # them for retirement). The fill is the r7+r8 double-green veteran
 # block in its existing cheap-first order; the three most expensive
 # double-greens (x_quality_deciles, x_knn_ivf,
-# x_dedup_embedding_cosine) retire to the tail.
+# x_dedup_embedding_cosine) retire to the tail. Late-r9 additions
+# (weighted PPS sample, bottom-k quantile sketch, MAD outliers, bloom
+# join prune) enter the never-green block directly.
 #
 # Round-8 rotation: into the head-50 — the three never-driver-scored
 # r7 leftovers (w19_nav_battery, c19_math_battery, x_chunk_documents),
@@ -109,7 +111,7 @@ GATE_ORDER = [
     "x_weighted_sample",
     "x_quantile_sketch",
     "x_outlier_mad",
-    "k12_bloom_prune_join",
+    "k13_bloom_prune_join",
     # r8 first-timers (one driver green each; second green certifies)
     "w19_nav_battery",
     "c19_math_battery",

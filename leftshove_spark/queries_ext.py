@@ -2292,3 +2292,49 @@ def x_outlier_mad(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("max_outlier_dev"),
     )
+
+
+# =========================================================================
+# K12 — runtime bloom-filter join pruning (transparency proof)
+# =========================================================================
+
+
+@_q(
+    "k13_bloom_prune_join",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'MACHINERY' AND c.c_nationkey < 5
+    GROUP BY o.o_orderpriority
+    """,
+)
+def k13_bloom_prune_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Runtime bloom-filter join pruning, transparency-certified: the
+    orders fact is pruned map-side by a bitmap built from the selective
+    customer dimension BEFORE any join shuffle, then exactly joined —
+    the oracle is the PLAIN join, so a green row proves the bloom
+    admits every true match and the join removes every false positive
+    (the same oracle-as-transparency-proof pattern as the salted
+    s2/s3). See :mod:`operators.runtime_filter` for the O(m_bits)
+    memory contract and the literal-vs-broadcast bitmap modes."""
+    from leftshove_spark.operators.runtime_filter import bloom_pruned_join
+
+    dim = (
+        load_table(spark, sf, "customer")
+        .filter((F.col("c_mktsegment") == "MACHINERY") & (F.col("c_nationkey") < 5))
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    fact = load_table(spark, sf, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    joined = bloom_pruned_join(fact, dim, "o_custkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )

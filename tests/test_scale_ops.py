@@ -164,3 +164,60 @@ def test_zorder_value_is_bijective_on_the_rank_grid(spark):
         F.countDistinct("z").alias("d"), F.min("z").alias("lo"), F.max("z").alias("hi")
     ).collect()[0]
     assert (stats["d"], stats["lo"], stats["hi"]) == (n, 0, n - 1)
+
+
+def test_bloom_pruned_join_matches_plain_and_prunes(spark):
+    """Transparency + effectiveness: the bloom-pruned join equals the
+    plain join row-for-row; the prune really drops most non-matching
+    fact rows (fp rate sane); both bitmap delivery modes (literal and
+    broadcast-row) agree; NULL fact keys are pruned (inner-join
+    equivalent)."""
+    import pyspark.sql.functions as F
+
+    from leftshove_spark.operators.runtime_filter import (
+        bloom_might_contain,
+        build_bloom,
+        bloom_pruned_join,
+    )
+    from leftshove_spark.sources import load_table
+
+    fact = load_table(spark, SF0001, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
+    dim = (
+        load_table(spark, SF0001, "customer")
+        .filter(F.col("c_nationkey") == 3)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    plain = fact.join(dim, "o_custkey")
+    for m in (1 << 14, 1 << 17):  # literal mode and broadcast-row mode
+        got = bloom_pruned_join(fact, dim, "o_custkey", m_bits=m)
+        assert got.exceptAll(plain).count() == 0
+        assert plain.exceptAll(got).count() == 0
+
+    # effectiveness: the literal-mode filter keeps all true matches and
+    # only an fp-sized sliver of the rest
+    bitmap = build_bloom(dim, "o_custkey", m_bits=1 << 14)
+    kept = fact.filter(
+        bloom_might_contain(F.col("o_custkey"), bitmap)
+    ).count()
+    true_matches = fact.join(dim, "o_custkey", "left_semi").count()
+    assert kept >= true_matches
+    assert kept <= true_matches + 0.05 * fact.count()
+
+    withnull = fact.unionByName(
+        spark.createDataFrame([(None, -1)], "o_custkey long, o_orderkey long")
+    )
+    got = bloom_pruned_join(withnull, dim, "o_custkey")
+    assert got.filter("o_custkey IS NULL").count() == 0
+    assert got.count() == plain.count()
+
+
+def test_bloom_prune_rejects_outer_joins(spark):
+    import pytest
+
+    from leftshove_spark.operators.runtime_filter import bloom_pruned_join
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="unsound"):
+        bloom_pruned_join(df, df, "k", how="left")
