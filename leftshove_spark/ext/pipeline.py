@@ -619,3 +619,65 @@ def split_leakage(
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "split_a", "split_b", "jaccard")
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    weights: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    pos_col: str = "interleave_pos",
+    salt: str = "ilv:",
+) -> DataFrame:
+    """Deterministic weighted-fair interleave: a single global training
+    order in which sources appear at exactly their weight ratios,
+    smoothly (weight-2 : weight-1 plays out A A B A A B…, not
+    AAAA…BB…) — the ORDER half of corpus mixing
+    (:func:`mixture_sample` decides how much of each source,
+    this decides WHEN each row is seen; training curves care about
+    both).
+
+    Weighted-fair-queueing virtual finish times, exact integers: the
+    i-th row of source s (in per-source md5-shuffled order) gets
+    ``vft = (2i−1) · (L / w_s)`` with ``L = lcm(weights)`` — the
+    midpoint of slot i at rate w_s, scaled so every quotient is an
+    integer (no float ties, identical in any engine). The global order
+    is (vft, source, id): pure function of (ids, weights) — stable
+    under repartitioning/retry, resumable mid-epoch. Sources missing
+    from ``weights`` are dropped (whitelist semantics, like
+    mixture_sample's explicit targets).
+
+    Plan: one per-source window (group-key shuffle; a hot source
+    parallelizes if its rank is re-derived per bucket — same escape as
+    token_budget_cap) + :func:`operators.analytic.exact_global_rank`
+    for the dense position (range-partitioned parallel rank, no
+    single-partition sort). Overflow: vft ≤ 2n·L — int64-safe for any
+    corpus up to 10¹⁴ rows at L ≤ 10⁴; pick small coprime weights."""
+    from math import lcm
+
+    from leftshove_spark.operators.analytic import exact_global_rank
+
+    if not weights or any(w < 1 for w in weights.values()):
+        raise ValueError("weights must be a non-empty dict of positive ints")
+    L = lcm(*weights.values())
+    stride = None
+    for s, w in weights.items():
+        lit = F.lit(L // w).cast("long")
+        stride = lit if stride is None else F.when(
+            F.col(source_col) == s, lit
+        ).otherwise(stride)
+    # the when-chain above evaluates the LAST dict entry as the default
+    # branch; restrict to whitelisted sources first so it never applies
+    # to an unlisted one
+    base = df.filter(F.col(source_col).isin(*weights.keys()))
+    rank_key = F.md5(
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    )
+    w_src = Window.partitionBy(source_col).orderBy(rank_key, id_col)
+    keyed = base.withColumn(
+        "vft",
+        (F.lit(2) * F.row_number().over(w_src).cast("long") - 1) * stride,
+    )
+    return exact_global_rank(
+        keyed, ["vft", source_col, id_col], rank_col=pos_col
+    )

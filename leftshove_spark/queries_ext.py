@@ -2338,3 +2338,44 @@ def k13_bloom_prune_join(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("revenue_cents"),
     )
+
+
+# =========================================================================
+# X47 — weighted-fair source interleaving (training-order scheduler)
+# =========================================================================
+
+
+@_q(
+    "x_interleave_sources",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(concat('ilv:', CAST(doc_id AS VARCHAR))), doc_id)
+               AS r
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+    keyed AS (
+      SELECT doc_id, source,
+             CAST((2*r - 1) * (CASE source WHEN 'src0' THEN 2
+                                           WHEN 'src1' THEN 3
+                                           ELSE 6 END) AS BIGINT) AS vft
+      FROM ranked)
+    SELECT doc_id, source, vft,
+           CAST(row_number() OVER (ORDER BY vft, source, doc_id) AS BIGINT)
+             AS interleave_pos
+    FROM keyed
+    """,
+)
+def x_interleave_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted-fair deterministic interleave at 3:2:1 over three
+    sources — WFQ virtual finish times ``(2i−1)·(lcm/w)`` in exact
+    integers (the i-th row of a weight-w source lands at slot midpoint
+    i/w), so the global order realizes the ratios SMOOTHLY (A A B A A
+    B…, never a block of one source) and is a pure function of (ids,
+    weights). The oracle's global row_number is a single-partition
+    window; the Spark side is exact_global_rank — full parallelism at
+    any scale. See :func:`ext.pipeline.interleave_sources`."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    return P.interleave_sources(
+        docs, {"src0": 3, "src1": 2, "src2": 1}
+    ).select("doc_id", "source", "vft", "interleave_pos")

@@ -405,3 +405,41 @@ def test_weighted_systematic_sample_stable_and_degenerate(spark):
     )
     assert empty.count() == 0
     assert {"stride", "multiplicity", "cum_weight"} <= set(empty.columns)
+
+
+def test_interleave_sources_ratios_and_smoothness(spark):
+    """A 2:1 interleave must (a) order deterministically and stably
+    under repartitioning, (b) realize the ratio in every prefix within
+    rounding (smoothness — WFQ's bound: any prefix of length n holds
+    within 1 slot of n*w_s/W per source), (c) drop unlisted sources."""
+    from leftshove_spark.ext.pipeline import interleave_sources
+
+    rows = [(i, "a") for i in range(40)] + [(100 + i, "b") for i in range(20)]
+    rows += [(900 + i, "junk") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = interleave_sources(df, {"a": 2, "b": 1}).orderBy("interleave_pos")
+    seq = [r["source"] for r in out.collect()]
+    assert len(seq) == 60 and "junk" not in seq
+    for n in range(1, 61):
+        a_seen = seq[:n].count("a")
+        assert abs(a_seen - n * 2 / 3) <= 1, f"prefix {n} unsmooth: {a_seen}"
+
+    again = [
+        r["source"]
+        for r in interleave_sources(df.repartition(13), {"a": 2, "b": 1})
+        .orderBy("interleave_pos")
+        .collect()
+    ]
+    assert seq == again
+
+
+def test_interleave_sources_rejects_bad_weights(spark):
+    import pytest
+
+    from leftshove_spark.ext.pipeline import interleave_sources
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        interleave_sources(df, {})
+    with pytest.raises(ValueError):
+        interleave_sources(df, {"a": 0})
