@@ -70,11 +70,44 @@ def main() -> None:
     docs = corpus.join(hits, "doc_id", "left_anti")
     counts["after_decontaminate"] = docs.count()
 
+    # 3b. robust length-outlier gate (r9): drop docs whose length sits
+    #     > 6 MAD from the per-lang median — the detection complement
+    #     of the quantile clamp; 6x keeps the synthetic fixture's tight
+    #     length distribution mostly intact while exercising the pass
+    from leftshove_spark.operators.analytic import mad_outliers
+
+    flags = mad_outliers(
+        docs.select("doc_id", "lang", F.col("n_chars").cast("long").alias("v")),
+        "v",
+        ["lang"],
+        c_num=6,
+    )
+    docs = docs.join(
+        flags.filter(F.col("is_outlier")).select("doc_id"), "doc_id", "left_anti"
+    )
+    counts["after_outlier_gate"] = docs.count()
+
     # 4. deterministic split + per-source cap (pure id functions —
     #    stable under retries and incremental ingestion)
     docs = P.hash_split(docs)
     docs = P.sample_k_per_group(docs, ["split", "source"], k=8)
     counts["after_split_and_cap"] = docs.count()
+
+    # 4b. token-mass-weighted subsample + weighted-fair interleave
+    #     (r9): budget the train split by TOKEN coverage (PPS strides),
+    #     then emit the deterministic source-interleaved training order
+    samp = P.weighted_systematic_sample(
+        docs.filter(F.col("split") == "train").select("doc_id", "source", "n_chars"),
+        24,
+        "n_chars",
+    )
+    counts["weighted_sample"] = samp.count()
+    order = P.interleave_sources(
+        samp, {s: 1 for s in sorted(
+            r["source"] for r in samp.select("source").distinct().collect()
+        )}
+    )
+    counts["interleaved_order"] = order.count()
 
     # 5. greedy sequence packing within the training split (token
     #    counting feeds the packer its budget column)
@@ -240,6 +273,9 @@ def main() -> None:
         "after_near_dedup"
     ] > counts["after_decontaminate"] >= counts["after_split_and_cap"] > 0
     assert counts["packed_sequences"] > 0
+    assert counts["after_outlier_gate"] <= counts["after_decontaminate"]
+    assert 0 < counts["weighted_sample"] <= 24  # k strides, ≤ k distinct rows
+    assert counts["interleaved_order"] == counts["weighted_sample"]
     assert counts["scd2_versions"] > 0 and counts["state_as_of_mid"] > 0
     print("PIPELINE DEMO OK")
     spark.stop()
