@@ -458,12 +458,20 @@ def token_budget_cap(
     return out.withColumnRenamed("__cum", "cum_weight") if keep_cum else out.drop("__cum")
 
 
+# Above this stride count the per-row threshold WHEN-tree gives way to
+# the bucketed threshold join (expression trees beyond ~4k literals tax
+# codegen; the join's explode volume is k + n rows — still linear).
+_WSS_TREE_MAX_K = 4096
+
+
 def weighted_systematic_sample(
     df: DataFrame,
     k: int,
     weight_col: str,
     id_col: str = "doc_id",
     salt: str = "wss:",
+    *,
+    max_tree_k: int = _WSS_TREE_MAX_K,
 ) -> DataFrame:
     """Exact probability-proportional-to-size sampling: draw ``k``
     systematic strides from the corpus's weight axis, so a row with
@@ -491,9 +499,10 @@ def weighted_systematic_sample(
       10²⁰): thresholds ``t_i = ceil(i·W/k)`` are computed driver-side
       in Python bigint and compiled into the O(log k) balanced
       WHEN-tree (`_partition_of`), so the executor evaluates only
-      int64 comparisons. k beyond expression-tree practicality (~10⁴)
-      would range-join a broadcast threshold table instead — same
-      semantics, documented escape.
+      int64 comparisons; past ``max_tree_k`` strides the thresholds
+      become a k-row generated table range-joined through coarse
+      weight-axis buckets (k + n join volume, full parallelism —
+      pytest-pinned identical to the tree form).
 
     Weights must be non-negative and non-null; zero-weight rows are
     never selected (they occupy no weight-axis span)."""
@@ -518,20 +527,63 @@ def weighted_systematic_sample(
             .withColumn("stride", F.lit(None).cast("long"))
             .withColumn("multiplicity", F.lit(None).cast("long"))
         )
-    # t_i = ceil(i*W/k), i = 1..k — exact bigint arithmetic, then
-    # #{t_i <= v} as a WHEN-tree over (t_i - 1) boundaries (cum is
-    # integral, so v >= t_i  <=>  v > t_i - 1)
-    bounds = [F.lit((i * total + k - 1) // k - 1) for i in range(1, k + 1)]
-    n_le = lambda v: _partition_of(v, bounds)  # noqa: E731
-    lo = n_le(F.col("cum_weight") - F.col(weight_col).cast("long"))
-    hi = n_le(F.col("cum_weight"))
-    return (
-        cum.withColumn("__mult", (hi - lo).cast("long"))
-        .filter(F.col("__mult") > 0)
-        .withColumn("stride", (lo + 1).cast("long"))
-        .withColumnRenamed("__mult", "multiplicity")
-        .drop("__wss_key")
+    cum = cum.drop("__wss_key")
+    if k <= max_tree_k:
+        # t_i = ceil(i*W/k), i = 1..k — exact bigint arithmetic, then
+        # #{t_i <= v} as a WHEN-tree over (t_i - 1) boundaries (cum is
+        # integral, so v >= t_i  <=>  v > t_i - 1)
+        bounds = [F.lit((i * total + k - 1) // k - 1) for i in range(1, k + 1)]
+        n_le = lambda v: _partition_of(v, bounds)  # noqa: E731
+        lo = n_le(F.col("cum_weight") - F.col(weight_col).cast("long"))
+        hi = n_le(F.col("cum_weight"))
+        return (
+            cum.withColumn("__mult", (hi - lo).cast("long"))
+            .filter(F.col("__mult") > 0)
+            .withColumn("stride", (lo + 1).cast("long"))
+            .withColumnRenamed("__mult", "multiplicity")
+        )
+    # Large-k path: the thresholds become a k-row TABLE joined to the
+    # rows through coarse weight-axis buckets (the t2 range-join
+    # pattern). Still overflow-free: with W = q·k + r,
+    # t_i = i·q + ceil(i·r/k) — every product stays under k² < 2^62.
+    # Bucket width B ≈ W/k puts ~1 threshold per bucket, so a row of
+    # weight w explodes to ~w/B + 1 bucket rows: total join volume is
+    # k + n — linear, at full parallelism, no giant expression tree.
+    spark = df.sparkSession
+    q, r = divmod(total, k)
+    B = max(1, total // k)
+    i = F.col("id")
+    thr = spark.range(1, k + 1).select(
+        i.alias("stride"),
+        (
+            i * F.lit(q)
+            + ((i * F.lit(r) + F.lit(k - 1)) - (i * F.lit(r) + F.lit(k - 1)) % F.lit(k))
+            / F.lit(k)
+        )
+        .cast("long")
+        .alias("t"),
     )
+    thr = thr.withColumn("__b", ((F.col("t") - F.col("t") % B) / B).cast("long"))
+    lo_c = F.col("cum_weight") - F.col(weight_col).cast("long")
+    spanned = cum.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                ((lo_c - lo_c % B) / B).cast("long"),
+                ((F.col("cum_weight") - F.col("cum_weight") % B) / B).cast("long"),
+            )
+        ),
+    )
+    matched = (
+        spanned.join(thr, "__b")
+        .filter((F.col("t") > lo_c) & (F.col("t") <= F.col("cum_weight")))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("multiplicity"),
+            F.min("stride").cast("long").alias("stride"),
+        )
+    )
+    return cum.join(matched, id_col)
 
 
 def dataset_fingerprint(

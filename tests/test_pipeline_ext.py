@@ -443,3 +443,26 @@ def test_interleave_sources_rejects_bad_weights(spark):
         interleave_sources(df, {})
     with pytest.raises(ValueError):
         interleave_sources(df, {"a": 0})
+
+
+def test_weighted_systematic_sample_join_path_equals_tree(spark):
+    """The large-k bucketed-threshold-join form must select the
+    identical (stride, multiplicity, cum) set as the WHEN-tree form —
+    including a heavy row spanning many buckets — and its generated
+    threshold table must be exact (no i*W product anywhere)."""
+    from leftshove_spark.ext.pipeline import weighted_systematic_sample
+
+    rows = [(i, (i * 37) % 11 + (900 if i == 5 else 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    for k in (7, 100):
+        tree = {
+            r["doc_id"]: (r["stride"], r["multiplicity"], r["cum_weight"])
+            for r in weighted_systematic_sample(df, k, "w").collect()
+        }
+        join = {
+            r["doc_id"]: (r["stride"], r["multiplicity"], r["cum_weight"])
+            for r in weighted_systematic_sample(
+                df, k, "w", max_tree_k=0
+            ).collect()
+        }
+        assert tree == join, f"k={k}"
