@@ -733,3 +733,29 @@ def interleave_sources(
     return exact_global_rank(
         keyed, ["vft", source_col, id_col], rank_col=pos_col
     )
+
+
+def merge_fingerprints(
+    fps: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Fold shard-level :func:`dataset_fingerprint` rows into the
+    fingerprint of the combined corpus WITHOUT rescanning any shard —
+    every component is an associative aggregate (sums re-summed in
+    DECIMAL(38,0), XORs re-XORed, min/max re-extremed), so per-shard /
+    per-day fingerprints stored as accounting rows compose upward
+    exactly: merge(fp(A), fp(B)) ≡ fp(A ∪ B), pytest-pinned. Input
+    rows must be DISJOINT shards (a multiset union — double-merging a
+    shard double-counts it, by design: the sum component is exactly
+    what catches duplicated shards)."""
+    gcols = list(group_cols or [])
+    grouped = fps.groupBy(*gcols) if gcols else fps.groupBy()
+    return grouped.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.col("content_sum").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("content_sum"),
+        F.bit_xor("content_xor").alias("content_xor"),
+        F.min("id_hash_min").alias("id_hash_min"),
+        F.max("id_hash_max").alias("id_hash_max"),
+    )

@@ -466,3 +466,34 @@ def test_weighted_systematic_sample_join_path_equals_tree(spark):
             ).collect()
         }
         assert tree == join, f"k={k}"
+
+
+def test_merge_fingerprints_equals_whole_corpus(spark):
+    """Shard accounting composes: fingerprint rows of disjoint shards
+    merge (sums/xors/extremes re-aggregated) into exactly the
+    fingerprint of the union — no rescan; grouped and global forms."""
+    from conftest import SF0001
+    from leftshove_spark.ext.pipeline import dataset_fingerprint, merge_fingerprints
+    from leftshove_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, SF0001, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    merged = merge_fingerprints(
+        dataset_fingerprint(a, group_cols=["lang"]).unionByName(
+            dataset_fingerprint(b, group_cols=["lang"])
+        ),
+        ["lang"],
+    )
+    whole = dataset_fingerprint(docs, group_cols=["lang"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+    g = merge_fingerprints(
+        dataset_fingerprint(a).unionByName(dataset_fingerprint(b))
+    ).first()
+    w = dataset_fingerprint(docs).first()
+    assert tuple(g) == tuple(w)
