@@ -428,56 +428,41 @@ def mad_outliers(
     integral inputs, no interpolation, no floats, so flags hash
     identically cross-engine.
 
-    Plan: two per-group median passes (window rank + conditional agg,
-    O(groups) medians broadcast back each time) — the corpus shuffles
-    ONCE on the group key for the first window; the second window and
-    both broadcast joins reuse that partitioning (Catalyst reuses the
-    exchange), and the flag is pure codegen. A groupable corpus-sized
-    window is the same envelope as any per-key ranking at 100 TB; for
-    high-cardinality groups the medians could come from
-    :func:`ext.sketch.bottomk_sample_sketch` instead — the flag
-    expression is unchanged."""
+    Plan: every step is a window over the SAME partitioning
+    (partitionBy group key; only the in-partition sort order differs
+    between the value rank and the deviation rank), so the whole
+    operator plans as ONE group-key exchange followed by stacked
+    in-partition sort+window stages — no join-backs, no second
+    shuffle, no re-scan (plan-pinned by pytest: exactly one
+    hashpartitioning exchange). The flag is pure codegen. A
+    corpus-sized per-key window is the same envelope as any per-key
+    ranking at 100 TB; for high-cardinality groups the medians could
+    come from :func:`ext.sketch.bottomk_sample_sketch` instead — the
+    flag expression is unchanged."""
     gcols = list(group_cols)
+    wg = Window.partitionBy(*gcols)
+    order_tiebreak: list[str] = []
 
-    def _group_median(d: DataFrame, col: str, out: str) -> DataFrame:
-        wv = Window.partitionBy(*gcols).orderBy(col)
-        wn = Window.partitionBy(*gcols)
-        ranked = d.withColumn("__vrn", F.row_number().over(wv)).withColumn(
-            "__n", F.count(F.lit(1)).over(wn)
-        )
-        # vrn == ceil(n/2)  <=>  2·vrn − 1 <= n < 2·vrn + 1 avoided:
-        # exact form 2·vrn == n + (n % 2 == 1 ? 1 : 0) — stated as
-        # products to stay in pure integer comparisons
-        pick = F.max(
-            F.when(
-                F.col("__vrn") * 2 == F.col("__n") + F.col("__n") % 2,
-                F.col(col),
+    def _median_over(col: str) -> Column:
+        # value at rank ceil(n/2) of the in-group sort by `col` —
+        # vrn == ceil(n/2) stated as 2·vrn == n + n%2 to stay in pure
+        # integer comparisons; the conditional max over the full
+        # partition extracts that one value for every row
+        vrn = F.row_number().over(wg.orderBy(col, *order_tiebreak))
+        n = F.count(F.lit(1)).over(wg)
+        picked = F.when(vrn * 2 == n + n % 2, F.col(col))
+        return F.max(picked).over(
+            wg.orderBy(col, *order_tiebreak).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
             )
-        ).alias(out)
-        return ranked.groupBy(*gcols).agg(pick)
+        )
 
-    med = _group_median(df, value_col, "med")
-    mcond = reduce(
-        lambda x, y: x & y,
-        [F.col(c).eqNullSafe(F.col(f"__g_{c}")) for c in gcols],
+    out = df.withColumn("med", _median_over(value_col).cast("long"))
+    out = out.withColumn(
+        "abs_dev", F.abs(F.col(value_col).cast("long") - F.col("med"))
     )
-    medb = med.select(
-        *[F.col(c).alias(f"__g_{c}") for c in gcols], "med"
-    )
-    devd = (
-        df.join(F.broadcast(medb), mcond)
-        .drop(*[f"__g_{c}" for c in gcols])
-        .withColumn(
-            "abs_dev", F.abs(F.col(value_col).cast("long") - F.col("med"))
-        )
-    )
-    mad = _group_median(devd, "abs_dev", "mad")
-    madb = mad.select(*[F.col(c).alias(f"__g_{c}") for c in gcols], "mad")
-    return (
-        devd.join(F.broadcast(madb), mcond)
-        .drop(*[f"__g_{c}" for c in gcols])
-        .withColumn(
-            flag_col,
-            F.col("abs_dev") * F.lit(c_den) > F.lit(c_num) * F.col("mad"),
-        )
+    out = out.withColumn("mad", _median_over("abs_dev").cast("long"))
+    return out.withColumn(
+        flag_col,
+        F.col("abs_dev") * F.lit(c_den) > F.lit(c_num) * F.col("mad"),
     )

@@ -388,3 +388,10 @@ def test_mad_outliers_flags_planted_outliers_only(spark):
     assert flagged == {100, 101}
     nullg = out.filter("g IS NULL").collect()
     assert len(nullg) == 3 and {r["med"] for r in nullg} == {11}
+
+    # plan pin: the whole operator rides ONE group-key exchange —
+    # stacked same-partitioning windows, no join-backs, no re-scan
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
