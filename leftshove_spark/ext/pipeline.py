@@ -549,34 +549,30 @@ def weighted_systematic_sample(
     # Bucket width B ≈ W/k puts ~1 threshold per bucket, so a row of
     # weight w explodes to ~w/B + 1 bucket rows: total join volume is
     # k + n — linear, at full parallelism, no giant expression tree.
+    # All divisions below are the SQL integral `div` operator — the
+    # DataFrame `/` is double-typed and rounds past 2^53, which would
+    # shift a threshold by one at extreme (k, W)
     spark = df.sparkSession
     q, r = divmod(total, k)
     B = max(1, total // k)
-    i = F.col("id")
-    thr = spark.range(1, k + 1).select(
-        i.alias("stride"),
-        (
-            i * F.lit(q)
-            + ((i * F.lit(r) + F.lit(k - 1)) - (i * F.lit(r) + F.lit(k - 1)) % F.lit(k))
-            / F.lit(k)
-        )
-        .cast("long")
-        .alias("t"),
+    thr = spark.range(1, k + 1).selectExpr(
+        "id AS stride",
+        f"id * {q} + (id * {r} + {k - 1}) div {k} AS t",
     )
-    thr = thr.withColumn("__b", ((F.col("t") - F.col("t") % B) / B).cast("long"))
+    thr = thr.selectExpr("stride", "t", f"t div {B} AS __b")
     lo_c = F.col("cum_weight") - F.col(weight_col).cast("long")
-    spanned = cum.withColumn(
+    spanned = cum.withColumn("__lo", lo_c).withColumn(
         "__b",
         F.explode(
             F.sequence(
-                ((lo_c - lo_c % B) / B).cast("long"),
-                ((F.col("cum_weight") - F.col("cum_weight") % B) / B).cast("long"),
+                F.expr(f"__lo div {B}"),
+                F.expr(f"cum_weight div {B}"),
             )
         ),
     )
     matched = (
         spanned.join(thr, "__b")
-        .filter((F.col("t") > lo_c) & (F.col("t") <= F.col("cum_weight")))
+        .filter((F.col("t") > F.col("__lo")) & (F.col("t") <= F.col("cum_weight")))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("multiplicity"),
@@ -718,9 +714,10 @@ def interleave_sources(
         stride = lit if stride is None else F.when(
             F.col(source_col) == s, lit
         ).otherwise(stride)
-    # the when-chain above evaluates the LAST dict entry as the default
-    # branch; restrict to whitelisted sources first so it never applies
-    # to an unlisted one
+    # the when-chain above falls back to the FIRST dict entry's stride
+    # (it seeds the innermost otherwise); restrict to whitelisted
+    # sources first so the fallback can only ever apply to that entry's
+    # own rows
     base = df.filter(F.col(source_col).isin(*weights.keys()))
     rank_key = F.md5(
         F.concat(F.lit(salt), F.col(id_col).cast("string"))

@@ -129,25 +129,49 @@ def bottomk_sample_sketch(
     combine with :func:`bottomk_merge` — k smallest of the union is
     exactly the bottom-k sample of the combined rows, so quantiles of
     any group combination come from the O(groups·k) sketch table with
-    no second corpus scan. Build plan: one groupBy-key shuffle with a
-    WindowGroupLimit-pruned per-group top-k — countDistinct cost."""
+    no second corpus scan.
+
+    Build plan: the sample branch is one group-key shuffle whose
+    per-group sort is WindowGroupLimit-PRUNED to k rows (the filter on
+    the rank sits directly over the window, so the rewrite fires —
+    plan-pinned by pytest; a full-group sort would be O(n log n) per
+    group instead of O(n log k)); ``n_rows`` comes from a separate
+    count branch whose shuffle moves only O(groups) partial rows (its
+    scan projects just the group columns). Ranks tiebreak on the
+    NATIVE-typed id after the hash, so a 60-bit hash collision at the
+    k boundary cannot make the sketch nondeterministic — and the
+    (h, i) prefix of the stored struct is a total order, which is what
+    keeps :func:`bottomk_merge`'s k-smallest-of-concat exactly
+    consistent with building over the unioned rows."""
     gcols = list(group_cols or [])
     h = hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     base = df.select(
-        *gcols, h.alias("__h"), F.col(value_col).cast("long").alias("__v")
+        *gcols,
+        h.alias("__h"),
+        F.col(id_col).alias("__i"),
+        F.col(value_col).cast("long").alias("__v"),
     )
-    w = Window.partitionBy(*[F.col(g) for g in gcols] or [F.lit(1)]).orderBy("__h")
-    topk = base.withColumn("__rn", F.row_number().over(w))
-    return topk.groupBy(*gcols).agg(
+    w = Window.partitionBy(*[F.col(g) for g in gcols] or [F.lit(1)]).orderBy(
+        "__h", "__i"
+    )
+    topk = base.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    sk = topk.groupBy(*gcols).agg(
         F.sort_array(
             F.collect_list(
-                F.when(
-                    F.col("__rn") <= k, F.struct(F.col("__h").alias("h"), F.col("__v").alias("v"))
+                F.struct(
+                    F.col("__h").alias("h"),
+                    F.col("__i").alias("i"),
+                    F.col("__v").alias("v"),
                 )
             )
-        ).alias("sketch"),
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        ).alias("sketch")
     )
+    counts = df.groupBy(*gcols).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    if gcols:
+        return sk.join(counts, gcols)
+    return sk.crossJoin(counts)
 
 
 def bottomk_merge(sketch_a: Column, sketch_b: Column, k: int = 256) -> Column:

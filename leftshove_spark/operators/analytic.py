@@ -108,38 +108,17 @@ def exact_global_rank(
     comparisons evaluated per row) past that — at 1000-executor scale
     p ≈ 10⁴ and the linear form would burn 10⁴ comparisons per row;
     both forms are pytest-pinned identical at p ∈ {8, 64, 512}."""
-    spark = df.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    key = F.struct(*[F.col(c) for c in order_cols])
-    # sampling pass: range-partition once, collect (count, max key) per
-    # partition — O(p) rows, the same control-plane class as watermarks
-    parts = df.repartitionByRange(p, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    summary = sorted(
-        parts.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("n"), F.max(key).alias("mx"))
-        .collect(),
-        key=lambda r: r["__pid"],
-    )
-    # boundaries = maxima of all but the last non-empty partition;
-    # membership in job-2 ≡ membership in job-1 because range
-    # partitioning separates partitions exactly at these maxima
-    nonempty = [r for r in summary if r["n"] > 0]
-    bounds = [r["mx"] for r in nonempty[:-1]]
+    bound_lits, nonempty = _range_summary(df, order_cols, num_partitions)
     offsets, acc = [], 0
     for i, r in enumerate(nonempty):
         offsets.append((i, acc))
         acc += r["n"]
-    bound_lits = [
-        F.struct(*[F.lit(b[i]).alias(c) for i, c in enumerate(order_cols)])
-        for b in bounds
-    ]
+    key = F.struct(*[F.col(c) for c in order_cols])
     pid = _partition_of(key, bound_lits)
     assigned = df.withColumn("__pid", pid)
     wloc = Window.partitionBy("__pid").orderBy(*order_cols)
     local = assigned.withColumn("__lrank", F.row_number().over(wloc))
-    off_df = spark.createDataFrame(offsets, "__pid int, __offset bigint")
+    off_df = df.sparkSession.createDataFrame(offsets, "__pid int, __offset bigint")
     out = (
         local.join(F.broadcast(off_df), "__pid")
         .withColumn(rank_col, (F.col("__offset") + F.col("__lrank")).cast("long"))
@@ -149,6 +128,46 @@ def exact_global_rank(
         # the total fell out of the summary pass — no extra count job
         out = out.withColumn(total_col, F.lit(acc).cast("long"))
     return out
+
+
+def _range_summary(
+    df: DataFrame,
+    order_cols: list[str],
+    num_partitions: int | None,
+    weight_col: str | None = None,
+):
+    """The sample-ONCE pass both global-analytic operators share: range
+    partition on the order key, collect each partition's (count, max
+    key) — plus (weight sum, null-weight count) when ``weight_col`` is
+    given — and rebuild the boundary literals the downstream pass uses
+    to re-derive membership analytically (the r6→r7 determinism fix:
+    re-executing the range partitioner re-samples; these maxima
+    don't). Returns ``(bound_lits, nonempty_summary_rows)`` — an
+    O(num_partitions) control-plane read."""
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    key = F.struct(*[F.col(c) for c in order_cols])
+    aggs = [F.count(F.lit(1)).alias("n"), F.max(key).alias("mx")]
+    if weight_col is not None:
+        aggs += [
+            F.sum(F.col(weight_col).cast("long")).alias("w"),
+            F.sum(F.col(weight_col).isNull().cast("long")).alias("w_nulls"),
+        ]
+    parts = df.repartitionByRange(p, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    summary = sorted(
+        parts.groupBy("__pid").agg(*aggs).collect(), key=lambda r: r["__pid"]
+    )
+    # boundaries = maxima of all but the last non-empty partition;
+    # membership in job-2 ≡ membership in job-1 because range
+    # partitioning separates partitions exactly at these maxima
+    nonempty = [r for r in summary if r["n"] > 0]
+    bound_lits = [
+        F.struct(*[F.lit(r["mx"][i]).alias(c) for i, c in enumerate(order_cols)])
+        for r in nonempty[:-1]
+    ]
+    return bound_lits, nonempty
 
 
 def exact_global_cumsum(
@@ -197,33 +216,25 @@ def exact_global_cumsum_with_total(
     the row against collected maxima literals), a per-partition window
     sum at full parallelism, and a broadcast of ≤ num_partitions
     cumulative-weight offsets. Every stage is parallel; the naive form
-    is a single-task sort of the entire input."""
-    spark = df.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    key = F.struct(*[F.col(c) for c in order_cols])
-    parts = df.repartitionByRange(p, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    is a single-task sort of the entire input.
+
+    Weights must be non-null (a prefix sum over missing weights has no
+    well-defined semantics); the check rides the summary pass for
+    free and raises before any result job."""
+    bound_lits, nonempty = _range_summary(
+        df, order_cols, num_partitions, weight_col=weight_col
     )
-    summary = sorted(
-        parts.groupBy("__pid")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col(weight_col).cast("long")).alias("w"),
-            F.max(key).alias("mx"),
+    n_nulls = sum(r["w_nulls"] for r in nonempty)
+    if n_nulls:
+        raise ValueError(
+            f"exact_global_cumsum: {n_nulls} NULL values in weight "
+            f"column {weight_col!r} — fill or filter them first"
         )
-        .collect(),
-        key=lambda r: r["__pid"],
-    )
-    nonempty = [r for r in summary if r["n"] > 0]
-    bounds = [r["mx"] for r in nonempty[:-1]]
     offsets, acc = [], 0
     for i, r in enumerate(nonempty):
         offsets.append((i, acc))
         acc += r["w"]
-    bound_lits = [
-        F.struct(*[F.lit(b[i]).alias(c) for i, c in enumerate(order_cols)])
-        for b in bounds
-    ]
+    key = F.struct(*[F.col(c) for c in order_cols])
     pid = _partition_of(key, bound_lits)
     assigned = df.withColumn("__pid", pid)
     wloc = (
@@ -234,7 +245,7 @@ def exact_global_cumsum_with_total(
     local = assigned.withColumn(
         "__lcum", F.sum(F.col(weight_col).cast("long")).over(wloc)
     )
-    off_df = spark.createDataFrame(offsets, "__pid int, __woff bigint")
+    off_df = df.sparkSession.createDataFrame(offsets, "__pid int, __woff bigint")
     out = (
         local.join(F.broadcast(off_df), "__pid")
         .withColumn(cum_col, (F.col("__woff") + F.col("__lcum")).cast("long"))

@@ -2092,7 +2092,7 @@ def j7_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # =========================================================================
-# X40 — weighted systematic (PPS) sampling
+# X44 — weighted systematic (PPS) sampling
 # =========================================================================
 
 _WSS_K = 300
@@ -2133,7 +2133,7 @@ def x_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # =========================================================================
-# X41 — bottom-k quantile sketch (mergeable sample-based quantiles)
+# X45 — bottom-k quantile sketch (mergeable sample-based quantiles)
 # =========================================================================
 
 _QS_K = 256
@@ -2230,7 +2230,7 @@ def x_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # =========================================================================
-# X42 — MAD robust outlier detection
+# X46 — MAD robust outlier detection
 # =========================================================================
 
 
@@ -2295,7 +2295,7 @@ def x_outlier_mad(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # =========================================================================
-# K12 — runtime bloom-filter join pruning (transparency proof)
+# K13 — runtime bloom-filter join pruning (transparency proof)
 # =========================================================================
 
 

@@ -102,6 +102,7 @@ def main() -> None:
         "n_chars",
     )
     counts["weighted_sample"] = samp.count()
+    assert counts["weighted_sample"] > 0, "train split carried no token mass"
     order = P.interleave_sources(
         samp, {s: 1 for s in sorted(
             r["source"] for r in samp.select("source").distinct().collect()

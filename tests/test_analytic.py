@@ -395,3 +395,17 @@ def test_mad_outliers_flags_planted_outliers_only(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_exact_global_cumsum_rejects_null_weights(spark):
+    """NULL weights must raise from the summary pass, not corrupt the
+    prefix sum or crash with a bare TypeError."""
+    import pytest
+
+    from leftshove_spark.operators.analytic import exact_global_cumsum
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 7)], "id long, w long"
+    )
+    with pytest.raises(ValueError, match="NULL values in weight"):
+        exact_global_cumsum(df, ["id"], "w")

@@ -146,7 +146,7 @@ def test_bottomk_merge_equals_sketch_of_union(spark):
     su = SK.bottomk_sample_sketch(u, "v", k=k).first()
     merged = (
         spark.createDataFrame(
-            [(sa["sketch"], sb["sketch"])], "sa array<struct<h:long,v:long>>, sb array<struct<h:long,v:long>>"
+            [(sa["sketch"], sb["sketch"])], "sa array<struct<h:long,i:long,v:long>>, sb array<struct<h:long,i:long,v:long>>"
         )
         .select(
             SK.bottomk_merge(F.col("sa"), F.col("sb"), k=k).alias("m"),
@@ -160,7 +160,7 @@ def test_bottomk_merge_equals_sketch_of_union(spark):
     assert sa["n_rows"] + sb["n_rows"] == su["n_rows"] == 900
 
     direct = (
-        spark.createDataFrame([(su["sketch"],)], "s array<struct<h:long,v:long>>")
+        spark.createDataFrame([(su["sketch"],)], "s array<struct<h:long,i:long,v:long>>")
         .select(SK.bottomk_quantile(F.col("s"), 1, 2).alias("p50"))
         .first()
     )
@@ -186,3 +186,20 @@ def test_bottomk_quantile_unsaturated_is_exact_and_row_multiset(spark):
     assert sk["m"] == 30          # unsaturated: whole multiset held
     assert sk["p50"] == 7         # multiplicity respected
     assert sk["p99"] == 129       # ceil(.99*30)=30th of sorted values
+
+
+def test_bottomk_build_prunes_with_windowgrouplimit(spark):
+    """The sample branch's per-group sort must be WindowGroupLimit-
+    pruned to k (the docstring's plan claim), and a hash collision at
+    the k boundary resolves by the native id tiebreak."""
+    from leftshove_spark.ext import sketch as SK
+
+    df = spark.createDataFrame(
+        [(i, i % 5, i) for i in range(200)], "doc_id long, g long, v long"
+    )
+    sk = SK.bottomk_sample_sketch(df, "v", ["g"], k=8)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    rows = sk.collect()
+    assert all(len(r["sketch"]) == 8 for r in rows)
+    assert all(r["n_rows"] == 40 for r in rows)
