@@ -113,6 +113,7 @@ GATE_ORDER = [
     "x_outlier_mad",
     "k13_bloom_prune_join",
     "x_interleave_sources",
+    "w22_corpus_stats_incremental",
     # r8 first-timers (one driver green each; second green certifies)
     "w19_nav_battery",
     "c19_math_battery",

@@ -2379,3 +2379,84 @@ def x_interleave_sources(spark: SparkSession, sf: str) -> DataFrame:
     return P.interleave_sources(
         docs, {"src0": 3, "src1": 2, "src2": 1}
     ).select("doc_id", "source", "vft", "interleave_pos")
+
+
+# =========================================================================
+# W22 — incremental corpus accounting with mergeable sketches
+# =========================================================================
+
+
+@_q(
+    "w22_corpus_stats_incremental",
+    f"""
+    WITH base AS (
+      SELECT lang, doc_id, text, CAST(n_chars AS BIGINT) AS v,
+             {_h60("text")} AS ch,
+             {_h60("concat('qs:', CAST(doc_id AS VARCHAR))")} AS sh
+      FROM documents),
+    fp AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(string_split_regex(text, '[ ]+'),
+                                      x -> x != ''))) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST(ch AS DECIMAL(38,0))) AS VARCHAR) AS content_sum,
+             bit_xor(ch) AS content_xor,
+             min({_h60("CAST(doc_id AS VARCHAR)")}) AS id_hash_min,
+             max({_h60("CAST(doc_id AS VARCHAR)")}) AS id_hash_max
+      FROM base GROUP BY lang),
+    kh AS (SELECT DISTINCT lang, ch FROM base),
+    kr AS (SELECT lang, ch,
+                  row_number() OVER (PARTITION BY lang ORDER BY ch) AS rn
+           FROM kh),
+    kmv AS (SELECT lang,
+                   max(CASE WHEN rn = 256 THEN ch END) AS kth,
+                   sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) AS n_seen
+            FROM kr GROUP BY lang),
+    samp AS (SELECT lang, v,
+                    row_number() OVER (PARTITION BY lang
+                                       ORDER BY sh, doc_id) AS hrn
+             FROM base),
+    sv AS (SELECT lang, v,
+                  row_number() OVER (PARTITION BY lang ORDER BY v) AS vrn,
+                  count(*) OVER (PARTITION BY lang) AS m
+           FROM samp WHERE hrn <= 256),
+    bk AS (SELECT lang,
+                  max(CASE WHEN vrn = (m + 1) // 2 THEN v END) AS est_len_p50,
+                  max(CASE WHEN vrn = (9*m + 9) // 10 THEN v END) AS est_len_p90
+           FROM sv GROUP BY lang)
+    SELECT f.lang, f.n_docs, f.n_tokens, f.content_sum, f.content_xor,
+           f.id_hash_min, f.id_hash_max,
+           coalesce(k.kth, -1) AS kth_content_hash,
+           CASE WHEN k.n_seen < 256 THEN CAST(k.n_seen AS DOUBLE)
+                ELSE 255.0 * 1152921504606846976.0 / CAST(k.kth AS DOUBLE)
+           END AS est_distinct_content,
+           b.est_len_p50, b.est_len_p90
+    FROM fp f
+    JOIN kmv k ON f.lang = k.lang
+    JOIN bk b ON f.lang = b.lang
+    """,
+)
+def w22_corpus_stats_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """W22 — incremental corpus accounting: documents folded through
+    streaming.maintain_corpus_stats in THREE micro-batches, state read
+    back via corpus_stats_view — the oracle is the ONE-SHOT accounting,
+    so the driver hash-certifies that exact fingerprints, the KMV
+    unique-content estimate, and the bottom-k length quantiles all
+    merge associatively across folds (the sketch-family continuous
+    aggregate; w21 is the scalar-partials half)."""
+    import tempfile
+
+    from .streaming import corpus_stats_view, maintain_corpus_stats
+
+    docs = load_table(spark, sf, "documents").select(
+        "lang", "doc_id", "text", "n_chars"
+    )
+    state = tempfile.mkdtemp(prefix="ls_cstats_gate_")
+    for i in range(3):
+        maintain_corpus_stats(
+            spark,
+            state,
+            docs.filter(F.col("doc_id") % 3 == i),
+            "lang",
+            length_col="n_chars",
+        )
+    return corpus_stats_view(spark, state)

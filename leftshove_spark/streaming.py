@@ -800,3 +800,117 @@ def rollup_view(
             f"avg_{c}", F.col(f"sum_{c}").cast("double") / F.col("n")
         )
     return out.drop("__wday")
+
+
+def maintain_corpus_stats(
+    spark: SparkSession,
+    state_dir: str,
+    batch: DataFrame,
+    group_cols: list[str] | str,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    length_col: str | None = None,
+    k: int = 256,
+) -> None:
+    """W22 — incremental corpus accounting with mergeable sketches: the
+    continuous-aggregate pattern (W21) extended from scalar partials to
+    the sketch family. Folds one micro-batch into a persistent
+    per-group stats table carrying:
+
+    - the exact :func:`ext.pipeline.dataset_fingerprint` components
+      (counts, DECIMAL hash sum, XOR, id-hash probes);
+    - ``content_kmv`` — the KMV sketch of DISTINCT content
+      (hash60(content)), estimating unique-document cardinality;
+    - ``len_sketch`` — the bottom-k length sample, estimating the
+      length distribution.
+
+    Every component is associative, so after any number of folds the
+    state equals the one-shot accounting of all rows so far
+    (driver-hash-certified by ``w22_corpus_stats_incremental``, not
+    just pytest). Per batch the cost is O(batch + groups·k); the state
+    is O(groups·k) longs rewritten via the crash-recoverable staged
+    swap (tiny — sketches, not data).
+
+    Delivery contract: the exact fingerprint components assume
+    EXACTLY-ONCE batches (a redelivered batch double-counts sums — put
+    :func:`start_curated_stream`'s dedup stage upstream). The KMV
+    distinct-content estimate is redelivery-IMMUNE (distinct hashes),
+    which makes ``n_docs − est_distinct_content`` exactly the signal
+    that catches both duplicated shards and duplicated documents."""
+    from .ext.pipeline import dataset_fingerprint
+    from .ext.sketch import bottomk_sample_sketch, kmv_sketch
+    from .sinks import rewrite_dir_staged
+
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    b = batch
+    if length_col is None:
+        length_col = "__len"
+        b = b.withColumn("__len", F.length(F.col(content_col)).cast("long"))
+    fp = dataset_fingerprint(b, content_col, id_col, gcols)
+    kmv = kmv_sketch(b, content_col, gcols, k=k).select(
+        *gcols, F.col("sketch").alias("content_kmv")
+    )
+    bk = bottomk_sample_sketch(
+        b, length_col, gcols, k=k, id_col=id_col
+    ).select(*gcols, F.col("sketch").alias("len_sketch"))
+    stats = fp.join(kmv, gcols).join(bk, gcols)
+
+    if os.path.isdir(state_dir) and any(
+        not e.startswith(("_", ".")) for e in os.listdir(state_dir)
+    ):
+        merged = _merge_corpus_stats(
+            spark.read.parquet(state_dir).unionByName(stats), gcols, k
+        )
+        rewrite_dir_staged(merged, state_dir)
+    else:
+        _merge_corpus_stats(stats, gcols, k).write.mode("overwrite").parquet(
+            state_dir
+        )
+
+
+def _merge_corpus_stats(rows: DataFrame, gcols: list[str], k: int) -> DataFrame:
+    """Re-aggregate stats rows per group — every component associative:
+    sums re-summed (DECIMAL(38,0) for the hash sum), XORs re-XORed,
+    extremes re-extremed, KMV = k smallest DISTINCT of the union,
+    bottom-k = k smallest of the concatenation."""
+    return rows.groupBy(*gcols).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.col("content_sum").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("content_sum"),
+        F.bit_xor("content_xor").alias("content_xor"),
+        F.min("id_hash_min").alias("id_hash_min"),
+        F.max("id_hash_max").alias("id_hash_max"),
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("content_kmv")))),
+            1,
+            k,
+        ).alias("content_kmv"),
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("len_sketch"))), 1, k
+        ).alias("len_sketch"),
+    )
+
+
+def corpus_stats_view(spark: SparkSession, state_dir: str, *, k: int = 256) -> DataFrame:
+    """Read-side of :func:`maintain_corpus_stats`: the exact fingerprint
+    columns plus the sketch-derived estimates — unique-content
+    cardinality (:func:`ext.sketch.kmv_estimate`), p50/p90 length
+    (:func:`ext.sketch.bottomk_quantile`), and the duplication signal
+    ``n_docs − est_distinct_content``."""
+    from .ext.sketch import bottomk_quantile, kmv_estimate
+
+    st = spark.read.parquet(state_dir)
+    return st.select(
+        *[c for c in st.columns if c not in ("content_kmv", "len_sketch")],
+        F.coalesce(F.element_at("content_kmv", k), F.lit(-1)).alias(
+            "kth_content_hash"
+        ),
+        kmv_estimate(F.col("content_kmv"), k=k).alias("est_distinct_content"),
+        bottomk_quantile(F.col("len_sketch"), 1, 2).alias("est_len_p50"),
+        bottomk_quantile(F.col("len_sketch"), 9, 10).alias("est_len_p90"),
+    )

@@ -602,3 +602,35 @@ def test_near_dedup_stream_rejects_string_ids(spark, tmp_path):
             checkpoint_dir=str(tmp_path / "ck"),
             once=True,
         )
+
+
+def test_corpus_stats_fold_and_duplication_signal(spark, tmp_path):
+    """Three folds ≡ one-shot accounting (the w22 oracle certifies the
+    values; here: state row shape + the KMV duplication signal). A
+    REDELIVERED batch double-counts the exact fingerprint (documented
+    at-least-once caveat) while the distinct-content estimate stays
+    put — n_docs − est_distinct_content is the detector."""
+    import pyspark.sql.functions as F
+
+    from leftshove_spark.streaming import corpus_stats_view, maintain_corpus_stats
+
+    rows = [(i, "g", f"text body number {i % 40}") for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, text string")
+    state = str(tmp_path / "stats")
+    for i in range(3):
+        maintain_corpus_stats(
+            spark, state, df.filter(F.col("doc_id") % 3 == i), "g", k=64
+        )
+    v = corpus_stats_view(spark, state, k=64).first()
+    assert v["n_docs"] == 120
+    # 40 distinct texts, k=64 unsaturated -> estimate is EXACT
+    assert v["est_distinct_content"] == 40.0
+    assert v["n_docs"] - v["est_distinct_content"] == 80  # dup signal
+
+    # redelivery: fingerprint double-counts, KMV does not
+    maintain_corpus_stats(
+        spark, state, df.filter(F.col("doc_id") % 3 == 0), "g", k=64
+    )
+    v2 = corpus_stats_view(spark, state, k=64).first()
+    assert v2["n_docs"] == 160
+    assert v2["est_distinct_content"] == 40.0
