@@ -756,3 +756,98 @@ def merge_fingerprints(
         F.min("id_hash_min").alias("id_hash_min"),
         F.max("id_hash_max").alias("id_hash_max"),
     )
+
+
+def weighted_systematic_sample_grouped(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_cols: list[str] | str,
+    id_col: str = "doc_id",
+    salt: str = "wssg:",
+) -> DataFrame:
+    """Per-group exact PPS sampling: :func:`weighted_systematic_sample`
+    stratified — k systematic strides on EACH group's weight axis, so
+    within every group a row of weight w is selected with probability
+    exactly min(1, k·w/W_g). The per-source form of "sample by token
+    mass": every source yields ~k docs covering its own token
+    distribution. Completes the sampling matrix: per-group COUNT cap
+    (sample_k_per_group), per-group SUM cap (token_budget_cap), global
+    PPS (X44), per-group PPS (this).
+
+    Overflow-free at any scale, like the global form: per-group
+    thresholds t_{g,i} = ceil(i·W_g/k) are generated DISTRIBUTIVELY as
+    a (groups × k)-row table via the decomposition W_g = q_g·k + r_g
+    ⇒ t = i·q_g + ceil(i·r_g/k) (every product < k² or ≤ W_g; all
+    divisions the integral SQL `div`), bucketed at width ~W_g/k and
+    equi-joined to the rows through their spanned buckets — join
+    volume ≈ groups·k + n, no cum·k product, no giant expression.
+
+    Plan: one group-key shuffle for the in-group cumulative window
+    (the totals ride the same window — no second pass), the O(groups)
+    totals broadcast into the threshold generator, one equi-join on
+    (group, bucket). Weights non-negative and non-null; zero-weight
+    rows never selected."""
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    spark = df.sparkSession
+    c = F.col(id_col)
+    rank_key = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    w_ord = (
+        Window.partitionBy(*keys)
+        .orderBy(rank_key, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    wl = F.col(weight_col).cast("long")
+    cum = (
+        df.withColumn("cum_weight", F.sum(wl).over(w_ord))
+        .withColumn("__wg", F.sum(wl).over(w_all))
+        .filter(F.col("__wg") > 0)
+    )
+    totals = (
+        cum.select(*keys, "__wg")
+        .distinct()
+        .selectExpr(
+            *keys,
+            "__wg",
+            f"__wg div {k} AS __q",
+            f"__wg % {k} AS __r",
+            f"greatest(1L, __wg div {k}) AS __bw",
+        )
+    )
+    thr = (
+        spark.range(1, k + 1)
+        .withColumnRenamed("id", "stride")
+        .join(F.broadcast(totals))
+        .selectExpr(
+            *keys,
+            "stride",
+            f"stride * __q + (stride * __r + {k - 1}) div {k} AS __t",
+            "__bw",
+        )
+        .selectExpr(*keys, "stride", "__t", "__t div __bw AS __b")
+    )
+    spanned = (
+        cum.join(F.broadcast(totals.select(*keys, "__bw")), keys)
+        .withColumn("__lo", F.col("cum_weight") - wl)
+        .withColumn(
+            "__b",
+            F.explode(
+                F.sequence(
+                    F.expr("__lo div __bw"), F.expr("cum_weight div __bw")
+                )
+            ),
+        )
+    )
+    matched = (
+        spanned.join(thr, [*keys, "__b"])
+        .filter((F.col("__t") > F.col("__lo")) & (F.col("__t") <= F.col("cum_weight")))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("multiplicity"),
+            F.min("stride").cast("long").alias("stride"),
+        )
+    )
+    return cum.drop("__wg").join(matched, id_col)

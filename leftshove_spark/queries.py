@@ -114,6 +114,7 @@ GATE_ORDER = [
     "k13_bloom_prune_join",
     "x_interleave_sources",
     "w22_corpus_stats_incremental",
+    "x_stratified_pps",
     # r8 first-timers (one driver green each; second green certifies)
     "w19_nav_battery",
     "c19_math_battery",

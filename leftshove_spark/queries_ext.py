@@ -2460,3 +2460,45 @@ def w22_corpus_stats_incremental(spark: SparkSession, sf: str) -> DataFrame:
             length_col="n_chars",
         )
     return corpus_stats_view(spark, state)
+
+
+# =========================================================================
+# X48 — per-group (stratified) PPS sampling
+# =========================================================================
+
+_WSSG_K = 60
+
+
+@_q(
+    "x_stratified_pps",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(sum(n_chars) OVER (PARTITION BY lang
+               ORDER BY md5(concat('wssg:', CAST(doc_id AS VARCHAR))), doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight,
+             CAST(sum(n_chars) OVER (PARTITION BY lang) AS BIGINT) AS w
+      FROM documents)
+    SELECT doc_id, lang, n_chars, cum_weight,
+           CAST((cum_weight - n_chars) * {_WSSG_K} // w + 1 AS BIGINT)
+             AS stride,
+           CAST(cum_weight * {_WSSG_K} // w
+                - (cum_weight - n_chars) * {_WSSG_K} // w AS BIGINT)
+             AS multiplicity
+    FROM ranked
+    WHERE cum_weight * {_WSSG_K} // w
+          > (cum_weight - n_chars) * {_WSSG_K} // w
+    """,
+)
+def x_stratified_pps(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language exact PPS sample, {_WSSG_K} strides per language —
+    each language contributes ~k documents covering its OWN token-mass
+    distribution. The oracle states the per-group floor-product form;
+    the Spark side proves the overflow-free distributed form (per-group
+    threshold table via W_g = q·k + r decomposition, bucketed
+    equi-join, integral `div` everywhere) selects the identical set.
+    See :func:`ext.pipeline.weighted_systematic_sample_grouped`."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return P.weighted_systematic_sample_grouped(
+        docs, _WSSG_K, "n_chars", "lang"
+    ).select("doc_id", "lang", "n_chars", "cum_weight", "stride", "multiplicity")

@@ -497,3 +497,61 @@ def test_merge_fingerprints_equals_whole_corpus(spark):
     ).first()
     w = dataset_fingerprint(docs).first()
     assert tuple(g) == tuple(w)
+
+
+def test_weighted_systematic_sample_grouped_exact_pps(spark):
+    """Per-group stride membership must match the per-group product
+    form computed in Python bigint; per-group multiplicity sums to k;
+    stable under repartitioning; a group with one dominant row carries
+    multiplicity > 1 inside its own group only."""
+    import hashlib
+
+    from leftshove_spark.ext.pipeline import weighted_systematic_sample_grouped
+
+    rows = []
+    for g in ("a", "b", "c"):
+        for i in range(30):
+            did = ord(g) * 1000 + i
+            w = (i * 13) % 7 + (500 if (g == "b" and i == 3) else 1)
+            rows.append((did, g, w))
+    df = spark.createDataFrame(rows, "doc_id long, g string, w long")
+    k = 9
+
+    def brute():
+        out = {}
+        for g in ("a", "b", "c"):
+            grp = sorted(
+                (r for r in rows if r[1] == g),
+                key=lambda r: (
+                    hashlib.md5(f"wssg:{r[0]}".encode()).hexdigest(),
+                    r[0],
+                ),
+            )
+            W = sum(w for _, _, w in grp)
+            cum = 0
+            for did, _, w in grp:
+                lo, cum = cum, cum + w
+                m = (cum * k) // W - (lo * k) // W
+                if m > 0:
+                    out[did] = ((lo * k) // W + 1, m, cum)
+        return out
+
+    got = {
+        r["doc_id"]: (r["stride"], r["multiplicity"], r["cum_weight"])
+        for r in weighted_systematic_sample_grouped(df, k, "w", "g").collect()
+    }
+    assert got == brute()
+    for g in ("a", "b", "c"):
+        assert (
+            sum(m for d, (_, m, _) in got.items() if d // 1000 == ord(g))
+            == k
+        ), g
+    assert got[ord("b") * 1000 + 3][1] > 1
+
+    again = {
+        r["doc_id"]: (r["stride"], r["multiplicity"], r["cum_weight"])
+        for r in weighted_systematic_sample_grouped(
+            df.repartition(11), k, "w", "g"
+        ).collect()
+    }
+    assert got == again

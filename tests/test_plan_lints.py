@@ -65,6 +65,12 @@ _BNLJ_ALLOWED = {
     # output by definition; the corpus itself is touched only by the
     # keyed distinct-collapse and the keyed exact-Jaccard join
     "x_kmv_jaccard",
+    # the per-group threshold GENERATOR: range(k) × the broadcast
+    # O(groups) totals table — both sides bounded by construction
+    # (k is a literal, totals is one row per group), producing the
+    # groups·k threshold table; the corpus itself joins only through
+    # the keyed (group, bucket) equi-join
+    "x_stratified_pps",
 }
 
 
