@@ -115,6 +115,7 @@ GATE_ORDER = [
     "x_interleave_sources",
     "w22_corpus_stats_incremental",
     "x_stratified_pps",
+    "x_knn_pq",
     # r8 first-timers (one driver green each; second green certifies)
     "w19_nav_battery",
     "c19_math_battery",

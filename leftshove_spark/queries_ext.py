@@ -2502,3 +2502,115 @@ def x_stratified_pps(spark: SparkSession, sf: str) -> DataFrame:
     return P.weighted_systematic_sample_grouped(
         docs, _WSSG_K, "n_chars", "lang"
     ).select("doc_id", "lang", "n_chars", "cum_weight", "stride", "multiplicity")
+
+
+# =========================================================================
+# X49 — product quantization (PQ/ADC approximate k-NN)
+# =========================================================================
+
+
+def _knn_pq_oracle() -> str:
+    """SQL twin of the FULL PQ pipeline — sample-based per-subspace
+    Lloyd training, corpus encoding, and the integer ADC ranking are
+    all deterministic integer arithmetic (means round half-up through
+    IEEE doubles exactly as the Spark trainer does), so even the
+    compressed-domain search reproduces bit-for-bit in DuckDB — the
+    x_knn_ivf replay discipline applied per subspace."""
+    m, sd, nc, iters = S.PQ_M, S.PQ_SUB, S.PQ_CODES, S.PQ_ITERS
+    samp_n, k, nq = S.PQ_SAMPLE, 5, 10
+    rng = f"range(1, {sd + 1})"
+
+    def l2(vec: str, s: int, cen: str) -> str:
+        # integer L2 between subspace s of ``vec`` and list ``cen``
+        return (
+            f"list_sum(list_transform({rng}, "
+            f"i -> ({vec}[{s * sd} + i] - {cen}[i]) * ({vec}[{s * sd} + i] - {cen}[i])))"
+        )
+
+    blocks = []
+    for s in range(m):
+        blocks.append(
+            f"""cb0_{s} AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+             qv[{s * sd} + 1 : {(s + 1) * sd}] AS cen
+      FROM samp ORDER BY vec_id LIMIT {nc})"""
+        )
+        prev = f"cb0_{s}"
+        for t in range(iters):
+            cur = f"cb{t + 1}_{s}"
+            blocks.append(
+                f"""a{t}_{s}_rnk AS (
+      SELECT v.vec_id, c.code,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY {l2("v.qv", s, "c.cen")}, c.code) AS rn
+      FROM samp v CROSS JOIN {prev} c),
+    a{t}_{s} AS (SELECT vec_id, code FROM a{t}_{s}_rnk WHERE rn = 1),
+    {cur}_m AS (
+      SELECT a.code, t.i,
+             CAST(floor(avg(v.qv[{s * sd} + t.i]) + 0.5) AS BIGINT) AS mm
+      FROM a{t}_{s} a JOIN samp v USING (vec_id), {rng} t(i)
+      GROUP BY a.code, t.i),
+    {cur}_new AS (SELECT code, list(mm ORDER BY i) AS cen
+                  FROM {cur}_m GROUP BY code),
+    {cur} AS (SELECT p.code, coalesce(n.cen, p.cen) AS cen
+              FROM {prev} p LEFT JOIN {cur}_new n USING (code))"""
+            )
+            prev = cur
+        blocks.append(
+            f"""enc_{s}_rnk AS (
+      SELECT v.vec_id, c.code,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY {l2("v.qv", s, "c.cen")}, c.code) AS rn
+      FROM e v CROSS JOIN {prev} c),
+    enc_{s} AS (SELECT vec_id, code FROM enc_{s}_rnk WHERE rn = 1)"""
+        )
+
+    adc_terms = " + ".join(l2("q.qv", s, f"c{s}.cen") for s in range(m))
+    joined_blocks = ",\n    ".join(blocks)
+    enc_joins = "\n      ".join(
+        f"JOIN enc_{s} x{s} ON x{s}.vec_id = d.vec_id "
+        f"JOIN cb{iters}_{s} c{s} ON c{s}.code = x{s}.code"
+        for s in range(m)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings),
+    samp AS (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT {samp_n}),
+    {joined_blocks},
+    adc AS (
+      SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+             CAST({adc_terms} AS BIGINT) AS approx_l2
+      FROM (SELECT * FROM e WHERE vec_id < {nq}) q
+      CROSS JOIN e d
+      {enc_joins}
+      WHERE q.vec_id <> d.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_l2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_l2, neighbor_id) AS rnk
+      FROM adc)
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, approx_l2
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+@_q("x_knn_pq", _knn_pq_oracle())
+def x_knn_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN, the compressed-domain 100 TB layout:
+    sample-trained per-subspace codebooks (deterministic Lloyd — the
+    FAISS practice of training PQ on a sample, here the PQ_SAMPLE
+    lowest-id vectors), one narrow encode pass compressing each 64-dim
+    vector to 4 small ints, and asymmetric-distance top-k where the
+    scan streams CODES (~1/64th the corpus bytes), never vectors.
+    approx_l2 is a BIGINT — the entire pipeline is integer arithmetic,
+    so training, encoding, AND ranking hash-certify cross-engine. See
+    :func:`ext.similarity.pq_train_codebooks` / :func:`knn_pq_adc`."""
+    emb = load_table(spark, sf, "embeddings")
+    books = S.pq_train_codebooks(emb)
+    out = S.knn_pq_adc(emb, books)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"), "approx_l2"
+    )

@@ -203,3 +203,57 @@ def test_bottomk_build_prunes_with_windowgrouplimit(spark):
     rows = sk.collect()
     assert all(len(r["sketch"]) == 8 for r in rows)
     assert all(r["n_rows"] == 40 for r in rows)
+
+
+def test_pq_codes_compress_and_recall_is_pinned(spark):
+    """PQ contract: every vector encodes to m in-range codes; ADC
+    ranking is deterministic under repartitioning; recall@5 vs exact
+    brute-force cosine stays above the pinned floor on the fixture
+    (approximate ≠ arbitrary — a codebook or ADC regression shows up
+    here as a recall collapse)."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF0001
+    from leftshove_spark.ext import similarity as S
+    from leftshove_spark.sources import load_table
+
+    emb = load_table(spark, SF0001, "embeddings")
+    books = S.pq_train_codebooks(emb)
+    assert len(books) == S.PQ_M
+    assert all(len(b) <= S.PQ_CODES and all(len(c) == S.PQ_SUB for c in b) for b in books)
+
+    enc = S.pq_encode(emb, books)
+    code_cols = [f"code_{s}" for s in range(S.PQ_M)]
+    bad = enc.filter(
+        " OR ".join(f"({c} < 0 OR {c} >= {S.PQ_CODES} OR {c} IS NULL)" for c in code_cols)
+    ).count()
+    assert bad == 0
+
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.knn_pq_adc(emb, books).collect()
+    }
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.knn_pq_adc(emb.repartition(7), books).collect()
+    }
+    assert approx == again
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.knn_bruteforce(q, emb, k=5).collect()
+    }
+    # ADC alone on the UNIFORM-RANDOM fixture (PQ's worst case — no
+    # cluster structure for 32-bit codes to exploit): honest floor only
+    recall_adc = len(approx & exact) / len(exact)
+    assert recall_adc >= 0.1, recall_adc
+    # the production composition: ADC candidates -> exact rerank; the
+    # miss budget is "true neighbor outside the ADC top-50"
+    rer = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.knn_pq_rerank(emb, books, rerank=50).collect()
+    }
+    recall_rerank = len(rer & exact) / len(exact)
+    assert recall_rerank >= 0.6, recall_rerank
+    assert recall_rerank > recall_adc

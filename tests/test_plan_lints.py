@@ -65,6 +65,11 @@ _BNLJ_ALLOWED = {
     # output by definition; the corpus itself is touched only by the
     # keyed distinct-collapse and the keyed exact-Jaccard join
     "x_kmv_jaccard",
+    # the bounded query set broadcast against the CODES relation (the
+    # knn_bruteforce shape, but streaming 4 ints per corpus row
+    # instead of the 64-dim vector — PQ's entire point); the corpus
+    # itself never joins all-pairs
+    "x_knn_pq",
     # the per-group threshold GENERATOR: range(k) × the broadcast
     # O(groups) totals table — both sides bounded by construction
     # (k is a literal, totals is one row per group), producing the
