@@ -67,7 +67,9 @@ GATE_EXCLUDE = frozenset({"j3_dedup_latest_semijoin", "x_text_stats"})
 # double-greens (x_quality_deciles, x_knn_ivf,
 # x_dedup_embedding_cosine) retire to the tail. Late-r9 additions
 # (weighted PPS sample, bottom-k quantile sketch, MAD outliers, bloom
-# join prune) enter the never-green block directly.
+# join prune, weighted-fair interleave, the W22 sketch continuous
+# aggregate, stratified PPS, PQ/ADC compressed ANN) enter the
+# never-green block directly.
 #
 # Round-8 rotation: into the head-50 — the three never-driver-scored
 # r7 leftovers (w19_nav_battery, c19_math_battery, x_chunk_documents),
