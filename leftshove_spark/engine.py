@@ -196,6 +196,9 @@ class Engine:
         (capture views, consumer API, create_sinks diff) funnels
         through here so widening cannot strand one of them (r9 review:
         _cdc_df had the fallback, refresh_view/create_sinks did not)."""
+        from .sinks import recover_staged
+
+        recover_staged(path)
         reader = self.spark.read.option("mergeSchema", "true")
         try:
             return reader.parquet(path)
@@ -373,6 +376,9 @@ class Engine:
         path = self.sink_path(st)
         if self.config.evolve_schema:
             return self._read_sink_evolved(path), st
+        from .sinks import recover_staged
+
+        recover_staged(path)
         return self.spark.read.parquet(path), st
 
     @staticmethod

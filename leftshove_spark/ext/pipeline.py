@@ -783,11 +783,13 @@ def weighted_systematic_sample_grouped(
     equi-joined to the rows through their spanned buckets — join
     volume ≈ groups·k + n, no cum·k product, no giant expression.
 
-    Plan: one group-key shuffle for the in-group cumulative window
-    (the totals ride the same window — no second pass), the O(groups)
-    totals broadcast into the threshold generator, one equi-join on
-    (group, bucket). Weights non-negative and non-null; zero-weight
-    rows never selected."""
+    Plan: one group-key shuffle for the in-group cumulative window,
+    one O(groups) partial-aggregate pass for the totals (map-side
+    combine — cheaper than re-executing the window branch), the totals
+    broadcast into the threshold generator, one equi-join on
+    (group, bucket). Ids need only be unique WITHIN a group (selection
+    keys on group + id). Weights must be non-negative and non-null
+    (NULL raises at execution); zero-weight rows are never selected."""
     keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     if k < 1:
         raise ValueError(f"k must be >= 1 (got {k})")
@@ -799,16 +801,28 @@ def weighted_systematic_sample_grouped(
         .orderBy(rank_key, id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy(*keys)
-    wl = F.col(weight_col).cast("long")
-    cum = (
-        df.withColumn("cum_weight", F.sum(wl).over(w_ord))
-        .withColumn("__wg", F.sum(wl).over(w_all))
-        .filter(F.col("__wg") > 0)
+    # NULL weights have no prefix-sum semantics (the global sampler's
+    # cumsum raises from its summary pass; here there is no driver
+    # action to hang the check on, so it rides the row pipeline)
+    wl = (
+        F.when(
+            F.col(weight_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"weighted_systematic_sample_grouped: NULL in weight "
+                    f"column {weight_col!r} — fill or filter first"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col(weight_col))
+        .cast("long")
     )
+    cum = df.withColumn("cum_weight", F.sum(wl).over(w_ord))
+    # O(groups) partial aggregate — never re-executes the window branch
     totals = (
-        cum.select(*keys, "__wg")
-        .distinct()
+        df.groupBy(*keys)
+        .agg(F.sum(wl).alias("__wg"))
+        .filter(F.col("__wg") > 0)
         .selectExpr(
             *keys,
             "__wg",
@@ -841,13 +855,15 @@ def weighted_systematic_sample_grouped(
             ),
         )
     )
+    # group BY (keys, id): ids are only assumed unique per stratum —
+    # the same id in two groups must keep two independent selections
     matched = (
         spanned.join(thr, [*keys, "__b"])
         .filter((F.col("__t") > F.col("__lo")) & (F.col("__t") <= F.col("cum_weight")))
-        .groupBy(id_col)
+        .groupBy(*keys, id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("multiplicity"),
             F.min("stride").cast("long").alias("stride"),
         )
     )
-    return cum.drop("__wg").join(matched, id_col)
+    return cum.join(matched, [*keys, id_col])

@@ -17,6 +17,8 @@ Two paths:
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -671,9 +673,7 @@ def pq_train_codebooks(
                 if members:
                     cnt = float(len(members))
                     cents[ci] = [
-                        int(__import__("math").floor(
-                            float(sum(col)) / cnt + 0.5
-                        ))
+                        int(_math.floor(float(sum(col)) / cnt + 0.5))
                         for col in zip(*members)
                     ]
         books.append(cents)

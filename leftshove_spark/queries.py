@@ -323,6 +323,21 @@ def _maybe_broadcast(df: DataFrame, sf: str, table: str) -> DataFrame:
     return df
 
 
+def _scratch_result(spark, df, scratch_dir: str):
+    """Materialize a gate result that reads from throwaway sink state,
+    detach it (rebuild from the collected rows), and remove the
+    scratch dir — gate queries run on every driver/oracle/pytest pass
+    and must not accumulate temp directories. Gate outputs are
+    O(groups) rows by contract, so the collect is control-plane
+    sized."""
+    import shutil
+
+    rows = df.collect()
+    out = spark.createDataFrame(rows, df.schema)
+    shutil.rmtree(scratch_dir, ignore_errors=True)
+    return out
+
+
 def _q(name: str, oracle: str | None = None):
     def deco(fn):
         import functools
@@ -1231,7 +1246,7 @@ def w21_rollup_incremental(spark: SparkSession, sf: str) -> DataFrame:
             max_cols=["event_id"],
             window="1 day",
         )
-    return rollup_view(
+    out = rollup_view(
         spark,
         state,
         sum_cols=["value"],
@@ -1245,6 +1260,7 @@ def w21_rollup_incremental(spark: SparkSession, sf: str) -> DataFrame:
         F.col("min_event_id").alias("min_event"),
         F.col("max_event_id").alias("max_event"),
     )
+    return _scratch_result(spark, out, state)
 
 
 @_q(

@@ -2459,7 +2459,9 @@ def w22_corpus_stats_incremental(spark: SparkSession, sf: str) -> DataFrame:
             "lang",
             length_col="n_chars",
         )
-    return corpus_stats_view(spark, state)
+    from .queries import _scratch_result
+
+    return _scratch_result(spark, corpus_stats_view(spark, state), state)
 
 
 # =========================================================================

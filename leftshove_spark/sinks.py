@@ -205,6 +205,17 @@ def _recover_staging(path) -> None:
         shutil.rmtree(tmp)
 
 
+def recover_staged(path: str) -> None:
+    """Public entry to :func:`_recover_staging` — any flow that READS a
+    directory that is also a staged-rewrite target must recover first:
+    a crash mid-swap leaves files split between path/tmp/trash, and a
+    reader's file listing taken before recovery sees partial state
+    (worse, a fresh-state branch keyed on "dir looks empty" would then
+    overwrite the trash — silent loss). No-op (two isdir checks) when
+    the last swap completed."""
+    _recover_staging(path)
+
+
 def rewrite_dir_staged(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """Replace ``path``'s contents with ``df`` — which may READ from
     ``path`` (the write to the staging dir materializes it before any

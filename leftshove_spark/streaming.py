@@ -840,11 +840,16 @@ def maintain_corpus_stats(
     that catches both duplicated shards and duplicated documents."""
     from .ext.pipeline import dataset_fingerprint
     from .ext.sketch import bottomk_sample_sketch, kmv_sketch
-    from .sinks import rewrite_dir_staged
+    from .sinks import recover_staged, rewrite_dir_staged
 
     gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     if not gcols:
         raise ValueError("group_cols must be non-empty")
+    if os.path.isdir(state_dir):
+        # a crash mid-swap on the PREVIOUS fold leaves state split
+        # across path/tmp/trash; both the has-state guard and the read
+        # below would otherwise see partial (or seemingly-empty) state
+        recover_staged(state_dir)
     b = batch
     if length_col is None:
         length_col = "__len"

@@ -335,9 +335,13 @@ def apply_changes(
     At scale, partition the replica by a key bucket and swap only the
     touched buckets (the maintain_history discipline); the feed side is
     already O(changes)."""
-    from .sinks import rewrite_dir_staged
+    from .sinks import recover_staged, rewrite_dir_staged
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    # a crash mid-swap on a PREVIOUS apply leaves the replica split
+    # across path/tmp/trash; the read below lists files NOW, before
+    # rewrite_dir_staged's own recovery, so heal first
+    recover_staged(replica_dir)
     cur = spark.read.parquet(replica_dir).alias("__cur")
     upserts = feed.filter(F.col("change_type") != "removed").drop("change_type")
     touched = feed.select(*keys).distinct().alias("__tch")

@@ -555,3 +555,29 @@ def test_weighted_systematic_sample_grouped_exact_pps(spark):
         ).collect()
     }
     assert got == again
+
+
+def test_weighted_grouped_id_unique_only_within_stratum(spark):
+    """The same id in two strata keeps two independent selections
+    (selection keys on group + id); NULL weights raise at execution."""
+    import pytest
+
+    from leftshove_spark.ext.pipeline import weighted_systematic_sample_grouped
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (1, "b", 5), (2, "a", 5), (2, "b", 5)],
+        "doc_id long, g string, w long",
+    )
+    out = weighted_systematic_sample_grouped(df, 2, "w", "g").collect()
+    per_group = {}
+    for r in out:
+        per_group.setdefault(r["g"], 0)
+        per_group[r["g"]] += r["multiplicity"]
+    assert per_group == {"a": 2, "b": 2}
+    assert all(r["multiplicity"] == 1 for r in out)  # never cross-merged
+
+    withnull = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", None)], "doc_id long, g string, w long"
+    )
+    with pytest.raises(Exception, match="NULL in weight"):
+        weighted_systematic_sample_grouped(withnull, 2, "w", "g").collect()

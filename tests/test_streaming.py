@@ -634,3 +634,46 @@ def test_corpus_stats_fold_and_duplication_signal(spark, tmp_path):
     v2 = corpus_stats_view(spark, state, k=64).first()
     assert v2["n_docs"] == 160
     assert v2["est_distinct_content"] == 40.0
+
+
+def test_corpus_stats_fold_heals_crashed_swap_before_reading(spark, tmp_path):
+    """r9 review: a crash mid staged-swap on fold N must not make fold
+    N+1 read partial state or take the fresh-state branch (which would
+    overwrite the trash and silently restart the accounting). Simulate
+    the worst window — every data file displaced into the trash, tmp
+    promoted-then-lost — and fold again: the state heals forward from
+    the manifest and the final accounting equals the clean run."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from leftshove_spark.streaming import corpus_stats_view, maintain_corpus_stats
+
+    rows = [(i, "g", f"text number {i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, text string")
+    state = str(tmp_path / "stats")
+    maintain_corpus_stats(spark, state, df.filter(F.col("doc_id") % 2 == 0), "g", k=32)
+
+    # simulate: the NEXT fold's staged swap crashed after writing tmp +
+    # manifest and displacing the old files, before promoting tmp
+    tmp = os.path.join(state, ".compact_tmp")
+    trash = os.path.join(state, ".compact_trash")
+    os.makedirs(trash)
+    names = [e for e in os.listdir(state) if not e.startswith(("_", "."))]
+    # the "new state" the crashed fold was about to promote: reuse the
+    # current files as tmp content (content equality is irrelevant —
+    # the manifest discipline is what's under test)
+    os.makedirs(tmp)
+    for e in names:
+        shutil.copy(os.path.join(state, e), os.path.join(tmp, e))
+    with open(os.path.join(trash, ".manifest"), "w", encoding="utf-8") as fh:
+        fh.write("\n".join(sorted(names)))
+    for e in names:
+        os.rename(os.path.join(state, e), os.path.join(trash, e))
+    # state dir now "looks empty" — the pre-fix guard would branch to
+    # fresh-state overwrite and discard everything
+
+    maintain_corpus_stats(spark, state, df.filter(F.col("doc_id") % 2 == 1), "g", k=32)
+    v = corpus_stats_view(spark, state, k=32).first()
+    assert v["n_docs"] == 60  # both folds survived the crash window
