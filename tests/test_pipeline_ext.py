@@ -581,3 +581,67 @@ def test_weighted_grouped_id_unique_only_within_stratum(spark):
     )
     with pytest.raises(Exception, match="NULL in weight"):
         weighted_systematic_sample_grouped(withnull, 2, "w", "g").collect()
+
+
+def test_run_pipeline_config_equals_hand_composition(spark):
+    """The declarative runner must produce exactly the frame the
+    hand-composed operator chain produces, with per-stage accounting;
+    config errors fail fast naming the choices."""
+    import pytest
+
+    from conftest import SF0001
+    from leftshove_spark.pipeline_runner import run_pipeline
+    from leftshove_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, SF0001, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    spec = [
+        {"op": "quality_filter", "min_tokens": 20, "min_uniq_ratio": 0.5,
+         "min_quality": 0.3},
+        {"op": "decontaminate", "benchmark": bench},
+        {"op": "outlier_gate", "c_num": 6},
+        {"op": "hash_split"},
+        {"op": "sample_k_per_group", "group_cols": ["split", "source"], "k": 8},
+    ]
+    res = run_pipeline(spark, corpus, spec)
+    assert res.counts["ingested"] >= res.counts["0_quality_filter"] >= res.counts[
+        "1_decontaminate"
+    ] >= res.counts["2_outlier_gate"] > 0
+    assert res.counts["4_sample_k_per_group"] == res.df.count()
+
+    # hand composition of the same chain
+    from leftshove_spark.ext.pipeline import (
+        decontaminate,
+        hash_split,
+        sample_k_per_group,
+    )
+    from leftshove_spark.ext.text import quality_filter
+    from leftshove_spark.operators.analytic import mad_outliers
+
+    h = corpus.join(
+        quality_filter(corpus, min_tokens=20, min_uniq_ratio=0.5,
+                       min_quality=0.3).select("doc_id"),
+        "doc_id",
+    )
+    h = h.join(decontaminate(h, bench).select("doc_id"), "doc_id", "left_anti")
+    flags = mad_outliers(
+        h.select("doc_id", "lang", F.col("n_chars").cast("long").alias("__v")),
+        "__v",
+        ["lang"],
+        c_num=6,
+    )
+    h = h.join(flags.filter(F.col("is_outlier")).select("doc_id"),
+               "doc_id", "left_anti")
+    h = sample_k_per_group(hash_split(h), ["split", "source"], k=8)
+    assert sorted(r["doc_id"] for r in res.df.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in h.select("doc_id").collect()
+    )
+
+    with pytest.raises(ValueError, match="unknown op"):
+        run_pipeline(spark, corpus, [{"op": "nope"}])
+    with pytest.raises(ValueError, match="bad parameters"):
+        run_pipeline(spark, corpus, [{"op": "hash_split", "zzz": 1}])
+    with pytest.raises(ValueError, match="missing 'op'"):
+        run_pipeline(spark, corpus, [{"min_tokens": 5}])
