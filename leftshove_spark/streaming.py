@@ -919,3 +919,56 @@ def corpus_stats_view(spark: SparkSession, state_dir: str, *, k: int = 256) -> D
         bottomk_quantile(F.col("len_sketch"), 1, 2).alias("est_len_p50"),
         bottomk_quantile(F.col("len_sketch"), 9, 10).alias("est_len_p90"),
     )
+
+
+def start_embedding_index_stream(
+    spark: SparkSession,
+    *,
+    landing_dir: str,
+    index_dir: str,
+    books: list[list[list[int]]],
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    once: bool = True,
+    processing_time: str = "20 seconds",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """W23 — streaming searchable-corpus maintenance: every micro-batch
+    of embeddings is PQ-encoded against FROZEN codebooks and its codes
+    appended to the persistent index — the corpus becomes searchable
+    (``knn_pq_adc`` over the codes table + exact rerank on fetch) as it
+    streams in, without ever rebuilding anything.
+
+    Consistency is free by construction: :func:`ext.similarity.pq_encode`
+    is a PURE function of (vector, codebooks), so stream-appended codes
+    are byte-identical to a batch re-encode of the same rows
+    (pytest-pinned) — there is no index-rebuild discipline to schedule,
+    and replayed batches (at-least-once appends) duplicate rows whose
+    codes are identical; search dedups on the id like every other
+    at-least-once sink here. Codebooks stay frozen because changing
+    them would silently re-map the EXISTING codes' meaning; retrain =
+    write a NEW index dir and cut over (the standard ANN-index
+    versioning practice).
+
+    Per batch the work is one narrow Arrow-free codegen pass over the
+    batch (m argmin-L2 expressions) and an append of m small ints per
+    row — O(batch), no shuffle, no state."""
+    from .ext.similarity import pq_encode
+
+    src = _streaming_source(spark, landing_dir, max_files_per_trigger)
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        enc = pq_encode(batch_df, books, id_col=id_col, vec_col=vec_col).drop("qv")
+        enc.write.mode("append").parquet(index_dir)
+
+    writer = src.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -677,3 +677,54 @@ def test_corpus_stats_fold_heals_crashed_swap_before_reading(spark, tmp_path):
     maintain_corpus_stats(spark, state, df.filter(F.col("doc_id") % 2 == 1), "g", k=32)
     v = corpus_stats_view(spark, state, k=32).first()
     assert v["n_docs"] == 60  # both folds survived the crash window
+
+
+def test_embedding_index_stream_equals_batch_encode(spark, tmp_path):
+    """W23: stream-appended PQ codes must be byte-identical to a batch
+    re-encode of the same rows (pq_encode is a pure function of
+    (vector, frozen codebooks)), and the index is searchable between
+    triggers."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from conftest import SF0001
+    from leftshove_spark.ext import similarity as S
+    from leftshove_spark.sources import load_table
+    from leftshove_spark.streaming import start_embedding_index_stream
+
+    emb = load_table(spark, SF0001, "embeddings")
+    books = S.pq_train_codebooks(emb)
+    landing = str(tmp_path / "landing")
+    index = str(tmp_path / "index")
+    os.makedirs(landing)
+
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("append").parquet(landing)
+    q = start_embedding_index_stream(
+        spark,
+        landing_dir=landing,
+        index_dir=index,
+        books=books,
+        checkpoint_dir=str(tmp_path / "ck"),
+        once=True,
+    )
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(index).count()
+    assert n1 == emb.filter(F.col("vec_id") % 2 == 0).count()
+
+    emb.filter(F.col("vec_id") % 2 == 1).write.mode("append").parquet(landing)
+    q = start_embedding_index_stream(
+        spark,
+        landing_dir=landing,
+        index_dir=index,
+        books=books,
+        checkpoint_dir=str(tmp_path / "ck"),
+        once=True,
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(index)
+    batch = S.pq_encode(emb, books).drop("qv")
+    assert streamed.count() == emb.count()
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
