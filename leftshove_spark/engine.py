@@ -159,6 +159,9 @@ class Engine:
                 if self.config.evolve_schema:
                     live = self._read_sink_evolved(path).schema
                 else:
+                    from .sinks import recover_staged
+
+                    recover_staged(path)
                     live = self.spark.read.parquet(path).schema
                 if not sch.schemas_equal(live, expected):
                     if self.config.evolve_schema:
@@ -222,6 +225,9 @@ class Engine:
         if self.config.evolve_schema:
             cdc = self._read_sink_evolved(self.sink_path(st))
         else:
+            from .sinks import recover_staged
+
+            recover_staged(self.sink_path(st))
             cdc = self.spark.read.parquet(self.sink_path(st))
         latest_per_key_window(cdc, st.pkey_column).createOrReplaceTempView(st.name)
 
