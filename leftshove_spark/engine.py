@@ -159,10 +159,7 @@ class Engine:
                 if self.config.evolve_schema:
                     live = self._read_sink_evolved(path).schema
                 else:
-                    from .sinks import recover_staged
-
-                    recover_staged(path)
-                    live = self.spark.read.parquet(path).schema
+                    live = self._read_sink_raw(path).schema
                 if not sch.schemas_equal(live, expected):
                     if self.config.evolve_schema:
                         # D7 apply path: additive evolution (ADD COLUMN
@@ -188,6 +185,17 @@ class Engine:
 
     def sink_path(self, st: TableState) -> str:
         return os.path.join(self.sink_root, f"{st.name}_cdc")
+
+    def _read_sink_raw(self, path: str) -> DataFrame:
+        """Non-evolved sink read with the mandatory staged-swap healing
+        — EVERY sink read funnels through here or
+        :meth:`_read_sink_evolved` so no read path can be left listing
+        a crashed swap's partial files (the class of bug that has now
+        been found twice on unfunneled reads)."""
+        from .sinks import recover_staged
+
+        recover_staged(path)
+        return self.spark.read.parquet(path)
 
     def _read_sink_evolved(self, path: str) -> DataFrame:
         """mergeSchema read with the D7b widening fallback: a sink
@@ -225,10 +233,7 @@ class Engine:
         if self.config.evolve_schema:
             cdc = self._read_sink_evolved(self.sink_path(st))
         else:
-            from .sinks import recover_staged
-
-            recover_staged(self.sink_path(st))
-            cdc = self.spark.read.parquet(self.sink_path(st))
+            cdc = self._read_sink_raw(self.sink_path(st))
         latest_per_key_window(cdc, st.pkey_column).createOrReplaceTempView(st.name)
 
     # ----------------------------------------------------------- row counts
@@ -382,10 +387,7 @@ class Engine:
         path = self.sink_path(st)
         if self.config.evolve_schema:
             return self._read_sink_evolved(path), st
-        from .sinks import recover_staged
-
-        recover_staged(path)
-        return self.spark.read.parquet(path), st
+        return self._read_sink_raw(path), st
 
     @staticmethod
     def _version_tiebreaks(cdc: DataFrame, pkey: str) -> list[str]:

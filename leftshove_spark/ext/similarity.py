@@ -751,8 +751,28 @@ def knn_pq_adc(
         corpus.select(F.col(id_col).alias("query_id"), quantize(vec_col).alias("qqv"))
         .filter(F.col("query_id") < n_queries)
     )
-    scored = enc.withColumnRenamed("vec_id", "neighbor_id").join(
-        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    return knn_pq_adc_codes(enc, q, books, k=k, sub_dim=sub_dim)
+
+
+def knn_pq_adc_codes(
+    codes: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[int]]],
+    *,
+    k: int = 5,
+    sub_dim: int = PQ_SUB,
+) -> DataFrame:
+    """ADC top-k over a PRE-ENCODED codes relation — the entry point
+    for a persisted index (e.g. the one
+    :func:`streaming.start_embedding_index_stream` maintains): scan
+    ``codes`` (``vec_id`` + ``code_0..code_{m-1}``, no vectors)
+    against broadcast query vectors, never re-encoding anything.
+    ``queries`` must carry ``query_id`` and the QUANTIZED vector as
+    ``qqv`` (see :func:`quantize`). Same integer-exact scoring and
+    deterministic ranking as :func:`knn_pq_adc`, which delegates
+    here."""
+    scored = codes.withColumnRenamed("vec_id", "neighbor_id").join(
+        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
     )
     approx = None
     for s, book in enumerate(books):

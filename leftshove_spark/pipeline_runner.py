@@ -34,36 +34,55 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _stage_quality_filter(spark, df, **kw):
+# Every wrapper declares its FULL parameter surface explicitly (no
+# **kwargs pass-through): run_pipeline binds the config against these
+# signatures, so a typo'd parameter is a config error caught before
+# anything runs, while a TypeError raised inside an operator surfaces
+# as the implementation error it is.
+
+
+def _stage_quality_filter(
+    spark, df, *, text_col="text", id_col="doc_id",
+    min_tokens=20, min_uniq_ratio=0.5, min_quality=0.3,
+):
     from .ext.text import quality_filter
 
-    kept = quality_filter(df, **kw).select("doc_id")
-    return df.join(kept, "doc_id")
+    kept = quality_filter(
+        df, text_col, id_col, min_tokens=min_tokens,
+        min_uniq_ratio=min_uniq_ratio, min_quality=min_quality,
+    ).select(id_col)
+    return df.join(kept, id_col)
 
 
-def _stage_exact_dedup(spark, df, **kw):
+def _stage_exact_dedup(spark, df, *, content_col="text", id_col="doc_id"):
     from .ext.dedup import exact_dedup
 
-    return exact_dedup(df, **kw)
+    return exact_dedup(df, content_col, id_col)
 
 
-def _stage_near_dedup(spark, df, **kw):
+def _stage_near_dedup(
+    spark, df, *, content_col="text", id_col="doc_id", jaccard_threshold=0.6
+):
     from .ext.dedup import minhash_lsh_pairs
     from .ext.graph import connected_components, resolve_keep_one_per_component
 
-    pairs = minhash_lsh_pairs(df, **kw)
+    pairs = minhash_lsh_pairs(df, content_col, id_col, jaccard_threshold)
     comp = connected_components(pairs.select("id_a", "id_b"))
-    return resolve_keep_one_per_component(df, comp)
+    return resolve_keep_one_per_component(df, comp, id_col)
 
 
-def _stage_decontaminate(spark, df, *, benchmark, **kw):
+def _stage_decontaminate(
+    spark, df, *, benchmark, text_col="text", id_col="doc_id", n=3
+):
     from .ext.pipeline import decontaminate
 
-    hits = decontaminate(df, benchmark, **kw).select("doc_id")
-    return df.join(hits, "doc_id", "left_anti")
+    hits = decontaminate(df, benchmark, text_col, id_col, n).select(id_col)
+    return df.join(hits, id_col, "left_anti")
 
 
-def _stage_outlier_gate(spark, df, *, value_col="n_chars", group_cols=("lang",), **kw):
+def _stage_outlier_gate(
+    spark, df, *, value_col="n_chars", group_cols=("lang",), c_num=3, c_den=1
+):
     from .operators.analytic import mad_outliers
 
     gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
@@ -71,48 +90,54 @@ def _stage_outlier_gate(spark, df, *, value_col="n_chars", group_cols=("lang",),
         df.select("doc_id", *gcols, F.col(value_col).cast("long").alias("__v")),
         "__v",
         gcols,
-        **kw,
+        c_num=c_num,
+        c_den=c_den,
     )
     drop = flags.filter(F.col("is_outlier")).select("doc_id")
     return df.join(drop, "doc_id", "left_anti")
 
 
-def _stage_pii_redact(spark, df, *, text_col="text", **kw):
+def _stage_pii_redact(spark, df, *, text_col="text"):
     from .ext.pipeline import redact
 
     return df.withColumn(text_col, redact(F.col(text_col)))
 
 
-def _stage_hash_split(spark, df, **kw):
+def _stage_hash_split(spark, df, *, id_col="doc_id", train=0.9, val=0.05):
     from .ext.pipeline import hash_split
 
-    return hash_split(df, **kw)
+    return hash_split(df, id_col, train, val)
 
 
-def _stage_mixture_sample(spark, df, **kw):
+def _stage_mixture_sample(
+    spark, df, *, source_col="source", id_col="doc_id", targets=None
+):
     from .ext.pipeline import mixture_sample
 
-    picked = mixture_sample(df, **kw).select("doc_id")
-    return df.join(picked, "doc_id")
+    picked = mixture_sample(df, source_col, id_col, targets).select(id_col)
+    return df.join(picked, id_col)
 
 
-def _stage_token_budget_cap(spark, df, **kw):
+def _stage_token_budget_cap(
+    spark, df, *, budget_per_group, group_cols,
+    weight_col="n_tokens", id_col="doc_id",
+):
     from .ext.pipeline import token_budget_cap
 
-    return token_budget_cap(df, **kw)
+    return token_budget_cap(df, budget_per_group, group_cols, weight_col, id_col)
 
 
-def _stage_weighted_sample(spark, df, *, k, weight_col, **kw):
+def _stage_weighted_sample(spark, df, *, k, weight_col, id_col="doc_id"):
     from .ext.pipeline import weighted_systematic_sample
 
-    picked = weighted_systematic_sample(df, k, weight_col, **kw).select("doc_id")
-    return df.join(picked, "doc_id")
+    picked = weighted_systematic_sample(df, k, weight_col, id_col).select(id_col)
+    return df.join(picked, id_col)
 
 
-def _stage_sample_k_per_group(spark, df, **kw):
+def _stage_sample_k_per_group(spark, df, *, group_cols, k, id_col="doc_id"):
     from .ext.pipeline import sample_k_per_group
 
-    return sample_k_per_group(df, **kw)
+    return sample_k_per_group(df, group_cols, k, id_col)
 
 
 STAGES = {
@@ -145,13 +170,27 @@ def run_pipeline(
 ) -> PipelineResult:
     """Apply ``spec``'s stages in order; returns the composed frame and
     (when ``count_stages``) per-stage row accounting keyed
-    ``<idx>_<op>`` plus ``ingested``. Counting forces each stage once
-    — turn it off for one fused lazy plan in production and read the
-    counts from the sink instead."""
+    ``<idx>_<op>`` plus ``ingested``.
+
+    Counting mode persists each stage's frame (via the engine's pin
+    registry — ``ext.cache.release_pins()`` frees everything) before
+    counting and unpersists its predecessor once consumed, so an
+    n-stage pipeline executes each stage ONCE (a naive count-per-stage
+    re-executes the whole uncached prefix per count — O(n²) stage
+    executions); the final frame stays pinned for the caller. Turn
+    counting off for one fused lazy plan in production and read the
+    counts from the sink instead.
+
+    Stage parameters are validated against the operator's signature
+    BEFORE the call, so a config typo reports as a config error while
+    a TypeError raised inside an operator still surfaces as the
+    implementation error it is."""
+    import inspect
+
     counts: dict[str, int] = {}
     if count_stages:
         counts["ingested"] = docs.count()
-    out = docs
+    out, prev_cached = docs, None
     for i, stage in enumerate(spec):
         stage = dict(stage)
         try:
@@ -165,9 +204,18 @@ def run_pipeline(
                 f"stage {i}: unknown op {op!r}; available: {sorted(STAGES)}"
             ) from None
         try:
-            out = fn(spark, out, **stage)
+            inspect.signature(fn).bind(spark, out, **stage)
         except TypeError as e:
-            raise ValueError(f"stage {i} ({op}): bad parameters {stage}: {e}") from e
+            raise ValueError(
+                f"stage {i} ({op}): bad parameters {stage}: {e}"
+            ) from e
+        out = fn(spark, out, **stage)
         if count_stages:
+            from .ext.cache import pin
+
+            out = pin(out)
             counts[f"{i}_{op}"] = out.count()
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = out
     return PipelineResult(df=out, counts=counts)

@@ -908,7 +908,11 @@ def corpus_stats_view(spark: SparkSession, state_dir: str, *, k: int = 256) -> D
     (:func:`ext.sketch.bottomk_quantile`), and the duplication signal
     ``n_docs − est_distinct_content``."""
     from .ext.sketch import bottomk_quantile, kmv_estimate
+    from .sinks import recover_staged
 
+    # the state dir is a staged-rewrite target: heal a crashed fold's
+    # swap before listing files (same class as the maintain-side guard)
+    recover_staged(state_dir)
     st = spark.read.parquet(state_dir)
     return st.select(
         *[c for c in st.columns if c not in ("content_kmv", "len_sketch")],
@@ -937,8 +941,9 @@ def start_embedding_index_stream(
     """W23 — streaming searchable-corpus maintenance: every micro-batch
     of embeddings is PQ-encoded against FROZEN codebooks and its codes
     appended to the persistent index — the corpus becomes searchable
-    (``knn_pq_adc`` over the codes table + exact rerank on fetch) as it
-    streams in, without ever rebuilding anything.
+    (:func:`ext.similarity.knn_pq_adc_codes` over the codes table,
+    never re-encoding; exact rerank on fetch) as it streams in,
+    without ever rebuilding anything.
 
     Consistency is free by construction: :func:`ext.similarity.pq_encode`
     is a PURE function of (vector, codebooks), so stream-appended codes

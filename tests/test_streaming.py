@@ -708,9 +708,24 @@ def test_embedding_index_stream_equals_batch_encode(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ck"),
         once=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "index stream did not drain"
     n1 = spark.read.parquet(index).count()
     assert n1 == emb.filter(F.col("vec_id") % 2 == 0).count()
+
+    # the index is SEARCHABLE between triggers — ADC over the persisted
+    # codes, no re-encoding, equals ADC over a fresh batch encode of
+    # the same rows
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), S.quantize("embedding").alias("qqv")
+    )
+    got = S.knn_pq_adc_codes(spark.read.parquet(index), queries, books).collect()
+    want = S.knn_pq_adc_codes(
+        S.pq_encode(emb.filter(F.col("vec_id") % 2 == 0), books).drop("qv"),
+        queries,
+        books,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
 
     emb.filter(F.col("vec_id") % 2 == 1).write.mode("append").parquet(landing)
     q = start_embedding_index_stream(
@@ -721,7 +736,7 @@ def test_embedding_index_stream_equals_batch_encode(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ck"),
         once=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "index stream did not drain"
 
     streamed = spark.read.parquet(index)
     batch = S.pq_encode(emb, books).drop("qv")
