@@ -118,6 +118,7 @@ GATE_ORDER = [
     "w22_corpus_stats_incremental",
     "x_stratified_pps",
     "x_knn_pq",
+    "x_knn_pq_rerank",
     # r8 first-timers (one driver green each; second green certifies)
     "w19_nav_battery",
     "c19_math_battery",

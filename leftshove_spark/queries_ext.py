@@ -2511,7 +2511,7 @@ def x_stratified_pps(spark: SparkSession, sf: str) -> DataFrame:
 # =========================================================================
 
 
-def _knn_pq_oracle() -> str:
+def _knn_pq_oracle(rerank: int | None = None) -> str:
     """SQL twin of the FULL PQ pipeline — sample-based per-subspace
     Lloyd training, corpus encoding, and the integer ADC ranking are
     all deterministic integer arithmetic (means round half-up through
@@ -2520,7 +2520,40 @@ def _knn_pq_oracle() -> str:
     x_knn_ivf replay discipline applied per subspace."""
     m, sd, nc, iters = S.PQ_M, S.PQ_SUB, S.PQ_CODES, S.PQ_ITERS
     samp_n, k, nq = S.PQ_SAMPLE, 5, 10
+    dim = m * sd
     rng = f"range(1, {sd + 1})"
+    frng = f"range(1, {dim + 1})"
+
+    def fdot(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform({frng}, i -> {a}[i] * {b}[i]))"
+            f" AS DOUBLE)"
+        )
+
+    if rerank is None:
+        rerank_ctes = ""
+        final_select = (
+            f"SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, "
+            f"approx_l2 FROM ranked WHERE rnk <= {k}"
+        )
+    else:
+        cosexpr = (
+            f"{fdot('qe.qv', 'ne.qv')} / (sqrt({fdot('qe.qv', 'qe.qv')})"
+            f" * sqrt({fdot('ne.qv', 'ne.qv')}))"
+        )
+        rerank_ctes = f""",
+    cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= {rerank}),
+    rer AS (
+      SELECT c.query_id, c.neighbor_id, {cosexpr} AS cosine,
+             row_number() OVER (PARTITION BY c.query_id
+                                ORDER BY {cosexpr} DESC, c.neighbor_id) AS rk
+      FROM cand c
+      JOIN e qe ON qe.vec_id = c.query_id
+      JOIN e ne ON ne.vec_id = c.neighbor_id)"""
+        final_select = (
+            f"SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, "
+            f"cosine FROM rer WHERE rk <= {k}"
+        )
 
     def l2(vec: str, s: int, cen: str) -> str:
         # integer L2 between subspace s of ``vec`` and list ``cen``
@@ -2593,9 +2626,8 @@ def _knn_pq_oracle() -> str:
       SELECT query_id, neighbor_id, approx_l2,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY approx_l2, neighbor_id) AS rnk
-      FROM adc)
-    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, approx_l2
-    FROM ranked WHERE rnk <= {k}
+      FROM adc){rerank_ctes}
+    {final_select}
     """
 
 
@@ -2615,4 +2647,21 @@ def x_knn_pq(spark: SparkSession, sf: str) -> DataFrame:
     out = S.knn_pq_adc(emb, books)
     return out.select(
         "query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"), "approx_l2"
+    )
+
+
+@_q("x_knn_pq_rerank", _knn_pq_oracle(rerank=50))
+def x_knn_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """The production IVFADC refinement, end-to-end hash-certified: ADC
+    over the codes table selects 50 candidates per query, then the
+    exact integer-cosine reranks just those — full vectors are fetched
+    for O(queries·50) rows, never the corpus. The oracle extends the
+    full PQ training/encode/ADC replay with the rerank join, so the
+    green row certifies the ENTIRE compressed-search path including
+    the refinement. See :func:`ext.similarity.knn_pq_rerank`."""
+    emb = load_table(spark, sf, "embeddings")
+    books = S.pq_train_codebooks(emb)
+    out = S.knn_pq_rerank(emb, books, rerank=50)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
     )

@@ -70,6 +70,9 @@ _BNLJ_ALLOWED = {
     # instead of the 64-dim vector — PQ's entire point); the corpus
     # itself never joins all-pairs
     "x_knn_pq",
+    # same bounded shape; the rerank stage joins only the
+    # O(queries·rerank) candidate rows back to their vectors (keyed)
+    "x_knn_pq_rerank",
     # the per-group threshold GENERATOR: range(k) × the broadcast
     # O(groups) totals table — both sides bounded by construction
     # (k is a literal, totals is one row per group), producing the
