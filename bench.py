@@ -89,6 +89,24 @@ def _sf_from_dir(d: str) -> float:
     return 0.0
 
 
+def _calibration_sec(spark) -> float:
+    """Fixed synthetic anchor job: a constant-size codegen aggregation
+    whose cost is independent of SF, the dataset, and every operator in
+    the repo. Timed in the same harness as the headliners so rounds can
+    be load-normalized: r8→r9 the untouched shared set drifted a
+    uniform +20% with no code change, and the artifact alone could not
+    distinguish shared-host load from a real regression. Dividing the
+    headline total by this anchor makes that decidable from
+    BENCH_r{N}.json alone."""
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 150_000_000, 1, 32)
+        .selectExpr("sum((id * 2654435761) % 1000003) AS s")
+        .collect()
+    )
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     spark = get_spark(app_name="leftshove-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -122,8 +140,10 @@ def main() -> None:
             cache.release_pins()
             spark.catalog.clearCache()
 
+    calib: list[float] = [_calibration_sec(spark)]  # post-warmup sample
     for _ in range(3):
         timed_round(HEADLINE)
+        calib.append(_calibration_sec(spark))  # interleaved, shares bursts
     # Sub-second headliners drown in shared-host noise bursts even with
     # min-of-3 (r8's q3/q10 "+17%" was ~0.1 s of drift): two extra
     # interleaved rounds for them, and a per-query spread (max−min over
@@ -145,6 +165,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                # load-normalization anchor: constant synthetic codegen
+                # agg (SF-independent); compare headline totals across
+                # rounds as value/calibration_sec to factor out host load
+                "calibration_sec": round(min(calib), 3),
+                "calibration_spread": round(max(calib) - min(calib), 3),
                 "sf": _sf_from_dir(SF_DIR),
                 # provenance: runtime flips moved the whole curve ±1.5×
                 # in past rounds (r5) — pin what produced these numbers

@@ -20,6 +20,7 @@ what the reference's sizedwaitgroup + Benthos threads did.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import functools
 import logging
 import os
 from datetime import datetime, timedelta, timezone
@@ -522,10 +523,21 @@ class Engine:
         if hook is not None:
             cap = hook(cap)
         keys = [st.pkey_column, st.nms_column]
+        # Null-safe idempotence: a munge_invalid_ts_to_null capture can
+        # carry nms = NULL (build_capture filters on the RAW nms, then
+        # munges), and such a row lands in the sink with NULL nms +
+        # NULL snapshot_tm.  Two consequences for re-runs: (a) the sink
+        # side must ADMIT those rows (the window predicate drops NULLs),
+        # (b) the anti-join must match NULL keys (plain `=` never does).
         existing = existing_df.filter(
             window_predicate(st.nms_column, lo, hi)
-        ).select(*keys)
-        fresh = cap.join(existing, keys, "left_anti").persist()
+            | F.col(st.nms_column).isNull()
+        ).select(*[F.col(k).alias(f"__bf_{k}") for k in keys])
+        anti_cond = functools.reduce(
+            lambda a, b: a & b,
+            [cap[k].eqNullSafe(existing[f"__bf_{k}"]) for k in keys],
+        )
+        fresh = cap.join(existing, anti_cond, "left_anti").persist()
         try:
             n = fresh.count()
             if n:

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 from leftshove_spark.ext import cache as _cache
 
+from .fanout import fanout_if_narrow
 from .hashing import MINHASH_P, hash60, hash60_py, minhash_seeds
 from .text import tokenize, tokenize_py
 
@@ -191,9 +192,7 @@ def _staged_shingles(
     # splits and an unconditional repartition would be one avoidable
     # full-corpus shuffle before the Arrow stage. The pin path keys the
     # fan-out by id so the persisted shingle table is evenly spread.
-    width = src.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < width:
-        src = src.repartition(width, "id") if pin else src.repartition(width)
+    src = fanout_if_narrow(src, "id" if pin else None)
 
     def gen(batches: Iterator) -> Iterator:
         for pdf in batches:
@@ -352,9 +351,7 @@ def _staged_simhash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     # the scan already has cluster-width splits and the repartition
     # would be an avoidable full-corpus shuffle (same rule as
     # _staged_shingles)
-    _width = src.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < _width:
-        src = src.repartition(_width, "id")
+    src = fanout_if_narrow(src, "id")
     bits = np.arange(SIMHASH_BITS, dtype=np.uint64)
 
     def gen(batches: Iterator) -> Iterator:
@@ -696,9 +693,7 @@ def window_hashes_with_pos(
         ]
     )
     src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("__text"))
-    width = src.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < width:
-        src = src.repartition(width)
+    src = fanout_if_narrow(src)
 
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -877,4 +872,64 @@ def redact_duplicated_spans(
         (F.col("n_tokens") - F.coalesce("n_tokens_kept", F.lit(0)))
         .cast("long")
         .alias("n_tokens_dropped"),
+    )
+
+
+def duplicated_maximal_spans(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    min_docs: int = 2,
+    max_window_df: int | None = None,
+) -> DataFrame:
+    """MAXIMAL duplicated spans — the report form of the Lee et al.
+    suffix-array output: per document, every maximal run of
+    overlapping-or-touching flagged windows from
+    :func:`duplicated_passages` merged into ONE row with its token
+    extent — "tokens 118–857 (740 tokens) are shared, with every
+    constituent window in >= min_shared_docs documents" — instead of
+    the 721 per-window rows a curation reviewer would otherwise scroll.
+    Columns: (doc_id, span_seq, span_start, span_end, span_len,
+    n_windows, min_shared_docs, max_shared_docs). ``min_shared_docs``
+    is the honest whole-span sharing bound: each window carries its own
+    n_docs, so the full span is guaranteed present in at least
+    min-over-windows documents (the per-window doc sets may differ).
+
+    Plan: the classic interval-merge as two window functions over the
+    O(flagged) passage rows, partitioned by doc_id — a new span starts
+    where ``pos > lag(pos) + window`` (windows [p, p+w−1] merge when
+    they overlap or touch), a running sum of those starts numbers the
+    spans, one groupBy aggregates each. No new corpus pass beyond
+    duplicated_passages' own; everything keys on doc_id. Scales."""
+    passages = duplicated_passages(
+        df,
+        content_col,
+        id_col,
+        window=window,
+        min_docs=min_docs,
+        max_window_df=max_window_df,
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marked = (
+        passages.select("doc_id", "pos", "n_docs")
+        .withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("pos") > F.col("__prev") + window),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("span_seq", F.sum("__new").over(w))
+    )
+    wl = F.lit(window).cast("long")
+    return marked.groupBy("doc_id", "span_seq").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + wl - 1).alias("span_end"),
+        (F.max("pos") + wl - F.min("pos")).alias("span_len"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.min("n_docs").alias("min_shared_docs"),
+        F.max("n_docs").alias("max_shared_docs"),
     )

@@ -256,6 +256,156 @@ def mixture_sample(
     )
 
 
+def _hashed_feature_buckets(text_col: str | Column, n_buckets: int) -> Column:
+    """Hashed unigram+bigram feature-bucket ids (array<long>, one entry
+    per feature INSTANCE — counts matter for affinity scoring, so no
+    distinct): the DSIR feature map [Xie et al. 2023]. md5-based
+    :func:`hashing.hash60` mod ``n_buckets`` keeps the bucketing
+    bit-identical cross-engine. Pure array expressions — no explode
+    until the caller wants one."""
+    t = tokenize(text_col)
+    uni = F.transform(t, lambda x: hash60(x) % n_buckets)
+    big = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: hash60(F.concat_ws(" ", a, b)) % n_buckets,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.concat(uni, big)
+
+
+def target_affinity_scores(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Hashed n-gram target-affinity scoring — the data-selection
+    primitive behind DSIR [Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"]: featurize every doc
+    as hashed unigram+bigram bucket counts, and score it by how much
+    its feature mass lands where the TARGET corpus's mass is. Exact
+    integer form (DSIR's log-likelihood-ratio needs float ``ln``,
+    which is not correctly-rounded IEEE and diverges across engines in
+    the last ulp — a hash-level red; the integer affinity keeps the
+    "weight docs by target-distribution overlap" selection pressure
+    with none of the float): ``score = Σ_instances ct[bucket]`` (an
+    int64 dot product of the doc's bucket counts against the target's)
+    and ``affinity = score / (n_feats · T)`` — one IEEE division,
+    exact cross-engine. The scores feed
+    :func:`weighted_systematic_sample` directly as integer PPS weights
+    — that composition IS the importance-resampling step.
+
+    100 TB plan: the target count table is ≤ ``n_buckets`` rows —
+    broadcast; the corpus explodes features map-side, joins the
+    broadcast LEFT (unseen buckets score 0), and aggregates per doc
+    with map-side partials — ONE shuffle keyed by id, no corpus×corpus
+    anything. Returns (id, n_feats, score, affinity)."""
+    feats = _hashed_feature_buckets(text_col, n_buckets)
+    tgt = (
+        target.select(F.explode(feats).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = tgt.agg(F.sum("ct").alias("t_total")).withColumn("__j", F.lit(1))
+    tgt = tgt.withColumn("__j", F.lit(1)).join(F.broadcast(tot), "__j").select(
+        "b", "ct", "t_total"
+    )
+    ex = df.select(F.col(id_col), F.explode(feats).alias("b"))
+    return (
+        ex.join(F.broadcast(tgt), "b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.coalesce("ct", F.lit(0))).alias("score"),
+            F.max("t_total").alias("__t"),
+        )
+        .select(
+            id_col,
+            "n_feats",
+            F.col("score").cast("long").alias("score"),
+            (
+                F.col("score").cast("double")
+                / (F.col("n_feats") * F.coalesce("__t", F.lit(1))).cast("double")
+            ).alias("affinity"),
+        )
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance resampling, end-to-end: target-affinity scores
+    as integer PPS weights into :func:`weighted_systematic_sample` —
+    k systematic strides over the affinity axis, so a doc's inclusion
+    probability is exactly min(1, k·score/Σscore): docs that look like
+    the target are proportionally more likely to be kept, zero-affinity
+    docs are never selected. Deterministic, overflow-safe, and
+    hash-replayable — the composition of two certified operators."""
+    scored = target_affinity_scores(
+        df, target, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    )
+    return weighted_systematic_sample(scored, k, "score", id_col=id_col)
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture downsampling — the multilingual
+    pretraining practice (mT5 / XLM-R): target shares ∝ n_s^α flatten
+    the natural distribution (α=1 keeps it, α=0 is uniform), so
+    low-resource sources keep proportionally more of their data.
+    Down-sampling only, like :func:`mixture_sample`: with w_s = n_s^α
+    the water-filling acceptance reduces to
+    ``rate_s = (n_min / n_s)^(1−α)`` — the smallest source is kept
+    whole and every other source is flattened toward it.
+
+    α = 1/2 (the default, and the only oracle-gated value) makes the
+    rate ``sqrt(n_min/n_s)``: one IEEE division + one sqrt, both
+    correctly-rounded operations, so the rate — and therefore the
+    md5-bucket acceptance set — replays bit-for-bit cross-engine.
+    Other α go through ``pow``, which is NOT correctly-rounded IEEE
+    and may diverge in the last ulp across engines; fine for
+    production, excluded from the hash gate.
+
+    Same 100 TB shape as mixture_sample: per-source counts aggregate
+    map-side (|sources| rows), the rate table broadcasts back, the
+    acceptance is a pure function of md5(id) at the scan — the corpus
+    never shuffles, and the sample is stable under retries, appends
+    and repartitioning."""
+    counts = df.groupBy(F.col(source_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("n_s")
+    )
+    mn = counts.agg(F.min("n_s").alias("mn")).withColumn("j", F.lit(1))
+    ratio = F.col("mn").cast("double") / F.col("n_s").cast("double")
+    if alpha == 0.5:
+        rate = F.least(F.lit(1.0), F.sqrt(ratio))
+    else:
+        rate = F.least(F.lit(1.0), F.pow(ratio, F.lit(1.0 - float(alpha))))
+    rates = (
+        counts.withColumn("j", F.lit(1))
+        .join(F.broadcast(mn), "j")
+        .select("s", rate.alias("rate"))
+    )
+    b = _bucket(id_col, "mix:")
+    return (
+        df.join(F.broadcast(rates), df[source_col] == F.col("s"))
+        .filter(b < F.floor(F.col("rate") * SPLIT_BUCKETS).cast("long"))
+        .select(F.col(id_col), F.col(source_col), F.col("rate"))
+    )
+
+
 # --------------------------------------------------------- repetition flags
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -459,9 +609,13 @@ def token_budget_cap(
 
 
 # Above this stride count the per-row threshold WHEN-tree gives way to
-# the bucketed threshold join (expression trees beyond ~4k literals tax
-# codegen; the join's explode volume is k + n rows — still linear).
-_WSS_TREE_MAX_K = 4096
+# the bucketed threshold join (the join's explode volume is k + n rows
+# — still linear). 128 is compile-safety, not taste: the tree is ONE
+# unsplittable nested-WHEN expression evaluated twice per row, and at
+# k=300 the fused stage blew janino's 64 KB method limit — caught the
+# moment the codegen-compile lint (tests/test_codegen_lint.py) landed,
+# after shipping a round as a silent interpreted fallback.
+_WSS_TREE_MAX_K = 128
 
 
 def weighted_systematic_sample(

@@ -17,10 +17,9 @@ Two paths:
 
 from __future__ import annotations
 
-import math as _math
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .hashing import hash60
 
@@ -655,41 +654,48 @@ def pq_train_codebooks(
         .collect()
     )
     sample = [list(r["qv"]) for r in rows]
+    return _pq_lloyd_np(sample, m_sub, sub_dim, n_codes, iters)
+
+
+def _pq_lloyd_np(
+    sample: list[list[int]],
+    m_sub: int,
+    sub_dim: int,
+    n_codes: int,
+    iters: int,
+) -> list[list[list[int]]]:
+    """The per-subspace Lloyd trainer shared by :func:`pq_train_codebooks`
+    (raw vectors) and :func:`ivfadc_train` (cell residuals). Vectorized
+    but arithmetically IDENTICAL to the scalar convention the SQL oracle
+    replays: distances via the exact-int64 expansion (components are a
+    few thousand in magnitude — no overflow anywhere near 2^63), ties →
+    lower code (``np.argmin`` first-hit ≡ the strict-``<`` scan),
+    re-centering = exact integer column sums divided in IEEE doubles
+    then ``floor(x+0.5)`` — the same double DuckDB's ``avg`` over
+    BIGINT produces. Empty clusters keep their previous centroid."""
+    import numpy as np
+
+    M = np.array(sample, dtype=np.int64)
     books: list[list[list[int]]] = []
     for s in range(m_sub):
-        subs = [v[s * sub_dim : (s + 1) * sub_dim] for v in sample]
-        cents = [list(subs[i]) for i in range(min(n_codes, len(subs)))]
+        sub = M[:, s * sub_dim : (s + 1) * sub_dim]
+        cents = sub[: min(n_codes, len(sub))].copy()
         for _ in range(iters):
-            assign = []
-            for v in subs:
-                best, bd = 0, None
-                for ci, cen in enumerate(cents):
-                    d = sum((a - b) ** 2 for a, b in zip(v, cen))
-                    if bd is None or d < bd:  # strict: tie keeps lower code
-                        best, bd = ci, d
-                assign.append(best)
+            d = (
+                (sub * sub).sum(axis=1)[:, None]
+                + (cents * cents).sum(axis=1)[None, :]
+                - 2 * (sub @ cents.T)
+            )
+            assign = np.argmin(d, axis=1)
             for ci in range(len(cents)):
-                members = [subs[j] for j, a in enumerate(assign) if a == ci]
-                if members:
-                    cnt = float(len(members))
-                    cents[ci] = [
-                        int(_math.floor(float(sum(col)) / cnt + 0.5))
-                        for col in zip(*members)
-                    ]
-        books.append(cents)
+                members = sub[assign == ci]
+                if len(members):
+                    mean = members.sum(axis=0).astype(np.float64) / float(
+                        len(members)
+                    )
+                    cents[ci] = np.floor(mean + 0.5).astype(np.int64)
+        books.append([[int(x) for x in cen] for cen in cents])
     return books
-
-
-def _pq_sub_l2(qv: Column, s: int, cen: list[int], sub_dim: int) -> Column:
-    """Integer L2 between subvector s of ``qv`` and a centroid literal."""
-    terms = [
-        (F.element_at(qv, s * sub_dim + i + 1) - F.lit(int(cen[i]))) ** 2
-        for i in range(sub_dim)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out.cast("long")
 
 
 def pq_encode(
@@ -701,26 +707,55 @@ def pq_encode(
     sub_dim: int = PQ_SUB,
 ) -> DataFrame:
     """Encode every vector as ``m_sub`` codebook indices: per subspace,
-    argmin integer L2 over the codebook (ties → lower code, via the
-    struct array_min trick). Pure codegen over one narrow scan — the
-    corpus never shuffles; a 64-dim float vector compresses to m_sub
-    small ints (the 100 TB memory story: the codes table is ~1/64th
-    the vector table)."""
-    out = corpus.select(
+    argmin integer L2 over the codebook (ties → lower code —
+    ``np.argmin``'s first-hit, matching the former array_min-struct
+    convention bit-for-bit). One Arrow ``mapInPandas`` pass over a
+    narrow scan — the corpus never shuffles; a 64-dim float vector
+    compresses to m_sub small ints (the 100 TB memory story: the codes
+    table is ~1/64th the vector table).
+
+    Arrow, not expressions, deliberately: the literal argmin tree
+    (m·codes·sub_dim unrolled arithmetic nodes) blows janino's 64 KB
+    method limit once fused into a downstream stage and silently
+    degrades to interpreted execution — the same reason IVF switches
+    to :func:`_assign_cells_arrow` past CENTROID_LITERAL_MAX. The
+    vectorized distance is the exact-int64 expansion
+    ``|x|² + |c|² − 2·x@cᵀ`` (no floats anywhere), so results are
+    bit-identical to the expression form and the SQL oracle replay."""
+    import numpy as np
+
+    m_sub = len(books)
+    src = corpus.select(
         F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")
     )
-    for s, book in enumerate(books):
-        cands = F.array(
-            *[
-                F.struct(
-                    _pq_sub_l2(F.col("qv"), s, cen, sub_dim).alias("d"),
-                    F.lit(ci).alias("code"),
+    id_type = src.schema["vec_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", id_type),
+            T.StructField("qv", T.ArrayType(T.LongType())),
+        ]
+        + [T.StructField(f"code_{s}", T.IntegerType()) for s in range(m_sub)]
+    )
+    B = [np.array(book, dtype=np.int64) for book in books]
+    Bsq = [(Cb * Cb).sum(axis=1) for Cb in B]
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            out = pdf[["vec_id", "qv"]].copy()
+            for s in range(m_sub):
+                sub = Q[:, s * sub_dim : (s + 1) * sub_dim]
+                d = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    + Bsq[s][None, :]
+                    - 2 * (sub @ B[s].T)
                 )
-                for ci, cen in enumerate(book)
-            ]
-        )
-        out = out.withColumn(f"code_{s}", F.array_min(cands)["code"])
-    return out
+                out[f"code_{s}"] = np.argmin(d, axis=1).astype("int32")
+            yield out
+
+    return src.mapInPandas(gen, out_schema)
 
 
 def knn_pq_adc(
@@ -751,7 +786,50 @@ def knn_pq_adc(
         corpus.select(F.col(id_col).alias("query_id"), quantize(vec_col).alias("qqv"))
         .filter(F.col("query_id") < n_queries)
     )
-    return knn_pq_adc_codes(enc, q, books, k=k, sub_dim=sub_dim)
+    return knn_pq_adc_codes(enc, q, books, k=k, sub_dim=sub_dim, dedup=False)
+
+
+def _adc_distance_table(
+    queries: DataFrame,
+    books: list[list[list[int]]],
+    sub_dim: int,
+) -> DataFrame:
+    """The ADC lookup table AS DATA: one row per (query, subspace,
+    code) with the exact integer L2 between the query's subvector and
+    that codebook centroid — n_queries · m_sub · n_codes rows, built
+    driver-side from the (bounded, broadcast-by-contract) query set.
+
+    Materializing the table is what keeps the scoring stage inside
+    whole-stage codegen: the previous form inlined the lookup as a
+    nested WHEN-chain per subspace (~m·codes·sub_dim duplicated
+    arithmetic nodes fused into the join's processNext), which blew
+    janino's compile limits and silently degraded the hot scoring loop
+    to interpreted row-at-a-time execution. As data, the per-subspace
+    lookup is a broadcast hash join probe — O(1) per code, trivially
+    codegen-able, and the table stays microscopic at any corpus size
+    (it scales with queries·codes, never the corpus)."""
+    spark = queries.sparkSession
+    id_type = queries.schema["query_id"].dataType
+    rows = queries.select("query_id", "qqv").collect()
+    data = []
+    for r in rows:
+        qv = [int(x) for x in r["qqv"]]
+        for s, book in enumerate(books):
+            sub = qv[s * sub_dim : (s + 1) * sub_dim]
+            for ci, cen in enumerate(book):
+                d = 0
+                for a, b in zip(sub, cen):
+                    d += (a - int(b)) ** 2
+                data.append((r["query_id"], s, ci, d))
+    schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("s", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+            T.StructField("d", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(data, schema)
 
 
 def knn_pq_adc_codes(
@@ -761,28 +839,54 @@ def knn_pq_adc_codes(
     *,
     k: int = 5,
     sub_dim: int = PQ_SUB,
+    dedup: bool = True,
 ) -> DataFrame:
     """ADC top-k over a PRE-ENCODED codes relation — the entry point
     for a persisted index (e.g. the one
     :func:`streaming.start_embedding_index_stream` maintains): scan
     ``codes`` (``vec_id`` + ``code_0..code_{m-1}``, no vectors)
-    against broadcast query vectors, never re-encoding anything.
+    against the materialized ADC distance table
+    (:func:`_adc_distance_table`), never re-encoding anything.
     ``queries`` must carry ``query_id`` and the QUANTIZED vector as
-    ``qqv`` (see :func:`quantize`). Same integer-exact scoring and
-    deterministic ranking as :func:`knn_pq_adc`, which delegates
-    here."""
-    scored = codes.withColumnRenamed("vec_id", "neighbor_id").join(
-        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
-    )
-    approx = None
-    for s, book in enumerate(books):
-        code = F.col(f"code_{s}")
-        expr = F.lit(None).cast("long")
-        for ci, cen in enumerate(book):
-            sub = _pq_sub_l2(F.col("qqv"), s, cen, sub_dim)
-            expr = F.when(code == ci, sub).otherwise(expr)
-        approx = expr if approx is None else approx + expr
-    scored = scored.withColumn("approx_l2", approx.cast("long"))
+    ``qqv`` (see :func:`quantize`); it must be bounded (it is
+    collected to build the ADC table — the same boundedness the old
+    broadcast form required).
+
+    Scoring plan: per subspace, one broadcast hash join from the codes
+    scan onto the (query_id, code) → distance relation; ``approx_l2``
+    is then a 4-term integer sum — everything inside whole-stage
+    codegen, streaming m_sub ints per corpus row. ``dedup`` guards the
+    at-least-once case: a codes index fed by a replaying stream can
+    carry duplicate vec_id rows, and each duplicate would consume a
+    top-k rank slot; copies are identical per id, so keeping any one
+    is correct. Callers whose codes are unique by construction (e.g.
+    a fresh :func:`pq_encode` pass) pass ``dedup=False`` to skip the
+    exchange."""
+    if dedup:
+        codes = codes.dropDuplicates(["vec_id"])
+    adc = _adc_distance_table(queries, books, sub_dim)
+    scored = codes.withColumnRenamed("vec_id", "neighbor_id")
+    for s in range(len(books)):
+        adc_s = adc.filter(F.col("s") == s).select(
+            F.col("query_id").alias(f"__q{s}"),
+            F.col("code").alias(f"__c{s}"),
+            F.col("d").alias(f"__d{s}"),
+        )
+        cond = F.col(f"code_{s}") == F.col(f"__c{s}")
+        if s > 0:
+            cond = cond & (F.col("query_id") == F.col(f"__q{s}"))
+        scored = scored.join(F.broadcast(adc_s), cond)
+        if s == 0:
+            scored = scored.withColumnRenamed("__q0", "query_id")
+        else:
+            scored = scored.drop(f"__q{s}")
+        scored = scored.drop(f"__c{s}")
+    approx = F.col("__d0")
+    for s in range(1, len(books)):
+        approx = approx + F.col(f"__d{s}")
+    scored = scored.filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("approx_l2", approx.cast("long"))
     w = Window.partitionBy("query_id").orderBy("approx_l2", "neighbor_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -834,4 +938,429 @@ def knn_pq_rerank(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+# ------------------------------------------------------------------ IVFADC
+# The production composition [Jégou et al. 2011, the FAISS default]:
+# a coarse quantizer partitions the corpus into cells, PQ codebooks are
+# trained on the RESIDUAL (vector − cell centroid), and a query probes
+# only its nprobe nearest cells, scoring residual-PQ codes by ADC.
+# Versus flat PQ (knn_pq_adc): (a) the residual distribution is far
+# tighter than the raw corpus, so the same code budget quantizes finer;
+# (b) the probe prunes the codes scan to nprobe/n_centroids of the
+# index — at 100 TB the codes table is partitioned BY cell, so the
+# probe join is partition pruning, not a filter. Codebooks here carry
+# IVFADC_CODES = 64 codes per subspace (8× flat PQ's 8) — affordable
+# because encode is one Arrow matmul per batch (O(1) expressions in
+# n_codes) and scoring probes a materialized lookup relation; the
+# literal-expression forms both started from would blow codegen at
+# this size (the r9 ADC lesson).
+IVFADC_CODES = 64
+IVFADC_SAMPLE = 256
+
+
+def _assign_cells_np(Q, cents):
+    """Cell ids for rows of ``Q`` — argmax cosine, ties → higher index:
+    the driver-side twin of :func:`_assign_cells_arrow` (same
+    `_centroid_cosines_np` scores, same tie order)."""
+    import numpy as np
+
+    C = np.array(cents, dtype=np.int64)
+    Cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+    cos = _centroid_cosines_np(Q, C, Cn)
+    best = cos.max(axis=1)
+    k = C.shape[0]
+    return np.where(cos == best[:, None], np.arange(k)[None, :], -1).max(axis=1)
+
+
+def ivfadc_train(
+    corpus: DataFrame,
+    *,
+    n_centroids: int = N_CENTROIDS,
+    iters: int = 2,
+    m_sub: int = PQ_M,
+    sub_dim: int = PQ_SUB,
+    n_codes: int = IVFADC_CODES,
+    pq_iters: int = PQ_ITERS,
+    sample_n: int = IVFADC_SAMPLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[int]], list[list[list[int]]]]:
+    """Train the IVFADC index pair: coarse centroids via
+    :func:`ivf_centroids` (deterministic Lloyd over the corpus), then
+    per-subspace PQ codebooks over the RESIDUALS of a bounded
+    deterministic sample (the ``sample_n`` lowest-id vectors, assigned
+    to their cells driver-side with the exact `_centroid_cosines_np`
+    arithmetic). No RNG anywhere — the SQL oracle replays centroids,
+    residuals, and codebooks bit-for-bit (the x_knn_ivf + x_knn_pq
+    disciplines composed)."""
+    import numpy as np
+
+    cents = ivf_centroids(
+        corpus, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
+        .orderBy("id")
+        .limit(sample_n)
+        .collect()
+    )
+    Q = np.array([list(r["qv"]) for r in rows], dtype=np.int64)
+    cells = _assign_cells_np(Q, cents)
+    resid = Q - np.array(cents, dtype=np.int64)[cells]
+    books = _pq_lloyd_np(
+        [list(map(int, r)) for r in resid], m_sub, sub_dim, n_codes, pq_iters
+    )
+    return cents, books
+
+
+def ivfadc_encode(
+    corpus: DataFrame,
+    cents: list[list[int]],
+    books: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    sub_dim: int = PQ_SUB,
+) -> DataFrame:
+    """The IVFADC index build: one Arrow ``mapInPandas`` pass tags each
+    vector with its cell (matmul cosine argmax, ties → higher index)
+    and its residual-PQ codes (per-subspace exact-int64 argmin L2 over
+    ``vector − centroid[cell]``, ties → lower code). Output is the
+    persisted-index layout — ``vec_id, cell, code_0..code_{m-1}``, no
+    vectors — written partitioned by ``cell`` at scale so probes prune
+    partitions. The corpus never shuffles."""
+    import numpy as np
+
+    m_sub = len(books)
+    src = corpus.select(F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv"))
+    id_type = src.schema["vec_id"].dataType
+    out_schema = T.StructType(
+        [T.StructField("vec_id", id_type), T.StructField("cell", T.LongType())]
+        + [T.StructField(f"code_{s}", T.IntegerType()) for s in range(m_sub)]
+    )
+    C = np.array(cents, dtype=np.int64)
+    B = [np.array(book, dtype=np.int64) for book in books]
+    Bsq = [(Cb * Cb).sum(axis=1) for Cb in B]
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            cells = _assign_cells_np(Q, cents)
+            R = Q - C[cells]
+            out = pdf[["vec_id"]].copy()
+            out["cell"] = cells.astype("int64")
+            for s in range(m_sub):
+                sub = R[:, s * sub_dim : (s + 1) * sub_dim]
+                d = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    + Bsq[s][None, :]
+                    - 2 * (sub @ B[s].T)
+                )
+                out[f"code_{s}"] = np.argmin(d, axis=1).astype("int32")
+            yield out
+
+    return src.mapInPandas(gen, out_schema)
+
+
+def _ivfadc_probe_tables(
+    queries: DataFrame,
+    cents: list[list[int]],
+    books: list[list[list[int]]],
+    nprobe: int,
+    sub_dim: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Driver-side build of the two tiny scoring relations from the
+    bounded query set: ``probes`` (query_id, cell — the nprobe nearest
+    cells by cosine desc / index desc, the `_probe_cells_arrow` order)
+    and ``adc`` (query_id, cell, s, code, d — the exact integer L2
+    between the query's RESIDUAL subvector w.r.t. that cell and each
+    codebook centroid). n_queries·nprobe·(1 + m_sub·n_codes) rows
+    total — microscopic at any corpus size; it scales with the query
+    set, never the corpus."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    id_type = queries.schema["query_id"].dataType
+    rows = queries.select("query_id", "qqv").collect()
+    C = np.array(cents, dtype=np.int64)
+    Cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+    k_cells = C.shape[0]
+    neg_idx = -np.arange(k_cells)
+    B = [np.array(book, dtype=np.int64) for book in books]
+    probe_rows, adc_rows = [], []
+    for r in rows:
+        q = np.array([int(x) for x in r["qqv"]], dtype=np.int64)
+        cos = _centroid_cosines_np(q[None, :], C, Cn)[0]
+        cells = np.lexsort((neg_idx, -cos))[:nprobe]
+        for cell in cells:
+            probe_rows.append((r["query_id"], int(cell)))
+            resid = q - C[cell]
+            for s, Bs in enumerate(B):
+                sub = resid[s * sub_dim : (s + 1) * sub_dim]
+                d = ((Bs - sub[None, :]) ** 2).sum(axis=1)
+                for ci in range(Bs.shape[0]):
+                    adc_rows.append(
+                        (r["query_id"], int(cell), s, ci, int(d[ci]))
+                    )
+    probes = spark.createDataFrame(
+        probe_rows,
+        T.StructType(
+            [T.StructField("query_id", id_type), T.StructField("cell", T.LongType())]
+        ),
+    )
+    adc = spark.createDataFrame(
+        adc_rows,
+        T.StructType(
+            [
+                T.StructField("query_id", id_type),
+                T.StructField("cell", T.LongType()),
+                T.StructField("s", T.IntegerType()),
+                T.StructField("code", T.IntegerType()),
+                T.StructField("d", T.LongType()),
+            ]
+        ),
+    )
+    return probes, adc
+
+
+def knn_ivfadc_codes(
+    codes: DataFrame,
+    queries: DataFrame,
+    cents: list[list[int]],
+    books: list[list[list[int]]],
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    sub_dim: int = PQ_SUB,
+    dedup: bool = True,
+) -> DataFrame:
+    """IVFADC top-k over a PRE-BUILT codes index (from
+    :func:`ivfadc_encode` or its streaming maintainer): the probe
+    relation broadcast-joins the codes scan on ``cell`` — at scale,
+    partition pruning of the cell-partitioned index to
+    nprobe/n_centroids of its bytes — then per subspace one broadcast
+    hash join onto the materialized ADC relation on
+    (query_id, cell, code); ``approx_l2`` is an m_sub-term integer sum.
+    Everything whole-stage-codegen; the only per-corpus-row cost is
+    m_sub hash probes on microscopic broadcast tables. ``queries``
+    carries (query_id, qqv) and must be bounded (collected to build the
+    ADC relation). ``dedup`` guards replayed at-least-once index rows
+    exactly as in :func:`knn_pq_adc_codes`."""
+    if dedup:
+        codes = codes.dropDuplicates(["vec_id"])
+    probes, adc = _ivfadc_probe_tables(queries, cents, books, nprobe, sub_dim)
+    scored = codes.withColumnRenamed("vec_id", "neighbor_id").join(
+        F.broadcast(probes), "cell"
+    )
+    for s in range(len(books)):
+        adc_s = adc.filter(F.col("s") == s).select(
+            F.col("query_id").alias(f"__q{s}"),
+            F.col("cell").alias(f"__cl{s}"),
+            F.col("code").alias(f"__c{s}"),
+            F.col("d").alias(f"__d{s}"),
+        )
+        scored = scored.join(
+            F.broadcast(adc_s),
+            (F.col("query_id") == F.col(f"__q{s}"))
+            & (F.col("cell") == F.col(f"__cl{s}"))
+            & (F.col(f"code_{s}") == F.col(f"__c{s}")),
+        ).drop(f"__q{s}", f"__cl{s}", f"__c{s}")
+    approx = F.col("__d0")
+    for s in range(1, len(books)):
+        approx = approx + F.col(f"__d{s}")
+    scored = scored.filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("approx_l2", approx.cast("long"))
+    w = Window.partitionBy("query_id").orderBy("approx_l2", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "approx_l2")
+    )
+
+
+def knn_ivfadc(
+    corpus: DataFrame,
+    *,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 4,
+    n_centroids: int = N_CENTROIDS,
+    n_codes: int = IVFADC_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sub_dim: int = PQ_SUB,
+) -> DataFrame:
+    """End-to-end IVFADC: train (coarse cells + residual codebooks),
+    encode the corpus once, probe + ADC-rank. The candidate set per
+    query is the union of its ``nprobe`` cells — unlike flat PQ the
+    scan never touches the other ``n_centroids − nprobe`` cells'
+    codes."""
+    cents, books = ivfadc_train(
+        corpus,
+        n_centroids=n_centroids,
+        n_codes=n_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        sub_dim=sub_dim,
+    )
+    enc = ivfadc_encode(corpus, cents, books, id_col, vec_col, sub_dim=sub_dim)
+    q = corpus.select(
+        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qqv")
+    ).filter(F.col("query_id") < n_queries)
+    return knn_ivfadc_codes(
+        enc, q, cents, books, k=k, nprobe=nprobe, sub_dim=sub_dim, dedup=False
+    )
+
+
+def knn_ivfadc_rerank(
+    corpus: DataFrame,
+    *,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 50,
+    n_centroids: int = N_CENTROIDS,
+    n_codes: int = IVFADC_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sub_dim: int = PQ_SUB,
+) -> DataFrame:
+    """IVFADC with exact refinement: ADC selects ``rerank`` candidates
+    per query from the probed cells' codes, then the exact integer
+    cosine reranks just those O(queries·rerank) rows — the full FAISS
+    search loop (probe → ADC → refine), end-to-end."""
+    cand = knn_ivfadc(
+        corpus,
+        n_queries=n_queries,
+        k=rerank,
+        nprobe=nprobe,
+        n_centroids=n_centroids,
+        n_codes=n_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        sub_dim=sub_dim,
+    ).select("query_id", "neighbor_id")
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv")
+    )
+    qvecs = corpus.select(
+        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qqv")
+    ).filter(F.col("query_id") < n_queries)
+    scored = (
+        cand.join(vecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn("cosine", cosine_from_quantized(F.col("qqv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+# ----------------------------------------------------------------- SemDeDup
+def semdedup(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.9,
+    n_centroids: int = N_CENTROIDS,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication [Abbas et al. 2023, SemDeDup]: k-means
+    cluster the embedding space, find within-cluster pairs whose exact
+    integer cosine clears ``threshold``, group them into connected
+    components, and KEEP one representative per component — the member
+    with the LOWEST cosine to its cluster centroid (the paper's
+    empirically-best keep policy: extreme points preserve diversity),
+    ties → lower id. Output: one row per input vector —
+    (vec_id, cell, component, cos_to_centroid, keep) with
+    component = own id for non-duplicated vectors and keep ∈ {0, 1}.
+
+    Plan: the deterministic :func:`ivf_centroids` quantizer (two Lloyd
+    passes, no RNG), one codegen assignment pass, cos-to-centroid via a
+    broadcast join against the k-row centroid table, then the
+    within-cell self-join — SemDeDup's own O(Σ cell²) step, the whole
+    reason the paper clusters FIRST: pairs are confined to cells
+    (n²/k per cell for balanced cells, embarrassingly parallel across
+    cells) instead of the corpus-wide n². At 100 TB, n_centroids
+    scales with the corpus (FAISS practice ~√n) so cells stay bounded;
+    a skew-heavy cell is a quantizer-quality signal, not a plan hazard
+    (the join is keyed on cell — AQE splits oversized partitions).
+    Component labels via :func:`graph.connected_components`
+    (hash-to-min + pointer jumping, O(log diameter) rounds).
+
+    Keep-policy ordering is explicit nulls-last on cos_to_centroid
+    (zero-norm vectors cosine NULL): Spark ASC defaults NULLS FIRST,
+    DuckDB NULLS LAST — pinned identically on both sides."""
+    from .graph import connected_components
+
+    spark = corpus.sparkSession
+    cents = ivf_centroids(
+        corpus,
+        n_centroids=n_centroids,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    v = corpus.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
+    if n_centroids <= CENTROID_LITERAL_MAX:
+        assigned = v.withColumn("cell", _assign_cluster(F.col("qv"), cents).cast("long"))
+    else:
+        assigned = _assign_cells_arrow(v, cents, qv_col="qv", out_col="cell")
+    cent_df = spark.createDataFrame(
+        [(i, list(map(int, c))) for i, c in enumerate(cents)],
+        T.StructType(
+            [
+                T.StructField("cell", T.LongType()),
+                T.StructField("cen", T.ArrayType(T.LongType())),
+            ]
+        ),
+    )
+    # pinned: feeds the pair join twice (both sides) and the final output
+    from leftshove_spark.ext import cache as _cache
+
+    withc = _cache.pin(
+        assigned.join(F.broadcast(cent_df), "cell").select(
+            "id",
+            "cell",
+            "qv",
+            cosine_from_quantized(F.col("qv"), F.col("cen")).alias("c2c"),
+        )
+    )
+    a = withc.select(
+        F.col("id").alias("id_a"), F.col("cell").alias("cell"), F.col("qv").alias("qv_a")
+    )
+    b = withc.select(
+        F.col("id").alias("id_b"), F.col("cell").alias("cell"), F.col("qv").alias("qv_b")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_from_quantized(F.col("qv_a"), F.col("qv_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)  # (node, component)
+    labeled = withc.join(
+        comp.withColumnRenamed("node", "id"), "id", "left"
+    ).withColumn("component", F.coalesce("component", F.col("id")))
+    w = Window.partitionBy("component").orderBy(
+        F.col("c2c").asc_nulls_last(), F.col("id")
+    )
+    return labeled.withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("int")
+    ).select(
+        F.col("id").alias(id_col),
+        "cell",
+        "component",
+        F.col("c2c").alias("cos_to_centroid"),
+        "keep",
     )

@@ -32,6 +32,28 @@ from .hashing import hash60
 U60 = float(1 << 60)
 
 
+def _bucket_prune(
+    df: DataFrame, order_cols: list[str], k: int
+) -> DataFrame:
+    """Pre-prune the UNGROUPED top-k: the global k-smallest stage is a
+    ``Window.partitionBy(lit(1))`` — a single-partition sort, which over
+    the raw input would contradict the module's O(groups·k) envelope
+    (and the repo's no-single-partition discipline) the moment there is
+    no group key. Bucket by the hash's low bits (deterministic — NOT
+    spark_partition_id), keep k per bucket via a WindowGroupLimit-pruned
+    rank, and the single-partition stage then sees only buckets·k rows
+    regardless of input size. Output-invariant: the global k smallest
+    survive any bucketing that keeps k per bucket."""
+    width = max(df.sparkSession.sparkContext.defaultParallelism, 16)
+    b = F.pmod(F.col(order_cols[0]), F.lit(width))
+    w = Window.partitionBy(b).orderBy(*order_cols)
+    return (
+        df.withColumn("__bk_rn", F.row_number().over(w))
+        .filter(F.col("__bk_rn") <= k)
+        .drop("__bk_rn")
+    )
+
+
 def kmv_sketch(
     df: DataFrame,
     value_col: str | Column,
@@ -52,6 +74,8 @@ def kmv_sketch(
     gcols = list(group_cols or [])
     c = F.col(value_col) if isinstance(value_col, str) else value_col
     distinct = df.groupBy(*gcols, hash60(c).alias("__h")).agg(F.lit(1).alias("__one"))
+    if not gcols:
+        distinct = _bucket_prune(distinct, ["__h"], k)
     w = Window.partitionBy(*[F.col(g) for g in gcols] or [F.lit(1)]).orderBy("__h")
     topk = distinct.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= k
@@ -151,6 +175,8 @@ def bottomk_sample_sketch(
         F.col(id_col).alias("__i"),
         F.col(value_col).cast("long").alias("__v"),
     )
+    if not gcols:
+        base = _bucket_prune(base, ["__h", "__i"], k)
     w = Window.partitionBy(*[F.col(g) for g in gcols] or [F.lit(1)]).orderBy(
         "__h", "__i"
     )

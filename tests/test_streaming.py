@@ -743,3 +743,86 @@ def test_embedding_index_stream_equals_batch_encode(spark, tmp_path):
     assert streamed.count() == emb.count()
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_ivfadc_index_stream_equals_batch_encode_and_probes_prune(spark, tmp_path):
+    """W24: stream-appended IVFADC rows ≡ batch re-encode (pure
+    function of (vector, frozen cents+books)); the cell-partitioned
+    index is searchable between triggers and search results equal the
+    batch path, including with replayed duplicate rows (dedup guard)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from conftest import SF0001
+    from leftshove_spark.ext import similarity as S
+    from leftshove_spark.sources import load_table
+    from leftshove_spark.streaming import start_ivfadc_index_stream
+
+    emb = load_table(spark, SF0001, "embeddings")
+    cents, books = S.ivfadc_train(emb)
+    landing = str(tmp_path / "landing")
+    index = str(tmp_path / "index")
+    os.makedirs(landing)
+
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("append").parquet(landing)
+    q = start_ivfadc_index_stream(
+        spark,
+        landing_dir=landing,
+        index_dir=index,
+        cents=cents,
+        books=books,
+        checkpoint_dir=str(tmp_path / "ck"),
+        once=True,
+    )
+    assert q.awaitTermination(120), "ivfadc index stream did not drain"
+    idx = spark.read.parquet(index)
+    assert idx.count() == emb.filter(F.col("vec_id") % 2 == 0).count()
+    # partitioned layout: cell=<N> directories exist (the pruning unit)
+    assert any(d.startswith("cell=") for d in os.listdir(index))
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), S.quantize("embedding").alias("qqv")
+    )
+    got = S.knn_ivfadc_codes(idx, queries, cents, books).collect()
+    want = S.knn_ivfadc_codes(
+        S.ivfadc_encode(emb.filter(F.col("vec_id") % 2 == 0), cents, books),
+        queries,
+        cents,
+        books,
+        dedup=False,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
+
+    # second trigger: only the new half is encoded; final index ≡ batch
+    emb.filter(F.col("vec_id") % 2 == 1).write.mode("append").parquet(landing)
+    q = start_ivfadc_index_stream(
+        spark,
+        landing_dir=landing,
+        index_dir=index,
+        cents=cents,
+        books=books,
+        checkpoint_dir=str(tmp_path / "ck"),
+        once=True,
+    )
+    assert q.awaitTermination(120), "ivfadc index stream did not drain"
+    streamed = spark.read.parquet(index).select(
+        "vec_id", "cell", *[c for c in idx.columns if c.startswith("code_")]
+    )
+    batch = S.ivfadc_encode(emb, cents, books).select(*streamed.columns)
+    # partition column round-trips as int32 — align types before except
+    streamed = streamed.withColumn("cell", F.col("cell").cast("long"))
+    assert streamed.count() == emb.count()
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+    # at-least-once replay: duplicate rows in the index must not eat
+    # top-k slots when dedup=True (each id's copies carry equal codes)
+    dup = spark.read.parquet(index)
+    doubled = dup.unionByName(dup)
+    got_dup = S.knn_ivfadc_codes(doubled, queries, cents, books, dedup=True).collect()
+    full = S.knn_ivfadc_codes(
+        S.ivfadc_encode(emb, cents, books), queries, cents, books, dedup=False
+    )
+    assert sorted(map(tuple, got_dup)) == sorted(map(tuple, full.collect()))
