@@ -66,6 +66,12 @@ HEADLINE = [
     # window hashes + doc-frequency groupBy + join-back); the 22 prior
     # headliners stay untouched for round-over-round comparability
     "x_dedup_substring",
+    # round-10: two new plan classes, prior rows untouched —
+    # the two-level ANN (driver-side Lloyd/codebook training actions +
+    # Arrow encode + broadcast-probe ADC + exact rerank) and the
+    # semantic dedup (cells + per-cell Arrow matmul pair mining + CC)
+    "x_knn_ivfadc_rerank",
+    "x_semdedup",
     # round-3 breadth: sessionization and grouping-set classes
     "w9_session_window",
     "o4_cube_pricing",

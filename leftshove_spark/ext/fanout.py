@@ -16,15 +16,19 @@ from pyspark.sql import DataFrame
 
 def fanout_if_narrow(src: DataFrame, key: str | None = None) -> DataFrame:
     """Repartition ``src`` up to ``defaultParallelism`` ONLY when the
-    file-backed scan is narrower than the cluster (the single-local-file
-    case). Non-file sources (in-memory fixtures, post-shuffle inputs)
-    pass through: their partitioning was already chosen by the engine,
-    and the downstream Arrow stage is value-independent of partitioning.
-    ``key`` keys the fan-out so a persisted result is evenly spread."""
-    files = src.inputFiles()
-    if not files:
-        return src
+    input is actually narrower than the cluster (the single-local-file
+    case). Two-tier probe: ``inputFiles()`` first — a scan over >= width
+    files can never be narrow, so the 100 TB hot path returns without
+    ever touching ``DataFrame.rdd``; only a SUSPECTED-narrow input
+    (few/no files) pays the rdd partition-count probe, which correctly
+    passes through inputs whose width comes from an upstream shuffle
+    rather than the scan (a repartitioned frame still reports its
+    source files — file count alone would mis-flag it narrow and add
+    an avoidable full shuffle). ``key`` keys the fan-out so a persisted
+    result is evenly spread."""
     width = src.sparkSession.sparkContext.defaultParallelism
-    if len(files) >= width:
+    if len(src.inputFiles()) >= width:
+        return src
+    if src.rdd.getNumPartitions() >= width:
         return src
     return src.repartition(width, key) if key else src.repartition(width)

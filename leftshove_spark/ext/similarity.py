@@ -198,10 +198,15 @@ def _assign_cluster(qv: Column, centroids: list[list[int]]) -> Column:
     return F.array_max(scored).getField("i")
 
 
-# Above this many centroids the literal expression tree (k nested
-# struct/dot expressions per row) stops being the right plan — codegen
-# blows past method-size limits and falls back to interpreted. The
-# Arrow path replaces it with one B×dim @ dim×k matmul per batch.
+# Ceiling for the literal expression tree (k nested struct/dot
+# expressions per row) on QUERY-side probe selection, where the row
+# count is bounded. Corpus-side assignment never uses the literal path
+# anymore: its dots are higher-order-function lambdas (F.aggregate /
+# zip_with), which Spark evaluates INTERPRETED per element regardless
+# of codegen — r10 profiling measured the 16-centroid literal
+# assignment at ~12× the Arrow matmul on the same input. The literal
+# form remains the pinned arithmetic convention (`_assign_cluster` ≡
+# `_assign_cells_arrow`, tests/test_ext.py parity).
 CENTROID_LITERAL_MAX = 64
 
 
@@ -332,10 +337,9 @@ def ivf_centroids(
         return pd.DataFrame({"cl": [key[0]], "cen": [cen.tolist()]})
 
     for _ in range(iters):
-        if n_centroids <= CENTROID_LITERAL_MAX:
-            assigned = v.withColumn("cl", _assign_cluster(F.col("qv"), cents))
-        else:
-            assigned = _assign_cells_arrow(v, cents, qv_col="qv", out_col="cl")
+        # always the Arrow matmul: the literal path's HOF dots run
+        # interpreted per element (see CENTROID_LITERAL_MAX note)
+        assigned = _assign_cells_arrow(v, cents, qv_col="qv", out_col="cl")
         new = {
             r["cl"]: r["cen"]
             for r in assigned.groupBy("cl").applyInPandas(mean_center, out_schema).collect()
@@ -375,8 +379,13 @@ def knn_ivf(
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv"))
+    # corpus assignment: always the Arrow matmul (the literal HOF dots
+    # run interpreted per element — CENTROID_LITERAL_MAX note); the
+    # bounded QUERY side keeps the literal probe below the expression
+    # ceiling (no Arrow worker spin-up for 10 rows), Arrow above it —
+    # same scores, same tie order either way (parity-pinned)
+    c = _assign_cells_arrow(c, cents, qv_col="cv", out_col="cell")
     if n_centroids <= CENTROID_LITERAL_MAX:
-        c = c.withColumn("cell", _assign_cluster(F.col("cv"), cents))
         scored = F.array(
             *[
                 F.struct(s.alias("c"), F.lit(i).cast("long").alias("i"))
@@ -388,9 +397,6 @@ def knn_ivf(
             "cell", F.col("probe.i")
         ).drop("probe")
     else:
-        # past the literal-expression ceiling: Arrow matmul on both
-        # sides — same scores, same tie order, one batch op per task
-        c = _assign_cells_arrow(c, cents, qv_col="cv", out_col="cell")
         q = (
             _probe_cells_arrow(q, cents, nprobe, qv_col="qv", out_col="cells")
             .withColumn("cell", F.explode("cells"))
@@ -1311,10 +1317,9 @@ def semdedup(
         vec_col=vec_col,
     )
     v = corpus.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
-    if n_centroids <= CENTROID_LITERAL_MAX:
-        assigned = v.withColumn("cell", _assign_cluster(F.col("qv"), cents).cast("long"))
-    else:
-        assigned = _assign_cells_arrow(v, cents, qv_col="qv", out_col="cell")
+    # corpus-side assignment: always the Arrow matmul (the literal HOF
+    # dots run interpreted — CENTROID_LITERAL_MAX note)
+    assigned = _assign_cells_arrow(v, cents, qv_col="qv", out_col="cell")
     cent_df = spark.createDataFrame(
         [(i, list(map(int, c))) for i, c in enumerate(cents)],
         T.StructType(
@@ -1335,18 +1340,50 @@ def semdedup(
             cosine_from_quantized(F.col("qv"), F.col("cen")).alias("c2c"),
         )
     )
-    a = withc.select(
-        F.col("id").alias("id_a"), F.col("cell").alias("cell"), F.col("qv").alias("qv_a")
+    # within-cell pair mining as ONE Arrow matmul per cell
+    # (applyInPandas keyed by cell — the same shuffle the pair join
+    # would have made, but each cell's n² cosines are one int64 matmul
+    # + vectorized float64 normalize instead of n²/2 expression-tree
+    # evaluations, each of which re-derived THREE aggregate-dots per
+    # pair). The arithmetic replicates cosine_from_quantized's exact
+    # IEEE sequence — int64 dot (exact), float64 sqrt norms, product,
+    # divide, all correctly-rounded ops — so the >= threshold boundary
+    # set is bit-identical to the expression form and the SQL oracle
+    # (the `_centroid_cosines_np` discipline). A cell too large for
+    # one worker's matmul is a coarse-quantizer-quality problem, not a
+    # plan hazard — SemDeDup's n_centroids scales ~√n precisely to
+    # bound cells.
+    import numpy as np
+
+    id_type = withc.schema["id"].dataType
+    pair_schema = T.StructType(
+        [T.StructField("id_a", id_type), T.StructField("id_b", id_type)]
     )
-    b = withc.select(
-        F.col("id").alias("id_b"), F.col("cell").alias("cell"), F.col("qv").alias("qv_b")
-    )
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_from_quantized(F.col("qv_a"), F.col("qv_b")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b")
+
+    def cell_pairs(key: tuple, pdf) -> "pd.DataFrame":
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+        ids = pdf["id"].to_numpy()
+        norms = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = (Q @ Q.T).astype(np.float64) / (
+                norms[:, None] * norms[None, :]
+            )
+        iu, ju = np.triu_indices(n, k=1)
+        with np.errstate(invalid="ignore"):
+            hit = cos[iu, ju] >= threshold  # NaN (zero-norm) -> False,
+            # matching the expression form's NULL-drop
+        a, b = ids[iu[hit]], ids[ju[hit]]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)}
+        )
+
+    pairs = withc.select("id", "cell", "qv").groupBy("cell").applyInPandas(
+        cell_pairs, pair_schema
     )
     comp = connected_components(pairs)  # (node, component)
     labeled = withc.join(
@@ -1364,3 +1401,88 @@ def semdedup(
         F.col("c2c").alias("cos_to_centroid"),
         "keep",
     )
+
+
+def semdedup_admit(
+    index: DataFrame | None,
+    batch: DataFrame,
+    cents: list[list[int]],
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup ADMISSION: screen a batch of embeddings
+    against a persisted semantic index before it may join the corpus —
+    the :func:`semdedup` counterpart of the MinHash stream-admission
+    loop (W20). ``index`` is the standing (vec_id, cell, qv) relation
+    of previously-ADMITTED vectors (None/empty for a cold start);
+    ``cents`` are FROZEN coarse centroids (the W23/W24 codebook
+    discipline — re-training would silently re-map cell meanings;
+    retrain = new index + cutover).
+
+    A batch row is admitted iff NO already-admitted vector in its cell
+    has cosine >= ``threshold``, and no EARLIER batch row (lower id —
+    the deterministic in-batch greedy order) admitted in the same cell
+    blocks it. Invariants (pytest-pinned): the admitted set never
+    contains a within-threshold pair against the index or itself;
+    every rejected row names nothing — it simply doesn't append; exact
+    re-ingest of an admitted row is rejected (cos(x,x) = 1 >= τ).
+
+    Cost per batch ∝ batch×(cell populations touched), never
+    corpus×corpus: the batch joins the index only on its own cells —
+    on a cell-partitioned index that read is partition-pruned. In-batch
+    screening is the within-cell self-join over batch rows only.
+    Returns the admitted rows as (vec_id, cell, qv) — the caller
+    appends them to the index."""
+    b = batch.select(F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv"))
+    b = _assign_cells_arrow(b, cents, qv_col="qv", out_col="cell")
+    b = b.select("vec_id", "cell", "qv")
+    if index is not None:
+        blocked = (
+            b.alias("n")
+            .join(
+                index.select(
+                    F.col("vec_id").alias("ivid"),
+                    F.col("cell"),
+                    F.col("qv").alias("iqv"),
+                ),
+                "cell",
+            )
+            .filter(
+                cosine_from_quantized(F.col("qv"), F.col("iqv")) >= threshold
+            )
+            .select("vec_id")
+            .distinct()
+        )
+        b = b.join(blocked, "vec_id", "left_anti")
+    # in-batch greedy screen: a row is blocked by any LOWER-id survivor
+    # of the index screen in its cell within threshold. One pass of the
+    # pair join suffices for admission-safety (pinned invariant: no
+    # admitted pair within threshold): if a<b<c chain-blocks, b blocked
+    # by a, and c is blocked by a directly only if cos(a,c) >= τ — the
+    # SemDeDup greedy (keep the lowest id of every conflicting pair)
+    # admits c when it conflicts only with the REJECTED b; resolve that
+    # transitively via connected components, keeping each component's
+    # minimum id (deterministic, order-free).
+    from .graph import connected_components
+
+    xa = b.select(
+        F.col("vec_id").alias("id_a"), "cell", F.col("qv").alias("qv_a")
+    )
+    xb = b.select(
+        F.col("vec_id").alias("id_b"), "cell", F.col("qv").alias("qv_b")
+    )
+    pairs = (
+        xa.join(xb, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            cosine_from_quantized(F.col("qv_a"), F.col("qv_b")) >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("vec_id")
+    )
+    return b.join(losers, "vec_id", "left_anti")

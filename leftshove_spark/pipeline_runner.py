@@ -140,6 +140,76 @@ def _stage_sample_k_per_group(spark, df, *, group_cols, k, id_col="doc_id"):
     return sample_k_per_group(df, group_cols, k, id_col)
 
 
+def _stage_substring_redact(
+    spark, df, *, text_col="text", id_col="doc_id",
+    window=20, min_docs=2, max_window_df=None,
+):
+    # the Lee-et-al exact-substring REMEDY as a pipeline stage: text is
+    # REPLACED by the redacted token stream (rows whose every token was
+    # duplicated survive with empty text — dropping is a quality_filter
+    # decision, not a redaction one)
+    from .ext.dedup import redact_duplicated_spans
+
+    red = redact_duplicated_spans(
+        df, text_col, id_col, window=window, min_docs=min_docs,
+        max_window_df=max_window_df,
+    ).select(id_col, "text_redacted")
+    return (
+        df.join(red, id_col, "left")
+        .withColumn(text_col, F.coalesce("text_redacted", F.col(text_col)))
+        .drop("text_redacted")
+    )
+
+
+def _stage_temperature_mixture(
+    spark, df, *, source_col="source", id_col="doc_id", alpha=0.5
+):
+    from .ext.pipeline import temperature_mixture_sample
+
+    picked = temperature_mixture_sample(df, source_col, id_col, alpha).select(id_col)
+    return df.join(picked, id_col)
+
+
+def _stage_dsir_sample(
+    spark, df, *, target, k, text_col="text", id_col="doc_id", n_buckets=4096
+):
+    from .ext.pipeline import dsir_sample
+
+    picked = dsir_sample(
+        df, target, k, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    ).select(id_col)
+    return df.join(picked, id_col)
+
+
+def _stage_interleave(
+    spark, df, *, weights, source_col="source", id_col="doc_id",
+    pos_col="interleave_pos",
+):
+    # ORDER stage: appends the deterministic weighted-fair training
+    # position; rows are untouched otherwise (terminal by convention —
+    # downstream filters would leave position gaps, which consumers
+    # ordering by pos_col tolerate)
+    from .ext.pipeline import interleave_sources
+
+    return interleave_sources(df, weights, source_col, id_col, pos_col)
+
+
+def _stage_fingerprint(
+    spark, df, *, content_col="text", id_col="doc_id", group_cols=None
+):
+    # ACCOUNTING stage: computes the order-insensitive corpus
+    # fingerprint as a side artifact (PipelineResult.artifacts
+    # ["fingerprint"]) and passes the frame through unchanged — the
+    # reproducibility receipt a config-built pipeline ends with
+    from .ext.pipeline import dataset_fingerprint
+
+    return df, dataset_fingerprint(df, content_col, id_col, group_cols)
+
+
+# Stages whose wrapper returns (frame, artifact) instead of a frame:
+# the artifact lands in PipelineResult.artifacts[op], the frame flows on.
+ARTIFACT_STAGES = {"fingerprint"}
+
 STAGES = {
     "quality_filter": _stage_quality_filter,
     "exact_dedup": _stage_exact_dedup,
@@ -152,6 +222,11 @@ STAGES = {
     "token_budget_cap": _stage_token_budget_cap,
     "weighted_sample": _stage_weighted_sample,
     "sample_k_per_group": _stage_sample_k_per_group,
+    "substring_redact": _stage_substring_redact,
+    "temperature_mixture": _stage_temperature_mixture,
+    "dsir_sample": _stage_dsir_sample,
+    "interleave": _stage_interleave,
+    "fingerprint": _stage_fingerprint,
 }
 
 
@@ -159,6 +234,7 @@ STAGES = {
 class PipelineResult:
     df: DataFrame
     counts: dict[str, int] = field(default_factory=dict)
+    artifacts: dict[str, DataFrame] = field(default_factory=dict)
 
 
 def run_pipeline(
@@ -188,6 +264,7 @@ def run_pipeline(
     import inspect
 
     counts: dict[str, int] = {}
+    artifacts: dict[str, DataFrame] = {}
     if count_stages:
         counts["ingested"] = docs.count()
     out, prev_cached = docs, None
@@ -209,7 +286,10 @@ def run_pipeline(
             raise ValueError(
                 f"stage {i} ({op}): bad parameters {stage}: {e}"
             ) from e
-        out = fn(spark, out, **stage)
+        if op in ARTIFACT_STAGES:
+            out, artifacts[op] = fn(spark, out, **stage)
+        else:
+            out = fn(spark, out, **stage)
         if count_stages:
             from .ext.cache import pin
 
@@ -218,4 +298,4 @@ def run_pipeline(
             if prev_cached is not None:
                 prev_cached.unpersist()
             prev_cached = out
-    return PipelineResult(df=out, counts=counts)
+    return PipelineResult(df=out, counts=counts, artifacts=artifacts)

@@ -257,3 +257,81 @@ def test_pq_codes_compress_and_recall_is_pinned(spark):
     recall_rerank = len(rer & exact) / len(exact)
     assert recall_rerank >= 0.6, recall_rerank
     assert recall_rerank > recall_adc
+
+
+def test_semdedup_admit_invariants(spark):
+    """Incremental SemDeDup admission (the semantic W20): (a) the
+    admitted set never contains a within-threshold pair — against the
+    standing index or within itself; (b) exact re-ingest of an admitted
+    row is rejected (cos(x,x)=1); (c) a batch with no conflicts admits
+    fully; (d) folding two batches leaves an index that is pairwise
+    clean under the frozen centroids."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF0001
+    from leftshove_spark.ext import similarity as S
+    from leftshove_spark.sources import load_table
+
+    emb = load_table(spark, SF0001, "embeddings")
+    # planted twins: first 4 components zeroed (cos ≈ 0.99 to original)
+    twin = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i < 4, F.lit(0.0).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    cents = S.ivf_centroids(emb)
+
+    b1 = emb.filter(F.col("vec_id") < 40)
+    a1 = S.semdedup_admit(None, b1, cents, threshold=0.9)
+    n1 = a1.count()
+    assert 0 < n1 <= 40
+
+    def clean(ix):
+        xa = ix.select(F.col("vec_id").alias("ia"), "cell", F.col("qv").alias("qa"))
+        xb = ix.select(F.col("vec_id").alias("ib"), "cell", F.col("qv").alias("qb"))
+        return (
+            xa.join(xb, "cell")
+            .filter(F.col("ia") < F.col("ib"))
+            .filter(S.cosine_from_quantized(F.col("qa"), F.col("qb")) >= 0.9)
+            .count()
+        )
+
+    assert clean(a1) == 0
+
+    # batch 2: twins of batch 1 (should be rejected against the index)
+    # plus fresh originals 40..79 (mostly admitted)
+    b2 = twin.filter(F.col("vec_id") < 100040).unionByName(
+        emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 80)).select(
+            "vec_id", "embedding"
+        )
+    )
+    a2 = S.semdedup_admit(a1, b2, cents, threshold=0.9)
+    ids2 = {r["vec_id"] for r in a2.select("vec_id").collect()}
+    # twins whose ORIGINAL was admitted must be rejected (same cell —
+    # zeroing 4 of 64 comps rarely moves the cell; assert on the ones
+    # whose cell matches)
+    twin_cells = {
+        r["vec_id"]: r["cell"]
+        for r in S.semdedup_admit(None, twin.filter(F.col("vec_id") < 100040),
+                                  cents, threshold=2.0).select("vec_id", "cell").collect()
+    }
+    admitted_cells = {
+        r["vec_id"]: r["cell"] for r in a1.select("vec_id", "cell").collect()
+    }
+    same_cell_twins = {
+        t for t, c in twin_cells.items()
+        if admitted_cells.get(t - 100000) == c
+    }
+    leaked = ids2 & same_cell_twins
+    assert not leaked, f"same-cell twins admitted past their originals: {leaked}"
+
+    folded = a1.unionByName(a2)
+    assert clean(folded) == 0
+
+    # exact re-ingest of already-admitted rows: all rejected
+    a3 = S.semdedup_admit(folded, b1, cents, threshold=0.9)
+    a3_ids = {r["vec_id"] for r in a3.select("vec_id").collect()}
+    assert not (a3_ids & {r["vec_id"] for r in a1.select("vec_id").collect()})
+    assert a3.count() == 0  # every b1 row was screened (admitted or conflicted)

@@ -645,3 +645,70 @@ def test_run_pipeline_config_equals_hand_composition(spark):
         run_pipeline(spark, corpus, [{"op": "hash_split", "zzz": 1}])
     with pytest.raises(ValueError, match="missing 'op'"):
         run_pipeline(spark, corpus, [{"min_tokens": 5}])
+
+
+def test_run_pipeline_redact_fingerprint_interleave_terminal_stages(spark):
+    """r9-advice #8: a config-built pipeline can end with substring
+    redaction + DSIR/temperature selection + fingerprint accounting +
+    the interleave training order, each ≡ its hand-composition, with
+    the fingerprint landing as a side ARTIFACT (frame passes through
+    unchanged)."""
+    from conftest import SF0001
+    from leftshove_spark.pipeline_runner import run_pipeline
+    from leftshove_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, SF0001, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    spec = [
+        {"op": "substring_redact", "window": 20},
+        {"op": "temperature_mixture", "source_col": "lang"},
+        {"op": "dsir_sample", "target": target, "k": 50},
+        {"op": "fingerprint", "group_cols": ["lang"]},
+        {"op": "interleave", "weights": {"en": 2, "de": 1, "fr": 1,
+                                         "es": 1, "zh": 1}, "source_col": "lang"},
+    ]
+    res = run_pipeline(spark, docs, spec)
+    # fingerprint is accounting-only: the frame flows through unchanged
+    assert res.counts["3_fingerprint"] == res.counts["2_dsir_sample"]
+    assert "fingerprint" in res.artifacts
+    fp = res.artifacts["fingerprint"]
+    assert fp.count() > 0 and "n_docs" in fp.columns
+    # interleave appends the position, drops nothing
+    assert res.counts["4_interleave"] == res.counts["3_fingerprint"] > 0
+    assert "interleave_pos" in res.df.columns
+
+    # hand composition parity on the surviving id set + positions
+    from leftshove_spark.ext.dedup import redact_duplicated_spans
+    from leftshove_spark.ext.pipeline import (
+        dsir_sample,
+        interleave_sources,
+        temperature_mixture_sample,
+    )
+
+    red = redact_duplicated_spans(docs, window=20).select(
+        "doc_id", "text_redacted"
+    )
+    h = (
+        docs.join(red, "doc_id", "left")
+        .withColumn("text", F.coalesce("text_redacted", F.col("text")))
+        .drop("text_redacted")
+    )
+    h = h.join(
+        temperature_mixture_sample(h, "lang").select("doc_id"), "doc_id"
+    )
+    h = h.join(
+        dsir_sample(h, target, 50).select("doc_id"), "doc_id"
+    )
+    h = interleave_sources(
+        h, {"en": 2, "de": 1, "fr": 1, "es": 1, "zh": 1}, "lang"
+    )
+    got = sorted(
+        (r["doc_id"], r["interleave_pos"])
+        for r in res.df.select("doc_id", "interleave_pos").collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["interleave_pos"])
+        for r in h.select("doc_id", "interleave_pos").collect()
+    )
+    assert got == want and len(got) > 0

@@ -39,6 +39,18 @@ _BNLJ_ALLOWED = {
     "q22_dormant_customers",
     # single-row min(n_s) rate anchor, same constant-key shape
     "x_mixture_sample",
+    # same single-row min(n_s) anchor (the α=1/2 flattening rides the
+    # identical broadcast rate-table plan)
+    "x_temperature_mixture",
+    # single-row (n_docs, total_tokens) stats joined to the
+    # ≤|query_terms|-row df table — x_tfidf_search's constant-key shape
+    "x_bm25_search",
+    # single-row target-total joined to the ≤n_buckets-row target count
+    # table (both broadcast, both corpus-independent)
+    "x_target_affinity",
+    # embeds x_target_affinity's scalar joins; the PPS stage itself is
+    # keyed (the X44 machinery)
+    "x_dsir_sample",
     # single-row corpus-count joined to the ≤|query_terms|-row
     # document-frequency table, same constant-key shape
     "x_tfidf_search",
