@@ -37,18 +37,38 @@ def quantize(vec: Column | str) -> Column:
     return F.transform(col, lambda x: F.round(x.cast("double") * QUANT_SCALE).cast("long"))
 
 
-def int_dot(a: Column, b: Column) -> Column:
-    """Exact integer dot product of two quantized vectors."""
+def int_dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Exact integer dot product of two quantized vectors.
+
+    With ``dim`` the sum unrolls to ``dim`` element_at products — plain
+    arithmetic that whole-stage codegen compiles (a 64-dim dot is ~190
+    expression nodes, far under janino's limits, and the fallback=false
+    test lint would catch any future fusion blowup). Without it, the
+    generic higher-order form — which Spark evaluates INTERPRETED per
+    element (lambda dispatch per component): fine for bounded rerank
+    sets, wrong for per-row corpus math. Integer addition is
+    associative, so both forms are bit-identical."""
+    if dim is not None:
+        terms = [
+            F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out.cast("long")
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
 
 
-def cosine_from_quantized(a: Column, b: Column) -> Column:
+def cosine_from_quantized(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine from quantized vectors: exact int dot / (sqrt·sqrt).
-    Identical IEEE results everywhere since all inputs are exact ints."""
-    return int_dot(a, b).cast("double") / (
-        F.sqrt(int_dot(a, a).cast("double")) * F.sqrt(int_dot(b, b).cast("double"))
+    Identical IEEE results everywhere since all inputs are exact ints
+    (and identical between the ``dim``-unrolled and generic dot forms —
+    see :func:`int_dot`)."""
+    return int_dot(a, b, dim).cast("double") / (
+        F.sqrt(int_dot(a, a, dim).cast("double"))
+        * F.sqrt(int_dot(b, b, dim).cast("double"))
     )
 
 
@@ -58,20 +78,25 @@ def knn_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Plan: broadcast the (small) query side into a nested-loop join —
     the corpus streams through once, never shuffles. Rank window
     partitions by query id (small), ordered by (cosine desc, id) for a
-    total deterministic order."""
+    total deterministic order. Pass ``dim`` when known so the per-row
+    cosine unrolls to codegen arithmetic instead of the interpreted
+    higher-order dot (:func:`int_dot`) — this is the full-corpus-scan
+    baseline, the one place the per-row expression cost multiplies by
+    N·queries."""
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_from_quantized(F.col("qv"), F.col("cv")))
+        .withColumn("cosine", cosine_from_quantized(F.col("qv"), F.col("cv"), dim))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
@@ -147,7 +172,9 @@ def knn_lsh(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .drop("bucket")
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine", cosine_from_quantized(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine", cosine_from_quantized(F.col("qv"), F.col("cv"), dim=dim)
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
@@ -407,7 +434,10 @@ def knn_ivf(
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .drop("cell")
-        .withColumn("cosine", cosine_from_quantized(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            cosine_from_quantized(F.col("qv"), F.col("cv"), dim=len(cents[0])),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
@@ -937,7 +967,12 @@ def knn_pq_rerank(
     scored = (
         cand.join(vecs, "neighbor_id")
         .join(F.broadcast(qvecs), "query_id")
-        .withColumn("cosine", cosine_from_quantized(F.col("qqv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            cosine_from_quantized(
+                F.col("qqv"), F.col("cv"), dim=len(books) * sub_dim
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
@@ -1260,7 +1295,12 @@ def knn_ivfadc_rerank(
     scored = (
         cand.join(vecs, "neighbor_id")
         .join(F.broadcast(qvecs), "query_id")
-        .withColumn("cosine", cosine_from_quantized(F.col("qqv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            cosine_from_quantized(
+                F.col("qqv"), F.col("cv"), dim=PQ_M * sub_dim
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
@@ -1337,7 +1377,9 @@ def semdedup(
             "id",
             "cell",
             "qv",
-            cosine_from_quantized(F.col("qv"), F.col("cen")).alias("c2c"),
+            cosine_from_quantized(
+                F.col("qv"), F.col("cen"), dim=len(cents[0])
+            ).alias("c2c"),
         )
     )
     # within-cell pair mining as ONE Arrow matmul per cell
@@ -1450,7 +1492,8 @@ def semdedup_admit(
                 "cell",
             )
             .filter(
-                cosine_from_quantized(F.col("qv"), F.col("iqv")) >= threshold
+                cosine_from_quantized(F.col("qv"), F.col("iqv"), dim=len(cents[0]))
+                >= threshold
             )
             .select("vec_id")
             .distinct()
@@ -1477,7 +1520,8 @@ def semdedup_admit(
         xa.join(xb, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            cosine_from_quantized(F.col("qv_a"), F.col("qv_b")) >= threshold
+            cosine_from_quantized(F.col("qv_a"), F.col("qv_b"), dim=len(cents[0]))
+            >= threshold
         )
         .select("id_a", "id_b")
     )

@@ -677,7 +677,7 @@ def x_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     """Exact top-5 cosine neighbors for 10 query vectors — the ANN
     correctness baseline (broadcast nested loop; corpus never shuffles)."""
     em = load_table(spark, sf, "embeddings")
-    out = S.knn_bruteforce(em.filter(F.col("vec_id") < 10), em, k=5)
+    out = S.knn_bruteforce(em.filter(F.col("vec_id") < 10), em, k=5, dim=EMB_DIM)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -726,7 +726,7 @@ def x_hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("r_lex"),
     )
-    vec = S.knn_bruteforce(em.filter(F.col("vec_id") == 0), em, k=20).select(
+    vec = S.knn_bruteforce(em.filter(F.col("vec_id") == 0), em, k=20, dim=EMB_DIM).select(
         F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("long").alias("r_vec")
     )
     fused = lex.join(vec, "doc_id", "full_outer").select(
@@ -842,7 +842,7 @@ def x_ann_recall_lsh(spark: SparkSession, sf: str) -> DataFrame:
     pass. Same constant-key scalar-join shape as the IVF metric."""
     base = _planted_embedding_base(spark, sf)
     q = base.filter(F.col("vec_id") < 10)
-    exact = S.knn_bruteforce(q, base, k=1).select("query_id", "neighbor_id")
+    exact = S.knn_bruteforce(q, base, k=1, dim=EMB_DIM).select("query_id", "neighbor_id")
     approx = S.knn_lsh(q, base, dim=EMB_DIM, k=1).select("query_id", "neighbor_id")
     hits = exact.join(approx, ["query_id", "neighbor_id"])
     tot = exact.agg(F.count(F.lit(1)).alias("n_exact")).withColumn("k", F.lit(1))
@@ -1564,7 +1564,7 @@ def x_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     silent pass."""
     em = load_table(spark, sf, "embeddings")
     q = em.filter(F.col("vec_id") < 10)
-    exact = S.knn_bruteforce(q, em, k=5).select("query_id", "neighbor_id")
+    exact = S.knn_bruteforce(q, em, k=5, dim=EMB_DIM).select("query_id", "neighbor_id")
     approx = S.knn_ivf(q, em, k=5, nprobe=4).select("query_id", "neighbor_id")
     hits = exact.join(approx, ["query_id", "neighbor_id"])
     tot = exact.agg(F.count(F.lit(1)).alias("n_exact")).withColumn("k", F.lit(1))
@@ -3001,7 +3001,7 @@ def x_ann_recall_ivfadc(spark: SparkSession, sf: str) -> DataFrame:
     approximations."""
     emb = load_table(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    exact = S.knn_bruteforce(q, emb, k=5).select("query_id", "neighbor_id")
+    exact = S.knn_bruteforce(q, emb, k=5, dim=EMB_DIM).select("query_id", "neighbor_id")
     approx = S.knn_ivfadc_rerank(emb, rerank=50).select("query_id", "neighbor_id")
     hits = exact.join(approx, ["query_id", "neighbor_id"])
     tot = exact.agg(F.count(F.lit(1)).alias("n_exact")).withColumn("k", F.lit(1))
