@@ -1530,3 +1530,61 @@ def semdedup_admit(
         F.col("node").alias("vec_id")
     )
     return b.join(losers, "vec_id", "left_anti")
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    *,
+    n_queries: int = 10,
+    k: int = 5,
+    pool: int = 20,
+    threshold: float = 0.9,
+    n_centroids: int = N_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Dedup-aware contrastive hard-negative mining — the standard
+    retriever-training recipe: for each query, the hardest negatives
+    are its nearest neighbors, EXCEPT that semantic duplicates of the
+    query are false negatives (they'd teach the model to push apart
+    things that are the same). Mine a ``pool`` of exact nearest
+    neighbors, drop every neighbor in the query's :func:`semdedup`
+    component (the certified duplicate clusters), re-rank, keep ``k``.
+
+    Output: (query_id, neighbor_id, rank, cosine) — rank over the
+    SURVIVING pool, deterministic (cosine desc, id).
+
+    Plan: the kNN pool is O(queries·pool) rows; the component labels
+    join twice on id (query side broadcast-small, neighbor side keyed)
+    — the expensive parts are the two certified sub-operators, both
+    already scale-shaped (see their docstrings); the composition adds
+    two equi-joins and a window over O(queries·pool) rows. At 100 TB
+    swap the brute-force pool for :func:`knn_ivfadc_rerank` — the
+    filter-and-rerank composition is unchanged."""
+    comp = semdedup(
+        corpus,
+        threshold=threshold,
+        n_centroids=n_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(F.col(id_col).alias("__cid"), F.col("component"))
+    q = corpus.filter(F.col(id_col) < n_queries)
+    knn = knn_bruteforce(q, corpus, k=pool, id_col=id_col, vec_col=vec_col, dim=dim)
+    lab_q = comp.select(
+        F.col("__cid").alias("query_id"), F.col("component").alias("__comp_q")
+    )
+    lab_n = comp.select(
+        F.col("__cid").alias("neighbor_id"), F.col("component").alias("__comp_n")
+    )
+    kept = (
+        knn.join(F.broadcast(lab_q), "query_id")
+        .join(lab_n, "neighbor_id")
+        .filter(F.col("__comp_q") != F.col("__comp_n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        kept.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

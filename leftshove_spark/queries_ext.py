@@ -3022,14 +3022,18 @@ def x_ann_recall_ivfadc(spark: SparkSession, sf: str) -> DataFrame:
 # =========================================================================
 
 
-def _semdedup_oracle() -> str:
+def _semdedup_oracle(final_select: str | None = None) -> str:
     """SQL twin of the FULL SemDeDup pipeline over the planted-near-dup
     embedding base: the x_knn_ivf Lloyd replay (seeds, two iterations,
     assignment — identical CTE shapes) + within-cell exact-cosine pairs
     + recursive-CTE connected components (the x_dedup_connected_
     components discipline) + the keep-one-per-component policy (lowest
     cos-to-centroid, NULLS LAST pinned on both engines, id tiebreak).
-    Every stage is deterministic integer/IEEE arithmetic."""
+    Every stage is deterministic integer/IEEE arithmetic.
+    ``final_select`` overrides the output clause so compositions (the
+    hard-negative miner) can reuse the entire derivation — it may
+    reference any CTE, notably ``lab`` (vec_id, cl, c2c, component)
+    and ``e`` (vec_id, qv)."""
     dim, k_cells, tau = EMB_DIM, S.N_CENTROIDS, 0.9
     rng = f"range(1, {dim + 1})"
 
@@ -3098,12 +3102,13 @@ def _semdedup_oracle() -> str:
       SELECT w.vec_id, w.cl, w.c2c,
              coalesce(c.component, w.vec_id) AS component
       FROM wc w LEFT JOIN comp c ON c.node = w.vec_id)
+    {final_select or '''
     SELECT vec_id, cl AS cell, component, c2c AS cos_to_centroid,
            CAST(CASE WHEN row_number() OVER (
                   PARTITION BY component
                   ORDER BY c2c ASC NULLS LAST, vec_id) = 1
                 THEN 1 ELSE 0 END AS INT) AS keep
-    FROM lab
+    FROM lab'''}
     """
 
 
@@ -3213,3 +3218,58 @@ def x_dsir_sample(spark: SparkSession, sf: str) -> DataFrame:
     return P.dsir_sample(
         docs, docs.filter(F.col("lang") == "en"), _DSIR_K, n_buckets=_DSIR_B
     )
+
+
+# =========================================================================
+# X56 — dedup-aware contrastive hard-negative mining
+# =========================================================================
+
+
+def _hard_negatives_final() -> str:
+    dim, pool, k, nq = EMB_DIM, 20, 5, 10
+    rng = f"range(1, {dim + 1})"
+
+    def dot(a: str, b: str) -> str:
+        return f"CAST(list_sum(list_transform({rng}, i -> {a}[i] * {b}[i])) AS DOUBLE)"
+
+    def cos(a: str, b: str) -> str:
+        return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
+
+    c = cos("q.qv", "c.qv")
+    return f""",
+    knn0 AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {c} AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {c} DESC, c.vec_id) AS rk
+      FROM e q JOIN e c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < {nq}),
+    pool AS (SELECT query_id, neighbor_id, cosine FROM knn0 WHERE rk <= {pool}),
+    kept AS (
+      SELECT p.query_id, p.neighbor_id, p.cosine
+      FROM pool p
+      JOIN lab lq ON lq.vec_id = p.query_id
+      JOIN lab ln ON ln.vec_id = p.neighbor_id
+      WHERE lq.component != ln.component)
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+             AS rank,
+           cosine
+    FROM kept
+    QUALIFY rank <= {k}"""
+
+
+@_q("x_hard_negatives", _semdedup_oracle(final_select=_hard_negatives_final()))
+def x_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-aware contrastive hard-negative mining on the planted
+    corpus: each query's 20 exact nearest neighbors, MINUS every
+    neighbor in the query's SemDeDup component (semantic duplicates are
+    false negatives for a retriever), re-ranked to the top 5. The
+    oracle composes the full SemDeDup derivation with the brute-force
+    kNN replay and the component filter — the standard retriever
+    training recipe, certified end-to-end. See
+    :func:`ext.similarity.hard_negatives` (swap the pool for IVFADC at
+    100 TB; the filter/rerank composition is unchanged)."""
+    base = _planted_embedding_base(spark, sf)
+    out = S.hard_negatives(base, n_queries=10, k=5, pool=20, dim=EMB_DIM)
+    return out.withColumn("rank", F.col("rank").cast("long"))

@@ -119,6 +119,30 @@ def main() -> None:
     packed = P.pack_sequences(tc, budget=512)
     counts["packed_sequences"] = packed.select("bucket", "seq_id").distinct().count()
 
+    # 5b. r10 terminal stages through the CONFIG-DRIVEN runner:
+    #     exact-substring redaction -> temperature (α=1/2) flattening
+    #     -> DSIR importance resample toward the 'en' slice ->
+    #     fingerprint accounting artifact — pipelines as reviewable
+    #     data (pipeline_runner), each stage individually certified
+    from leftshove_spark.pipeline_runner import run_pipeline
+
+    base = load_table(spark, SF, "documents")
+    target = base.filter(F.col("lang") == "en")
+    res = run_pipeline(
+        spark,
+        base,
+        [
+            {"op": "substring_redact", "window": 20},
+            {"op": "temperature_mixture", "source_col": "lang"},
+            {"op": "dsir_sample", "target": target, "k": 50},
+            {"op": "fingerprint", "group_cols": ["lang"]},
+        ],
+    )
+    counts["config_pipeline_selected"] = res.counts["2_dsir_sample"]
+    counts["fingerprint_groups"] = res.artifacts["fingerprint"].count()
+    assert counts["config_pipeline_selected"] > 0
+    assert counts["fingerprint_groups"] > 0
+
     # 6. CDC consumer triad (W18 + J5/J6): fold three micro-batches of
     #    orders — one redelivered, at-least-once style — through
     #    incremental SCD2 maintenance, then answer the same

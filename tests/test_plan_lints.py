@@ -73,6 +73,10 @@ _BNLJ_ALLOWED = {
     "x_ann_recall",
     "x_ann_recall_lsh",
     "x_ann_recall_ivfadc",
+    # embeds the brute-force pool (bounded query set broadcast against
+    # the corpus) — the miner's point is an EXACT pool; the IVFADC
+    # swap documented in the operator is the scale path
+    "x_hard_negatives",
     # group-pair inequality join over the O(groups) sketch table (5
     # langs -> 10 pairs) — pairwise similarity matrices ARE O(groups²)
     # output by definition; the corpus itself is touched only by the
