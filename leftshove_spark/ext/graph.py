@@ -139,3 +139,69 @@ def connected_components_incremental(
     return connected_components(
         star.unionByName(new), src=src, dst=dst, max_iters=max_iters
     )
+
+
+PR_SCALE = 1_000_000_000  # fixed-point mass unit (1e9 per unit rank)
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 3,
+    damp_num: int = 17,
+    damp_den: int = 20,
+) -> DataFrame:
+    """PageRank over an undirected graph in EXACT fixed-point integers —
+    (node, rank_score) after ``iters`` power-iteration steps with
+    damping ``damp_num/damp_den`` (default 17/20 = the standard 0.85).
+    The curation use: centrality over the near-dup pair graph ranks the
+    most-connected member of every duplicate cluster — a
+    quality-weighted alternative to min-id for choosing the canonical
+    document (hubs of a template cluster ARE the template).
+
+    Exactness is the point: float PageRank sums neighbor contributions
+    in partition order, so two runs (or two engines) disagree in the
+    last ulps and a hash gate goes red. Here ranks are int64 mass units
+    (PR_SCALE per node initially, integer-divided — deterministic
+    quantization, documented sub-unit mass loss to truncation) and each
+    step is ``r'(v) = (1−d)·M₀ + d·Σ_{u~v} r(u) div deg(u)`` computed
+    entirely in int64 ``div`` — addition of ints is order-free, so the
+    result is a pure function of the edge set, replayable in any
+    engine. Symmetrized edges mean no dangling mass.
+
+    Plan: per iteration one join of the rank table onto the edge list
+    (shuffle on node key) + one groupBy sum with map-side partials —
+    O(E) rows moved per step, ``iters`` fixed and small; the classic
+    distributed PageRank shape. Overflow: the step's
+    ``damp_num · Σ contributions`` needs N·PR_SCALE·damp_num < 2^63 ⇒
+    N < 5.4e8 at the default scale; lower PR_SCALE for larger graphs
+    (ordering is unchanged — it's a common factor)."""
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    e = e.localCheckpoint()
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    r = deg.select(F.col("a").alias("node"), F.lit(PR_SCALE).cast("long").alias("r"))
+    teleport = ((damp_den - damp_num) * PR_SCALE) // damp_den
+    for _ in range(iters):
+        contrib = (
+            e.join(
+                r.join(deg, r["node"] == deg["a"]).select(
+                    F.col("node").alias("a2"),
+                    F.expr("r DIV deg").alias("c"),
+                ),
+                F.col("a") == F.col("a2"),
+            )
+            .groupBy("b")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = contrib.select(
+            F.col("b").alias("node"),
+            (
+                F.lit(teleport).cast("long")
+                + F.expr(f"CAST(({damp_num} * s) DIV {damp_den} AS BIGINT)")
+            ).alias("r"),
+        )
+    return r.select("node", F.col("r").alias("rank_score"))

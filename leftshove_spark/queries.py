@@ -111,6 +111,7 @@ GATE_ORDER = [
     "x_target_affinity",
     "x_dsir_sample",
     "x_hard_negatives",
+    "x_pagerank_dedup",
     # r9 first-timers (one driver green each; second green certifies).
     # x_knn_pq / x_knn_pq_rerank additionally changed implementation in
     # r10 (materialized-ADC scoring replacing the codegen-blowing
@@ -159,7 +160,6 @@ GATE_ORDER = [
     "x_knn_ivf",
     "x_dedup_embedding_cosine",
     "x_dedup_ngram_jaccard",
-    "x_knn_lsh",
     # --- tail (entries 51+): also cheap-first, so a driver budget cut
     # costs the fewest rows. All are additionally guarded by
     # tests/test_gate_tail_oracle.py regardless of gate reach.
@@ -203,6 +203,7 @@ GATE_ORDER = [
     "x_dedup_minhash_lsh",
     "t1_asof_join_latest_order",
     "x_dedup_resolution",
+    "x_knn_lsh",
     "x_quality_filter",
     "q5_local_supplier_volume",
     "w8_stream_tumbling_window",

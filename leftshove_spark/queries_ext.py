@@ -3273,3 +3273,54 @@ def x_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     base = _planted_embedding_base(spark, sf)
     out = S.hard_negatives(base, n_queries=10, k=5, pool=20, dim=EMB_DIM)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# =========================================================================
+# X57 — exact fixed-point PageRank over the near-dup graph
+# =========================================================================
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    from .ext.graph import PR_SCALE
+
+    tele = ((20 - 17) * PR_SCALE) // 20
+    ctes = [
+        f"""e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs WHERE id_a != id_b
+      UNION
+      SELECT id_b, id_a FROM pairs WHERE id_a != id_b),
+    deg AS (SELECT a, count(*) AS deg FROM e GROUP BY a),
+    r0 AS (SELECT a AS node, CAST({PR_SCALE} AS BIGINT) AS r FROM deg)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+      SELECT e.b, sum(r.r // d.deg) AS s
+      FROM e JOIN r{i - 1} r ON r.node = e.a JOIN deg d ON d.a = e.a
+      GROUP BY e.b),
+    r{i} AS (SELECT b AS node,
+                    CAST({tele} AS BIGINT) + CAST((17 * s) // 20 AS BIGINT) AS r
+             FROM c{i})"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH pairs AS ({_ORACLES["x_dedup_minhash_lsh"]}),
+    {body}
+    SELECT node, r AS rank_score FROM r{iters}
+    """
+
+
+@_q("x_pagerank_dedup", _pagerank_oracle())
+def x_pagerank_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact fixed-point PageRank (3 damped power-iteration steps,
+    d = 17/20) over the mined near-dup pair graph — centrality as the
+    canonical-document signal: the hub of a template cluster IS the
+    template. Float PageRank cannot pass a hash gate (partition-order
+    float sums); the int64 mass arithmetic replays bit-for-bit. See
+    :func:`ext.graph.pagerank_fixed` for the O(E)-per-step plan and the
+    PR_SCALE overflow envelope."""
+    from .ext.graph import pagerank_fixed
+
+    base = _perturbed_docs(spark, sf)
+    pairs = D.minhash_lsh_pairs(base, jaccard_threshold=0.6)
+    return pagerank_fixed(pairs.select("id_a", "id_b"))
