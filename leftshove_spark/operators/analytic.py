@@ -477,3 +477,88 @@ def mad_outliers(
         flag_col,
         F.col("abs_dev") * F.lit(c_den) > F.lit(c_num) * F.col("mad"),
     )
+
+
+def ols_trend(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend + Pearson correlation with
+    EXACT integer sufficient statistics — the drift detector a corpus
+    accounting pipeline runs per source/day ("is quality sliding as we
+    ingest?"). ``x`` and ``y`` must be integer columns (the caller
+    quantizes — epoch seconds, cents, token counts).
+
+    Why exact: the five sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    Σy²) are DECIMAL(38,0) sums of integer products — order-free and
+    bit-identical in any engine (a float Σxy differs across partition
+    orders, un-gateable). Only the final ratios touch floats, each one
+    a fixed short sequence of correctly-rounded IEEE ops replayed
+    verbatim in the oracle:
+
+    - slope = num/den, num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)²
+    - intercept = Σy/n − slope·(Σx/n)   (all in doubles, same order)
+    - pearson_r = num / (sqrt(den)·sqrt(n·Σy² − (Σy)²))
+
+    Degenerate groups (n < 2 or zero x-variance) emit NULLs via an
+    explicit CASE — never an engine-specific inf/NaN.
+
+    Plan: ONE groupBy with map-side partial aggregation — O(groups)
+    rows move; the scan stays narrow.
+
+    Quantization contract: the decimal(38,0) statistics are exact to
+    ~1e38, but the three covariance terms are materialized as BIGINT
+    before the double cast — DuckDB's HUGEINT→DOUBLE conversion is a
+    two-step float composition (not correctly rounded), so an exact
+    integer > 2^63 can land on DIFFERENT doubles across engines (found
+    at sf0.01: 1-ulp slope divergence). int64-range terms convert
+    exactly everywhere. The caller therefore quantizes x and y so that
+    n²·var terms stay under 2^63 — e.g. hours-since-a-fixed-epoch ×
+    cents for ~10^5-row groups; coarser units (days, whole currency)
+    as groups grow. Out-of-envelope groups fail loudly (overflow →
+    NULL long), never silently drift."""
+    d38 = "decimal(38,0)"
+    xd, yd = x.cast(d38), y.cast(d38)
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(d38).alias("__n"),
+        F.sum(xd).alias("__sx"),
+        F.sum(yd).alias("__sy"),
+        F.sum(xd * yd).alias("__sxy"),
+        F.sum(xd * xd).alias("__sxx"),
+        F.sum(yd * yd).alias("__syy"),
+    )
+    num = (
+        (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+        .cast("long")
+        .cast("double")
+    )
+    den = (
+        (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+        .cast("long")
+        .cast("double")
+    )
+    deny = (
+        (F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+        .cast("long")
+        .cast("double")
+    )
+    nn = F.col("__n").cast("double")
+    slope = F.when((F.col("__n") >= 2) & (den != 0), num / den)
+    intercept = F.when(
+        (F.col("__n") >= 2) & (den != 0),
+        F.col("__sy").cast("double") / nn
+        - (num / den) * (F.col("__sx").cast("double") / nn),
+    )
+    r = F.when(
+        (F.col("__n") >= 2) & (den != 0) & (deny != 0),
+        num / (F.sqrt(den) * F.sqrt(deny)),
+    )
+    return g.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r.alias("pearson_r"),
+    )

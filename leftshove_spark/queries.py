@@ -112,6 +112,7 @@ GATE_ORDER = [
     "x_dsir_sample",
     "x_hard_negatives",
     "x_pagerank_dedup",
+    "x_trend_ols",
     # r9 first-timers (one driver green each; second green certifies).
     # x_knn_pq / x_knn_pq_rerank additionally changed implementation in
     # r10 (materialized-ADC scoring replacing the codegen-blowing
@@ -159,7 +160,6 @@ GATE_ORDER = [
     "x_quality_deciles",
     "x_knn_ivf",
     "x_dedup_embedding_cosine",
-    "x_dedup_ngram_jaccard",
     # --- tail (entries 51+): also cheap-first, so a driver budget cut
     # costs the fewest rows. All are additionally guarded by
     # tests/test_gate_tail_oracle.py regardless of gate reach.
@@ -204,6 +204,7 @@ GATE_ORDER = [
     "t1_asof_join_latest_order",
     "x_dedup_resolution",
     "x_knn_lsh",
+    "x_dedup_ngram_jaccard",
     "x_quality_filter",
     "q5_local_supplier_volume",
     "w8_stream_tumbling_window",

@@ -3324,3 +3324,66 @@ def x_pagerank_dedup(spark: SparkSession, sf: str) -> DataFrame:
     base = _perturbed_docs(spark, sf)
     pairs = D.minhash_lsh_pairs(base, jaccard_threshold=0.6)
     return pagerank_fixed(pairs.select("id_a", "id_b"))
+
+
+# =========================================================================
+# X58 — per-group OLS trend / correlation (exact sufficient statistics)
+# =========================================================================
+
+
+@_q(
+    "x_trend_ols",
+    """
+    WITH b AS (
+      SELECT event_type,
+             (epoch_ms(ts) // 1000 - 1700000000) // 3600 AS x,
+             CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS y
+      FROM events),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+      FROM b GROUP BY event_type)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 2 AND (n * sxx - sx * sx) != 0
+                THEN CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+                     / CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE)
+                END AS slope,
+           CASE WHEN n >= 2 AND (n * sxx - sx * sx) != 0
+                THEN CAST(CAST(sy AS BIGINT) AS DOUBLE) / CAST(CAST(n AS BIGINT) AS DOUBLE)
+                     - (CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+                        / CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE))
+                       * (CAST(CAST(sx AS BIGINT) AS DOUBLE)
+                          / CAST(CAST(n AS BIGINT) AS DOUBLE)) END AS intercept,
+           CASE WHEN n >= 2 AND (n * sxx - sx * sx) != 0
+                     AND (n * syy - sy * sy) != 0
+                THEN CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+                     / (sqrt(CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE))
+                        * sqrt(CAST(CAST(n * syy - sy * sy AS BIGINT) AS DOUBLE)))
+                END AS pearson_r
+    FROM g
+    """,
+)
+def x_trend_ols(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type value trend over time — OLS slope/intercept +
+    Pearson r from EXACT integer sufficient statistics (x = epoch
+    seconds, y = value in exact 10⁻⁴ units): the drift detector of the
+    corpus-accounting family. Float sums are partition-order-dependent
+    and un-gateable; the decimal(38,0) statistics are order-free, and
+    the final ratios are fixed IEEE sequences replayed verbatim in the
+    oracle. One map-side-combined groupBy — O(groups) rows move. See
+    :func:`operators.analytic.ols_trend`."""
+    from .operators.analytic import ols_trend
+
+    ev = load_table(spark, sf, "events")
+    return ols_trend(
+        ev,
+        F.expr("(unix_millis(ts) DIV 1000 - 1700000000) DIV 3600"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"),
+        ["event_type"],
+    )
