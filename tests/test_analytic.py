@@ -409,3 +409,40 @@ def test_exact_global_cumsum_rejects_null_weights(spark):
     )
     with pytest.raises(ValueError, match="NULL values in weight"):
         exact_global_cumsum(df, ["id"], "w")
+
+
+def test_ols_trend_exact_line_and_degenerate_groups(spark):
+    """X58 properties: a perfect line recovers slope/intercept/r
+    exactly (the ratios are exact in IEEE for these integers); a
+    constant-x group and a singleton group emit NULLs, never inf/NaN."""
+    import pyspark.sql.functions as F
+
+    from leftshove_spark.operators.analytic import ols_trend
+
+    rows = (
+        [("line", x, 2 * x + 5) for x in range(100)]
+        + [("constx", 7, y) for y in range(10)]
+        + [("single", 3, 9)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {
+        r["g"]: r.asDict()
+        for r in ols_trend(df, F.col("x"), F.col("y"), ["g"]).collect()
+    }
+    assert out["line"]["slope"] == 2.0
+    assert out["line"]["intercept"] == 5.0
+    # sqrt(den)·sqrt(deny) ≠ sqrt(den·deny) in floats — r lands one
+    # ulp shy of 1.0 on a perfect line; DETERMINISTICALLY so (the
+    # repartition-invariance assertion below still demands equality)
+    assert abs(out["line"]["pearson_r"] - 1.0) < 1e-12
+    assert out["constx"]["slope"] is None
+    assert out["constx"]["pearson_r"] is None
+    assert out["single"]["slope"] is None
+    # partitioning-invariance: the statistics are order-free integers
+    out2 = {
+        r["g"]: r.asDict()
+        for r in ols_trend(
+            df.repartition(7), F.col("x"), F.col("y"), ["g"]
+        ).collect()
+    }
+    assert out == out2

@@ -81,3 +81,30 @@ def test_connected_components_incremental_equals_scratch(spark):
     }
     assert inc == full
     assert (11, 1) in inc and (32, 30) in inc and (21, 20) in inc
+
+
+def test_pagerank_fixed_star_hub_and_determinism(spark):
+    """X57 properties: the hub of a star graph outranks every leaf and
+    all leaves tie exactly; a symmetric cycle ranks all nodes equally;
+    ranks are a pure function of the edge set (identical across
+    repartitionings — int64 mass arithmetic is order-free)."""
+    from leftshove_spark.ext.graph import pagerank_fixed
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "id_a long, id_b long"
+    )
+    r = {x["node"]: x["rank_score"] for x in pagerank_fixed(star).collect()}
+    assert all(r[0] > r[i] for i in range(1, 9))
+    assert len({r[i] for i in range(1, 9)}) == 1
+
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "id_a long, id_b long"
+    )
+    rc = {x["node"]: x["rank_score"] for x in pagerank_fixed(cycle).collect()}
+    assert len(set(rc.values())) == 1
+
+    r2 = {
+        x["node"]: x["rank_score"]
+        for x in pagerank_fixed(star.repartition(5)).collect()
+    }
+    assert r == r2
