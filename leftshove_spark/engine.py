@@ -529,10 +529,26 @@ class Engine:
         # NULL snapshot_tm.  Two consequences for re-runs: (a) the sink
         # side must ADMIT those rows (the window predicate drops NULLs),
         # (b) the anti-join must match NULL keys (plain `=` never does).
-        existing = existing_df.filter(
-            window_predicate(st.nms_column, lo, hi)
-            | F.col(st.nms_column).isNull()
-        ).select(*[F.col(k).alias(f"__bf_{k}") for k in keys])
+        # The null-nms side is BOUNDED to pkeys present in THIS capture
+        # (one null-safe semi-join): null-nms rows accumulate in the
+        # sink over the table's whole lifetime with no window column to
+        # prune on, so admitting them all would grow the anti-join's
+        # build side without bound across the sink's life (ADVICE r10);
+        # only the capture's own keys can collide in the anti-join, so
+        # the semi-join capping is lossless.
+        in_window = existing_df.filter(window_predicate(st.nms_column, lo, hi))
+        cap_keys = cap.select(F.col(st.pkey_column).alias("__bf_ck")).distinct()
+        null_nms = (
+            existing_df.filter(F.col(st.nms_column).isNull())
+            .join(
+                cap_keys,
+                F.col(st.pkey_column).eqNullSafe(F.col("__bf_ck")),
+                "left_semi",
+            )
+        )
+        existing = in_window.unionByName(null_nms).select(
+            *[F.col(k).alias(f"__bf_{k}") for k in keys]
+        )
         anti_cond = functools.reduce(
             lambda a, b: a & b,
             [cap[k].eqNullSafe(existing[f"__bf_{k}"]) for k in keys],

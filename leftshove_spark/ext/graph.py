@@ -13,10 +13,13 @@ MapReduce/Spark connected components (the "hash-to-min" family —
 Rastogi et al., "Finding Connected Components in Map-Reduce in
 Logarithmic Rounds"). Each round is two hash-joins + one aggregation,
 all keyed on node/label ids; no driver-side data beyond the
-one-row convergence count. Lineage is truncated every round
-(localCheckpoint) so the plan does not grow with iterations — at
-cluster scale swap localCheckpoint for a reliable checkpoint dir; the
-rounds and shuffle keys are unchanged.
+one-row convergence count. Lineage is truncated every round so the
+plan does not grow with iterations — by default via ``localCheckpoint``
+(executor-local blocks: fastest, but NOT recomputable — a lost executor
+mid-iteration kills the job), or via a RELIABLE ``checkpoint`` when the
+caller passes ``checkpoint_dir`` (the cluster-scale / preemptible-fleet
+mode: blocks live in the shared dir and a lost executor recovers). The
+rounds and shuffle keys are identical either way.
 
 Scale: components in dedup graphs are tiny (near-dup clusters), so the
 per-round shuffles carry |edges| rows and converge in 2-4 rounds; the
@@ -31,21 +34,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _truncate_lineage(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Per-round lineage truncation for the iterative operators below:
+    ``localCheckpoint`` by default (fast, executor-local, NOT
+    recomputable), or reliable ``checkpoint`` into ``checkpoint_dir``
+    when set — on a preemptible 1000-executor cluster a lost executor
+    invalidates local blocks mid-iteration, while reliable blocks
+    re-read from the shared dir. Results are identical; only the
+    storage/recovery contract differs."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    # setCheckpointDir is idempotent per dir; cheap to re-assert per round
+    sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` is the MINIMUM node id in the node's connected
-    component (deterministic canonical labels — oracle-comparable)."""
+    component (deterministic canonical labels — oracle-comparable).
+    ``checkpoint_dir`` switches per-round lineage truncation from
+    localCheckpoint to a reliable checkpoint (see
+    :func:`_truncate_lineage`)."""
     e = edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
     # self-loops carry no connectivity and would falsify the round-0
     # always-changes invariant the convergence-check skip relies on
     e = e.filter(F.col("a") != F.col("b"))
     e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    e = e.localCheckpoint()
+    e = _truncate_lineage(e, checkpoint_dir)
     labels = e.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -83,7 +106,8 @@ def connected_components(
                 "left",
             )
             .select("node", "__old", F.coalesce("ll", "label").alias("label"))
-        ).localCheckpoint()
+        )
+        jumped = _truncate_lineage(jumped, checkpoint_dir)
         labels = jumped.select("node", "label")
         # round 0 always changes when any edge exists — skip its
         # convergence job; check from round 1 on
@@ -113,6 +137,7 @@ def connected_components_incremental(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fold a batch of NEW edges into an existing ``(node, component)``
     labeling — the clustering half of the incremental dedup story
@@ -137,7 +162,11 @@ def connected_components_incremental(
         F.col(src).cast("long").alias(src), F.col(dst).cast("long").alias(dst)
     )
     return connected_components(
-        star.unionByName(new), src=src, dst=dst, max_iters=max_iters
+        star.unionByName(new),
+        src=src,
+        dst=dst,
+        max_iters=max_iters,
+        checkpoint_dir=checkpoint_dir,
     )
 
 
@@ -151,6 +180,7 @@ def pagerank_fixed(
     iters: int = 3,
     damp_num: int = 17,
     damp_den: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank over an undirected graph in EXACT fixed-point integers —
     (node, rank_score) after ``iters`` power-iteration steps with
@@ -181,7 +211,7 @@ def pagerank_fixed(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     ).filter(F.col("a") != F.col("b"))
     e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    e = e.localCheckpoint()
+    e = _truncate_lineage(e, checkpoint_dir)
     deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     r = deg.select(F.col("a").alias("node"), F.lit(PR_SCALE).cast("long").alias("r"))
     teleport = ((damp_den - damp_num) * PR_SCALE) // damp_den

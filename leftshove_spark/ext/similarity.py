@@ -47,7 +47,14 @@ def int_dot(a: Column, b: Column, dim: int | None = None) -> Column:
     generic higher-order form — which Spark evaluates INTERPRETED per
     element (lambda dispatch per component): fine for bounded rerank
     sets, wrong for per-row corpus math. Integer addition is
-    associative, so both forms are bit-identical."""
+    associative, so both forms are bit-identical.
+
+    The unrolled path is GUARDED on ``size(a) = size(b) = dim``: a
+    ``dim`` smaller than the vectors would otherwise silently compute a
+    prefix dot (wrong cosine, no error — ADVICE r10), and a larger one
+    NULLs via out-of-range element_at only by accident of non-ANSI
+    mode. The guard makes both mismatches an explicit NULL — visible in
+    any downstream cosine — for two extra codegen size() calls."""
     if dim is not None:
         terms = [
             F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)
@@ -55,7 +62,9 @@ def int_dot(a: Column, b: Column, dim: int | None = None) -> Column:
         out = terms[0]
         for t in terms[1:]:
             out = out + t
-        return out.cast("long")
+        return F.when(
+            (F.size(a) == dim) & (F.size(b) == dim), out.cast("long")
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
@@ -825,6 +834,27 @@ def knn_pq_adc(
     return knn_pq_adc_codes(enc, q, books, k=k, sub_dim=sub_dim, dedup=False)
 
 
+def _unique_query_rows(queries: DataFrame) -> list:
+    """Collect the bounded (query_id, qqv) rows and FAIL LOUDLY on a
+    duplicated query_id (ADVICE r10): a duplicate would emit duplicate
+    (query_id, s, code) rows into the materialized ADC relations, and
+    the per-subspace joins multiply those ~2^m_sub — duplicate neighbor
+    rows then consume top-k rank slots. Identical payloads are a caller
+    bug all the same (which copy "wins" is undefined once payloads
+    drift), so assert rather than silently pick one."""
+    rows = queries.select("query_id", "qqv").collect()
+    seen: set = set()
+    for r in rows:
+        if r["query_id"] in seen:
+            raise ValueError(
+                f"duplicate query_id {r['query_id']!r} in the query set — "
+                "ADC scoring requires unique query ids; dropDuplicates the "
+                "queries (or fix the upstream duplication) before calling"
+            )
+        seen.add(r["query_id"])
+    return rows
+
+
 def _adc_distance_table(
     queries: DataFrame,
     books: list[list[list[int]]],
@@ -846,7 +876,7 @@ def _adc_distance_table(
     (it scales with queries·codes, never the corpus)."""
     spark = queries.sparkSession
     id_type = queries.schema["query_id"].dataType
-    rows = queries.select("query_id", "qqv").collect()
+    rows = _unique_query_rows(queries)
     data = []
     for r in rows:
         qv = [int(x) for x in r["qqv"]]
@@ -1126,7 +1156,7 @@ def _ivfadc_probe_tables(
 
     spark = queries.sparkSession
     id_type = queries.schema["query_id"].dataType
-    rows = queries.select("query_id", "qqv").collect()
+    rows = _unique_query_rows(queries)
     C = np.array(cents, dtype=np.int64)
     Cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
     k_cells = C.shape[0]
@@ -1297,6 +1327,10 @@ def knn_ivfadc_rerank(
         .join(F.broadcast(qvecs), "query_id")
         .withColumn(
             "cosine",
+            # PQ_M·sub_dim is the trained geometry (ivfadc_train's
+            # m_sub default); a caller whose vectors are a different
+            # length now gets explicit NULL cosines from int_dot's
+            # size guard instead of a silent prefix dot (ADVICE r10)
             cosine_from_quantized(
                 F.col("qqv"), F.col("cv"), dim=PQ_M * sub_dim
             ),
@@ -1465,16 +1499,30 @@ def semdedup_admit(
 
     A batch row is admitted iff NO already-admitted vector in its cell
     has cosine >= ``threshold``, and no EARLIER batch row (lower id —
-    the deterministic in-batch greedy order) admitted in the same cell
-    blocks it. Invariants (pytest-pinned): the admitted set never
-    contains a within-threshold pair against the index or itself;
-    every rejected row names nothing — it simply doesn't append; exact
-    re-ingest of an admitted row is rejected (cos(x,x) = 1 >= τ).
+    the deterministic in-batch greedy order) ADMITTED in the same cell
+    blocks it — the id-ordered greedy, implemented exactly (ADVICE
+    r10: the previous min-id-per-component resolution was safe-side
+    but over-dropped — in a chain a~b~c with a,c dissimilar the greedy
+    admits a AND c, the component form admitted only a). The greedy
+    fixpoint is computed as iterated rounds of the id-ordered
+    maximal-independent-set recurrence: admit every undecided row with
+    no UNDECIDED lower-id conflict; reject rows conflicting with an
+    admitted one; repeat — each round settles at least the lowest
+    undecided id, and round count is the longest id-increasing
+    conflict chain in the batch (conflict chains are near-dup runs —
+    short in practice; ``max_rounds`` caps adversarial batches with a
+    loud error, never a silent wrong set). Invariants (pytest-pinned):
+    the admitted set never contains a within-threshold pair against
+    the index or itself; rejecting is pure non-append; exact re-ingest
+    of an admitted row is rejected (cos(x,x) = 1 >= τ); chain middles
+    do not block chain ends.
 
     Cost per batch ∝ batch×(cell populations touched), never
     corpus×corpus: the batch joins the index only on its own cells —
     on a cell-partitioned index that read is partition-pruned. In-batch
-    screening is the within-cell self-join over batch rows only.
+    screening is the within-cell self-join over batch rows only; the
+    greedy rounds shuffle only the batch's CONFLICT PAIRS (id-keyed
+    joins over O(pairs) rows, lineage truncated per round).
     Returns the admitted rows as (vec_id, cell, qv) — the caller
     appends them to the index."""
     b = batch.select(F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv"))
@@ -1499,24 +1547,18 @@ def semdedup_admit(
             .distinct()
         )
         b = b.join(blocked, "vec_id", "left_anti")
-    # in-batch greedy screen: a row is blocked by any LOWER-id survivor
-    # of the index screen in its cell within threshold. One pass of the
-    # pair join suffices for admission-safety (pinned invariant: no
-    # admitted pair within threshold): if a<b<c chain-blocks, b blocked
-    # by a, and c is blocked by a directly only if cos(a,c) >= τ — the
-    # SemDeDup greedy (keep the lowest id of every conflicting pair)
-    # admits c when it conflicts only with the REJECTED b; resolve that
-    # transitively via connected components, keeping each component's
-    # minimum id (deterministic, order-free).
-    from .graph import connected_components
-
+    # in-batch GREEDY screen — the id-ordered maximal independent set
+    # of the within-cell conflict graph, computed as iterated rounds
+    # (see docstring). Mine the conflict pairs once (the within-cell
+    # self-join over batch rows only), then the rounds touch nothing
+    # but (id_a, id_b) edges.
     xa = b.select(
         F.col("vec_id").alias("id_a"), "cell", F.col("qv").alias("qv_a")
     )
     xb = b.select(
         F.col("vec_id").alias("id_b"), "cell", F.col("qv").alias("qv_b")
     )
-    pairs = (
+    edges = (
         xa.join(xb, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
@@ -1524,11 +1566,54 @@ def semdedup_admit(
             >= threshold
         )
         .select("id_a", "id_b")
+        .localCheckpoint()
     )
-    comp = connected_components(pairs)
-    losers = comp.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias("vec_id")
-    )
+    losers = None  # accumulated rejected ids
+    max_rounds = 64
+    for _ in range(max_rounds):
+        if edges.limit(1).count() == 0:
+            break
+        # undecided rows that still have a lower-id undecided conflict
+        # cannot settle this round; every other edge-bearing row is
+        # ADMITTED now, and its higher-id conflicts are REJECTED
+        blocked = edges.select(F.col("id_b").alias("vec_id")).distinct()
+        adm = (
+            edges.select(F.col("id_a").alias("vec_id"))
+            .distinct()
+            .join(blocked, "vec_id", "left_anti")
+        )
+        rejected = (
+            edges.join(
+                adm.withColumnRenamed("vec_id", "id_a"), "id_a", "left_semi"
+            )
+            .select(F.col("id_b").alias("vec_id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        losers = (
+            rejected if losers is None else losers.unionByName(rejected).distinct()
+        )
+        # drop settled endpoints (admitted ids never re-enter as id_b —
+        # they had no lower undecided conflict; rejected ids leave both
+        # sides) and iterate on the shrunken graph
+        settled = adm.unionByName(rejected)
+        edges = (
+            edges.join(
+                settled.withColumnRenamed("vec_id", "id_a"), "id_a", "left_anti"
+            )
+            .join(
+                settled.withColumnRenamed("vec_id", "id_b"), "id_b", "left_anti"
+            )
+            .localCheckpoint()
+        )
+    else:
+        raise ValueError(
+            f"semdedup_admit: greedy screen did not settle in {max_rounds} "
+            "rounds — the batch carries an id-increasing near-dup conflict "
+            "chain longer than the cap; split the batch (or raise the cap)"
+        )
+    if losers is None:
+        return b
     return b.join(losers, "vec_id", "left_anti")
 
 

@@ -517,8 +517,18 @@ def ols_trend(
     exactly everywhere. The caller therefore quantizes x and y so that
     n²·var terms stay under 2^63 — e.g. hours-since-a-fixed-epoch ×
     cents for ~10^5-row groups; coarser units (days, whole currency)
-    as groups grow. Out-of-envelope groups fail loudly (overflow →
-    NULL long), never silently drift."""
+    as groups grow.
+
+    Envelope violations are SIGNALLED, not silent (ADVICE r10): the
+    output carries ``overflowed`` — true when any covariance term's
+    exact decimal value falls outside int64 — so callers can tell a
+    quantization-envelope violation (re-quantize and re-run) from the
+    legitimate NULLs of a degenerate group (n < 2 or zero variance,
+    ``overflowed`` false). The check compares the DECIMAL terms against
+    the int64 bound (exact, mode-independent — never relying on
+    non-ANSI cast-to-NULL), and an overflowed group's slope/intercept/
+    pearson_r are forced NULL on BOTH engines rather than inheriting
+    either engine's out-of-range cast behavior."""
     d38 = "decimal(38,0)"
     xd, yd = x.cast(d38), y.cast(d38)
     g = df.groupBy(*group_cols).agg(
@@ -529,21 +539,22 @@ def ols_trend(
         F.sum(xd * xd).alias("__sxx"),
         F.sum(yd * yd).alias("__syy"),
     )
-    num = (
-        (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
-        .cast("long")
-        .cast("double")
+    i64_max = 9223372036854775807
+    num_d = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den_d = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    deny_d = F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    # int64 envelope checked on the EXACT decimal terms, and the long
+    # cast taken only inside it — deterministic in ANSI and non-ANSI
+    # sessions alike (an unguarded out-of-range decimal→long cast
+    # throws under ANSI and NULLs otherwise)
+    in_env = (
+        (F.abs(num_d) <= F.lit(i64_max))
+        & (F.abs(den_d) <= F.lit(i64_max))
+        & (F.abs(deny_d) <= F.lit(i64_max))
     )
-    den = (
-        (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
-        .cast("long")
-        .cast("double")
-    )
-    deny = (
-        (F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy"))
-        .cast("long")
-        .cast("double")
-    )
+    num = F.when(in_env, num_d.cast("long")).cast("double")
+    den = F.when(in_env, den_d.cast("long")).cast("double")
+    deny = F.when(in_env, deny_d.cast("long")).cast("double")
     nn = F.col("__n").cast("double")
     slope = F.when((F.col("__n") >= 2) & (den != 0), num / den)
     intercept = F.when(
@@ -555,10 +566,17 @@ def ols_trend(
         (F.col("__n") >= 2) & (den != 0) & (deny != 0),
         num / (F.sqrt(den) * F.sqrt(deny)),
     )
+    # a decimal-precision blowout (term NULL, value beyond 10^38 in a
+    # non-ANSI session) is out-of-envelope a fortiori: ~in_env is then
+    # NULL, so coalesce pins the flag true for n >= 2 groups
+    overflowed = (F.col("__n") >= 2) & F.coalesce(
+        ~in_env, F.lit(True)
+    )
     return g.select(
         *group_cols,
         F.col("__n").cast("long").alias("n"),
         slope.alias("slope"),
         intercept.alias("intercept"),
         r.alias("pearson_r"),
+        overflowed.alias("overflowed"),
     )

@@ -3365,7 +3365,12 @@ def x_pagerank_dedup(spark: SparkSession, sf: str) -> DataFrame:
                 THEN CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
                      / (sqrt(CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE))
                         * sqrt(CAST(CAST(n * syy - sy * sy AS BIGINT) AS DOUBLE)))
-                END AS pearson_r
+                END AS pearson_r,
+           n >= 2 AND NOT (
+                abs(n * sxy - sx * sy) <= CAST(9223372036854775807 AS HUGEINT)
+            AND abs(n * sxx - sx * sx) <= CAST(9223372036854775807 AS HUGEINT)
+            AND abs(n * syy - sy * sy) <= CAST(9223372036854775807 AS HUGEINT))
+             AS overflowed
     FROM g
     """,
 )

@@ -438,6 +438,9 @@ def test_ols_trend_exact_line_and_degenerate_groups(spark):
     assert out["constx"]["slope"] is None
     assert out["constx"]["pearson_r"] is None
     assert out["single"]["slope"] is None
+    # degenerate NULLs are NOT flagged as overflow (ADVICE r10: the two
+    # NULL causes must be distinguishable)
+    assert all(out[g]["overflowed"] is False for g in ("line", "constx", "single"))
     # partitioning-invariance: the statistics are order-free integers
     out2 = {
         r["g"]: r.asDict()
@@ -446,3 +449,31 @@ def test_ols_trend_exact_line_and_degenerate_groups(spark):
         ).collect()
     }
     assert out == out2
+
+
+def test_ols_trend_overflow_is_flagged_not_silent(spark):
+    """A group whose covariance terms exceed int64 (quantization
+    envelope violated) emits NULL ratios AND ``overflowed = True`` —
+    distinguishable from degenerate-group NULLs (ADVICE r10). y values
+    ~3e18 make n·Σy² ≈ 2.7e37 > 2^63 while staying inside
+    decimal(38,0)."""
+    import pyspark.sql.functions as F
+
+    from leftshove_spark.operators.analytic import ols_trend
+
+    big = 3_000_000_000_000_000_000  # ~3e18, near int64 max
+    # alternating ±big: n·Σy² − (Σy)² = 8·big² ≈ 7.2e37 — inside
+    # decimal(38,0), outside int64 (the silent-wrong-double zone)
+    rows = [("huge", x, big if x % 2 == 0 else -big) for x in range(3)] + [
+        ("ok", x, 2 * x) for x in range(3)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {
+        r["g"]: r.asDict()
+        for r in ols_trend(df, F.col("x"), F.col("y"), ["g"]).collect()
+    }
+    assert out["huge"]["overflowed"] is True
+    assert out["huge"]["slope"] is None
+    assert out["huge"]["pearson_r"] is None
+    assert out["ok"]["overflowed"] is False
+    assert out["ok"]["slope"] == 2.0

@@ -335,3 +335,34 @@ def test_semdedup_admit_invariants(spark):
     a3_ids = {r["vec_id"] for r in a3.select("vec_id").collect()}
     assert not (a3_ids & {r["vec_id"] for r in a1.select("vec_id").collect()})
     assert a3.count() == 0  # every b1 row was screened (admitted or conflicted)
+
+
+def test_semdedup_admit_greedy_chain(spark):
+    """ADVICE r10 (medium): the in-batch screen is the id-ordered
+    GREEDY — in a conflict chain a~b, b~c with a,c dissimilar, a is
+    admitted, b is rejected by a, and c is ADMITTED (its only conflict
+    b did not survive). The previous min-id-per-component resolution
+    over-dropped c. Vectors at 0°/20°/40° in a plane: adjacent cosines
+    ≈ 0.94 ≥ 0.9, end-to-end ≈ 0.766 < 0.9."""
+    from leftshove_spark.ext import similarity as S
+
+    cents = [[1000, 0, 0, 0]]  # one frozen cell — everything lands in it
+    batch = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.940, 0.342, 0.0, 0.0]),
+            (3, [0.766, 0.643, 0.0, 0.0]),
+            # a second independent chain to exercise >1 greedy round:
+            # 10~11, 11~12, 12~13 (adjacent only) → admit 10, 12
+            (10, [0.0, 0.0, 1.0, 0.0]),
+            (11, [0.0, 0.0, 0.940, 0.342]),
+            (12, [0.0, 0.0, 0.766, 0.643]),
+            (13, [0.0, 0.0, 0.5, 0.866]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    admitted = {
+        r["vec_id"]
+        for r in S.semdedup_admit(None, batch, cents, threshold=0.9).collect()
+    }
+    assert admitted == {1, 3, 10, 12}

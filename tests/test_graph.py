@@ -108,3 +108,42 @@ def test_pagerank_fixed_star_hub_and_determinism(spark):
         for x in pagerank_fixed(star.repartition(5)).collect()
     }
     assert r == r2
+
+
+def test_reliable_checkpoint_dir_identical_results(spark, tmp_path):
+    """The cluster-scale lineage knob: CC and PageRank through a
+    RELIABLE checkpoint dir (recoverable blocks — the preemptible-fleet
+    mode) produce results identical to the default localCheckpoint
+    path, and the dir actually receives checkpoint data."""
+    import os
+
+    from leftshove_spark.ext.graph import connected_components, pagerank_fixed
+
+    ckpt = str(tmp_path / "ckpt")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)] + [(40, 41)], "id_a long, id_b long"
+    )
+    local_cc = {
+        (r["node"], r["component"]) for r in connected_components(edges).collect()
+    }
+    reliable_cc = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert local_cc == reliable_cc
+
+    local_pr = {
+        r["node"]: r["rank_score"] for r in pagerank_fixed(edges).collect()
+    }
+    reliable_pr = {
+        r["node"]: r["rank_score"]
+        for r in pagerank_fixed(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert local_pr == reliable_pr
+    # the reliable path must really have written checkpoint blocks
+    found = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(ckpt)
+        for f in files
+    ]
+    assert found, "reliable checkpoint dir is empty — localCheckpoint leak?"
