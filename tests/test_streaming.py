@@ -382,6 +382,97 @@ def test_maintain_history_rewrites_only_touched_buckets(spark, tmp_path):
     assert untouched_same < len(after)  # and at least one bucket DID change
 
 
+def test_maintain_current_state_incremental_equals_view(spark, tmp_path):
+    """W25 parity: micro-batches (with one redelivered chunk and the
+    LAST chunk carrying the OLDEST rows — late data must lose the
+    window) folded through maintain_current_state produce EXACTLY the
+    one-shot latest-per-key view of all rows, and re-running the final
+    batch converges (at-least-once)."""
+    from leftshove_spark.sources import load_table
+    from leftshove_spark.streaming import current_state_table, maintain_current_state
+    from leftshove_spark.views import latest_per_key_window
+
+    state = str(tmp_path / "cur")
+    o = load_table(spark, SF0001, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    # chunk 2 = the oldest third (late arrival), fed last AND twice
+    w = latest_per_key_window(
+        o, "o_custkey", order_col="o_orderdate", tiebreak_cols=["o_orderkey"]
+    )
+    chunks = [o.filter(F.col("o_orderkey") % 3 == i) for i in (1, 2, 0)]
+    for batch in [chunks[0], chunks[1], chunks[2], chunks[2]]:
+        maintain_current_state(
+            spark, state, batch, "o_custkey", "o_orderdate",
+            tiebreak_cols=["o_orderkey"],
+        )
+    got = {
+        tuple(r) for r in current_state_table(spark, state).collect()
+    }
+    want = {tuple(r) for r in w.collect()}
+    assert got == want
+    # exactly one row per live key — the table IS the state
+    n_keys = o.select("o_custkey").distinct().count()
+    assert len(got) == n_keys
+
+
+def test_maintain_current_state_touched_buckets_and_conflicts(spark, tmp_path):
+    """W25 layout + safety: a single-key batch rewrites only its bucket
+    (every other bucket byte-identical), and a version-stamp payload
+    conflict raises with state intact."""
+    import os
+
+    import pytest
+
+    from leftshove_spark.sources import load_table
+    from leftshove_spark.streaming import maintain_current_state
+
+    state = str(tmp_path / "cur")
+    o = load_table(spark, SF0001, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    maintain_current_state(spark, state, o, "o_custkey", "o_orderdate",
+                           tiebreak_cols=["o_orderkey"])
+
+    def snapshot():
+        out = {}
+        for dp, _, fs in os.walk(state):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dp, f)
+                    out[p] = (os.path.getsize(p), os.path.getmtime(p))
+        return out
+
+    before = snapshot()
+    one = o.orderBy("o_orderkey").limit(1)
+    maintain_current_state(spark, state, one, "o_custkey", "o_orderdate",
+                           tiebreak_cols=["o_orderkey"])
+    after = snapshot()
+    untouched_same = sum(
+        1 for p, meta in before.items() if p in after and after[p] == meta
+    )
+    assert untouched_same >= len(before) - len(before) // 16 - 1
+    assert untouched_same < len(after)
+
+    rows_before = sorted(
+        map(tuple, spark.read.parquet(state).drop("__bucket").collect())
+    )
+    conflict = spark.createDataFrame(
+        [(1, "2199-01-01", 10), (1, "2199-01-01", 20)],
+        "o_custkey long, o_orderdate string, o_orderkey long",
+    ).select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("o_orderdate")
+    )
+    with pytest.raises(ValueError, match="version key"):
+        maintain_current_state(
+            spark, state, conflict, "o_custkey", "o_orderdate"
+        )
+    rows_after = sorted(
+        map(tuple, spark.read.parquet(state).drop("__bucket").collect())
+    )
+    assert rows_after == rows_before
+
+
 def test_maintain_history_rejects_version_stamp_conflicts(spark, tmp_path):
     """Version-key contract: byte-identical redeliveries collapse, but
     two DIFFERENT payloads sharing (key, order, tiebreaks) raise before
