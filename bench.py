@@ -72,6 +72,13 @@ HEADLINE = [
     # semantic dedup (cells + per-cell Arrow matmul pair mining + CC)
     "x_knn_ivfadc_rerank",
     "x_semdedup",
+    # round-11 (r10 verdict #7): the gate's only ITERATIVE-join workload
+    # (PageRank: per-step edge-keyed join + map-side-combined sum,
+    # lineage-truncated rounds) and the broadcast-stats retrieval class
+    # (BM25: explode→filter-before-shuffle + saturation arithmetic) —
+    # NEW rows; the 25 r10 rows stay untouched for comparability
+    "x_pagerank_dedup",
+    "x_bm25_search",
     # round-3 breadth: sessionization and grouping-set classes
     "w9_session_window",
     "o4_cube_pricing",

@@ -280,6 +280,8 @@ class Engine:
         hook] → append → commit. Returns rows captured, or None on skip.
         Watermark commits ONLY after the sink write returns (W5)."""
         src = read_parquet_normalized(self.spark, st.path)
+        if self.config.evolve_schema:
+            self._evolve_on_drift(st, src)
         current_count = self._source_row_count(st)
         decision = next_window(
             now,
@@ -322,6 +324,44 @@ class Engine:
             decision.lo, decision.hi,
         )
         return current_count
+
+    def _evolve_on_drift(self, st: TableState, src: DataFrame) -> None:
+        """Mid-loop D6→D7 composition (VERDICT r10 #9): when the SOURCE
+        schema drifts from the cached sink schema during the capture
+        loop — a column added upstream, or a type widened (int→long,
+        float→double) — apply the additive/widening evolution to the
+        sink BEFORE capturing, and refresh the cached schemas, so the
+        cycle lands the new shape instead of writing a mixed sink the
+        views can't merge. Previously drift was only handled when the
+        operator re-ran ``create_sinks`` by hand. Destructive drift
+        (dropped/retyped-non-widening columns) raises — run_cycle's
+        per-table isolation logs it and skips the watermark, exactly a
+        failed stream (cdc.go:128-131). Cost: one driver-side schema
+        compare per cycle; the apply itself is the O(1) zero-row
+        schema append (schema.apply_schema_diff)."""
+        expected = sch.sink_schema(src.schema)
+        cached = (
+            sch.schema_from_json(st.sink_schema_json)
+            if st.sink_schema_json
+            else None
+        )
+        if cached is not None and sch.schemas_equal(cached, expected):
+            return
+        path = self.sink_path(st)
+        if os.path.exists(path):
+            applied = sch.apply_schema_diff(
+                self.spark,
+                path,
+                expected,
+                allow_widening=True,
+            )
+            log.info("cycle %s: schema drift auto-applied: %s", st.name, applied)
+        self.state.update_schemas(
+            st.name,
+            st.dsn,
+            source_schema_json=sch.schema_to_json(src.schema),
+            sink_schema_json=sch.schema_to_json(expected),
+        )
 
     def run_cycle(self, now: datetime | None = None, snapshot_at: datetime | None = None) -> dict[str, int | None]:
         """One CDC cycle over all tracked tables (cdc.go:16-145) with W4

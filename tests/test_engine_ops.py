@@ -438,6 +438,72 @@ def test_engine_lifecycle_survives_widened_sink(spark, tmp_path):
     assert eng2.current_state("t").count() == 2
 
 
+def test_run_cycle_auto_applies_source_schema_drift(spark, tmp_path):
+    """VERDICT r10 #9 — the capture loop composes D6 detection with the
+    D7/D7b apply path: seed + capture, then the SOURCE widens (int→long
+    pk/v) AND grows a column, and the next run_cycle applies the
+    evolution automatically — no manual apply_schema_diff. History and
+    the current-state view stay readable across the widening, the
+    cached state schema updates, and the new column is NULL on old
+    rows."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from leftshove_spark.engine import Engine
+    from leftshove_spark.schema import schema_from_json
+    from leftshove_spark.session import EngineConfig
+    from leftshove_spark.sources import read_parquet_normalized
+
+    work = str(tmp_path)
+    src = f"{work}/src.parquet"
+    spark.createDataFrame(
+        [(1, 5, datetime(2030, 1, 1))], "pk int, v int, ts timestamp"
+    ).write.parquet(src)
+    eng = Engine(
+        spark,
+        EngineConfig(replication_buffer_secs=0, evolve_schema=True),
+        state_path=f"{work}/state.json",
+        sink_root=f"{work}/sink",
+    )
+    eng.seed([{"name": "t", "path": src, "nms_column": "ts", "pkey_column": "pk"}])
+    eng.create_sinks()
+    eng.run_cycle(now=datetime(2030, 1, 2), snapshot_at=datetime(2030, 1, 2))
+
+    # the source widens AND gains a column (the upstream ALTER TABLE)
+    spark.createDataFrame(
+        [
+            (1, 5, datetime(2030, 1, 1), None),
+            (2_999_999_999, 7_000_000_000, datetime(2030, 2, 1), "new"),
+        ],
+        "pk long, v long, ts timestamp, note string",
+    ).write.mode("overwrite").parquet(src)
+
+    # 3 cycles: the controller caps watermark advance at max_step_hours
+    # (336 h) per cycle, and the gap is ~30 days
+    for _ in range(3):
+        eng.run_cycle(now=datetime(2030, 3, 1), snapshot_at=datetime(2030, 3, 1))
+
+    st = next(s for s in eng.state.all() if s.name == "t")
+    cached = schema_from_json(st.sink_schema_json)
+    by_name = {f.name: f.dataType for f in cached.fields}
+    assert by_name["pk"] == T.LongType() and by_name["v"] == T.LongType()
+    assert "note" in by_name
+    # current-state view readable over the mixed sink; both pks present,
+    # widened values intact, old rows NULL in the added column
+    cur = {r["pk"]: r for r in spark.table("t").collect()}
+    assert set(cur) == {1, 2_999_999_999}
+    assert cur[2_999_999_999]["v"] == 7_000_000_000
+    assert cur[2_999_999_999]["note"] == "new"
+    assert cur[1]["note"] is None
+    # SCD2 history over the evolved sink stays derivable
+    hist = eng.history("t")
+    assert hist.count() == 2 and "valid_from" in hist.columns
+    # a THIRD cycle with no further drift is a clean no-op
+    eng.run_cycle(now=datetime(2030, 4, 1), snapshot_at=datetime(2030, 4, 1))
+    assert spark.table("t").count() == 2
+
+
 def test_apply_changes_null_key_rows(spark, tmp_path):
     """r9 review: NULL key values must delete/replace null-safely —
     snapshot_diff matches them null-safely, so the apply must too."""

@@ -754,3 +754,56 @@ def test_run_pipeline_redact_fingerprint_interleave_terminal_stages(spark):
         for r in h.select("doc_id", "interleave_pos").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_run_pipeline_lm_quality_gate_parity(spark):
+    """X60 runner stage ≡ hand composition: the lm_quality_gate keeps
+    exactly the docs whose ppl_proxy clears the threshold, the
+    keep_short knob controls NULL-proxy (< 2 token) docs, and the gate
+    really carries selection pressure (reference-language docs score
+    lower on the reference model than off-language docs on average)."""
+    from conftest import SF0001
+    from leftshove_spark.ext.pipeline import lm_quality_score
+    from leftshove_spark.pipeline_runner import run_pipeline
+    from leftshove_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, SF0001, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    scored = lm_quality_score(docs, ref)
+    # a threshold between the lang-mean proxies so the gate is non-trivial
+    thr = scored.agg(F.expr("percentile(ppl_proxy, 0.5)")).first()[0]
+    res = run_pipeline(
+        spark,
+        docs,
+        [{"op": "lm_quality_gate", "reference": ref, "max_ppl_proxy": thr}],
+    )
+    got = {r["doc_id"] for r in res.df.select("doc_id").collect()}
+    want = {
+        r["doc_id"]
+        for r in scored.filter(F.col("ppl_proxy") <= thr).collect()
+    }
+    assert got == want and 0 < len(got) < docs.count()
+    # selection pressure: en (the reference) should score no worse than
+    # the average non-en doc under an en-trained model — sanity, not a
+    # fixture-tuned bound (the synthetic corpus shares vocabulary)
+    means = {
+        r["lang"]: r["m"]
+        for r in scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.avg("ppl_proxy").alias("m"))
+        .collect()
+    }
+    assert means["en"] <= max(v for k, v in means.items() if k != "en")
+    # keep_short admits the NULL-proxy docs as well
+    res2 = run_pipeline(
+        spark,
+        docs,
+        [{"op": "lm_quality_gate", "reference": ref, "max_ppl_proxy": thr,
+          "keep_short": True}],
+    )
+    short = {
+        r["doc_id"] for r in scored.filter(F.col("ppl_proxy").isNull()).collect()
+    }
+    got2 = {r["doc_id"] for r in res2.df.select("doc_id").collect()}
+    assert got2 == want | short

@@ -48,6 +48,11 @@ _BNLJ_ALLOWED = {
     # single-row target-total joined to the ≤n_buckets-row target count
     # table (both broadcast, both corpus-independent)
     "x_target_affinity",
+    # same shape: single-row reference-model total joined constant-key
+    # to the ≤n_buckets-row model table AND to the exploded bigrams for
+    # the unseen-bucket default weight — ONE broadcast row per stream
+    # row, linear
+    "x_lm_quality_score",
     # embeds x_target_affinity's scalar joins; the PPS stage itself is
     # keyed (the X44 machinery)
     "x_dsir_sample",
