@@ -315,6 +315,26 @@ class Engine:
             self.sink_path(st),
             max_records_per_file=max(self.config.batch_count * 64, 1_000_000),
         )
+        if self.config.materialize_current_state and st.pkey_column:
+            # W25: fold this capture's delta into the compacted
+            # current-state table BEFORE the watermark commit — a crash
+            # between append and fold re-captures the window next cycle
+            # and both the sink (append + newest-wins view) and the
+            # fold (associative latest-per-key upsert) converge under
+            # the redelivery. Version order = (snapshot_tm, nms): rows
+            # within one capture share the cycle stamp and order by
+            # their true event time; later cycles stamp later.
+            from .streaming import maintain_current_state
+
+            maintain_current_state(
+                self.spark,
+                self.current_state_path(st),
+                cap,
+                st.pkey_column,
+                sch.SNAPSHOT_COL,
+                tiebreak_cols=[st.nms_column],
+                n_buckets=self.config.current_state_buckets,
+            )
         # W5: commit only after a successful write. Row count from the
         # sink-side is not re-counted (the write succeeded); state carries
         # the source count for the next controller decision.
@@ -419,6 +439,26 @@ class Engine:
         """Read the current-state view — what reference users query."""
         return self.spark.table(table)
 
+    def current_state_path(self, st: TableState) -> str:
+        return os.path.join(self.sink_root, f"{st.name}_current")
+
+    def current_state_table(self, table: str) -> DataFrame:
+        """Read the MATERIALIZED current-state table (W25) — the hot
+        consumer path when ``config.materialize_current_state`` is on:
+        a plain scan of O(live keys) rows, versus :meth:`current_state`
+        whose latest-per-key window re-pays the full sink history on
+        every read. Pytest pins table ≡ view after every cycle."""
+        _, st = self._cdc_df(table)
+        path = self.current_state_path(st)
+        if not os.path.isdir(path):
+            raise ValueError(
+                f"{table}: no materialized current-state table at {path} — "
+                "seed + run_cycle with materialize_current_state=True first"
+            )
+        from .streaming import current_state_table
+
+        return current_state_table(self.spark, path)
+
     def _cdc_df(self, table: str):
         st = next((s for s in self.state.all() if s.name == table), None)
         if st is None:
@@ -514,6 +554,11 @@ class Engine:
             tiebreak_cols=self._version_tiebreaks(cdc, st.pkey_column),
         )
         rewrite_dir_staged(keep, self.sink_path(st))
+        # the registered current-state view wraps a plan whose file
+        # listing predates the swap — re-register it or the next
+        # spark.table(t) read dies on the deleted files (found by the
+        # demo's post-vacuum W25 assertion, r11)
+        self.refresh_view(st)
         return self.spark.read.parquet(self.sink_path(st)).count()
 
     def backfill(self, table: str, lo: datetime, hi: datetime) -> int:
@@ -598,6 +643,26 @@ class Engine:
             n = fresh.count()
             if n:
                 append_snapshot(fresh, self.sink_path(st))
+                # appended files postdate the registered view's listing
+                # — re-register so consumers see the repair immediately
+                self.refresh_view(st)
+                if self.config.materialize_current_state and st.pkey_column:
+                    # W25: a backfilled version folds by its HISTORICAL
+                    # stamp (snapshot_tm = its own nms) — it only
+                    # becomes the live row when it genuinely is the
+                    # newest version of its key, exactly the view's
+                    # answer
+                    from .streaming import maintain_current_state
+
+                    maintain_current_state(
+                        self.spark,
+                        self.current_state_path(st),
+                        fresh,
+                        st.pkey_column,
+                        sch.SNAPSHOT_COL,
+                        tiebreak_cols=[st.nms_column],
+                        n_buckets=self.config.current_state_buckets,
+                    )
             return n
         finally:
             fresh.unpersist()

@@ -106,5 +106,14 @@ class EngineConfig:
     # D7: apply additive schema drift to sinks (ADD-COLUMN analog,
     # bigquery.go:366-389). False = reference default (log drift only).
     evolve_schema: bool = False
+    # W25: maintain a MATERIALIZED current-state table (<sink>_current)
+    # beside each append-only sink — each capture folds its delta via
+    # the bucket-selective latest-per-key upsert, so the consumer's hot
+    # path reads O(live keys) instead of paying the view's full-history
+    # window. False = reference behavior (view only).
+    materialize_current_state: bool = False
+    # key-bucket count for the W25 table (crc32(pkey) % n); size to the
+    # key population — per-bucket state is bounded by live keys
+    current_state_buckets: int = 16
     warehouse_dir: str = "/tmp/leftshove_spark_warehouse"
     sources: dict[str, dict] = field(default_factory=dict)

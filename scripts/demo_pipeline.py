@@ -133,12 +133,23 @@ def main() -> None:
         base,
         [
             {"op": "substring_redact", "window": 20},
+            # r11: LM-quality gate — keep docs at or below the corpus
+            # median perplexity-proxy under the 'en' reference bigram
+            # model (threshold chosen from the scored distribution; in
+            # production this is a fixed curated number)
+            {"op": "lm_quality_gate", "reference": target,
+             "max_ppl_proxy": float(
+                 P.lm_quality_score(base, target)
+                 .agg(F.expr("percentile(ppl_proxy, 0.5)"))
+                 .first()[0]
+             ), "keep_short": True},
             {"op": "temperature_mixture", "source_col": "lang"},
             {"op": "dsir_sample", "target": target, "k": 50},
             {"op": "fingerprint", "group_cols": ["lang"]},
         ],
     )
-    counts["config_pipeline_selected"] = res.counts["2_dsir_sample"]
+    counts["config_pipeline_lm_gated"] = res.counts["1_lm_quality_gate"]
+    counts["config_pipeline_selected"] = res.counts["3_dsir_sample"]
     counts["fingerprint_groups"] = res.artifacts["fingerprint"].count()
     assert counts["config_pipeline_selected"] > 0
     assert counts["fingerprint_groups"] > 0
@@ -196,7 +207,11 @@ def main() -> None:
     try:
         eng = Engine(
             spark,
-            EngineConfig(replication_buffer_secs=0),
+            # r11: maintain the MATERIALIZED current-state table (W25)
+            # beside the append-only sink — asserted ≡ the view below,
+            # after the whole lifecycle (cycle, vacuum, backfill)
+            EngineConfig(replication_buffer_secs=0,
+                         materialize_current_state=True),
             state_path=f"{work}/state.json",
             sink_root=f"{work}/sink",
         )
@@ -247,6 +262,20 @@ def main() -> None:
             "events", datetime(2020, 1, 1), t
         )
         assert counts["backfill_rerun_appends"] == 0
+        # W25 (r11): after the full lifecycle — capture, vacuum,
+        # backfill — the materialized table still answers exactly what
+        # the view answers, at O(live keys) read cost
+        mat = eng.current_state_table("events")
+        counts["materialized_current_state"] = mat.count()
+        assert counts["materialized_current_state"] == eng.current_state(
+            "events"
+        ).count()
+        assert (
+            mat.select("event_id")
+            .exceptAll(eng.current_state("events").select("event_id"))
+            .count()
+            == 0
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

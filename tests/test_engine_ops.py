@@ -504,6 +504,114 @@ def test_run_cycle_auto_applies_source_schema_drift(spark, tmp_path):
     assert spark.table("t").count() == 2
 
 
+def test_view_survives_vacuum_and_backfill(spark, tmp_path):
+    """r11: vacuum_snapshots REWRITES the sink (staged swap) and
+    backfill APPENDS to it — both must re-register the current-state
+    view, or the next spark.table(t) read lists deleted/missing files
+    (found by the demo's post-vacuum assertion)."""
+    from datetime import datetime, timedelta
+
+    from leftshove_spark.engine import Engine
+    from leftshove_spark.session import EngineConfig
+
+    work = str(tmp_path)
+    src = f"{work}/src.parquet"
+    rows = [
+        (k, f"v{k}-{d}", datetime(2030, 1, 1) + timedelta(days=d))
+        for k in range(4)
+        for d in range(3)
+    ]
+    spark.createDataFrame(rows, "pk long, v string, ts timestamp").write.parquet(src)
+    eng = Engine(
+        spark,
+        EngineConfig(replication_buffer_secs=0),
+        state_path=f"{work}/state.json",
+        sink_root=f"{work}/sink",
+    )
+    eng.seed([{"name": "t", "path": src, "nms_column": "ts", "pkey_column": "pk"}])
+    eng.create_sinks()
+    eng.run_cycle(now=datetime(2030, 1, 10), snapshot_at=datetime(2030, 1, 10))
+    assert eng.current_state("t").count() == 4
+
+    eng.vacuum_snapshots("t", datetime(2030, 1, 2))
+    # the view must be readable and correct AFTER the sink rewrite
+    assert eng.current_state("t").count() == 4
+
+    filled = eng.backfill("t", datetime(2029, 12, 1), datetime(2030, 1, 9))
+    assert eng.current_state("t").count() == 4  # readable after append
+    assert filled >= 0
+
+
+def test_engine_materialized_current_state_tracks_view(spark, tmp_path):
+    """W25 engine integration: with materialize_current_state on, every
+    capture cycle folds its delta into <sink>_current, and the table
+    stays ≡ the deterministic latest-per-key form of the full sink
+    after EVERY cycle — including a re-captured window (watermark
+    deliberately rolled back to simulate a crash before commit)."""
+    from datetime import datetime, timedelta
+
+    from leftshove_spark.engine import Engine
+    from leftshove_spark.session import EngineConfig
+    from leftshove_spark.views import latest_per_key_window
+
+    work = str(tmp_path)
+    src = f"{work}/src.parquet"
+    rows = [
+        (k, f"v{k}-{d}", datetime(2030, 1, 1) + timedelta(days=d, minutes=k))
+        for k in range(6)
+        for d in range(4)
+    ]
+    spark.createDataFrame(rows, "pk long, v string, ts timestamp").write.parquet(src)
+    eng = Engine(
+        spark,
+        EngineConfig(
+            replication_buffer_secs=0,
+            materialize_current_state=True,
+            current_state_buckets=4,
+        ),
+        state_path=f"{work}/state.json",
+        sink_root=f"{work}/sink",
+    )
+    eng.seed([{"name": "t", "path": src, "nms_column": "ts", "pkey_column": "pk"}])
+    eng.create_sinks()
+
+    def table_vs_view():
+        st = next(s for s in eng.state.all() if s.name == "t")
+        cdc, _ = eng._cdc_df("t")
+        view = latest_per_key_window(
+            cdc, "pk", order_col="snapshot_tm", tiebreak_cols=["ts"]
+        )
+        got = sorted(
+            (r["pk"], r["v"], r["ts"])
+            for r in eng.current_state_table("t").collect()
+        )
+        want = sorted(
+            (r["pk"], r["v"], r["ts"])
+            for r in view.select("pk", "v", "ts").collect()
+        )
+        return got, want
+
+    now = datetime(2030, 1, 3)
+    for cycle in range(3):
+        eng.run_cycle(now=now, snapshot_at=now)
+        got, want = table_vs_view()
+        assert got == want, f"cycle {cycle}: {got} != {want}"
+        now += timedelta(days=2)
+
+    # crash-before-commit: roll the watermark back one window and
+    # re-capture — the sink double-appends (at-least-once), the fold
+    # re-folds, and table ≡ view still holds
+    st = next(s for s in eng.state.all() if s.name == "t")
+    eng.state.commit_watermark(
+        "t", st.dsn, st.nms - timedelta(days=2), st.last_row_count, now
+    )
+    eng.run_cycle(now=now, snapshot_at=now)
+    got, want = table_vs_view()
+    assert got == want
+    # and the table is exactly one row per live key
+    assert len(got) == 6
+
+
 def test_apply_changes_null_key_rows(spark, tmp_path):
     """r9 review: NULL key values must delete/replace null-safely —
     snapshot_diff matches them null-safely, so the apply must too."""
