@@ -165,6 +165,55 @@ def hash_split(
     return df.withColumn("split", split)
 
 
+def split_by_component(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    train: float = 0.9,
+    val: float = 0.05,
+) -> DataFrame:
+    """Leakage-PROOF train/val/test assignment: hash the near-dup
+    CLUSTER representative, not the document id — every member of a
+    connected component lands in the same split BY CONSTRUCTION, so a
+    near-duplicate of a training document can never leak into the test
+    set (the failure :func:`split_leakage` AUDITS after the fact, this
+    op prevents; the standard fix once dedup mining exists — split on
+    the cluster, not the doc).
+
+    ``components`` is a ``(node, component)`` labeling from
+    :func:`ext.graph.connected_components` (batch or incremental);
+    documents absent from it (no near-dup edges — the overwhelming
+    majority) fall back to their own id, making this a strict
+    generalization of :func:`hash_split`: identical assignment
+    wherever no clustering evidence exists, and the identical salt
+    means adding MORE edges only ever moves whole clusters between
+    splits, never individual members apart.
+
+    Plan: ONE left equi-join on the id (the components relation is
+    O(edge-endpoint nodes) — dedup clusters are sparse, so it
+    broadcast-joins in practice; hint it if footer stats are absent) +
+    the pure-codegen md5 bucket of the representative. Stability: the
+    split is a pure function of (id, component-minimum), so it survives
+    repartitioning/retries; incremental ingestion via
+    connected_components_incremental preserves representatives except
+    on genuine cluster MERGES — where re-co-locating the merged cluster
+    is exactly the desired behavior."""
+    lab = components.select(
+        F.col("node").alias(id_col), F.col("component").alias("__comp")
+    )
+    rep = F.coalesce(F.col("__comp"), F.col(id_col))
+    b = _bucket(rep, "split:")
+    t_hi = int(train * SPLIT_BUCKETS)
+    v_hi = int((train + val) * SPLIT_BUCKETS)
+    split = F.when(b < t_hi, "train").when(b < v_hi, "val").otherwise("test")
+    return (
+        df.join(lab, id_col, "left")
+        .withColumn("split", split)
+        .withColumn("split_rep", rep.cast("long"))
+        .drop("__comp")
+    )
+
+
 def stratified_sample(
     df: DataFrame, rates: dict[str, float], strata_col: str, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -109,6 +109,17 @@ def _stage_hash_split(spark, df, *, id_col="doc_id", train=0.9, val=0.05):
     return hash_split(df, id_col, train, val)
 
 
+def _stage_split_by_component(
+    spark, df, *, components, id_col="doc_id", train=0.9, val=0.05
+):
+    # leakage-proof split: the hash_split assignment applied to the
+    # near-dup CLUSTER representative, so duplicates never straddle a
+    # split boundary (components from ext.graph.connected_components)
+    from .ext.pipeline import split_by_component
+
+    return split_by_component(df, components, id_col, train, val)
+
+
 def _stage_mixture_sample(
     spark, df, *, source_col="source", id_col="doc_id", targets=None
 ):
@@ -238,6 +249,7 @@ STAGES = {
     "outlier_gate": _stage_outlier_gate,
     "pii_redact": _stage_pii_redact,
     "hash_split": _stage_hash_split,
+    "split_by_component": _stage_split_by_component,
     "mixture_sample": _stage_mixture_sample,
     "token_budget_cap": _stage_token_budget_cap,
     "weighted_sample": _stage_weighted_sample,

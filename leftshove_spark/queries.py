@@ -114,6 +114,7 @@ GATE_ORDER = [
     "x_current_state_materialized",
     "x_bpe_token_counts",
     "x_lm_quality_score",
+    "x_split_by_component",
     # changed-implementation re-scores: x_trend_ols gained the
     # overflowed column (ADVICE r10); the PQ/IVFADC family retrained on
     # the md5(id)-ordered sample (VERDICT r10 #2) — value-identical
@@ -168,6 +169,13 @@ GATE_ORDER = [
     "q2_min_cost_supplier",
     "q8_market_share",
     "q9_product_profit",
+    # --- tail (entries 51+): q11 yielded its head slot to the new X61
+    # row (q11 is r7-certified and full-surface-checked anyway); then
+    # the r10-scored block (r10 first-timers minus the re-scoring ANN
+    # family, the r9 first-timers double-greened in r10, the
+    # r10-refreshed veteran fill), then the long-certified backlog in
+    # its existing cheap-first order. All tail entries stay verified
+    # every pytest pass by tests/test_gate_tail_oracle.py.
     "q11_important_parts",
     "x_dedup_maximal_spans",
     "x_semdedup",
@@ -212,12 +220,6 @@ GATE_ORDER = [
     "x_quality_deciles",
     "x_knn_ivf",
     "x_dedup_embedding_cosine",
-    # --- tail (entries 51+): the r10-scored block (12 r10 first-timers
-    # minus the re-scoring ANN family, the r9 first-timers double-
-    # greened in r10, and the r10-refreshed veteran fill), then the
-    # long-certified backlog in its existing cheap-first order. All
-    # tail entries stay verified every pytest pass by
-    # tests/test_gate_tail_oracle.py (full-surface, sf0.001).
     "q20_heavy_shippers",
     "x_mixture_sample",
     "o7_percentile_battery",

@@ -1490,6 +1490,50 @@ def x_dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "x_split_by_component",
+    f"""
+    WITH RECURSIVE
+      pairs AS ({{minhash}}),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (SELECT a AS node, least(a, min(b)) AS component
+               FROM reach GROUP BY a),
+      corpus AS ({_BASE_DOCS_SQL}),
+      lab AS (
+        SELECT d.doc_id,
+               CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS split_rep
+        FROM corpus d LEFT JOIN comp c ON c.node = d.doc_id)
+    SELECT doc_id, split_rep,
+           CASE WHEN {bucket_sql("split_rep", "split:")} < {_TRAIN_HI}
+                THEN 'train'
+                WHEN {bucket_sql("split_rep", "split:")} < {_VAL_HI}
+                THEN 'val' ELSE 'test' END AS split
+    FROM lab
+    """.replace("{minhash}", _ORACLES["x_dedup_minhash_lsh"]),
+)
+def x_split_by_component(spark: SparkSession, sf: str) -> DataFrame:
+    """X61 — leakage-proof splitting: documents are assigned to
+    train/val/test by the md5 bucket of their near-dup CLUSTER
+    representative (CC over the MinHash pair edges), so duplicates and
+    near-duplicates can never straddle a split boundary — the
+    prevention counterpart of the x_split_leakage audit. Docs with no
+    near-dup evidence hash exactly as plain hash_split would (same
+    salt, own id). The oracle composes the full MinHash + transitive-
+    closure derivation with the split bucket arithmetic. See
+    :func:`ext.pipeline.split_by_component`."""
+    base = _perturbed_docs(spark, sf)
+    pairs = D.minhash_lsh_pairs(base, jaccard_threshold=0.6)
+    comp = connected_components(pairs)
+    return P.split_by_component(base, comp).select(
+        "doc_id", "split_rep", "split"
+    )
+
+
+@_q(
     "x_vocab_topk",
     f"""
     WITH toks AS (SELECT {_TOK.format(e="text")} AS t FROM documents),

@@ -192,6 +192,65 @@ def test_pack_sequences_with_bpe_counts_parity(spark):
     assert caps and max(r["cum_weight"] for r in caps) <= 2000
 
 
+def test_split_by_component_is_leakage_proof(spark):
+    """X61 invariants: (a) every member of a near-dup component shares
+    a split; (b) the split_leakage audit over the component split finds
+    ZERO cross-split near-dup pairs (the audit that SHOULD find some
+    under plain hash_split on this planted-twin corpus); (c) docs with
+    no near-dup evidence get exactly their hash_split assignment (same
+    salt — strict generalization)."""
+    from leftshove_spark.ext.dedup import minhash_lsh_pairs
+    from leftshove_spark.ext.graph import connected_components
+
+    base = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    t = F.split(F.lower("text"), "[^a-z0-9]+")
+    twins = base.filter(F.size(t) > 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(t, 6, F.size(t) - 5)).alias("text"),
+    )
+    corpus = base.unionByName(twins)
+    pairs = minhash_lsh_pairs(corpus, jaccard_threshold=0.6)
+    comp = connected_components(pairs)
+    out = P.split_by_component(corpus, comp)
+
+    # (a) one split per component
+    assert (
+        out.join(
+            comp.withColumnRenamed("node", "doc_id"), "doc_id"
+        )
+        .groupBy("component")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+        == 0
+    )
+    # (b) zero cross-split near-dup leakage, where plain hash_split leaks
+    def leaks(frame):
+        lhs = frame.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+        rhs = frame.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+        return (
+            pairs.join(lhs, "id_a").join(rhs, "id_b")
+            .filter(F.col("sa") != F.col("sb"))
+            .count()
+        )
+
+    assert leaks(out) == 0
+    plain = P.hash_split(corpus)
+    assert leaks(plain) > 0  # the corpus genuinely would have leaked
+    # (c) edge-free docs match hash_split exactly
+    edge_nodes = comp.select(F.col("node").alias("doc_id"))
+    free = out.join(edge_nodes, "doc_id", "left_anti").select("doc_id", "split")
+    ref = plain.join(edge_nodes, "doc_id", "left_anti").select(
+        F.col("doc_id"), F.col("split").alias("ref_split")
+    )
+    assert (
+        free.join(ref, "doc_id")
+        .filter(F.col("split") != F.col("ref_split"))
+        .count()
+        == 0
+    )
+
+
 # ------------------------------------------------------------ mixture
 def test_mixture_sample_uniform_waterfills_to_rarest(spark):
     docs = load_table(spark, SF0001, "documents")
