@@ -638,34 +638,39 @@ class Engine:
             lambda a, b: a & b,
             [cap[k].eqNullSafe(existing[f"__bf_{k}"]) for k in keys],
         )
-        fresh = cap.join(existing, anti_cond, "left_anti").persist()
-        try:
-            n = fresh.count()
-            if n:
-                append_snapshot(fresh, self.sink_path(st))
-                # appended files postdate the registered view's listing
-                # — re-register so consumers see the repair immediately
-                self.refresh_view(st)
-                if self.config.materialize_current_state and st.pkey_column:
-                    # W25: a backfilled version folds by its HISTORICAL
-                    # stamp (snapshot_tm = its own nms) — it only
-                    # becomes the live row when it genuinely is the
-                    # newest version of its key, exactly the view's
-                    # answer
-                    from .streaming import maintain_current_state
+        # localCheckpoint, not persist: fresh's plan anti-joins against
+        # the SINK it is about to repair, and the append invalidates any
+        # cached plan that reads the target path — a persisted fresh
+        # would silently RECOMPUTE against the already-repaired sink
+        # (anti-join then drops everything) for any consumer after the
+        # append; checkpointing materializes the rows and cuts the
+        # path dependency (found by the r11 W25 backfill fold, whose
+        # post-append fold saw 0 rows).
+        fresh = cap.join(existing, anti_cond, "left_anti").localCheckpoint()
+        n = fresh.count()
+        if n:
+            append_snapshot(fresh, self.sink_path(st))
+            # appended files postdate the registered view's listing
+            # — re-register so consumers see the repair immediately
+            self.refresh_view(st)
+            if self.config.materialize_current_state and st.pkey_column:
+                # W25: a backfilled version folds by its HISTORICAL
+                # stamp (snapshot_tm = its own nms) — it only
+                # becomes the live row when it genuinely is the
+                # newest version of its key, exactly the view's
+                # answer
+                from .streaming import maintain_current_state
 
-                    maintain_current_state(
-                        self.spark,
-                        self.current_state_path(st),
-                        fresh,
-                        st.pkey_column,
-                        sch.SNAPSHOT_COL,
-                        tiebreak_cols=[st.nms_column],
-                        n_buckets=self.config.current_state_buckets,
-                    )
-            return n
-        finally:
-            fresh.unpersist()
+                maintain_current_state(
+                    self.spark,
+                    self.current_state_path(st),
+                    fresh,
+                    st.pkey_column,
+                    sch.SNAPSHOT_COL,
+                    tiebreak_cols=[st.nms_column],
+                    n_buckets=self.config.current_state_buckets,
+                )
+        return n
 
     def changes_between(
         self, table: str, t1, t2, include_payload: bool = False

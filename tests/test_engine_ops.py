@@ -612,6 +612,59 @@ def test_engine_materialized_current_state_tracks_view(spark, tmp_path):
     assert len(got) == 6
 
 
+def test_backfill_folds_into_materialized_state(spark, tmp_path):
+    """r11 regression: backfill's post-append W25 fold must see the
+    MATERIALIZED repair rows — the append invalidates any cached plan
+    reading the sink path, and a persisted anti-join silently
+    recomputed to EMPTY against the already-repaired sink (the fold
+    then wrote nothing; demo smoke caught it). localCheckpoint cuts
+    the path dependency; table ≡ view after the repair."""
+    from datetime import datetime, timedelta
+
+    from leftshove_spark.engine import Engine
+    from leftshove_spark.session import EngineConfig
+    from leftshove_spark.views import latest_per_key_window
+
+    work = str(tmp_path)
+    src = f"{work}/src.parquet"
+    rows = [
+        (k, f"v{k}-{d}", datetime(2030, 1, 1) + timedelta(days=d))
+        for k in range(4)
+        for d in range(4)
+    ]
+    spark.createDataFrame(rows, "pk long, v string, ts timestamp").write.parquet(src)
+    eng = Engine(
+        spark,
+        EngineConfig(replication_buffer_secs=0, materialize_current_state=True),
+        state_path=f"{work}/state.json",
+        sink_root=f"{work}/sink",
+    )
+    eng.seed([{"name": "t", "path": src, "nms_column": "ts", "pkey_column": "pk"}])
+    eng.create_sinks()
+    # capture only day 0 (now caps the window), then BACKFILL days 1-3
+    eng.run_cycle(
+        now=datetime(2030, 1, 1, 12), snapshot_at=datetime(2030, 1, 1, 12)
+    )
+    assert eng.current_state_table("t").count() == 4
+    filled = eng.backfill("t", datetime(2030, 1, 1), datetime(2030, 2, 1))
+    assert filled == 12  # days 1-3 for 4 keys
+    cdc, _ = eng._cdc_df("t")
+    want = sorted(
+        (r["pk"], r["v"])
+        for r in latest_per_key_window(
+            cdc, "pk", order_col="snapshot_tm", tiebreak_cols=["ts"]
+        )
+        .select("pk", "v")
+        .collect()
+    )
+    got = sorted(
+        (r["pk"], r["v"])
+        for r in eng.current_state_table("t").select("pk", "v").collect()
+    )
+    assert got == want
+    assert [v for _, v in got] == [f"v{k}-3" for k in range(4)]
+
+
 def test_apply_changes_null_key_rows(spark, tmp_path):
     """r9 review: NULL key values must delete/replace null-safely —
     snapshot_diff matches them null-safely, so the apply must too."""
