@@ -579,3 +579,58 @@ def test_duplicated_passage_family_matches_python_model(spark):
             tok for p, tok in enumerate(t, start=1) if p not in covered[i]
         )
         assert got_red[i] == want
+
+
+def test_bpe_merge_loop_properties():
+    """X59 property test (hypothesis, pure Python): for arbitrary
+    lowercase-alnum words and arbitrary merge-rank tables built from
+    pair fragments of those words —
+    (a) the output symbols concatenate back to the word (merges never
+        lose or reorder characters),
+    (b) the output is a FIXPOINT: no adjacent output pair is in the
+        rank table,
+    (c) merge count ≡ len(word) − len(output) (what bpe_token_counts'
+        n_merges relies on),
+    (d) an empty rank table is the identity tokenization."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from leftshove_spark.ext.text import bpe_tokenize_word_py
+
+    word_st = st.text(alphabet="ab0", min_size=0, max_size=12)
+
+    @st.composite
+    def word_and_ranks(draw):
+        w = draw(word_st)
+        # candidate merge pairs: fragments of the word itself (the
+        # adversarial case — rules that actually fire, chain, and
+        # overlap) plus a few alphabet pairs
+        frags = set()
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + 4, len(w) + 1)):
+                frags.add(w[i:j])
+        frags |= {"a", "b", "0", "ab", "ba"}
+        frags = sorted(frags)
+        n_rules = draw(st.integers(0, 8))
+        pairs = [
+            (draw(st.sampled_from(frags)), draw(st.sampled_from(frags)))
+            for _ in range(n_rules)
+        ]
+        # rank table: first occurrence wins (dict construction order)
+        ranks = {}
+        for p in pairs:
+            ranks.setdefault(p, len(ranks))
+        return w, ranks
+
+    @given(word_and_ranks())
+    @settings(max_examples=300, deadline=None)
+    def check(wr):
+        w, ranks = wr
+        out = bpe_tokenize_word_py(w, ranks)
+        assert "".join(out) == w  # (a)
+        for x, y in zip(out, out[1:]):
+            assert (x, y) not in ranks  # (b) fixpoint
+        assert len(w) - len(out) >= 0  # (c) merges only shrink
+        assert bpe_tokenize_word_py(w, {}) == list(w)  # (d)
+
+    check()
