@@ -523,10 +523,37 @@ def maintain_current_state(
 def current_state_table(spark: SparkSession, state_dir: str) -> DataFrame:
     """Read a :func:`maintain_current_state` table — one row per live
     key, no window, no history scan; the partition column stays
-    internal. Key-bucket pruning comes free: an equality predicate on
-    the key can be pre-bucketed by the caller the same way the
-    maintainer buckets (crc32 % n) to touch one partition."""
+    internal. For point reads use :func:`current_state_lookup`, which
+    turns the key equality into partition pruning."""
     return spark.read.parquet(state_dir).drop("__bucket")
+
+
+def current_state_lookup(
+    spark: SparkSession,
+    state_dir: str,
+    key_values: dict[str, object],
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Point lookup against a W25 table with PARTITION PRUNING: the
+    key's crc32 bucket is computed driver-side with the maintainer's
+    exact expression, so the scan touches ONE ``__bucket=`` partition
+    (1/n of the table's bytes) before the row filter — the difference
+    between a key probe and a table scan on a large keyspace.
+    ``key_values`` must bind every key column the maintainer bucketed
+    on, in the SAME order it was given (the bucket hash concatenates
+    values in key order); ``n_buckets`` must match the maintainer's."""
+    import zlib
+
+    # concat_ws SKIPS null arguments (no separator slot) — replicate
+    # exactly, or a NULL-keyed lookup probes the wrong bucket
+    joined = "\x1f".join(str(v) for v in key_values.values() if v is not None)
+    bucket = abs(zlib.crc32(joined.encode("utf-8"))) % n_buckets
+    df = spark.read.parquet(state_dir).filter(F.col("__bucket") == bucket)
+    for k, v in key_values.items():
+        df = df.filter(
+            F.col(k).isNull() if v is None else (F.col(k) == F.lit(v))
+        )
+    return df.drop("__bucket")
 
 
 def _maintain_bucketed_state(

@@ -473,6 +473,61 @@ def test_maintain_current_state_touched_buckets_and_conflicts(spark, tmp_path):
     assert rows_after == rows_before
 
 
+def test_current_state_lookup_prunes_to_one_bucket(spark, tmp_path):
+    """W25 point reads: current_state_lookup computes the maintainer's
+    crc32 bucket driver-side, so the scan lists exactly ONE __bucket=
+    partition's files — and returns exactly the full-table filter's
+    rows, for every key (the driver-side hash must replicate Spark's
+    crc32(concat_ws) bit-for-bit, including multi-key concatenation)."""
+    from leftshove_spark.sources import load_table
+    from leftshove_spark.streaming import (
+        current_state_lookup,
+        current_state_table,
+        maintain_current_state,
+    )
+
+    state = str(tmp_path / "cur")
+    o = load_table(spark, SF0001, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    maintain_current_state(spark, state, o, "o_custkey", "o_orderdate",
+                           tiebreak_cols=["o_orderkey"])
+    keys = [
+        r["o_custkey"]
+        for r in o.select("o_custkey").distinct().limit(20).collect()
+    ]
+    full = current_state_table(spark, state)
+    for k in keys:
+        probe = current_state_lookup(spark, state, {"o_custkey": k})
+        want = sorted(map(tuple, full.filter(F.col("o_custkey") == k).collect()))
+        got = sorted(map(tuple, probe.collect()))
+        assert got == want and len(got) == 1
+        # partition pruning: the EXECUTED scan reads one bucket dir only
+        # (inputFiles() lists pre-pruning — input_file_name() is what
+        # actually got read)
+        files = {
+            r[0]
+            for r in probe.select(F.input_file_name()).distinct().collect()
+        }
+        dirs = {f.split("__bucket=")[1].split("/")[0] for f in files}
+        assert len(dirs) == 1
+        # and the plan carries the bucket equality as a PARTITION filter
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        pf = plan[plan.index("PartitionFilters"):].split("]", 1)[0]
+        assert "__bucket" in pf
+
+    # multi-key maintainer: same driver-side hash discipline
+    state2 = str(tmp_path / "cur2")
+    maintain_current_state(
+        spark, state2, o, ["o_custkey", "o_orderkey"], "o_orderdate"
+    )
+    r0 = o.limit(1).collect()[0]
+    got = current_state_lookup(
+        spark, state2, {"o_custkey": r0["o_custkey"], "o_orderkey": r0["o_orderkey"]}
+    ).collect()
+    assert len(got) == 1 and got[0]["o_orderkey"] == r0["o_orderkey"]
+
+
 def test_maintain_history_rejects_version_stamp_conflicts(spark, tmp_path):
     """Version-key contract: byte-identical redeliveries collapse, but
     two DIFFERENT payloads sharing (key, order, tiebreaks) raise before
