@@ -556,6 +556,66 @@ def current_state_lookup(
     return df.drop("__bucket")
 
 
+def start_current_state_stream(
+    spark: SparkSession,
+    *,
+    landing_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str] | str,
+    order_col: str,
+    tiebreak_cols: list[str] | None = None,
+    n_buckets: int = 16,
+    once: bool = True,
+    processing_time: str = "20 seconds",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """W26 — Structured Streaming maintenance of the W25 materialized
+    current-state table: every micro-batch of landed versions folds
+    into the compacted table via :func:`maintain_current_state` — the
+    streaming half of the story whose batch half runs inside the
+    engine's capture loop. Versions order by their EVENT time
+    (``order_col`` — the landed data's own column; no snapshot
+    stamping), so late and out-of-order arrivals resolve exactly as in
+    batch: latest-per-key is an associative fold, N micro-batches ≡
+    one batch over everything landed (pytest-pinned across triggers).
+
+    Delivery: foreachBatch + checkpoint give at-least-once — a crashed
+    batch re-runs and its redelivered rows collapse in the fold's
+    all-columns dedup; a version-stamp payload CONFLICT fails the
+    stream loudly (the maintainer's contract) rather than admitting
+    nondeterministic state. Cost per trigger: O(batch + touched
+    buckets); the stream carries no Spark state store — the parquet
+    table IS the state, readable (and bucket-prunable via
+    :func:`current_state_lookup`) between triggers."""
+    src = _streaming_source(spark, landing_dir, max_files_per_trigger)
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        maintain_current_state(
+            spark,
+            state_dir,
+            batch_df,
+            keys,
+            order_col,
+            tiebreak_cols=tiebreak_cols,
+            n_buckets=n_buckets,
+        )
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    writer = (
+        src.writeStream.queryName("current_state_maintenance")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(batch_fn)
+        .outputMode("append")
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def _maintain_bucketed_state(
     spark: SparkSession,
     state_dir: str,

@@ -473,6 +473,77 @@ def test_maintain_current_state_touched_buckets_and_conflicts(spark, tmp_path):
     assert rows_after == rows_before
 
 
+def test_current_state_stream_equals_batch_fold(spark, tmp_path):
+    """W26: two triggers of streamed micro-batches (the SECOND carrying
+    the OLDEST versions — late data must lose) leave the materialized
+    table exactly ≡ one-shot latest-per-key over everything landed, and
+    the table is readable between triggers."""
+    import os
+
+    from leftshove_spark.sources import load_table
+    from leftshove_spark.streaming import (
+        current_state_table,
+        start_current_state_stream,
+    )
+    from leftshove_spark.views import latest_per_key_window
+
+    o = load_table(spark, SF0001, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "cur")
+    os.makedirs(landing)
+
+    # trigger 1: the NEWER two-thirds
+    newer = o.filter(F.col("o_orderkey") % 3 != 0)
+    newer.write.mode("append").parquet(landing)
+    q = start_current_state_stream(
+        spark,
+        landing_dir=landing,
+        state_dir=state,
+        checkpoint_dir=str(tmp_path / "ck"),
+        key_cols="o_custkey",
+        order_col="o_orderdate",
+        tiebreak_cols=["o_orderkey"],
+        once=True,
+    )
+    assert q.awaitTermination(120), "current-state stream did not drain"
+    mid = {
+        tuple(r) for r in current_state_table(spark, state).collect()
+    }
+    want_mid = {
+        tuple(r)
+        for r in latest_per_key_window(
+            newer, "o_custkey", order_col="o_orderdate",
+            tiebreak_cols=["o_orderkey"],
+        ).collect()
+    }
+    assert mid == want_mid  # readable + correct between triggers
+
+    # trigger 2: the oldest third lands LATE
+    o.filter(F.col("o_orderkey") % 3 == 0).write.mode("append").parquet(landing)
+    q = start_current_state_stream(
+        spark,
+        landing_dir=landing,
+        state_dir=state,
+        checkpoint_dir=str(tmp_path / "ck"),
+        key_cols="o_custkey",
+        order_col="o_orderdate",
+        tiebreak_cols=["o_orderkey"],
+        once=True,
+    )
+    assert q.awaitTermination(120), "current-state stream did not drain"
+    got = {tuple(r) for r in current_state_table(spark, state).collect()}
+    want = {
+        tuple(r)
+        for r in latest_per_key_window(
+            o, "o_custkey", order_col="o_orderdate",
+            tiebreak_cols=["o_orderkey"],
+        ).collect()
+    }
+    assert got == want
+
+
 def test_current_state_lookup_prunes_to_one_bucket(spark, tmp_path):
     """W25 point reads: current_state_lookup computes the maintainer's
     crc32 bucket driver-side, so the scan lists exactly ONE __bucket=
