@@ -544,6 +544,31 @@ def test_current_state_stream_equals_batch_fold(spark, tmp_path):
     assert got == want
 
 
+def test_maintain_current_state_map_payload(spark, tmp_path):
+    """W25 inherits W18's map-payload handling through the shared core:
+    map-bearing columns dedup via the to_json proxy (Spark rejects maps
+    in dropDuplicates), byte-identical redeliveries collapse, and the
+    latest version's map survives."""
+    from leftshove_spark.streaming import current_state_table, maintain_current_state
+
+    state = str(tmp_path / "cur")
+    b1 = spark.createDataFrame(
+        [(1, "2030-01-01", {"a": 1}), (2, "2030-01-01", {"b": 2})],
+        "k long, d string, m map<string,int>",
+    )
+    maintain_current_state(spark, state, b1, "k", "d")
+    maintain_current_state(spark, state, b1, "k", "d")  # redelivery
+    b2 = spark.createDataFrame(
+        [(1, "2030-02-01", {"a": 9})], "k long, d string, m map<string,int>"
+    )
+    maintain_current_state(spark, state, b2, "k", "d")
+    got = {
+        r["k"]: (r["d"], dict(r["m"]))
+        for r in current_state_table(spark, state).collect()
+    }
+    assert got == {1: ("2030-02-01", {"a": 9}), 2: ("2030-01-01", {"b": 2})}
+
+
 def test_current_state_lookup_prunes_to_one_bucket(spark, tmp_path):
     """W25 point reads: current_state_lookup computes the maintainer's
     crc32 bucket driver-side, so the scan lists exactly ONE __bucket=
