@@ -1508,6 +1508,7 @@ def semdedup_admit(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rounds: int = 64,
 ) -> DataFrame:
     """Incremental SemDeDup ADMISSION: screen a batch of embeddings
     against a persisted semantic index before it may join the corpus —
@@ -1590,7 +1591,6 @@ def semdedup_admit(
         .localCheckpoint()
     )
     losers = None  # accumulated rejected ids
-    max_rounds = 64
     for _ in range(max_rounds):
         if edges.limit(1).count() == 0:
             break
