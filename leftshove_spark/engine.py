@@ -235,7 +235,11 @@ class Engine:
             cdc = self._read_sink_evolved(self.sink_path(st))
         else:
             cdc = self._read_sink_raw(self.sink_path(st))
-        latest_per_key_window(cdc, st.pkey_column).createOrReplaceTempView(st.name)
+        latest_per_key_window(
+            cdc,
+            st.pkey_column,
+            tiebreak_cols=self._tiebreaks(cdc, st),
+        ).createOrReplaceTempView(st.name)
 
     # ----------------------------------------------------------- row counts
     def _source_row_count(self, st: TableState) -> int:
@@ -332,7 +336,7 @@ class Engine:
                 cap,
                 st.pkey_column,
                 sch.SNAPSHOT_COL,
-                tiebreak_cols=[st.nms_column],
+                tiebreak_cols=self._tiebreaks(cap, st),
                 n_buckets=self.config.current_state_buckets,
             )
         # W5: commit only after a successful write. Row count from the
@@ -490,6 +494,30 @@ class Engine:
             and not type_contains_map(f.dataType)
         )
 
+    def _tiebreaks(self, df: DataFrame, st: TableState) -> list[str]:
+        """The ONE version-order convention (ADVICE r11 medium): the
+        nms column FIRST (within a shared snapshot stamp, true event
+        time is the meaningful order), then the remaining orderable
+        payload columns sorted by name (a total order even when nms
+        ties too). The registered current-state view, history /
+        state_at / vacuum retention, and the W25 materialized folds all
+        order by exactly this list — previously the view had NO
+        tiebreak, the folds used [nms] alone, and vacuum used the
+        alphabetical payload list, so a pkey with two versions in one
+        capture could make the view nondeterministic vs the table and
+        let vacuum retain a different 'latest' than the fold kept
+        (permanent table ≠ view divergence). One consequence worth
+        naming: the folds' version-stamp conflict check now fires only
+        for rows this total order cannot separate (map-typed-column
+        differences) — any orderable payload difference is RESOLVED
+        deterministically instead, exactly as the view resolves it."""
+        rest = [
+            c
+            for c in self._version_tiebreaks(df, st.pkey_column)
+            if c != st.nms_column
+        ]
+        return [st.nms_column] + rest
+
     def history(self, table: str) -> DataFrame:
         """SCD-Type-2 history over the ``<t>_cdc`` sink: every captured
         version per pkey with [valid_from, valid_to) intervals and an
@@ -503,7 +531,7 @@ class Engine:
             cdc,
             st.pkey_column,
             order_col="snapshot_tm",
-            tiebreak_cols=self._version_tiebreaks(cdc, st.pkey_column),
+            tiebreak_cols=self._tiebreaks(cdc, st),
         )
 
     def state_as_of(self, table: str, ts) -> DataFrame:
@@ -530,7 +558,7 @@ class Engine:
             st.pkey_column,
             ts,
             order_col="snapshot_tm",
-            tiebreak_cols=self._version_tiebreaks(cdc, st.pkey_column),
+            tiebreak_cols=self._tiebreaks(cdc, st),
         )
 
     def vacuum_snapshots(self, table: str, horizon) -> int:
@@ -551,7 +579,7 @@ class Engine:
             horizon,
             st.pkey_column,
             order_col="snapshot_tm",
-            tiebreak_cols=self._version_tiebreaks(cdc, st.pkey_column),
+            tiebreak_cols=self._tiebreaks(cdc, st),
         )
         rewrite_dir_staged(keep, self.sink_path(st))
         # the registered current-state view wraps a plan whose file
@@ -667,7 +695,7 @@ class Engine:
                     fresh,
                     st.pkey_column,
                     sch.SNAPSHOT_COL,
-                    tiebreak_cols=[st.nms_column],
+                    tiebreak_cols=self._tiebreaks(fresh, st),
                     n_buckets=self.config.current_state_buckets,
                 )
         return n

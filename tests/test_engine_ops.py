@@ -692,3 +692,122 @@ def test_apply_changes_null_key_rows(spark, tmp_path):
                             include_payload=True)
     apply_changes(spark, replica, removal, "pk")
     assert [r["pk"] for r in spark.read.parquet(replica).collect()] == [1]
+
+
+def test_one_tiebreak_convention_view_table_vacuum_agree(spark, tmp_path):
+    """ADVICE r11 medium: a pkey with TWO versions in one capture
+    (shared snapshot_tm) must resolve identically everywhere — the
+    REGISTERED catalog view, the W25 materialized table, state_at, and
+    the post-vacuum sink all order versions by the one convention
+    (nms first, then payload columns by name). Before r12 the view had
+    no tiebreak at all and vacuum used a different list, so the view
+    was nondeterministic vs the table and vacuum could retain a
+    different 'latest' than the fold kept."""
+    from datetime import datetime, timedelta
+
+    from leftshove_spark.engine import Engine
+    from leftshove_spark.session import EngineConfig
+
+    work = str(tmp_path)
+    src = f"{work}/src.parquet"
+    # keys 0..3, each with TWO same-cycle versions (both inside the
+    # first capture window → both stamped with one snapshot_tm)
+    rows = [
+        (k, f"v{k}-{i}", datetime(2030, 1, 1, 6 + i))
+        for k in range(4)
+        for i in range(2)
+    ]
+    spark.createDataFrame(rows, "pk long, v string, ts timestamp").write.parquet(src)
+    eng = Engine(
+        spark,
+        EngineConfig(
+            replication_buffer_secs=0,
+            materialize_current_state=True,
+            current_state_buckets=4,
+        ),
+        state_path=f"{work}/state.json",
+        sink_root=f"{work}/sink",
+    )
+    eng.seed([{"name": "t", "path": src, "nms_column": "ts", "pkey_column": "pk"}])
+    eng.create_sinks()
+    now = datetime(2030, 1, 2)
+    eng.run_cycle(now=now, snapshot_at=now)
+
+    def rows_of(df):
+        return sorted((r["pk"], r["v"], r["ts"]) for r in df.select("pk", "v", "ts").collect())
+
+    view_rows = rows_of(eng.current_state("t"))       # registered view
+    table_rows = rows_of(eng.current_state_table("t"))  # W25 table
+    at_rows = rows_of(eng.state_at("t", now))
+    assert view_rows == table_rows == at_rows
+    # the convention picks the greater nms within the shared stamp
+    assert [v for _, v, _ in view_rows] == [f"v{k}-1" for k in range(4)]
+
+    # vacuum with a horizon ABOVE the stamp keeps each key's single
+    # latest pre-horizon version — the SAME row every surface holds
+    kept = eng.vacuum_snapshots("t", now + timedelta(days=1))
+    assert kept == 4
+    assert rows_of(eng.current_state("t")) == view_rows
+    assert rows_of(eng.state_at("t", now + timedelta(days=2))) == view_rows
+    # and the materialized table (untouched by vacuum) still agrees
+    assert rows_of(eng.current_state_table("t")) == view_rows
+
+
+def test_evolution_composes_with_materialized_current_state(spark, tmp_path):
+    """ADVICE r11 medium #1: evolve_schema=True + materialize_current_
+    state=True — after _evolve_on_drift adds a column mid-loop, the
+    capture batch carries it but the stored <t>_current buckets don't;
+    the fold must align the schemas (old rows NULL) instead of raising
+    UNRESOLVED_COLUMN on every subsequent cycle and wedging the table
+    (the failure landed after append_snapshot but before the watermark
+    commit, so the sink re-appended the same window each retry)."""
+    from datetime import datetime
+
+    from leftshove_spark.engine import Engine
+    from leftshove_spark.session import EngineConfig
+
+    work = str(tmp_path)
+    src = f"{work}/src.parquet"
+    spark.createDataFrame(
+        [(1, 5, datetime(2030, 1, 1)), (2, 6, datetime(2030, 1, 1))],
+        "pk long, v long, ts timestamp",
+    ).write.parquet(src)
+    eng = Engine(
+        spark,
+        EngineConfig(
+            replication_buffer_secs=0,
+            evolve_schema=True,
+            materialize_current_state=True,
+            current_state_buckets=4,
+        ),
+        state_path=f"{work}/state.json",
+        sink_root=f"{work}/sink",
+    )
+    eng.seed([{"name": "t", "path": src, "nms_column": "ts", "pkey_column": "pk"}])
+    eng.create_sinks()
+    eng.run_cycle(now=datetime(2030, 1, 2), snapshot_at=datetime(2030, 1, 2))
+    assert eng.current_state_table("t").count() == 2
+
+    # upstream ALTER TABLE: a new column (and a new version of pk 1)
+    spark.createDataFrame(
+        [
+            (1, 5, datetime(2030, 1, 1), None),
+            (2, 6, datetime(2030, 1, 1), None),
+            (1, 50, datetime(2030, 1, 10), "x"),
+        ],
+        "pk long, v long, ts timestamp, note string",
+    ).write.mode("overwrite").parquet(src)
+    eng.run_cycle(now=datetime(2030, 1, 20), snapshot_at=datetime(2030, 1, 20))
+
+    got = {
+        r["pk"]: (r["v"], r["note"])
+        for r in eng.current_state_table("t").collect()
+    }
+    assert got == {1: (50, "x"), 2: (6, None)}
+    # the watermark DID commit (no wedge): a further cycle is a no-op
+    # skip, and the table keeps agreeing with the registered view
+    eng.run_cycle(now=datetime(2030, 1, 21), snapshot_at=datetime(2030, 1, 21))
+    view = {
+        r["pk"]: (r["v"], r["note"]) for r in eng.current_state("t").collect()
+    }
+    assert view == got

@@ -1,0 +1,291 @@
+"""Manifest-committed state store (statestore.py) — the r12 answer to
+VERDICT r11 "What's missing #1": bucketed folds used to commit via
+dynamic partition overwrite, which could serve a reader a TORN state
+(bucket A new + bucket B old) mid-fold. These tests pin the commit
+protocol's guarantees:
+
+- a reader interleaved at ANY point of a fold sees either the old or
+  the new generation, never a mix (the manifest flip is the only
+  visibility point);
+- a reader that resolved the PREVIOUS generation keeps scanning files
+  that still exist (one-generation GC grace);
+- a crash before the manifest flip leaves the old state authoritative
+  and the re-run converges;
+- schema evolution composes with the folds (ADVICE r11 medium #1);
+- deferred GC bounds the on-disk file population.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF0001
+
+from leftshove_spark import statestore
+from leftshove_spark.sources import load_table
+from leftshove_spark.streaming import (
+    current_state_table,
+    maintain_current_state,
+)
+from leftshove_spark.views import latest_per_key_window
+
+
+def _orders(spark):
+    return load_table(spark, SF0001, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+
+
+def test_reader_mid_fold_sees_old_or_new_never_a_mix(spark, tmp_path, monkeypatch):
+    """THE torn-read pin: interpose a reader at the exact instant
+    between the fold's file moves and the manifest flip (the window
+    where dynamic partition overwrite used to serve a mix) — the
+    reader must see EXACTLY the pre-fold state; after the fold returns,
+    a fresh reader sees exactly the post-fold state."""
+    state = str(tmp_path / "cur")
+    o = _orders(spark)
+    old_half = o.filter(F.col("o_orderkey") % 2 == 0)
+    maintain_current_state(spark, state, old_half, "o_custkey", "o_orderdate",
+                           tiebreak_cols=["o_orderkey"])
+    want_old = sorted(
+        map(tuple, current_state_table(spark, state).collect())
+    )
+
+    seen_mid_flip: list = []
+    real_write = statestore._write_manifest
+
+    def spy_write(state_dir, manifest):
+        # files for the new generation are already moved into data/ —
+        # the exact instant a directory-listing reader would tear
+        mid = sorted(map(tuple, current_state_table(spark, state).collect()))
+        seen_mid_flip.append(mid)
+        real_write(state_dir, manifest)
+
+    monkeypatch.setattr(statestore, "_write_manifest", spy_write)
+    new_half = o.filter(F.col("o_orderkey") % 2 == 1)
+    maintain_current_state(spark, state, new_half, "o_custkey", "o_orderdate",
+                           tiebreak_cols=["o_orderkey"])
+    monkeypatch.setattr(statestore, "_write_manifest", real_write)
+
+    assert seen_mid_flip == [want_old]  # mid-fold reader: OLD state exactly
+    want_new = sorted(
+        map(
+            tuple,
+            latest_per_key_window(
+                o, "o_custkey", order_col="o_orderdate",
+                tiebreak_cols=["o_orderkey"],
+            ).collect(),
+        )
+    )
+    got_new = sorted(map(tuple, current_state_table(spark, state).collect()))
+    assert got_new == want_new  # post-fold reader: NEW state exactly
+
+
+def test_reader_resolved_before_fold_survives_the_commit(spark, tmp_path):
+    """A reader that resolved generation N keeps collecting generation
+    N's rows even after generation N+1 commits — its files live one
+    further generation (GC grace), so in-flight scans never hit
+    deleted paths."""
+    state = str(tmp_path / "cur")
+    o = _orders(spark)
+    maintain_current_state(
+        spark, state, o.filter(F.col("o_orderkey") % 2 == 0),
+        "o_custkey", "o_orderdate", tiebreak_cols=["o_orderkey"],
+    )
+    reader = current_state_table(spark, state)  # resolves gen 1's files
+    want = sorted(map(tuple, reader.collect()))
+    maintain_current_state(
+        spark, state, o.filter(F.col("o_orderkey") % 2 == 1),
+        "o_custkey", "o_orderdate", tiebreak_cols=["o_orderkey"],
+    )
+    # the pre-fold reader still scans gen 1's (still existing) files
+    assert sorted(map(tuple, reader.collect())) == want
+
+
+def test_crash_before_manifest_flip_leaves_old_state_and_rerun_converges(
+    spark, tmp_path, monkeypatch
+):
+    """Crash at the worst instant — new files moved into data/, manifest
+    NOT flipped: readers still resolve the old generation; the retried
+    fold (at-least-once redelivery) converges to the right state; the
+    crashed attempt's orphan files are swept by the retry."""
+    state = str(tmp_path / "cur")
+    o = _orders(spark)
+    maintain_current_state(
+        spark, state, o.filter(F.col("o_orderkey") % 2 == 0),
+        "o_custkey", "o_orderdate", tiebreak_cols=["o_orderkey"],
+    )
+    want_old = sorted(map(tuple, current_state_table(spark, state).collect()))
+
+    real_write = statestore._write_manifest
+
+    def crash(state_dir, manifest):
+        raise RuntimeError("simulated crash before manifest flip")
+
+    monkeypatch.setattr(statestore, "_write_manifest", crash)
+    new_half = o.filter(F.col("o_orderkey") % 2 == 1)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        maintain_current_state(
+            spark, state, new_half, "o_custkey", "o_orderdate",
+            tiebreak_cols=["o_orderkey"],
+        )
+    monkeypatch.setattr(statestore, "_write_manifest", real_write)
+
+    # old state authoritative after the crash
+    assert (
+        sorted(map(tuple, current_state_table(spark, state).collect()))
+        == want_old
+    )
+    # retry converges
+    maintain_current_state(
+        spark, state, new_half, "o_custkey", "o_orderdate",
+        tiebreak_cols=["o_orderkey"],
+    )
+    want = sorted(
+        map(
+            tuple,
+            latest_per_key_window(
+                o, "o_custkey", order_col="o_orderdate",
+                tiebreak_cols=["o_orderkey"],
+            ).collect(),
+        )
+    )
+    assert (
+        sorted(map(tuple, current_state_table(spark, state).collect()))
+        == want
+    )
+    # the crashed attempt's orphans are gone: every parquet under data/
+    # is referenced by a live manifest (current files or GC-grace
+    # garbage)
+    live = set()
+    for gen in statestore._list_manifests(state):
+        import json
+
+        with open(statestore._manifest_path(state, gen)) as fh:
+            m = json.load(fh)
+        for rels in m["files"].values():
+            live.update(rels)
+        live.update(m["garbage"])
+    on_disk = set()
+    data = os.path.join(state, "data")
+    for dp, _, fs in os.walk(data):
+        for f in fs:
+            if f.endswith(".parquet"):
+                on_disk.add(os.path.relpath(os.path.join(dp, f), data))
+    assert on_disk <= live
+
+
+def test_deferred_gc_bounds_file_population(spark, tmp_path):
+    """N folds leave at most two generations' files per bucket on disk
+    — replaced files survive exactly one further commit (reader grace)
+    and are then deleted; manifests older than the grace are dropped."""
+    state = str(tmp_path / "cur")
+    one = spark.createDataFrame(
+        [(1, i, i) for i in range(1, 6)], "k long, d long, v long"
+    )
+    for i in range(1, 6):
+        maintain_current_state(
+            spark, state, one.filter(F.col("d") == i), "k", "d"
+        )
+    gens = statestore._list_manifests(state)
+    assert len(gens) <= 2  # grace window only
+    # the single touched bucket holds at most 2 generations of files
+    data = os.path.join(state, "data")
+    bucket_dirs = os.listdir(data)
+    assert len(bucket_dirs) == 1
+    files = [
+        f
+        for f in os.listdir(os.path.join(data, bucket_dirs[0]))
+        if f.endswith(".parquet")
+    ]
+    tags = {f.split("-")[0] for f in files}
+    assert len(tags) <= 2
+    # and the state itself is the single latest row
+    rows = current_state_table(spark, state).collect()
+    assert len(rows) == 1 and rows[0]["d"] == 5
+
+
+def test_fold_composes_with_schema_evolution(spark, tmp_path):
+    """ADVICE r11 medium #1: after a D7 column-add, the capture batch
+    carries the new column but stored buckets don't — the fold must
+    align both sides (old rows surface NULL) instead of wedging every
+    subsequent cycle on UNRESOLVED_COLUMN; and the reverse direction
+    (stored has a column the batch lacks) must survive too."""
+    state = str(tmp_path / "cur")
+    b1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "k long, d long, v string"
+    )
+    maintain_current_state(spark, state, b1, "k", "d")
+    # the schema evolves: new column w arrives
+    b2 = spark.createDataFrame(
+        [(1, 20, "a2", 7.5)], "k long, d long, v string, w double"
+    )
+    maintain_current_state(spark, state, b2, "k", "d")
+    got = {
+        r["k"]: (r["d"], r["v"], r["w"])
+        for r in current_state_table(spark, state).collect()
+    }
+    assert got == {1: (20, "a2", 7.5), 2: (10, "b", None)}
+    # a LATER batch without w (writer not yet upgraded) still folds
+    b3 = spark.createDataFrame([(2, 30, "b3")], "k long, d long, v string")
+    maintain_current_state(spark, state, b3, "k", "d")
+    got = {
+        r["k"]: (r["d"], r["v"], r["w"])
+        for r in current_state_table(spark, state).collect()
+    }
+    assert got == {1: (20, "a2", 7.5), 2: (30, "b3", None)}
+
+
+def test_legacy_dir_migrates_on_first_fold(spark, tmp_path):
+    """A pre-manifest (dynamic-partition-overwrite era) state dir is
+    adopted on its first new-code fold: one O(table) re-commit, then
+    the usual O(touched) discipline; contents carry over exactly and
+    the legacy root files are dropped by the following commit."""
+    state = str(tmp_path / "cur")
+    b1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "k long, d long, v string"
+    )
+    bucket = statestore.bucket_expr([F.col("k").cast("string")], 16)
+    # legacy layout: __bucket= partition dirs at the state root
+    b1.withColumn("__bucket", bucket).write.partitionBy("__bucket").parquet(
+        state
+    )
+    assert statestore.load_manifest(state) is None
+    b2 = spark.createDataFrame([(1, 20, "a2")], "k long, d long, v string")
+    maintain_current_state(spark, state, b2, "k", "d")
+    assert statestore.load_manifest(state) is not None
+    got = {
+        r["k"]: (r["d"], r["v"])
+        for r in current_state_table(spark, state).collect()
+    }
+    assert got == {1: (20, "a2"), 2: (10, "b")}
+    # next fold drops the legacy root files
+    b3 = spark.createDataFrame([(2, 30, "b3")], "k long, d long, v string")
+    maintain_current_state(spark, state, b3, "k", "d")
+    assert not [
+        e for e in os.listdir(state) if e.startswith("__bucket=")
+    ]
+    got = {
+        r["k"]: (r["d"], r["v"])
+        for r in current_state_table(spark, state).collect()
+    }
+    assert got == {1: (20, "a2"), 2: (30, "b3")}
+
+
+def test_unpartitioned_store_roundtrip(spark, tmp_path):
+    """partition_col=None (the W22 corpus-stats shape): whole-table
+    generations, same atomic flip, same deferred GC."""
+    state = str(tmp_path / "flat")
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    statestore.commit_fold(spark, state, df1, None, [""])
+    assert [tuple(r) for r in statestore.read_state(spark, state).collect()] == [
+        (1, "a")
+    ]
+    df2 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    statestore.commit_fold(spark, state, df2, None, [""])
+    got = sorted(tuple(r) for r in statestore.read_state(spark, state).collect())
+    assert got == [(1, "a"), (2, "b")]
+    assert len(statestore._list_manifests(state)) <= 2

@@ -316,7 +316,7 @@ def test_maintain_history_incremental_equals_batch(spark, tmp_path):
     one-shot history_view of all rows — intervals, tiebreaks, and
     is_current flags included."""
     from leftshove_spark.sources import load_table
-    from leftshove_spark.streaming import maintain_history
+    from leftshove_spark.streaming import history_state_table, maintain_history
     from leftshove_spark.views import history_view
 
     state = str(tmp_path / "hist")
@@ -331,7 +331,7 @@ def test_maintain_history_incremental_equals_batch(spark, tmp_path):
         )
     got = {
         (r["o_orderkey"], r["o_custkey"], r["valid_from"], r["valid_to"], r["is_current"])
-        for r in spark.read.parquet(state).drop("__bucket").collect()
+        for r in history_state_table(spark, state).collect()
     }
     want = {
         (r["o_orderkey"], r["o_custkey"], r["valid_from"], r["valid_to"], r["is_current"])
@@ -345,11 +345,13 @@ def test_maintain_history_incremental_equals_batch(spark, tmp_path):
 
 
 def test_maintain_history_rewrites_only_touched_buckets(spark, tmp_path):
-    """Partition-selective merge: a batch touching one key leaves every
-    untouched bucket's files byte-identical (mtime+size preserved —
-    dynamic partition overwrite never rewrote them)."""
+    """Partition-selective merge: a batch touching one key replaces
+    exactly ONE bucket's file list in the manifest — every untouched
+    bucket's committed files carry over by reference, byte-identical on
+    disk (the manifest store never rewrites a file in place)."""
     import os
 
+    from leftshove_spark import statestore
     from leftshove_spark.sources import load_table
     from leftshove_spark.streaming import maintain_history
 
@@ -359,27 +361,27 @@ def test_maintain_history_rewrites_only_touched_buckets(spark, tmp_path):
     )
     maintain_history(spark, state, o, "o_custkey", "o_orderdate",
                      tiebreak_cols=["o_orderkey"])
+    m1 = statestore.load_manifest(state)
 
-    def snapshot():
+    def meta(relpaths):
         out = {}
-        for dp, _, fs in os.walk(state):
-            for f in fs:
-                if f.endswith(".parquet"):
-                    p = os.path.join(dp, f)
-                    out[p] = (os.path.getsize(p), os.path.getmtime(p))
+        for rel in relpaths:
+            p = os.path.join(state, "data", rel)
+            out[rel] = (os.path.getsize(p), os.path.getmtime(p))
         return out
 
-    before = snapshot()
+    before_meta = meta([r for rels in m1["files"].values() for r in rels])
     one = o.orderBy("o_orderkey").limit(1)
     maintain_history(spark, state, one, "o_custkey", "o_orderdate",
                      tiebreak_cols=["o_orderkey"])
-    after = snapshot()
-    untouched_same = sum(
-        1 for p, meta in before.items() if p in after and after[p] == meta
-    )
-    # 16 buckets; the single-key batch touches exactly one
-    assert untouched_same >= len(before) - len(before) // 16 - 1
-    assert untouched_same < len(after)  # and at least one bucket DID change
+    m2 = statestore.load_manifest(state)
+    changed = [v for v in m2["files"] if m2["files"][v] != m1["files"].get(v)]
+    assert len(changed) == 1  # the single-key batch touches exactly one
+    # untouched buckets: same relpaths, same bytes on disk
+    for v, rels in m2["files"].items():
+        if v not in changed:
+            assert rels == m1["files"][v]
+            assert meta(rels) == {r: before_meta[r] for r in rels}
 
 
 def test_maintain_current_state_incremental_equals_view(spark, tmp_path):
@@ -433,29 +435,25 @@ def test_maintain_current_state_touched_buckets_and_conflicts(spark, tmp_path):
     )
     maintain_current_state(spark, state, o, "o_custkey", "o_orderdate",
                            tiebreak_cols=["o_orderkey"])
+    from leftshove_spark import statestore
 
-    def snapshot():
-        out = {}
-        for dp, _, fs in os.walk(state):
-            for f in fs:
-                if f.endswith(".parquet"):
-                    p = os.path.join(dp, f)
-                    out[p] = (os.path.getsize(p), os.path.getmtime(p))
-        return out
-
-    before = snapshot()
+    m1 = statestore.load_manifest(state)
     one = o.orderBy("o_orderkey").limit(1)
     maintain_current_state(spark, state, one, "o_custkey", "o_orderdate",
                            tiebreak_cols=["o_orderkey"])
-    after = snapshot()
-    untouched_same = sum(
-        1 for p, meta in before.items() if p in after and after[p] == meta
-    )
-    assert untouched_same >= len(before) - len(before) // 16 - 1
-    assert untouched_same < len(after)
+    m2 = statestore.load_manifest(state)
+    changed = [v for v in m2["files"] if m2["files"][v] != m1["files"].get(v)]
+    assert len(changed) == 1  # single-key batch → one bucket replaced
+    for v, rels in m2["files"].items():
+        if v not in changed:
+            assert rels == m1["files"][v]  # carried over by reference
+            for rel in rels:
+                assert os.path.exists(os.path.join(state, "data", rel))
+
+    from leftshove_spark.streaming import current_state_table
 
     rows_before = sorted(
-        map(tuple, spark.read.parquet(state).drop("__bucket").collect())
+        map(tuple, current_state_table(spark, state).collect())
     )
     conflict = spark.createDataFrame(
         [(1, "2199-01-01", 10), (1, "2199-01-01", 20)],
@@ -468,7 +466,7 @@ def test_maintain_current_state_touched_buckets_and_conflicts(spark, tmp_path):
             spark, state, conflict, "o_custkey", "o_orderdate"
         )
     rows_after = sorted(
-        map(tuple, spark.read.parquet(state).drop("__bucket").collect())
+        map(tuple, current_state_table(spark, state).collect())
     )
     assert rows_after == rows_before
 
@@ -571,10 +569,11 @@ def test_maintain_current_state_map_payload(spark, tmp_path):
 
 def test_current_state_lookup_prunes_to_one_bucket(spark, tmp_path):
     """W25 point reads: current_state_lookup computes the maintainer's
-    crc32 bucket driver-side, so the scan lists exactly ONE __bucket=
-    partition's files — and returns exactly the full-table filter's
-    rows, for every key (the driver-side hash must replicate Spark's
-    crc32(concat_ws) bit-for-bit, including multi-key concatenation)."""
+    crc32 bucket with SPARK'S OWN cast/concat/crc32 expression, then
+    resolves only that bucket's files from the manifest — the scan's
+    file list IS one bucket (1/n of the bytes), and the probe returns
+    exactly the full-table filter's rows, including multi-key
+    concatenation."""
     from leftshove_spark.sources import load_table
     from leftshove_spark.streaming import (
         current_state_lookup,
@@ -593,26 +592,21 @@ def test_current_state_lookup_prunes_to_one_bucket(spark, tmp_path):
         for r in o.select("o_custkey").distinct().limit(20).collect()
     ]
     full = current_state_table(spark, state)
+    n_all_files = len(full.inputFiles())
     for k in keys:
         probe = current_state_lookup(spark, state, {"o_custkey": k})
         want = sorted(map(tuple, full.filter(F.col("o_custkey") == k).collect()))
         got = sorted(map(tuple, probe.collect()))
         assert got == want and len(got) == 1
-        # partition pruning: the EXECUTED scan reads one bucket dir only
-        # (inputFiles() lists pre-pruning — input_file_name() is what
-        # actually got read)
-        files = {
-            r[0]
-            for r in probe.select(F.input_file_name()).distinct().collect()
-        }
+        # manifest pruning: the scan's file list is ONE bucket's files —
+        # pruned before Spark ever lists a file, stronger than a
+        # partition filter
+        files = probe.inputFiles()
         dirs = {f.split("__bucket=")[1].split("/")[0] for f in files}
         assert len(dirs) == 1
-        # and the plan carries the bucket equality as a PARTITION filter
-        plan = probe._jdf.queryExecution().executedPlan().toString()
-        pf = plan[plan.index("PartitionFilters"):].split("]", 1)[0]
-        assert "__bucket" in pf
+        assert len(files) < n_all_files
 
-    # multi-key maintainer: same driver-side hash discipline
+    # multi-key maintainer: same shared-expression discipline
     state2 = str(tmp_path / "cur2")
     maintain_current_state(
         spark, state2, o, ["o_custkey", "o_orderkey"], "o_orderdate"
@@ -624,20 +618,79 @@ def test_current_state_lookup_prunes_to_one_bucket(spark, tmp_path):
     assert len(got) == 1 and got[0]["o_orderkey"] == r0["o_orderkey"]
 
 
+def test_current_state_lookup_key_type_fidelity(spark, tmp_path):
+    """ADVICE r11: the lookup's bucket hash must be byte-identical to
+    the maintainer's ``crc32(concat_ws(cast(k as string)))`` for EVERY
+    atomic key type — the old Python ``str(v)`` replica diverged on
+    booleans (``True`` vs ``true``), floats near the scientific-
+    notation switch, and sub-second timestamps, silently probing the
+    wrong bucket (an existing key looked absent). Each probe must
+    return exactly the full-table filter's row."""
+    from datetime import datetime
+
+    from leftshove_spark.streaming import (
+        current_state_lookup,
+        current_state_table,
+        maintain_current_state,
+    )
+
+    cases = [
+        # (schema, rows, probes) — probes list (key_value, n_expected)
+        (
+            "k boolean, d string, v long",
+            [(True, "2030-01-01", 1), (False, "2030-01-01", 2)],
+            [(True, 1), (False, 1)],
+        ),
+        (
+            "k double, d string, v long",
+            [(0.1, "2030-01-01", 1), (1e16, "2030-01-01", 2), (0.5, "2030-01-01", 3)],
+            [(0.1, 1), (1e16, 1), (0.5, 1), (2.5, 0)],
+        ),
+        (
+            "k timestamp, d string, v long",
+            [
+                (datetime(2030, 1, 1, 12, 0, 0, 500000), "2030-01-01", 1),
+                (datetime(2030, 1, 2, 0, 0, 0), "2030-01-01", 2),
+            ],
+            [
+                (datetime(2030, 1, 1, 12, 0, 0, 500000), 1),
+                (datetime(2030, 1, 2, 0, 0, 0), 1),
+            ],
+        ),
+        (
+            "k string, d string, v long",
+            [("a", "2030-01-01", 1), (None, "2030-01-01", 2)],
+            [("a", 1), (None, 1)],
+        ),
+    ]
+    for i, (schema, rows, probes) in enumerate(cases):
+        state = str(tmp_path / f"cur{i}")
+        maintain_current_state(
+            spark, state, spark.createDataFrame(rows, schema), "k", "d"
+        )
+        full = current_state_table(spark, state)
+        for kv, n in probes:
+            got = current_state_lookup(spark, state, {"k": kv}).collect()
+            cond = F.col("k").isNull() if kv is None else (F.col("k") == F.lit(kv))
+            want = full.filter(cond).collect()
+            assert len(got) == n, f"{schema}: key {kv!r} → {len(got)} rows, want {n}"
+            assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
 def test_maintain_history_rejects_version_stamp_conflicts(spark, tmp_path):
     """Version-key contract: byte-identical redeliveries collapse, but
     two DIFFERENT payloads sharing (key, order, tiebreaks) raise before
     anything is written — state on disk stays exactly as it was."""
     import pytest
 
-    from leftshove_spark.streaming import maintain_history
+    from leftshove_spark.streaming import history_state_table, maintain_history
 
     state = str(tmp_path / "hist")
     ok = spark.createDataFrame(
         [(1, "2026-01-01", "a")], "k long, d string, v string"
     )
     maintain_history(spark, state, ok, "k", "d")
-    before = sorted(map(tuple, spark.read.parquet(state).drop("__bucket").collect()))
+    before = sorted(map(tuple, history_state_table(spark, state).collect()))
 
     conflict = spark.createDataFrame(
         [(1, "2026-01-02", "b"), (1, "2026-01-02", "c")],
@@ -645,12 +698,12 @@ def test_maintain_history_rejects_version_stamp_conflicts(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="version key"):
         maintain_history(spark, state, conflict, "k", "d")
-    after = sorted(map(tuple, spark.read.parquet(state).drop("__bucket").collect()))
+    after = sorted(map(tuple, history_state_table(spark, state).collect()))
     assert after == before  # nothing written
 
     # identical redelivery is NOT a conflict
     maintain_history(spark, state, ok, "k", "d")
-    assert spark.read.parquet(state).count() == 1
+    assert history_state_table(spark, state).count() == 1
 
 
 def test_maintain_history_map_payload_column(spark, tmp_path):
@@ -658,7 +711,7 @@ def test_maintain_history_map_payload_column(spark, tmp_path):
     dropDuplicates, so the redelivery dedup goes through a to_json
     proxy — identical redeliveries still collapse, genuine updates
     still chain, and no AnalysisException escapes."""
-    from leftshove_spark.streaming import maintain_history
+    from leftshove_spark.streaming import history_state_table, maintain_history
 
     state = str(tmp_path / "hist")
     b1 = spark.createDataFrame(
@@ -666,13 +719,13 @@ def test_maintain_history_map_payload_column(spark, tmp_path):
     )
     maintain_history(spark, state, b1, "k", "d")
     maintain_history(spark, state, b1, "k", "d")  # redelivery collapses
-    assert spark.read.parquet(state).count() == 1
+    assert history_state_table(spark, state).count() == 1
 
     b2 = spark.createDataFrame(
         [(1, "2026-01-02", {"a": 2})], "k long, d string, m map<string,int>"
     )
     maintain_history(spark, state, b2, "k", "d")
-    rows = spark.read.parquet(state).orderBy("d").collect()
+    rows = history_state_table(spark, state).orderBy("d").collect()
     assert [r["is_current"] for r in rows] == [False, True]
     assert rows[1]["m"] == {"a": 2}
 
@@ -784,16 +837,9 @@ def test_maintain_rollup_incremental_equals_batch_and_touches_only_hit_days(
     }
     assert got == want
 
-    def snapshot():
-        out = {}
-        for dp, _, fs in os.walk(state):
-            for f in fs:
-                if f.endswith(".parquet"):
-                    p = os.path.join(dp, f)
-                    out[p] = (os.path.getsize(p), os.path.getmtime(p))
-        return out
+    from leftshove_spark import statestore
 
-    before = snapshot()
+    m1 = statestore.load_manifest(state)
     # late data for exactly one existing day
     one_day = ev.orderBy("event_id").limit(1).withColumn(
         "event_id", F.col("event_id") + 10_000_000
@@ -802,17 +848,17 @@ def test_maintain_rollup_incremental_equals_batch_and_touches_only_hit_days(
         spark, state, one_day, "ts", ["event_type"], sum_cols=["value"],
         window="1 day",
     )
-    after = snapshot()
-    changed_days = {
-        p.split("__wday=")[1].split("/")[0]
-        for p in set(after) - set(before)
-    }
+    m2 = statestore.load_manifest(state)
+    changed_days = [
+        v for v in m2["files"] if m2["files"][v] != m1["files"].get(v)
+    ]
     assert len(changed_days) == 1
-    untouched_same = sum(
-        1 for p, m in before.items() if p in after and after[p] == m
-    )
-    n_days = len({p.split("__wday=")[1].split("/")[0] for p in before})
-    assert untouched_same >= len(before) - len(before) // n_days - 1
+    # every other day-partition carries over by reference, bytes intact
+    for v, rels in m2["files"].items():
+        if v not in changed_days:
+            assert rels == m1["files"][v]
+            for rel in rels:
+                assert os.path.exists(os.path.join(state, "data", rel))
     # and the late row is counted
     total_n = sum(
         r["n"] for r in rollup_view(spark, state, sum_cols=["value"]).collect()
@@ -879,25 +925,36 @@ def test_corpus_stats_fold_and_duplication_signal(spark, tmp_path):
 
 
 def test_corpus_stats_fold_heals_crashed_swap_before_reading(spark, tmp_path):
-    """r9 review: a crash mid staged-swap on fold N must not make fold
-    N+1 read partial state or take the fresh-state branch (which would
-    overwrite the trash and silently restart the accounting). Simulate
-    the worst window — every data file displaced into the trash, tmp
-    promoted-then-lost — and fold again: the state heals forward from
-    the manifest and the final accounting equals the clean run."""
+    """r9 review, retargeted at the LEGACY layout: pre-manifest W22
+    state dirs were staged-swap targets, and a crash mid-swap left the
+    files split across path/tmp/trash. A fold over such a dir must heal
+    the swap forward FIRST (not read partial state or take the
+    fresh-state branch), then adopt the healed files into the manifest
+    store — the final accounting equals the clean run."""
     import os
     import shutil
 
     import pyspark.sql.functions as F
 
-    from leftshove_spark.streaming import corpus_stats_view, maintain_corpus_stats
+    from leftshove_spark import statestore
+    from leftshove_spark.streaming import (
+        _merge_corpus_stats,
+        corpus_stats_view,
+        maintain_corpus_stats,
+    )
 
     rows = [(i, "g", f"text number {i}") for i in range(60)]
     df = spark.createDataFrame(rows, "doc_id long, g string, text string")
     state = str(tmp_path / "stats")
-    maintain_corpus_stats(spark, state, df.filter(F.col("doc_id") % 2 == 0), "g", k=32)
+    # build the LEGACY layout the old code wrote: fold into a scratch
+    # manifest store, then flatten its files to the state-dir root
+    scratch = str(tmp_path / "scratch")
+    maintain_corpus_stats(
+        spark, scratch, df.filter(F.col("doc_id") % 2 == 0), "g", k=32
+    )
+    statestore.read_state(spark, scratch).write.mode("overwrite").parquet(state)
 
-    # simulate: the NEXT fold's staged swap crashed after writing tmp +
+    # simulate: a legacy fold's staged swap crashed after writing tmp +
     # manifest and displacing the old files, before promoting tmp
     tmp = os.path.join(state, ".compact_tmp")
     trash = os.path.join(state, ".compact_trash")
@@ -919,6 +976,8 @@ def test_corpus_stats_fold_heals_crashed_swap_before_reading(spark, tmp_path):
     maintain_corpus_stats(spark, state, df.filter(F.col("doc_id") % 2 == 1), "g", k=32)
     v = corpus_stats_view(spark, state, k=32).first()
     assert v["n_docs"] == 60  # both folds survived the crash window
+    # and the dir is now a manifest store (legacy adopted)
+    assert statestore.load_manifest(state) is not None
 
 
 def test_embedding_index_stream_equals_batch_encode(spark, tmp_path):
