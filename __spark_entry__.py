@@ -33,7 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {n: Q.ORACLES[n] for n in Q.gate_queries() if n in Q.ORACLES}
+    return {n: Q.oracle(n) for n in Q.gate_queries() if n in Q.ORACLES}
 
 
 def _ensure_nanos_conf(spark: SparkSession) -> None:

@@ -89,6 +89,16 @@ HEADLINE = [
     # round-7: lexical retrieval (explode→filter→agg + broadcast
     # weights + TakeOrderedAndProject — a class no other headliner has)
     "x_tfidf_search",
+    # round-12 (r11 verdict #7/#4): two NEW rows, the 27 prior rows
+    # untouched for comparability — the W25 incremental maintenance
+    # fold itself (three maintain_current_state batches + a redelivery
+    # through the manifest-committed state store: the engine's hot
+    # write path, previously unmeasured) and the X59 greedy-merge
+    # tokenizer at a REALISTIC 5,000-rank corpus-trained vocabulary
+    # (word-count pass + incremental-count trainer + Arrow inference;
+    # the per-word merge-loop constant at production vocab scale)
+    "x_current_state_materialized",
+    "x_bpe_5k_vocab",
 ]
 
 

@@ -121,6 +121,106 @@ def decontaminate(
     )
 
 
+# --------------------------------------- decontamination (embedding-based)
+def decontaminate_semantic(
+    corpus_emb: DataFrame,
+    benchmark_emb: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Semantic (embedding-based) eval decontamination — the gap the
+    n-gram pass (:func:`decontaminate`) cannot close: a PARAPHRASED or
+    translated benchmark item shares no 3-gram with its source yet
+    embeds next to it (VERDICT r11 What's-missing #3). Flag every
+    corpus document whose embedding has cosine ≥ ``threshold`` against
+    ANY benchmark embedding; drop the flagged ids with a left-anti to
+    finish the pass (the runner's ``decontaminate_semantic`` stage does
+    exactly that).
+
+    Returns ``(id_col, matched_benchmark_id, max_cosine)`` for
+    contaminated docs only — the argmax benchmark item (cosine desc,
+    id asc: total, deterministic) so a human can audit WHAT leaked.
+
+    Plan: the benchmark side is SMALL by nature (eval sets are
+    thousands of rows) and rides the closure as an int64 matrix; the
+    corpus streams through ONE Arrow ``mapInPandas`` pass that computes
+    the full cosine block per batch as an integer matmul — exact (the
+    quantized dot products are int64, so numpy and SQL agree
+    bit-for-bit; the same argument every Arrow matmul here makes) —
+    and emits only the flagged rows with their argmax benchmark item.
+    No shuffle, no join: scan → Arrow pass → O(contaminated) rows.
+    (An expression-unrolled join form was tried first and blew
+    janino's 64 KB codegen limit the moment the 2·dim-term cosine
+    appeared twice in one stage — corpus-side vector math belongs in
+    Arrow matmuls, the standing lesson.) At 100 TB swap this brute
+    candidate pass for the IVFADC probe
+    (ext.similarity.knn_ivfadc_codes) exactly as X56 swapped
+    SemDeDup's — candidates from nprobe cells, the same
+    threshold/argmax finish; the brute pass stays the small-benchmark
+    default because one streamed scan with no index beats maintaining
+    one below ~10⁵ benchmark rows."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType
+
+    from .similarity import quantize
+
+    b_rows = (
+        benchmark_emb.select(
+            F.col(id_col).alias("bid"), quantize(vec_col).alias("bv")
+        )
+        .orderBy("bid")  # ascending: argmax's first-max = lowest id tie
+        .collect()  # bounded side: benchmark, by contract
+    )
+    src = corpus_emb.select(
+        F.col(id_col).alias("__cid"), quantize(vec_col).alias("qv")
+    )
+    id_type = src.schema["__cid"].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("matched_benchmark_id", id_type),
+            StructField("max_cosine", DoubleType()),
+        ]
+    )
+    if not b_rows:
+        return corpus_emb.sparkSession.createDataFrame([], out_schema)
+    B = np.array([r["bv"] for r in b_rows], dtype=np.int64)
+    bids = [r["bid"] for r in b_rows]
+    # sqrt of the exact int norms, float64 — the same two-sqrt product
+    # the SQL oracle divides by, in the same IEEE order
+    nb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+    thr = float(threshold)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            D = (Q @ B.T).astype(np.float64)  # exact int64 dots
+            na = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+            cos = D / (na[:, None] * nb[None, :])
+            best = cos.argmax(axis=1)  # first max ⇒ lowest bench id
+            rows = np.arange(len(Q))
+            mc = cos[rows, best]
+            keep = mc >= thr
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["__cid"][keep],
+                    "matched_benchmark_id": [
+                        bids[i] for i in best[keep]
+                    ],
+                    "max_cosine": mc[keep],
+                }
+            )
+
+    return src.mapInPandas(gen, out_schema)
+
+
 # ------------------------------------------------ deterministic hash splits
 SPLIT_BUCKETS = 65536  # 4 hex chars of md5
 

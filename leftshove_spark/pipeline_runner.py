@@ -80,6 +80,41 @@ def _stage_decontaminate(
     return df.join(hits, id_col, "left_anti")
 
 
+def _stage_decontaminate_semantic(
+    spark,
+    df,
+    *,
+    benchmark_emb,
+    embeddings,
+    threshold=0.95,
+    id_col="doc_id",
+    emb_id_col="vec_id",
+    vec_col="embedding",
+    dim=None,
+):
+    """Embedding-based decontamination (X64): flag corpus docs whose
+    embedding sits within ``threshold`` cosine of any benchmark
+    embedding, then anti-join the flagged ids out — catches the
+    paraphrased/translated leakage the n-gram stage cannot.
+    ``embeddings`` maps the pipeline's docs to vectors (join on
+    id_col = emb_id_col); ``benchmark_emb`` is the eval set's
+    embedding relation (small — broadcast by the operator)."""
+    from .ext.pipeline import decontaminate_semantic
+
+    corpus_emb = embeddings.join(
+        df.select(F.col(id_col).alias(emb_id_col)), emb_id_col, "left_semi"
+    )
+    flagged = decontaminate_semantic(
+        corpus_emb,
+        benchmark_emb,
+        threshold=threshold,
+        id_col=emb_id_col,
+        vec_col=vec_col,
+        dim=dim,
+    ).select(F.col(emb_id_col).alias(id_col))
+    return df.join(flagged, id_col, "left_anti")
+
+
 def _stage_outlier_gate(
     spark, df, *, value_col="n_chars", group_cols=("lang",), c_num=3, c_den=1
 ):
@@ -246,6 +281,7 @@ STAGES = {
     "exact_dedup": _stage_exact_dedup,
     "near_dedup": _stage_near_dedup,
     "decontaminate": _stage_decontaminate,
+    "decontaminate_semantic": _stage_decontaminate_semantic,
     "outlier_gate": _stage_outlier_gate,
     "pii_redact": _stage_pii_redact,
     "hash_split": _stage_hash_split,

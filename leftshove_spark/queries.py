@@ -39,7 +39,25 @@ from .snapshot import (
 from .sources import estimate_bytes, estimate_rows, load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+# Oracle SQL per query. Values are strings, or zero-arg callables for
+# oracles too expensive to build at import time (x_bpe_5k_vocab trains
+# a 5,000-rank vocabulary from the sf0.01 corpus) — resolve through
+# :func:`oracle`, never by reading this dict directly.
 ORACLES: dict[str, str] = {}
+_ORACLE_MEMO: dict[str, str] = {}
+
+
+def oracle(name: str) -> str:
+    """The oracle SQL for ``name``, resolving (and memoizing) lazily
+    generated entries. Every consumer — oracle_sql(), check_oracle,
+    the tail test, the type lint — goes through here so a callable
+    entry behaves exactly like a plain string everywhere."""
+    v = ORACLES[name]
+    if callable(v):
+        if name not in _ORACLE_MEMO:
+            _ORACLE_MEMO[name] = v()
+        return _ORACLE_MEMO[name]
+    return v
 
 # Registered (usable, benched, pytest-covered) but withheld from the
 # driver's correctness gate, which scores at most ~50 entries (r2 cut at
@@ -110,24 +128,89 @@ GATE_EXCLUDE = frozenset({"j3_dedup_latest_semijoin", "x_text_stats"})
 # tests/test_gate_tail_oracle.py, which oracle-checks the FULL gate
 # surface regardless of rotation position.
 GATE_ORDER = [
-    # --- r11 head: never-driver-scored operators first
+    # --- r12 head: never-driver-scored operators first (the two BPE
+    # rows and semantic decontamination), then the changed-
+    # implementation re-scores — the bucketed state folds moved to
+    # manifest-pointer commits (statestore.py: W21/W22/W25 rewrote
+    # their read+commit paths) and the IVF coarse quantizer re-seeded
+    # on the md5(id) order (every ivf_centroids consumer: the
+    # IVF/IVFADC ANN family, SemDeDup, the hard-negative miner) —
+    # then the stalest veterans: the r5-last-scored block and the
+    # oldest of the r6-last-scored block. The r11 head (scored last
+    # round) rotates to the tail; every rotated-out entry stays
+    # verified each pytest pass by tests/test_gate_tail_oracle.py.
+    "x_bpe_train",
+    "x_bpe_5k_vocab",
+    "x_decontaminate_semantic",
     "x_current_state_materialized",
-    "x_bpe_token_counts",
-    "x_lm_quality_score",
-    "x_split_by_component",
-    # changed-implementation re-scores: x_trend_ols gained the
-    # overflowed column (ADVICE r10); the PQ/IVFADC family retrained on
-    # the md5(id)-ordered sample (VERDICT r10 #2) — value-identical
-    # plans, different codebooks, so the rows must be re-certified
-    "x_trend_ols",
+    "w21_rollup_incremental",
+    "w22_corpus_stats_incremental",
+    "x_knn_ivf",
     "x_ann_recall",
-    "x_knn_pq",
-    "x_knn_pq_rerank",
     "x_knn_ivfadc",
     "x_knn_ivfadc_rerank",
     "x_ann_recall_ivfadc",
-    # stalest veterans — last driver-scored r7 (retired r8 after two
-    # greens); rotating them through refreshes the staleness floor
+    "x_semdedup",
+    "x_hard_negatives",
+    # stalest veterans — last driver-scored r5
+    "x_token_counts",
+    "x_multimodal_meta",
+    "q6_forecast_revenue",
+    "c_hof_array_battery",
+    "a2_max_group_by",
+    "x_dedup_exact",
+    "w10_hopping_window_agg",
+    "a4_agg_json_list",
+    "x_fingerprint",
+    "f3_array_to_json",
+    "c_scalar_battery",
+    # last driver-scored r6 (oldest first-half; the rest open the tail)
+    "f4_f5_munge_ts",
+    "a1_a5_scan_aggregates",
+    "cdc_at_least_once_dedup",
+    "x_dedup_minhash_lsh",
+    "t1_asof_join_latest_order",
+    "x_dedup_resolution",
+    "x_knn_lsh",
+    "x_dedup_ngram_jaccard",
+    "x_quality_filter",
+    "q5_local_supplier_volume",
+    "w8_stream_tumbling_window",
+    "w7_tumbling_window_agg",
+    "o1_f8_filter_order",
+    "q10_returned_items",
+    "q1_pricing_summary",
+    "x_knn_bruteforce",
+    "o4_cube_pricing",
+    "x_lang_id",
+    "q18_large_volume_orders",
+    "q19_disjunctive_filter",
+    "o3_topk_per_group",
+    "o2_rollup_pricing",
+    "s2_salted_join_agg",
+    "t2_range_join_sliding_windows",
+    "f1_window_predicate",
+    "f2_f6_capture_projection",
+    # --- tail (entries 51+): the remaining r6 block, then everything
+    # else in its prior order (r9/r10/r11-scored, newest-certified last)
+    "p1_pivot_event_counts",
+    "q4_order_priority",
+    "j4_full_outer_reconcile",
+    "s1_set_ops_customers",
+    "q14_promo_revenue",
+    "w9_session_window",
+    "o5_stats_battery",
+    "j1_left_join_orders_customer",
+    "j2_inner_join_lineitem_orders",
+    "a3_agg_string_list",
+    "j3_dedup_latest_window",
+    "x_dedup_simhash",
+    "x_bpe_token_counts",
+    "x_lm_quality_score",
+    "x_split_by_component",
+    "x_trend_ols",
+    "x_knn_pq",
+    "x_knn_pq_rerank",
     "q16_supplier_part_counts",
     "q22_dormant_customers",
     "q21_latest_shipper",
@@ -135,13 +218,11 @@ GATE_ORDER = [
     "o6_grouping_sets",
     "w15_window_battery",
     "c16_json_null_battery",
-    # scored once (r8), unseen since
     "q13_customer_distribution",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "c17_temporal_battery",
     "c18_string_battery",
-    # last scored r9 (r10 retirees + the r9 mid-block)
     "w19_nav_battery",
     "c19_math_battery",
     "x_chunk_documents",
@@ -169,21 +250,12 @@ GATE_ORDER = [
     "q2_min_cost_supplier",
     "q8_market_share",
     "q9_product_profit",
-    # --- tail (entries 51+): q11 yielded its head slot to the new X61
-    # row (q11 is r7-certified and full-surface-checked anyway); then
-    # the r10-scored block (r10 first-timers minus the re-scoring ANN
-    # family, the r9 first-timers double-greened in r10, the
-    # r10-refreshed veteran fill), then the long-certified backlog in
-    # its existing cheap-first order. All tail entries stay verified
-    # every pytest pass by tests/test_gate_tail_oracle.py.
     "q11_important_parts",
     "x_dedup_maximal_spans",
-    "x_semdedup",
     "x_bm25_search",
     "x_temperature_mixture",
     "x_target_affinity",
     "x_dsir_sample",
-    "x_hard_negatives",
     "x_pagerank_dedup",
     "q3_shipping_priority",
     "x_dedup_substring",
@@ -192,7 +264,6 @@ GATE_ORDER = [
     "x_dedup_substring_redact",
     "x_dataset_fingerprint",
     "x_split_leakage",
-    "w21_rollup_incremental",
     "x_kmv_distinct",
     "x_kmv_jaccard",
     "x_weighted_sample",
@@ -200,7 +271,6 @@ GATE_ORDER = [
     "x_outlier_mad",
     "k13_bloom_prune_join",
     "x_interleave_sources",
-    "w22_corpus_stats_incremental",
     "x_stratified_pps",
     "w17_range_frame_battery",
     "x_dedup_index_incremental",
@@ -218,60 +288,10 @@ GATE_ORDER = [
     "k5_skew_diagnostics",
     "x_integrity_check",
     "x_quality_deciles",
-    "x_knn_ivf",
     "x_dedup_embedding_cosine",
     "q20_heavy_shippers",
     "x_mixture_sample",
     "o7_percentile_battery",
-    "f4_f5_munge_ts",
-    "a1_a5_scan_aggregates",
-    "cdc_at_least_once_dedup",
-    "x_dedup_minhash_lsh",
-    "t1_asof_join_latest_order",
-    "x_dedup_resolution",
-    "x_knn_lsh",
-    "x_dedup_ngram_jaccard",
-    "x_quality_filter",
-    "q5_local_supplier_volume",
-    "w8_stream_tumbling_window",
-    "w7_tumbling_window_agg",
-    "o1_f8_filter_order",
-    "q10_returned_items",
-    "q1_pricing_summary",
-    "x_knn_bruteforce",
-    "o4_cube_pricing",
-    "x_lang_id",
-    "q18_large_volume_orders",
-    "q19_disjunctive_filter",
-    "o3_topk_per_group",
-    "o2_rollup_pricing",
-    "s2_salted_join_agg",
-    "t2_range_join_sliding_windows",
-    "x_token_counts",
-    "x_multimodal_meta",
-    "q6_forecast_revenue",
-    "c_hof_array_battery",
-    "a2_max_group_by",
-    "x_dedup_exact",
-    "w10_hopping_window_agg",
-    "a4_agg_json_list",
-    "x_fingerprint",
-    "f3_array_to_json",
-    "c_scalar_battery",
-    "f1_window_predicate",
-    "f2_f6_capture_projection",
-    "p1_pivot_event_counts",
-    "q4_order_priority",
-    "j4_full_outer_reconcile",
-    "s1_set_ops_customers",
-    "q14_promo_revenue",
-    "w9_session_window",
-    "o5_stats_battery",
-    "j1_left_join_orders_customer",
-    "j2_inner_join_lineitem_orders",
-    "a3_agg_string_list",
-    "j3_dedup_latest_window",
-    "x_dedup_simhash",
 ]
 
 
@@ -369,7 +389,7 @@ def _scratch_result(spark, df, scratch_dir: str):
     return out
 
 
-def _q(name: str, oracle: str | None = None):
+def _q(name: str, oracle=None):  # oracle: str | () -> str | None
     def deco(fn):
         import functools
 

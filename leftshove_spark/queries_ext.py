@@ -224,6 +224,257 @@ def x_bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     return X.bpe_token_counts(load_table(spark, sf, "documents"))
 
 
+# X62 — distributed BPE merge TRAINING (VERDICT r11 next #3): the
+# oracle replays every training round as chained CTEs — pair counts,
+# the (count desc, pair asc) argmax, left-to-right non-overlapping
+# application via the run-parity rule — so the green row certifies the
+# learned merge ORDER and counts, not just a final vocabulary.
+_BPE_TRAIN_MERGES = 10
+_BPE_TRAIN_MAX_WORDS = 512
+_BPE_TRAIN_MIN_COUNT = 2
+
+
+def _bpe_train_oracle(
+    num_merges: int = _BPE_TRAIN_MERGES,
+    max_words: int = _BPE_TRAIN_MAX_WORDS,
+    min_count: int = _BPE_TRAIN_MIN_COUNT,
+) -> str:
+    """SQL twin of the FULL bpe_train loop — the X59 'replay the
+    recurrence' discipline, reversed: instead of applying a given merge
+    table, DISCOVER it. One five-CTE template per round over the
+    (word, idx, sym, wt) symbol relation; rounds after early stop are
+    no-ops (empty best ⇒ identical re-indexed relation), matching the
+    Spark trainer's break."""
+    cte = [
+        f"""toks AS MATERIALIZED (SELECT {_TOK.format(e="text")} AS t FROM documents),
+    wcnt AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS wt
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+    wcap AS MATERIALIZED (SELECT w, wt FROM wcnt ORDER BY wt DESC, w LIMIT {max_words}),
+    sym_0 AS MATERIALIZED (
+      SELECT w, wt, i AS idx, w[i] AS sym
+      FROM wcap, unnest(range(1, length(w) + 1)) AS r(i))"""
+    ]
+    for r in range(num_merges):
+        cte.append(f"""pairs_{r} AS MATERIALIZED (
+      SELECT s.sym AS a, s2.sym AS b, sum(s.wt) AS cnt
+      FROM sym_{r} s JOIN sym_{r} s2 ON s2.w = s.w AND s2.idx = s.idx + 1
+      GROUP BY s.sym, s2.sym),
+    best_{r} AS MATERIALIZED (
+      SELECT a, b, cnt FROM pairs_{r}
+      WHERE cnt >= {min_count}
+      ORDER BY cnt DESC, a, b LIMIT 1),
+    occ_{r} AS MATERIALIZED (
+      SELECT s.w, s.idx,
+             s.idx - row_number() OVER (PARTITION BY s.w ORDER BY s.idx) AS run
+      FROM sym_{r} s
+      JOIN sym_{r} s2 ON s2.w = s.w AND s2.idx = s.idx + 1
+      JOIN best_{r} b ON s.sym = b.a AND s2.sym = b.b),
+    sel_{r} AS MATERIALIZED (
+      SELECT w, idx FROM (
+        SELECT w, idx,
+               row_number() OVER (PARTITION BY w, run ORDER BY idx) AS rn
+        FROM occ_{r})
+      WHERE rn % 2 = 1),
+    pre_{r + 1} AS MATERIALIZED (
+      SELECT s.w, s.wt, s.idx,
+             CASE WHEN sel.idx IS NOT NULL THEN s.sym || nx.sym
+                  ELSE s.sym END AS sym
+      FROM sym_{r} s
+      LEFT JOIN sel_{r} sel ON sel.w = s.w AND sel.idx = s.idx
+      LEFT JOIN sym_{r} nx ON nx.w = s.w AND nx.idx = s.idx + 1
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sel_{r} d WHERE d.w = s.w AND d.idx = s.idx - 1)),
+    sym_{r + 1} AS MATERIALIZED (
+      SELECT w, wt, row_number() OVER (PARTITION BY w ORDER BY idx) AS idx,
+             sym
+      FROM pre_{r + 1})""")
+    ranked = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, a AS left_sym, b AS right_sym, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM best_{r}"
+        for r in range(num_merges)
+    )
+    joined = ",\n    ".join(cte)
+    return f"""
+    WITH {joined}
+    SELECT rank, left_sym, right_sym, pair_count
+    FROM ({ranked})
+    ORDER BY rank
+    """
+
+
+# X63 — X59 at a REALISTIC vocabulary (VERDICT r11 next #4): train a
+# 5,000-rank merge table from the corpus itself (the incremental-count
+# driver-side trainer over Spark-computed word frequencies — the
+# standard sample-then-train shape; type cap bounds the driver collect)
+# and run the full greedy-merge inference against it. The oracle is
+# GENERATED lazily (Q.oracle resolves the callable): it derives the
+# same word counts from the sf0.01 parquet via DuckDB, trains the same
+# table with the same trainer, embeds it as VALUES, and replays the
+# inference recurrence over DISTINCT words (a contains(w, a||b)
+# pre-join prunes the 5k-rank table to the handful of rules that can
+# ever fire per word — without it the recursion scans 5k patterns per
+# step). The driver only executes oracles at sf0.01, which is what
+# makes the corpus-trained VALUES well-defined.
+_BPE5K_MERGES = 5000
+_BPE5K_MAX_TYPES = 65536  # trainer-input cap: top types by (count, word)
+
+
+def _bpe5k_train_from_counts(wc: dict[str, int]) -> list[tuple[str, str]]:
+    """A ≥5,000-rank merge table as a PURE FUNCTION of the corpus word
+    counts (so the lazily-generated oracle re-derives it exactly). The
+    synthetic documents fixture holds only ~31 word types, and a pure
+    corpus-trained vocab saturates at ~89 merges — honest, but far from
+    the 50k-rank regime the 'swap in a real tokenizer's merges' claim
+    must survive. So the trainer input is the corpus types plus their
+    deterministic compounds (word pairs and capped triples with summed
+    pseudo-frequencies): genuine BPE training over those yields 5,000
+    properly CHAINING rules (a compound's merge only fires after its
+    parts' merges), the structure a real merges.txt has. Inference
+    still runs over the real documents — most rules never fire per
+    word, exactly as with a production vocabulary."""
+    if len(wc) > _BPE5K_MAX_TYPES:
+        keep = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :_BPE5K_MAX_TYPES
+        ]
+        wc = dict(keep)
+    types = dict(wc)
+    words = sorted(wc)[:32]
+    for w1 in words:
+        for w2 in words:
+            types.setdefault(w1 + w2, wc[w1] + wc[w2])
+            for w3 in words[:8]:
+                types.setdefault(
+                    w1 + w2 + w3, (wc[w1] + wc[w2] + wc[w3]) // 2
+                )
+    return [
+        (a, b)
+        for a, b, _ in X.bpe_train_fast_py(
+            types, _BPE5K_MERGES, min_pair_count=1
+        )
+    ]
+
+
+def _bpe_5k_oracle() -> str:
+    import os
+
+    import duckdb
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):  # driver runs oracles at sf0.01 only
+        raise FileNotFoundError(
+            f"x_bpe_5k_vocab oracle trains its vocabulary from {path}"
+        )
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT w, count(*) AS c
+            FROM (SELECT unnest({_TOK.format(e="text")}) AS w
+                  FROM read_parquet('{path}'))
+            GROUP BY w"""
+    ).fetchall()
+    con.close()
+    merges = _bpe5k_train_from_counts({w: c for w, c in rows})
+    vals = ", ".join(
+        f"({i}, '{a}', '{b}')" for i, (a, b) in enumerate(merges)
+    )  # tokens are [a-z0-9]+ — no escaping needed
+    return f"""
+    WITH RECURSIVE merges AS MATERIALIZED (
+      SELECT * FROM (VALUES {vals}) m(rank, a, b)),
+    mt AS MATERIALIZED (
+      SELECT rank, '|' || a || '|' || b || '|' AS pat,
+             '|' || a || b || '|' AS rep, a || b AS ab
+      FROM merges),
+    toks AS MATERIALIZED (
+      SELECT doc_id, {_TOK.format(e="text")} AS t FROM documents),
+    dw AS MATERIALIZED (
+      SELECT DISTINCT unnest(t) AS w FROM toks),
+    cand AS MATERIALIZED (
+      SELECT d.w, m.rank, m.pat, m.rep
+      FROM dw d JOIN mt m ON contains(d.w, m.ab)),
+    init AS MATERIALIZED (
+      SELECT w,
+             '|' || array_to_string(
+               list_transform(range(1, length(w) + 1), i -> w[i]), '|') || '|'
+               AS seq
+      FROM dw),
+    steps AS (
+      SELECT w, seq FROM init
+      UNION ALL
+      SELECT w, substr(seq, 1, p - 1) || rep || substr(seq, p + length(pat))
+      FROM (
+        SELECT s.w, s.seq, c.pat, c.rep,
+               strpos(s.seq, c.pat) AS p,
+               row_number() OVER (PARTITION BY s.w ORDER BY c.rank) AS rn
+        FROM steps s JOIN cand c ON c.w = s.w AND contains(s.seq, c.pat)
+      ) WHERE rn = 1),
+    wsym AS MATERIALIZED (
+      SELECT s.w,
+             length(s.seq) - length(replace(s.seq, '|', '')) - 1 AS n_sym
+      FROM steps s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cand c WHERE c.w = s.w AND contains(s.seq, c.pat))),
+    docw AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    agg AS (
+      SELECT d.doc_id,
+             sum(ws.n_sym) AS n_tokens_bpe,
+             sum(length(d.w)) - sum(ws.n_sym) AS n_merges,
+             count(*) AS n_words
+      FROM docw d JOIN wsym ws ON ws.w = d.w
+      GROUP BY d.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe,
+           CAST(coalesce(a.n_merges, 0) AS BIGINT) AS n_merges,
+           CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@_q("x_bpe_5k_vocab", _bpe_5k_oracle)
+def x_bpe_5k_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """X63 — tokenizer-faithful counting at a REALISTIC 5,000-rank
+    vocabulary trained from the corpus itself: one Spark word-frequency
+    pass (the O(corpus) stage), the incremental-count trainer on the
+    driver (O(types) collect, capped), then the X59 greedy-merge
+    inference Arrow pass over every document. The bench row measures
+    the per-word merge-loop constant at production vocab scale —
+    the '50k-rule hash map rides the closure' claim, exercised.
+    Oracle: same counts + same trainer via DuckDB, inference replayed
+    as the recursive merge recurrence over distinct words."""
+    docs = load_table(spark, sf, "documents")
+    wc = {
+        r["w"]: r["c"]
+        for r in docs.select(F.explode(X.tokenize("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    merges = _bpe5k_train_from_counts(wc)
+    return X.bpe_token_counts(docs, merges)
+
+
+@_q("x_bpe_train", _bpe_train_oracle())
+def x_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """X62 — learn a ranked BPE merge table from the documents corpus
+    (10 rounds, 512-type word cap, min pair count 2) and emit it as
+    (rank, left_sym, right_sym, pair_count). The oracle re-derives the
+    ENTIRE training loop in SQL — distinct-word reduction, the capped
+    frequency sample, ten rounds of pair-count/argmax/greedy-apply —
+    so the iterative learning is hash-certified round by round.
+    See :func:`ext.text.bpe_train`."""
+    merges = X.bpe_train(
+        load_table(spark, sf, "documents"),
+        num_merges=_BPE_TRAIN_MERGES,
+        max_words=_BPE_TRAIN_MAX_WORDS,
+        min_pair_count=_BPE_TRAIN_MIN_COUNT,
+    )
+    return X.bpe_train_table(spark, merges).select(
+        "rank",
+        F.col("left").alias("left_sym"),
+        F.col("right").alias("right_sym"),
+        "pair_count",
+    )
+
+
 @_q(
     "x_fingerprint",
     f"""
@@ -739,6 +990,71 @@ def _knn_oracle(where: str, src: str = "embeddings", k: int = 5) -> str:
     FROM scored
     QUALIFY rank <= {k}
     """
+
+
+# X64 — semantic (embedding-based) eval decontamination (VERDICT r11
+# next #5): the benchmark is the last 20 corpus vectors PERTURBED
+# (first 4 components zeroed, ids shifted +100000) — the 'paraphrased
+# benchmark item' stand-in the n-gram pass cannot catch; cosine to the
+# source stays ≥ 0.9 while no n-gram survives the id shift.
+def _decontaminate_semantic_oracle() -> str:
+    dot = "CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * b.bv[i])) AS DOUBLE)"
+    na = "CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * c.qv[i])) AS DOUBLE)"
+    nb = "CAST(list_sum(list_transform(range(1, 65), i -> b.bv[i] * b.bv[i])) AS DOUBLE)"
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings),
+    b AS (
+      SELECT vec_id + 100000 AS bench_id,
+             list_transform(range(1, 65),
+               i -> CASE WHEN i <= 4 THEN CAST(0 AS BIGINT) ELSE qv[i] END)
+               AS bv
+      FROM e WHERE vec_id >= 480),
+    scored AS (
+      SELECT c.vec_id, b.bench_id,
+             {dot} / (sqrt({na}) * sqrt({nb})) AS cosine
+      FROM e c CROSS JOIN b
+    )
+    SELECT vec_id,
+           bench_id AS matched_benchmark_id,
+           cosine AS max_cosine
+    FROM (
+      SELECT vec_id, bench_id, cosine,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, bench_id) AS rn
+      FROM scored WHERE cosine >= 0.9
+    ) WHERE rn = 1
+    """
+
+
+@_q("x_decontaminate_semantic", _decontaminate_semantic_oracle())
+def x_decontaminate_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """X64 — flag corpus documents whose EMBEDDING sits within cosine
+    0.9 of any benchmark embedding: the semantic decontamination pass
+    that catches paraphrased/translated eval leakage the n-gram
+    collision pass (x_decontaminate) sails past. Benchmark side
+    broadcast (eval sets are small by contract), corpus streamed once,
+    only contaminated rows shuffle for the per-doc argmax. Oracle
+    replays the exact quantized-cosine arithmetic and the
+    (cosine desc, id) argmax. At 100 TB swap the brute candidate pass
+    for the IVFADC probe — the X56 composition, documented in
+    :func:`ext.pipeline.decontaminate_semantic`."""
+    from .ext import pipeline as P
+
+    em = load_table(spark, sf, "embeddings")
+    bench = em.filter(F.col("vec_id") >= 480).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i < 4, F.lit(0.0).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    return P.decontaminate_semantic(
+        em, bench, threshold=0.9, dim=EMB_DIM
+    )
 
 
 @_q("x_knn_bruteforce", _knn_oracle("q.vec_id < 10"))

@@ -634,3 +634,169 @@ def test_bpe_merge_loop_properties():
         assert bpe_tokenize_word_py(w, {}) == list(w)  # (d)
 
     check()
+
+
+def test_bpe_train_matches_python_trainer(spark):
+    """X62 parity: the DISTRIBUTED trainer (relational pair-count /
+    argmax / run-parity apply, one Spark round per merge) learns exactly
+    the merge table the in-memory Sennrich loop learns from the same
+    word-frequency input — a third independent implementation beside
+    the SQL oracle. Includes an identical-symbol-run corpus ('aaaa')
+    where greedy left-to-right merging is the classic off-by-one trap."""
+    from leftshove_spark.ext.text import (
+        bpe_train,
+        bpe_train_ranks_py,
+        tokenize_py,
+    )
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the rat aaaa aaa the hat"),
+        (2, "that cat aaaa that that hat"),
+        (3, "in the thin inn aaaa"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = bpe_train(df, num_merges=8, max_words=None, min_pair_count=2)
+
+    wc: dict = {}
+    for _, t in docs:
+        for w in tokenize_py(t):
+            wc[w] = wc.get(w, 0) + 1
+    want = bpe_train_ranks_py(wc, num_merges=8, min_pair_count=2)
+    assert got == want
+    assert len(got) >= 5  # the fixture genuinely trains
+
+
+def test_bpe_train_feeds_token_counts(spark):
+    """The trained table is a drop-in merge list for bpe_token_counts:
+    counting with the learned merges equals the per-word greedy
+    inference loop run against the same ranks (and compresses vs the
+    no-merge baseline)."""
+    from leftshove_spark.ext.text import (
+        bpe_token_counts,
+        bpe_tokenize_word_py,
+        bpe_train,
+        tokenize_py,
+    )
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the rat and the hat hat"),
+        (2, "that cat and that hat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    trained = bpe_train(df, num_merges=6, max_words=None, min_pair_count=2)
+    merges = [(a, b) for a, b, _ in trained]
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = {
+        r["doc_id"]: (r["n_tokens_bpe"], r["n_merges"], r["n_words"])
+        for r in bpe_token_counts(df, merges).collect()
+    }
+    for doc_id, text in docs:
+        toks = tokenize_py(text)
+        n_sym = sum(len(bpe_tokenize_word_py(w, ranks)) for w in toks)
+        n_char = sum(len(w) for w in toks)
+        assert got[doc_id] == (n_sym, n_char - n_sym, len(toks))
+        assert n_sym < n_char  # the learned vocab genuinely compresses
+
+
+def test_merges_txt_roundtrip_and_real_format(spark):
+    """merges.txt parser: the HF/GPT-2 format (version header, one
+    'left right' pair per line) parses into the operator's merge-list
+    shape, round-trips through format_merges, rejects malformed lines,
+    and drives bpe_token_counts identically to the in-memory list."""
+    import pytest
+
+    from leftshove_spark.ext.text import (
+        BPE_MERGES,
+        bpe_token_counts,
+        format_merges,
+        parse_merges,
+    )
+
+    text = "#version: 0.2\nt h\nth e\ni n\n\na n\n"
+    assert parse_merges(text) == [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n")]
+    assert parse_merges(format_merges(BPE_MERGES)) == BPE_MERGES
+    with pytest.raises(ValueError, match="malformed"):
+        parse_merges("a b c\n")
+
+    df = spark.createDataFrame([(0, "the thin inn")], "doc_id long, text string")
+    via_file = bpe_token_counts(df, parse_merges(format_merges(BPE_MERGES)))
+    direct = bpe_token_counts(df, BPE_MERGES)
+    assert via_file.collect() == direct.collect()
+
+
+def test_bpe_fast_trainer_matches_reference():
+    """The incremental-count heap trainer (the realistic-vocab path)
+    must learn EXACTLY the same ranked table as the per-round-rescan
+    reference trainer — same argmax tiebreak (count desc, pair asc),
+    same greedy left-to-right apply, including identical-symbol runs
+    and early exhaustion."""
+    from leftshove_spark.ext.text import bpe_train_fast_py, bpe_train_ranks_py
+
+    cases = [
+        {"the": 5, "that": 3, "hat": 2, "aaaa": 4, "aaa": 1, "in": 7},
+        {"abcabc": 2, "bcab": 3, "cab": 5, "a": 9},
+        {"x": 1},  # no pairs at all
+        {"zz": 1, "zzz": 1, "zzzz": 1},
+    ]
+    for wc in cases:
+        for k in (3, 8, 50):
+            fast = bpe_train_fast_py(wc, k, min_pair_count=1)
+            ref = bpe_train_ranks_py(wc, k, min_pair_count=1)
+            assert fast == ref, (wc, k, fast, ref)
+        assert bpe_train_fast_py(wc, 8, min_pair_count=3) == bpe_train_ranks_py(
+            wc, 8, min_pair_count=3
+        )
+
+
+def test_bpe_5k_vocab_is_realistic_scale(spark):
+    """VERDICT r11 #4 'done' criterion: the x_bpe_5k_vocab fixture
+    genuinely reaches 5,000 ranks, its rules chain (later rules' sides
+    are earlier rules' outputs), it round-trips through the merges.txt
+    format, and counting with it is exact vs the per-word reference
+    loop on a document sample."""
+    from leftshove_spark.ext.text import (
+        bpe_token_counts,
+        bpe_tokenize_word_py,
+        format_merges,
+        parse_merges,
+        tokenize_py,
+    )
+    from leftshove_spark.queries_ext import _bpe5k_train_from_counts
+    from leftshove_spark.sources import load_table
+
+    docs = load_table(spark, SF0001, "documents")
+    wc = {
+        r["w"]: r["c"]
+        for r in docs.selectExpr(
+            "explode(filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')) AS w"
+        )
+        .groupBy("w")
+        .count()
+        .withColumnRenamed("count", "c")
+        .collect()
+    }
+    merges = _bpe5k_train_from_counts(wc)
+    assert len(merges) >= 5000
+    # chaining: every multi-char side is itself an earlier rule's output
+    produced = {a + b for a, b in merges}
+    for a, b in merges:
+        for side in (a, b):
+            assert len(side) == 1 or side in produced
+    # merges.txt round-trip at full scale
+    assert parse_merges(format_merges([(a, b) for a, b in merges])) == merges
+    # exactness on a sample vs the reference per-word loop
+    ranks = {p: i for i, p in enumerate(merges)}
+    sample = docs.limit(20).collect()
+    got = {
+        r["doc_id"]: r["n_tokens_bpe"]
+        for r in bpe_token_counts(
+            spark.createDataFrame(sample, docs.schema), merges
+        ).collect()
+    }
+    for row in sample:
+        want = sum(
+            len(bpe_tokenize_word_py(w, ranks)) for w in tokenize_py(row["text"])
+        )
+        assert got[row["doc_id"]] == want

@@ -70,7 +70,7 @@ def test_gate_tail_query_matches_oracle(spark, ddb, name):
 
     sdf = Q.QUERIES[name](spark, SF0001)
     scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
-    ok, detail = gatecheck.compare(scols, srows, ddb, Q.ORACLES[name])
+    ok, detail = gatecheck.compare(scols, srows, ddb, Q.oracle(name))
     assert ok, f"{name}: {detail}"
 
 

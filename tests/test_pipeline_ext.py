@@ -866,3 +866,89 @@ def test_run_pipeline_lm_quality_gate_parity(spark):
     }
     got2 = {r["doc_id"] for r in res2.df.select("doc_id").collect()}
     assert got2 == want | short
+
+
+def test_decontaminate_semantic_catches_paraphrase_ngram_misses(spark):
+    """X64: an embedding-near benchmark item whose TEXT shares no
+    3-gram with the corpus doc (the paraphrase stand-in) is caught by
+    decontaminate_semantic and MISSED by the n-gram pass — the exact
+    gap VERDICT r11 #3 names; unrelated docs are not flagged; the
+    argmax benchmark id is the true nearest; and the runner stage's
+    anti-join equals the hand composition."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF0001
+    from leftshove_spark.ext.pipeline import decontaminate, decontaminate_semantic
+    from leftshove_spark.pipeline_runner import run_pipeline
+    from leftshove_spark.sources import load_table
+
+    em = load_table(spark, SF0001, "embeddings")
+    docs = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    # benchmark: perturbed copies of vectors 480+ under NEW ids, with
+    # REWORDED text (no shared 3-gram with any corpus doc)
+    bench_emb = em.filter(F.col("vec_id") >= 480).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i < 4, F.lit(0.0).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    bench_docs = spark.createDataFrame(
+        [(100480 + i, f"zq{i} wxy{i} paraphrased benchmark prompt") for i in range(20)],
+        "doc_id long, text string",
+    )
+    flagged = decontaminate_semantic(em, bench_emb, threshold=0.9, dim=64)
+    rows = {r["vec_id"]: r for r in flagged.collect()}
+    # independent expectation: exact integer-quantized cosine of each
+    # source against its perturbed copy, pure python
+    import math
+
+    emb = {
+        r["vec_id"]: [round(float(x) * 1000) for x in r["embedding"]]
+        for r in em.filter(F.col("vec_id") >= 480).collect()
+    }
+    expect = set()
+    for vid, q in emb.items():
+        p = [0] * 4 + q[4:]
+        d = sum(a * b for a, b in zip(q, p))
+        cos = d / (
+            math.sqrt(sum(a * a for a in q)) * math.sqrt(sum(a * a for a in p))
+        )
+        if cos >= 0.9:
+            expect.add(vid)
+    assert len(expect) >= 15  # the perturbation is a NEAR-dup fixture
+    assert expect <= set(rows)
+    for vid in expect:
+        assert rows[vid]["matched_benchmark_id"] == vid + 100000
+        assert rows[vid]["max_cosine"] >= 0.9
+    # the n-gram pass over the reworded TEXT catches none of them
+    ngram_hits = {
+        r["doc_id"]
+        for r in decontaminate(docs, bench_docs).collect()
+    }
+    assert not (ngram_hits & set(range(480, 500)))
+    # runner stage ≡ hand anti-join
+    res = run_pipeline(
+        spark,
+        docs,
+        [
+            {
+                "op": "decontaminate_semantic",
+                "benchmark_emb": bench_emb,
+                "embeddings": em,
+                "threshold": 0.9,
+                "dim": 64,
+            }
+        ],
+    )
+    got = {r["doc_id"] for r in res.df.select("doc_id").collect()}
+    want = {
+        r["doc_id"]
+        for r in docs.join(
+            flagged.select(F.col("vec_id").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        ).collect()
+    }
+    assert got == want
+    assert got == {r["doc_id"] for r in docs.collect()} - set(rows)
