@@ -303,19 +303,17 @@ def _bpe_train_oracle(
     """
 
 
-# X63 — X59 at a REALISTIC vocabulary (VERDICT r11 next #4): train a
-# 5,000-rank merge table from the corpus itself (the incremental-count
-# driver-side trainer over Spark-computed word frequencies — the
-# standard sample-then-train shape; type cap bounds the driver collect)
-# and run the full greedy-merge inference against it. The oracle is
-# GENERATED lazily (Q.oracle resolves the callable): it derives the
-# same word counts from the sf0.01 parquet via DuckDB, trains the same
-# table with the same trainer, embeds it as VALUES, and replays the
+# X63 — X59 at a REALISTIC vocabulary (VERDICT r11 next #4): a frozen
+# 5,000-rank merge table (trained ONCE from the reference sf0.01
+# corpus slice with the incremental-count trainer; memoized) driven
+# through the full greedy-merge inference at whatever sf the query
+# runs. The oracle is GENERATED lazily (Q.oracle resolves the
+# callable): it embeds the SAME frozen table as VALUES — both sides
+# derive it from the same file with the same code — and replays the
 # inference recurrence over DISTINCT words (a contains(w, a||b)
 # pre-join prunes the 5k-rank table to the handful of rules that can
 # ever fire per word — without it the recursion scans 5k patterns per
-# step). The driver only executes oracles at sf0.01, which is what
-# makes the corpus-trained VALUES well-defined.
+# step).
 _BPE5K_MERGES = 5000
 _BPE5K_MAX_TYPES = 65536  # trainer-input cap: top types by (count, word)
 
@@ -355,15 +353,29 @@ def _bpe5k_train_from_counts(wc: dict[str, int]) -> list[tuple[str, str]]:
     ]
 
 
-def _bpe_5k_oracle() -> str:
+_BPE5K_TABLE_MEMO: list | None = None
+
+
+def _bpe5k_table() -> list[tuple[str, str]]:
+    """The FROZEN 5,000-rank vocabulary, trained once from the sf0.01
+    documents slice (the reference corpus) and memoized — a tokenizer
+    vocab is a fixed ARTIFACT like a real merges.txt, not a function of
+    whatever corpus it later tokenizes, so the Spark query applies this
+    same table at every sf and the oracle embeds the same VALUES (both
+    sides derive it from the same file with the same code — they cannot
+    drift, and the comparison certifies the INFERENCE at the sf under
+    test)."""
+    global _BPE5K_TABLE_MEMO
+    if _BPE5K_TABLE_MEMO is not None:
+        return _BPE5K_TABLE_MEMO
     import os
 
     import duckdb
 
     path = "/root/testdata/sf0.01/documents.parquet"
-    if not os.path.exists(path):  # driver runs oracles at sf0.01 only
+    if not os.path.exists(path):
         raise FileNotFoundError(
-            f"x_bpe_5k_vocab oracle trains its vocabulary from {path}"
+            f"x_bpe_5k_vocab trains its frozen vocabulary from {path}"
         )
     con = duckdb.connect()
     rows = con.execute(
@@ -373,7 +385,12 @@ def _bpe_5k_oracle() -> str:
             GROUP BY w"""
     ).fetchall()
     con.close()
-    merges = _bpe5k_train_from_counts({w: c for w, c in rows})
+    _BPE5K_TABLE_MEMO = _bpe5k_train_from_counts({w: c for w, c in rows})
+    return _BPE5K_TABLE_MEMO
+
+
+def _bpe_5k_oracle() -> str:
+    merges = _bpe5k_table()
     vals = ", ".join(
         f"({i}, '{a}', '{b}')" for i, (a, b) in enumerate(merges)
     )  # tokens are [a-z0-9]+ — no escaping needed
@@ -432,24 +449,23 @@ def _bpe_5k_oracle() -> str:
 @_q("x_bpe_5k_vocab", _bpe_5k_oracle)
 def x_bpe_5k_vocab(spark: SparkSession, sf: str) -> DataFrame:
     """X63 — tokenizer-faithful counting at a REALISTIC 5,000-rank
-    vocabulary trained from the corpus itself: one Spark word-frequency
-    pass (the O(corpus) stage), the incremental-count trainer on the
-    driver (O(types) collect, capped), then the X59 greedy-merge
-    inference Arrow pass over every document. The bench row measures
-    the per-word merge-loop constant at production vocab scale —
-    the '50k-rule hash map rides the closure' claim, exercised.
-    Oracle: same counts + same trainer via DuckDB, inference replayed
-    as the recursive merge recurrence over distinct words."""
+    vocabulary: the FROZEN corpus-derived merge table (trained once
+    from the reference sf0.01 slice — a vocab is a fixed artifact like
+    a real merges.txt, applied unchanged at every sf) driven through
+    the X59 greedy-merge inference Arrow pass over every document. The
+    bench row measures the per-word merge-loop constant at production
+    vocab scale — the '50k-rule hash map rides the closure' claim,
+    exercised. Oracle: the same frozen table as VALUES, inference
+    replayed as the recursive merge recurrence over distinct words;
+    green at any sf certifies the inference over THAT sf's corpus.
+    Honesty note: the fixture corpus's word types are all in-vocab (the
+    table was trained over them), so every word fully merges and the
+    per-doc counts saturate at n_words — this row certifies the
+    5k-rank table APPLIES correctly and measures its cost; merge-ORDER
+    discrimination lives in x_bpe_token_counts (partial 24-rule merges)
+    and x_bpe_train (the learned ranking itself)."""
     docs = load_table(spark, sf, "documents")
-    wc = {
-        r["w"]: r["c"]
-        for r in docs.select(F.explode(X.tokenize("text")).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
-    merges = _bpe5k_train_from_counts(wc)
-    return X.bpe_token_counts(docs, merges)
+    return X.bpe_token_counts(docs, _bpe5k_table())
 
 
 @_q("x_bpe_train", _bpe_train_oracle())
