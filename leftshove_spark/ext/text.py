@@ -270,6 +270,85 @@ def bpe_token_counts(
     return src.mapInPandas(gen, out_schema).withColumnRenamed("id", id_col)
 
 
+# The tokenizer's base alphabet — tokenize()/tokenize_py emit [a-z0-9]+
+# words only, so every BPE symbol derives from these 36 characters.
+BPE_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def bpe_vocab_ids(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """The standard BPE vocabulary id assignment: base alphabet first
+    (ids 0..35 in alphabet order), then one id per merge in RANK order
+    (id = 36 + rank, the symbol being left+right) — the deterministic
+    scheme a real tokenizer's vocab.json encodes. Every symbol the
+    greedy merge loop can produce is covered by construction."""
+    vocab = {c: i for i, c in enumerate(BPE_ALPHABET)}
+    for k, (a, b) in enumerate(merges):
+        vocab.setdefault(a + b, len(BPE_ALPHABET) + k)
+    return vocab
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X65 — tokenizer-faithful ENCODING: documents → BPE token-id
+    sequences, the form a training pipeline actually feeds a model
+    (packing, sequence budgets, and loaders consume ids, not counts).
+    Runs the same greedy merge inference as :func:`bpe_token_counts`
+    (lowest rank, leftmost, re-evaluated per merge) and maps each final
+    symbol through :func:`bpe_vocab_ids` — base alphabet 0..35, merge k
+    at 36+k, the vocab.json convention.
+
+    Output per doc: ``token_ids`` (array<long>, document order),
+    ``n_tokens``, and ``ids_md5`` — the md5 of the dash-joined id
+    sequence, the ORDER-SENSITIVE scalar the gate hashes (arrays are
+    not pandas-sortable; the digest certifies the exact sequence).
+
+    Plan: ONE Arrow ``mapInPandas`` pass, no shuffle — the
+    bpe_token_counts shape emitting sequences; the md5 is computed by
+    SPARK's own expression over the joined string so both engines
+    digest identical bytes."""
+    merges = BPE_MERGES if merges is None else merges
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    vocab = bpe_vocab_ids(merges)
+    from pyspark.sql.types import ArrayType, StringType
+
+    out_schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("token_ids", ArrayType(LongType())),
+            StructField("__joined", StringType()),
+        ]
+    )
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            ids, seqs, joined = [], [], []
+            for doc_id, text in zip(pdf["id"], pdf["__text"]):
+                toks = []
+                for w in tokenize_py(text):
+                    toks.extend(
+                        vocab[s] for s in bpe_tokenize_word_py(w, ranks)
+                    )
+                ids.append(doc_id)
+                seqs.append(toks)
+                joined.append("-".join(str(t) for t in toks))
+            yield pd.DataFrame(
+                {"id": ids, "token_ids": seqs, "__joined": joined}
+            )
+
+    out = src.mapInPandas(gen, out_schema)
+    return out.select(
+        F.col("id").alias(id_col),
+        "token_ids",
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        F.md5(F.col("__joined")).alias("ids_md5"),
+    )
+
+
 def parse_merges(text: str) -> list[tuple[str, str]]:
     """Parse a tokenizer ``merges.txt`` (the HuggingFace/GPT-2 BPE
     format): one ``left right`` pair per line, rank = line order, a

@@ -141,6 +141,7 @@ GATE_ORDER = [
     # verified each pytest pass by tests/test_gate_tail_oracle.py.
     "x_bpe_train",
     "x_bpe_5k_vocab",
+    "x_bpe_encode",
     "x_decontaminate_semantic",
     "x_current_state_materialized",
     "w21_rollup_incremental",

@@ -224,6 +224,79 @@ def x_bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     return X.bpe_token_counts(load_table(spark, sf, "documents"))
 
 
+# X65 — BPE ENCODING to token ids: the same recursive merge replay as
+# X59, finished by mapping every final symbol through the standard
+# vocab id scheme (alphabet 0..35, merge k at 36+k) and digesting the
+# dash-joined id SEQUENCE — order-sensitive, so the green row certifies
+# the exact ids a model loader would receive, not just their count.
+_BPE_VOCAB_SQL = ", ".join(
+    f"('{s}', {i})" for s, i in sorted(
+        X.bpe_vocab_ids(X.BPE_MERGES).items(), key=lambda kv: kv[1]
+    )
+)
+
+
+@_q(
+    "x_bpe_encode",
+    f"""
+    WITH RECURSIVE merges(rank, pat, rep) AS (VALUES {_BPE_MERGES_SQL}),
+    symids(sym, sid) AS (VALUES {_BPE_VOCAB_SQL}),
+    toks AS (SELECT doc_id, {_TOK.format(e="text")} AS t FROM documents),
+    words AS (
+      SELECT doc_id, i AS widx, t[i] AS w
+      FROM toks, unnest(range(1, len(t) + 1)) AS r(i)),
+    init AS (
+      SELECT doc_id, widx,
+             '|' || array_to_string(
+               list_transform(range(1, length(w) + 1), i -> w[i]), '|') || '|'
+               AS seq
+      FROM words),
+    steps AS (
+      SELECT doc_id, widx, seq FROM init
+      UNION ALL
+      SELECT doc_id, widx,
+             substr(seq, 1, p - 1) || rep || substr(seq, p + length(pat))
+      FROM (
+        SELECT s.doc_id, s.widx, s.seq, m.pat, m.rep,
+               strpos(s.seq, m.pat) AS p,
+               row_number() OVER (PARTITION BY s.doc_id, s.widx
+                                  ORDER BY m.rank) AS rn
+        FROM steps s JOIN merges m ON contains(s.seq, m.pat)
+      ) WHERE rn = 1),
+    final AS (
+      SELECT s.doc_id, s.widx,
+             list_filter(string_split(s.seq, '|'), x -> x != '') AS ss
+      FROM steps s
+      WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(s.seq, m.pat))),
+    wordids AS (
+      SELECT f.doc_id, f.widx, i AS pos, f.ss[i] AS sym
+      FROM final f, unnest(range(1, len(f.ss) + 1)) AS r(i)),
+    agg AS (
+      SELECT w.doc_id,
+             string_agg(CAST(v.sid AS VARCHAR), '-' ORDER BY w.widx, w.pos)
+               AS joined,
+             count(*) AS n
+      FROM wordids w JOIN symids v ON v.sym = w.sym
+      GROUP BY w.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+           md5(coalesce(a.joined, '')) AS ids_md5
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def x_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """X65 — documents → BPE token-id sequences (the form a model
+    loader consumes): greedy merge inference + the vocab.json id
+    convention, one Arrow pass; the gate hashes the md5 of each doc's
+    dash-joined id SEQUENCE, so the certified object is the exact
+    ordered ids. Oracle: the X59 recursive merge replay finished by the
+    symbol→id VALUES map and an ORDER BY (word, position) string_agg.
+    See :func:`ext.text.bpe_encode`."""
+    return X.bpe_encode(load_table(spark, sf, "documents")).select(
+        "doc_id", "n_tokens", "ids_md5"
+    )
+
+
 # X62 — distributed BPE merge TRAINING (VERDICT r11 next #3): the
 # oracle replays every training round as chained CTEs — pair counts,
 # the (count desc, pair asc) argmax, left-to-right non-overlapping

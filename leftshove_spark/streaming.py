@@ -937,6 +937,92 @@ def start_near_dedup_stream(
     return writer.start()
 
 
+def start_decontaminate_stream(
+    spark: SparkSession,
+    *,
+    landing_dir: str,
+    benchmark_emb_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    quarantine_dir: str | None = None,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    once: bool = True,
+    processing_time: str = "20 seconds",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """W27 — streaming SEMANTIC-DECONTAMINATION admission: every
+    micro-batch of embedded documents is screened against the frozen
+    benchmark embedding set (X64's exact integer-cosine Arrow pass)
+    before it may join the corpus — the W20 admission-control pattern
+    applied to eval leakage instead of near-duplication. Contaminated
+    rows (cosine ≥ ``threshold`` to ANY benchmark item) are dropped
+    from ``out_dir`` and, when ``quarantine_dir`` is given, appended
+    there WITH their matched benchmark id and cosine — the audit trail
+    a data-governance review wants (what leaked, from where, how
+    close).
+
+    The benchmark set is read once per batch from
+    ``benchmark_emb_dir`` (small by contract — it rides the operator's
+    closure as an int64 matrix) and is FROZEN the way W23/W24 freeze
+    codebooks: growing the benchmark mid-stream would silently change
+    past admissions' meaning; new benchmark = new stream + re-screen.
+
+    Delivery: checkpoint offsets commit after the appends —
+    at-least-once, replays duplicate out_dir rows and downstream
+    dedups on the id like every other sink here. Per trigger the cost
+    is ONE narrow Arrow pass over the batch (O(batch·|benchmark|)
+    integer multiply-adds, no shuffle, no join) plus the appends;
+    stream-admitted ≡ batch-filtered by construction (the same
+    operator runs both — pytest-pinned across triggers)."""
+    from .ext.pipeline import decontaminate_semantic
+
+    src = _streaming_source(spark, landing_dir, max_files_per_trigger)
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            bench = spark.read.parquet(benchmark_emb_dir)
+            flagged = decontaminate_semantic(
+                batch_df,
+                bench,
+                threshold=threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+                dim=dim,
+            ).persist()
+            try:
+                survivors = batch_df.join(
+                    flagged.select(id_col), id_col, "left_anti"
+                )
+                survivors.write.mode("append").parquet(out_dir)
+                if quarantine_dir is not None:
+                    batch_df.join(flagged, id_col).write.mode(
+                        "append"
+                    ).parquet(quarantine_dir)
+            finally:
+                flagged.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    writer = (
+        src.writeStream.queryName("decontaminate_admission")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(batch_fn)
+        .outputMode("append")
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def maintain_rollup(
     spark: SparkSession,
     state_dir: str,

@@ -1127,3 +1127,69 @@ def test_ivfadc_index_stream_equals_batch_encode_and_probes_prune(spark, tmp_pat
         S.ivfadc_encode(emb, cents, books), queries, cents, books, dedup=False
     )
     assert sorted(map(tuple, got_dup)) == sorted(map(tuple, full.collect()))
+
+
+def test_decontaminate_stream_equals_batch_filter(spark, tmp_path):
+    """W27: two streamed triggers of semantic-decontamination admission
+    leave out_dir ≡ the one-shot batch filter over everything landed;
+    contaminated rows land in quarantine WITH their matched benchmark
+    id; replaying a drained stream appends nothing new logically
+    (at-least-once, id-dedup downstream)."""
+    import os
+
+    from leftshove_spark.ext.pipeline import decontaminate_semantic
+    from leftshove_spark.sources import load_table
+    from leftshove_spark.streaming import start_decontaminate_stream
+
+    em = load_table(spark, SF0001, "embeddings").select("vec_id", "embedding")
+    landing = str(tmp_path / "landing")
+    bench_dir = str(tmp_path / "bench")
+    out = str(tmp_path / "out")
+    quar = str(tmp_path / "quarantine")
+    os.makedirs(landing)
+    # benchmark = perturbed copies of vectors 480+ under shifted ids
+    bench = em.filter(F.col("vec_id") >= 480).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i < 4, F.lit(0.0).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    bench.write.parquet(bench_dir)
+
+    def run_once():
+        q = start_decontaminate_stream(
+            spark,
+            landing_dir=landing,
+            benchmark_emb_dir=bench_dir,
+            out_dir=out,
+            checkpoint_dir=str(tmp_path / "ck"),
+            quarantine_dir=quar,
+            threshold=0.9,
+            dim=64,
+            once=True,
+        )
+        assert q.awaitTermination(120), "decontaminate stream did not drain"
+
+    em.filter(F.col("vec_id") % 2 == 0).write.mode("append").parquet(landing)
+    run_once()
+    em.filter(F.col("vec_id") % 2 == 1).write.mode("append").parquet(landing)
+    run_once()
+
+    flagged_ids = {
+        r["vec_id"]
+        for r in decontaminate_semantic(em, bench, threshold=0.9, dim=64)
+        .select("vec_id")
+        .collect()
+    }
+    admitted = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    want = {r["vec_id"] for r in em.collect()} - flagged_ids
+    assert admitted == want
+    # quarantine carries the audit columns
+    qrows = {
+        r["vec_id"]: r["matched_benchmark_id"]
+        for r in spark.read.parquet(quar).collect()
+    }
+    assert set(qrows) == flagged_ids
+    for vid, bid in qrows.items():
+        assert bid >= 100000
