@@ -289,3 +289,58 @@ def test_unpartitioned_store_roundtrip(spark, tmp_path):
     got = sorted(tuple(r) for r in statestore.read_state(spark, state).collect())
     assert got == [(1, "a"), (2, "b")]
     assert len(statestore._list_manifests(state)) <= 2
+
+
+def test_concurrent_reader_never_sees_torn_generation(spark, tmp_path):
+    """Empirical concurrency net beside the deterministic interleave
+    pin: a reader thread loops full-table reads WHILE six folds commit.
+    Every fold updates ALL 20 keys (spread over every bucket) to one
+    shared version stamp, so any read mixing two generations would
+    show two distinct stamps — the exact cross-bucket tear dynamic
+    partition overwrite could serve. Every observed snapshot must be
+    complete (20 rows) and uniform (one stamp)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    state = str(tmp_path / "cur")
+    keys = list(range(20))
+
+    def batch(version):
+        return spark.createDataFrame(
+            [(k, version, f"v{version}") for k in keys],
+            "k long, d long, v string",
+        )
+
+    maintain_current_state(spark, state, batch(0), "k", "d", n_buckets=8)
+
+    stop = threading.Event()
+    violations: list = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                rows = current_state_table(spark, state).collect()
+            except Exception as e:  # a read must never fail mid-fold
+                violations.append(f"read failed: {e}")
+                return
+            stamps = {r["d"] for r in rows}
+            if len(rows) != len(keys) or len(stamps) != 1:
+                violations.append(
+                    f"torn snapshot: {len(rows)} rows, stamps {sorted(stamps)}"
+                )
+                return
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        for version in range(1, 7):
+            maintain_current_state(
+                spark, state, batch(version), "k", "d", n_buckets=8
+            )
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not violations, violations
+    final = {r["k"]: r["d"] for r in current_state_table(spark, state).collect()}
+    assert final == {k: 6 for k in keys}
