@@ -221,6 +221,141 @@ def decontaminate_semantic(
     return src.mapInPandas(gen, out_schema)
 
 
+def decontaminate_semantic_ivf(
+    corpus_emb: DataFrame,
+    benchmark_emb: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_centroids: int = 4,
+    nprobe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """The LARGE-BENCHMARK scale path of :func:`decontaminate_semantic`
+    — implemented, not just documented (the X56 'swap the candidate
+    pass' composition, executed): cluster the BENCHMARK embeddings with
+    the deterministic IVF coarse quantizer (md5-seeded Lloyd —
+    ext.similarity.ivf_centroids), then each corpus document probes
+    only its ``nprobe`` nearest cells and compares against those cells'
+    vectors. Per-doc work drops from |benchmark| to
+    nprobe·(|benchmark|/k) multiply-adds — the difference between
+    screening against a 10⁶-item benchmark suite and not being able to.
+
+    Same exact arithmetic as the brute pass (int64 dots, the shared
+    IEEE division), same output shape, same ONE-Arrow-pass plan (the
+    per-cell benchmark matrices ride the closure; probing reuses the
+    knn_ivf conventions bit-for-bit: assignment ties to the HIGHER
+    cell, probe order (cosine desc, cell desc)). The flagged set is a
+    SUBSET of the brute pass's (a candidate outside the probed cells is
+    never compared — the standard IVF recall trade, pytest-measured on
+    the planted fixture); the SQL oracle replays the entire pipeline:
+    Lloyd seeds, both iterations, benchmark assignment, probe
+    selection, within-cell threshold + argmax."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType
+
+    from .similarity import (
+        _assign_cells_arrow,
+        _centroid_cosines_np,
+        ivf_centroids,
+        quantize,
+    )
+
+    cents = ivf_centroids(
+        benchmark_emb,
+        n_centroids=n_centroids,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    b = _assign_cells_arrow(
+        benchmark_emb.select(
+            F.col(id_col).alias("bid"), quantize(vec_col).alias("bv")
+        ),
+        cents,
+        qv_col="bv",
+        out_col="cell",
+    )
+    b_rows = b.orderBy("bid").collect()  # bounded side, by contract
+    src = corpus_emb.select(
+        F.col(id_col).alias("__cid"), quantize(vec_col).alias("qv")
+    )
+    id_type = src.schema["__cid"].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("matched_benchmark_id", id_type),
+            StructField("max_cosine", DoubleType()),
+        ]
+    )
+    if not b_rows:
+        return corpus_emb.sparkSession.createDataFrame([], out_schema)
+    # per-cell benchmark matrices (bids ascending within each cell, so
+    # a per-cell first-max is the lowest-id tie pick)
+    by_cell: dict[int, tuple] = {}
+    for c in sorted({r["cell"] for r in b_rows}):
+        rows_c = [r for r in b_rows if r["cell"] == c]
+        Bc = np.array([r["bv"] for r in rows_c], dtype=np.int64)
+        by_cell[int(c)] = (
+            Bc,
+            [r["bid"] for r in rows_c],
+            np.sqrt((Bc * Bc).sum(axis=1).astype(np.float64)),
+        )
+    C = np.array(cents, dtype=np.int64)
+    Cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+    k = C.shape[0]
+    neg_idx = -np.arange(k)
+    thr = float(threshold)
+    npb = int(nprobe)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            n = len(Q)
+            na = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+            c2c = _centroid_cosines_np(Q, C, Cn)
+            # knn_ivf's probe order: (cosine desc, cell desc)
+            probes = np.stack(
+                [np.lexsort((neg_idx, -row))[:npb] for row in c2c]
+            )
+            best_cos = np.full(n, -np.inf)
+            best_bid = np.full(n, -1, dtype=np.int64)
+            for c, (Bc, bids, nbc) in by_cell.items():
+                mask = (probes == c).any(axis=1)
+                if not mask.any():
+                    continue
+                rows = np.nonzero(mask)[0]
+                cos = (Q[rows] @ Bc.T).astype(np.float64) / (
+                    na[rows, None] * nbc[None, :]
+                )
+                loc = cos.argmax(axis=1)  # first max ⇒ lowest bid in cell
+                mc = cos[np.arange(len(rows)), loc]
+                mb = np.array([bids[i] for i in loc], dtype=np.int64)
+                # cross-cell combine: (cosine desc, bid asc)
+                better = (mc > best_cos[rows]) | (
+                    (mc == best_cos[rows]) & (mb < best_bid[rows])
+                )
+                upd = rows[better]
+                best_cos[upd] = mc[better]
+                best_bid[upd] = mb[better]
+            keep = best_cos >= thr
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["__cid"][keep],
+                    "matched_benchmark_id": best_bid[keep],
+                    "max_cosine": best_cos[keep],
+                }
+            )
+
+    return src.mapInPandas(gen, out_schema)
+
+
 # ------------------------------------------------ deterministic hash splits
 SPLIT_BUCKETS = 65536  # 4 hex chars of md5
 

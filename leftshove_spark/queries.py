@@ -143,6 +143,7 @@ GATE_ORDER = [
     "x_bpe_5k_vocab",
     "x_bpe_encode",
     "x_decontaminate_semantic",
+    "x_decontaminate_semantic_ivf",
     "x_current_state_materialized",
     "w21_rollup_incremental",
     "w22_corpus_stats_incremental",

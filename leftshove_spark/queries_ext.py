@@ -1146,6 +1146,121 @@ def x_decontaminate_semantic(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# X66 — the IVF-celled scale path of X64 (large benchmarks): Lloyd over
+# the BENCHMARK, corpus docs probe nprobe cells, compare within. The
+# oracle replays the whole pipeline — md5-ordered seeds, two Lloyd
+# rounds, benchmark assignment, probe selection, within-cell threshold
+# and argmax — the x_knn_ivf discipline pointed at decontamination.
+def _decontaminate_semantic_ivf_oracle(
+    k_cells: int = 4, nprobe: int = 2, tau: float = 0.9
+) -> str:
+    seed_salt = S.IVF_SEED_SALT
+    rng = f"range(1, {EMB_DIM + 1})"
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform({rng}, i -> {a}[i] * {b}[i]))"
+            " AS DOUBLE)"
+        )
+
+    def cos(a: str, b: str) -> str:
+        return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
+
+    def assign(src_cents: str, out: str) -> str:
+        return f"""
+    {out}_rnk AS MATERIALIZED (
+      SELECT b.bench_id, b.bv, c.cl,
+             row_number() OVER (PARTITION BY b.bench_id
+                                ORDER BY {cos("b.bv", "c.cen")} DESC, c.cl DESC) AS rn
+      FROM b CROSS JOIN {src_cents} c),
+    {out} AS MATERIALIZED (
+      SELECT bench_id, bv, cl FROM {out}_rnk WHERE rn = 1)"""
+
+    def recenter(assigned: str, prev: str, out: str) -> str:
+        return f"""
+    {out}_m AS MATERIALIZED (
+      SELECT a.cl, t.i, CAST(floor(avg(a.bv[t.i]) + 0.5) AS BIGINT) AS m
+      FROM {assigned} a, {rng} t(i) GROUP BY a.cl, t.i),
+    {out}_new AS (SELECT cl, list(m ORDER BY i) AS cen FROM {out}_m GROUP BY cl),
+    {out} AS MATERIALIZED (
+      SELECT p.cl, coalesce(n.cen, p.cen) AS cen
+      FROM {prev} p LEFT JOIN {out}_new n ON n.cl = p.cl)"""
+
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings),
+    b AS MATERIALIZED (
+      SELECT vec_id + 100000 AS bench_id,
+             list_transform(range(1, {EMB_DIM + 1}),
+               i -> CASE WHEN i <= 4 THEN CAST(0 AS BIGINT) ELSE qv[i] END)
+               AS bv
+      FROM e WHERE vec_id >= 480),
+    c0 AS MATERIALIZED (
+      SELECT row_number() OVER (
+               ORDER BY md5('{seed_salt}' || CAST(bench_id AS VARCHAR)),
+                        bench_id) - 1 AS cl,
+             bv AS cen
+      FROM b
+      ORDER BY md5('{seed_salt}' || CAST(bench_id AS VARCHAR)), bench_id
+      LIMIT {k_cells}),
+    {assign("c0", "a1")},
+    {recenter("a1", "c0", "c1")},
+    {assign("c1", "a2")},
+    {recenter("a2", "c1", "c2")},
+    {assign("c2", "bcells")},
+    probes AS MATERIALIZED (
+      SELECT vec_id, qv, cl FROM (
+        SELECT e.vec_id, e.qv, c.cl,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos("e.qv", "c.cen")} DESC, c.cl DESC) AS rn
+        FROM e CROSS JOIN c2 c
+      ) WHERE rn <= {nprobe}),
+    cand AS MATERIALIZED (
+      SELECT p.vec_id, bc.bench_id,
+             {dot("p.qv", "bc.bv")} / (sqrt({dot("p.qv", "p.qv")})
+               * sqrt({dot("bc.bv", "bc.bv")})) AS cosine
+      FROM probes p JOIN bcells bc ON bc.cl = p.cl)
+    SELECT vec_id,
+           bench_id AS matched_benchmark_id,
+           cosine AS max_cosine
+    FROM (
+      SELECT vec_id, bench_id, cosine,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, bench_id) AS rn
+      FROM cand WHERE cosine >= {tau}
+    ) WHERE rn = 1
+    """
+
+
+@_q("x_decontaminate_semantic_ivf", _decontaminate_semantic_ivf_oracle())
+def x_decontaminate_semantic_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """X66 — semantic decontamination through the IVF-celled candidate
+    pass (the 10⁶-item-benchmark scale path, implemented): Lloyd over
+    the planted benchmark (4 md5-seeded cells, 2 iterations), every
+    corpus doc probes its 2 nearest cells and thresholds within them.
+    The oracle re-derives the ENTIRE pipeline in SQL, so the iterative
+    clustering, the probe choice, and the within-cell argmax are all
+    hash-certified — not just the flagged set. Pytest pins
+    ivf-flagged ⊆ brute-flagged and measures recall on the fixture.
+    See :func:`ext.pipeline.decontaminate_semantic_ivf`."""
+    from .ext import pipeline as P
+
+    em = load_table(spark, sf, "embeddings")
+    bench = em.filter(F.col("vec_id") >= 480).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i < 4, F.lit(0.0).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    return P.decontaminate_semantic_ivf(
+        em, bench, threshold=0.9, n_centroids=4, nprobe=2, dim=EMB_DIM
+    )
+
+
 @_q("x_knn_bruteforce", _knn_oracle("q.vec_id < 10"))
 def x_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     """Exact top-5 cosine neighbors for 10 query vectors — the ANN

@@ -952,3 +952,54 @@ def test_decontaminate_semantic_catches_paraphrase_ngram_misses(spark):
     }
     assert got == want
     assert got == {r["doc_id"] for r in docs.collect()} - set(rows)
+
+
+def test_decontaminate_semantic_ivf_subset_and_recall(spark):
+    """X66: the IVF-celled pass flags a SUBSET of the brute pass (a
+    candidate outside the probed cells is never compared — the standard
+    IVF recall trade), agrees exactly on every doc it does flag, and on
+    the planted fixture at nprobe=2 of 4 cells recall is 1.0 (each
+    perturbed source lands in its own copy's cell). nprobe=k degrades
+    to the brute pass exactly."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF0001
+    from leftshove_spark.ext.pipeline import (
+        decontaminate_semantic,
+        decontaminate_semantic_ivf,
+    )
+    from leftshove_spark.sources import load_table
+
+    em = load_table(spark, SF0001, "embeddings").select("vec_id", "embedding")
+    bench = em.filter(F.col("vec_id") >= 480).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i < 4, F.lit(0.0).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    brute = {
+        r["vec_id"]: (r["matched_benchmark_id"], r["max_cosine"])
+        for r in decontaminate_semantic(em, bench, threshold=0.9, dim=64).collect()
+    }
+    ivf = {
+        r["vec_id"]: (r["matched_benchmark_id"], r["max_cosine"])
+        for r in decontaminate_semantic_ivf(
+            em, bench, threshold=0.9, n_centroids=4, nprobe=2, dim=64
+        ).collect()
+    }
+    assert set(ivf) <= set(brute)  # never a false flag
+    recall = len(ivf) / len(brute)
+    assert recall == 1.0, f"fixture recall {recall}"  # planted pairs co-cell
+    for vid, (bid, cos) in ivf.items():
+        # within-probed-cell argmax can only match brute when the true
+        # argmax cell was probed — on this fixture it always is
+        assert (bid, cos) == brute[vid]
+    # nprobe = k ⇒ every cell probed ⇒ identical to brute by definition
+    full = {
+        r["vec_id"]: (r["matched_benchmark_id"], r["max_cosine"])
+        for r in decontaminate_semantic_ivf(
+            em, bench, threshold=0.9, n_centroids=4, nprobe=4, dim=64
+        ).collect()
+    }
+    assert full == brute
