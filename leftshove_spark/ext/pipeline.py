@@ -221,6 +221,27 @@ def decontaminate_semantic(
     return src.mapInPandas(gen, out_schema)
 
 
+def contamination_report(
+    flagged: DataFrame,
+    *,
+    benchmark_col: str = "matched_benchmark_id",
+    cosine_col: str = "max_cosine",
+) -> DataFrame:
+    """Governance roll-up of a decontamination pass: PER BENCHMARK
+    ITEM, how many corpus documents leak it and how badly — the table
+    a data-governance review actually reads ('which eval questions are
+    compromised, and is it verbatim or paraphrase-grade?'). Works over
+    either pass's flagged output (:func:`decontaminate_semantic` /
+    :func:`decontaminate_semantic_ivf`, or the n-gram pass joined to
+    its benchmark ids). One map-side-combined groupBy over the
+    O(contaminated) flagged rows — free at any scale."""
+    return flagged.groupBy(F.col(benchmark_col).alias("benchmark_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_leaked"),
+        F.max(cosine_col).alias("worst_cosine"),
+        F.min(cosine_col).alias("mildest_cosine"),
+    )
+
+
 def decontaminate_semantic_ivf(
     corpus_emb: DataFrame,
     benchmark_emb: DataFrame,

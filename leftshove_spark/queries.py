@@ -144,6 +144,7 @@ GATE_ORDER = [
     "x_bpe_encode",
     "x_decontaminate_semantic",
     "x_decontaminate_semantic_ivf",
+    "x_contamination_report",
     "x_current_state_materialized",
     "w21_rollup_incremental",
     "w22_corpus_stats_incremental",

@@ -1235,6 +1235,40 @@ def _decontaminate_semantic_ivf_oracle(
     """
 
 
+# X67 — governance roll-up: per benchmark item, how many corpus docs
+# leak it and how badly. Oracle = GROUP BY over the full X64 replay.
+@_q(
+    "x_contamination_report",
+    f"""
+    WITH flagged AS ({{decon}})
+    SELECT matched_benchmark_id AS benchmark_id,
+           CAST(count(*) AS BIGINT) AS n_leaked,
+           max(max_cosine) AS worst_cosine,
+           min(max_cosine) AS mildest_cosine
+    FROM flagged GROUP BY matched_benchmark_id
+    """.format(decon=_decontaminate_semantic_oracle()),
+)
+def x_contamination_report(spark: SparkSession, sf: str) -> DataFrame:
+    """X67 — the data-governance table: per benchmark item, the count
+    of leaking corpus documents with the worst and mildest cosines —
+    'which eval questions are compromised, verbatim or paraphrase-
+    grade?'. One map-side-combined groupBy over the O(contaminated)
+    flagged rows; the oracle aggregates the full X64 replay. See
+    :func:`ext.pipeline.contamination_report`."""
+    from .ext import pipeline as P
+
+    em = load_table(spark, sf, "embeddings")
+    bench = em.filter(F.col("vec_id") >= 480).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i < 4, F.lit(0.0).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    flagged = P.decontaminate_semantic(em, bench, threshold=0.9, dim=EMB_DIM)
+    return P.contamination_report(flagged)
+
+
 @_q("x_decontaminate_semantic_ivf", _decontaminate_semantic_ivf_oracle())
 def x_decontaminate_semantic_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """X66 — semantic decontamination through the IVF-celled candidate
