@@ -188,6 +188,11 @@ def decontaminate_semantic(
     if not b_rows:
         return corpus_emb.sparkSession.createDataFrame([], out_schema)
     B = np.array([r["bv"] for r in b_rows], dtype=np.int64)
+    if dim is not None and B.shape[1] != dim:
+        raise ValueError(
+            f"benchmark embeddings are {B.shape[1]}-dimensional, "
+            f"caller declared dim={dim}"
+        )
     bids = [r["bid"] for r in b_rows]
     # sqrt of the exact int norms, float64 — the same two-sqrt product
     # the SQL oracle divides by, in the same IEEE order

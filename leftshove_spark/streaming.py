@@ -413,6 +413,8 @@ def maintain_history(
     order_col: str,
     tiebreak_cols: list[str] | None = None,
     n_buckets: int = 16,
+    keep_generations: int | None = None,
+    retention_sec: float | None = None,
 ) -> None:
     """W18 — incremental SCD-Type-2 maintenance: fold one micro-batch of
     new versions into a persistent history table (``views.history_view``
@@ -456,6 +458,8 @@ def maintain_history(
         lambda m: history_view(
             m, keys, order_col=order_col, tiebreak_cols=tiebreak_cols
         ),
+        keep_generations=keep_generations,
+        retention_sec=retention_sec,
     )
 
 
@@ -467,6 +471,8 @@ def maintain_current_state(
     order_col: str,
     tiebreak_cols: list[str] | None = None,
     n_buckets: int = 16,
+    keep_generations: int | None = None,
+    retention_sec: float | None = None,
 ) -> None:
     """W25 — incrementally MATERIALIZED current-state table: fold one
     micro-batch of new versions into a persistent latest-per-key
@@ -517,6 +523,8 @@ def maintain_current_state(
         lambda m: latest_per_key_window(
             m, keys, order_col=order_col, tiebreak_cols=tiebreak_cols
         ),
+        keep_generations=keep_generations,
+        retention_sec=retention_sec,
     )
 
 
@@ -585,7 +593,9 @@ def current_state_lookup(
         df = df.filter(F.col("__bucket") == bucket)
         for k, v in key_values.items():
             df = df.filter(
-                F.col(k).isNull() if v is None else (F.col(k) == F.lit(v))
+                F.col(k).isNull()
+                if v is None
+                else (F.col(k) == F.lit(v).cast(stored_types[k]))
             )
         return df.drop("__bucket")
     # stored column types from one committed footer (driver-side, no
@@ -607,9 +617,15 @@ def current_state_lookup(
     df = statestore.read_state(
         spark, state_dir, partition_values=[str(bucket)]
     )
+    # the ROW filter needs the same type fidelity as the bucket hash
+    # (ADVICE r12): an uncast F.lit widens a float32 column to double,
+    # so float32(0.1) != lit(0.1) and the probe resolves the right
+    # bucket yet silently returns no rows — cast through the stored type
     for k, v in key_values.items():
         df = df.filter(
-            F.col(k).isNull() if v is None else (F.col(k) == F.lit(v))
+            F.col(k).isNull()
+            if v is None
+            else (F.col(k) == F.lit(v).cast(stored_types[k]))
         )
     return df.drop("__bucket")
 
@@ -683,6 +699,8 @@ def _maintain_bucketed_state(
     tiebreak_cols: list[str] | None,
     n_buckets: int,
     derive,
+    keep_generations: int | None = None,
+    retention_sec: float | None = None,
 ) -> None:
     """Shared W18/W25 maintenance core: crc32-bucket the batch, read
     ONLY the touched buckets' stored rows, collapse byte-identical
@@ -777,7 +795,13 @@ def _maintain_bucketed_state(
         # commit only the touched buckets — atomically, via the
         # manifest flip (readers mid-scan keep the prior generation)
         statestore.commit_fold(
-            spark, state_dir, out, "__bucket", [str(t) for t in touched]
+            spark,
+            state_dir,
+            out,
+            "__bucket",
+            [str(t) for t in touched],
+            keep_generations=keep_generations,
+            retention_sec=retention_sec,
         )
     finally:
         merged.unpersist()
@@ -1034,6 +1058,8 @@ def maintain_rollup(
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
     window: str = "1 day",
+    keep_generations: int | None = None,
+    retention_sec: float | None = None,
 ) -> None:
     """W21 — incremental tumbling-window rollup (the hypertable
     continuous-aggregate pattern): fold one micro-batch into a
@@ -1105,7 +1131,13 @@ def maintain_rollup(
     # atomic manifest commit of the touched day-partitions (same
     # discipline as the bucketed folds — no torn reads mid-fold)
     statestore.commit_fold(
-        spark, state_dir, remerged, "__wday", [str(t) for t in touched]
+        spark,
+        state_dir,
+        remerged,
+        "__wday",
+        [str(t) for t in touched],
+        keep_generations=keep_generations,
+        retention_sec=retention_sec,
     )
 
 
@@ -1149,6 +1181,8 @@ def maintain_corpus_stats(
     id_col: str = "doc_id",
     length_col: str | None = None,
     k: int = 256,
+    keep_generations: int | None = None,
+    retention_sec: float | None = None,
 ) -> None:
     """W22 — incremental corpus accounting with mergeable sketches: the
     continuous-aggregate pattern (W21) extended from scalar partials to
@@ -1211,7 +1245,15 @@ def maintain_corpus_stats(
         )
     else:
         merged = _merge_corpus_stats(stats, gcols, k)
-    statestore.commit_fold(spark, state_dir, merged, None, [""])
+    statestore.commit_fold(
+        spark,
+        state_dir,
+        merged,
+        None,
+        [""],
+        keep_generations=keep_generations,
+        retention_sec=retention_sec,
+    )
 
 
 def _merge_corpus_stats(rows: DataFrame, gcols: list[str], k: int) -> DataFrame:

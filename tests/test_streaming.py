@@ -646,6 +646,14 @@ def test_current_state_lookup_key_type_fidelity(spark, tmp_path):
             [(0.1, "2030-01-01", 1), (1e16, "2030-01-01", 2), (0.5, "2030-01-01", 3)],
             [(0.1, 1), (1e16, 1), (0.5, 1), (2.5, 0)],
         ),
+        # float32: ADVICE r12 — the ROW filter (not just the bucket
+        # hash) must cast the literal, or the column widens to double
+        # and float32(0.1) != lit(0.1) silently returns no rows
+        (
+            "k float, d string, v long",
+            [(0.1, "2030-01-01", 1), (2.7, "2030-01-01", 2), (0.5, "2030-01-01", 3)],
+            [(0.1, 1), (2.7, 1), (0.5, 1), (9.9, 0)],
+        ),
         (
             "k timestamp, d string, v long",
             [
@@ -669,9 +677,16 @@ def test_current_state_lookup_key_type_fidelity(spark, tmp_path):
             spark, state, spark.createDataFrame(rows, schema), "k", "d"
         )
         full = current_state_table(spark, state)
+        ktype = full.schema["k"].dataType
         for kv, n in probes:
             got = current_state_lookup(spark, state, {"k": kv}).collect()
-            cond = F.col("k").isNull() if kv is None else (F.col("k") == F.lit(kv))
+            # the reference filter casts the literal too — comparing a
+            # float32 column against an uncast double literal misses
+            cond = (
+                F.col("k").isNull()
+                if kv is None
+                else (F.col("k") == F.lit(kv).cast(ktype))
+            )
             want = full.filter(cond).collect()
             assert len(got) == n, f"{schema}: key {kv!r} → {len(got)} rows, want {n}"
             assert sorted(map(tuple, got)) == sorted(map(tuple, want))
