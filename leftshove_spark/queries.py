@@ -128,74 +128,27 @@ GATE_EXCLUDE = frozenset({"j3_dedup_latest_semijoin", "x_text_stats"})
 # tests/test_gate_tail_oracle.py, which oracle-checks the FULL gate
 # surface regardless of rotation position.
 GATE_ORDER = [
-    # --- r12 head: never-driver-scored operators first (the two BPE
-    # rows and semantic decontamination), then the changed-
-    # implementation re-scores — the bucketed state folds moved to
-    # manifest-pointer commits (statestore.py: W21/W22/W25 rewrote
-    # their read+commit paths) and the IVF coarse quantizer re-seeded
-    # on the md5(id) order (every ivf_centroids consumer: the
-    # IVF/IVFADC ANN family, SemDeDup, the hard-negative miner) —
-    # then the stalest veterans: the r5-last-scored block and the
-    # oldest of the r6-last-scored block. The r11 head (scored last
-    # round) rotates to the tail; every rotated-out entry stays
-    # verified each pytest pass by tests/test_gate_tail_oracle.py.
-    "x_bpe_train",
-    "x_bpe_5k_vocab",
-    "x_bpe_encode",
+    # --- r13 head: never-driver-scored operators first (X68 attributed
+    # n-gram decontamination, X69 the 50k-rank frozen-vocab inference
+    # row), then the changed-implementation re-scores — the n-gram pass
+    # refactored for attribution (x_decontaminate), the semantic passes
+    # reworked (ordinal benchmark-id tracking in the IVF pass + live
+    # dim validation in both), and the three manifest-store consumers
+    # whose commit path gained dual-bounded GC retention, the writer
+    # fence, and the widened orphan sweep — then the stalest veterans:
+    # the r6-last-scored remainder and the r7-scored block. The r12
+    # head (scored last round) rotates to the tail; every rotated-out
+    # entry stays verified each pytest pass by
+    # tests/test_gate_tail_oracle.py.
+    "x_decontaminate_attributed",
+    "x_bpe_50k_vocab",
+    "x_decontaminate",
     "x_decontaminate_semantic",
     "x_decontaminate_semantic_ivf",
-    "x_contamination_report",
     "x_current_state_materialized",
     "w21_rollup_incremental",
     "w22_corpus_stats_incremental",
-    "x_knn_ivf",
-    "x_ann_recall",
-    "x_knn_ivfadc",
-    "x_knn_ivfadc_rerank",
-    "x_ann_recall_ivfadc",
-    "x_semdedup",
-    "x_hard_negatives",
-    # stalest veterans — last driver-scored r5
-    "x_token_counts",
-    "x_multimodal_meta",
-    "q6_forecast_revenue",
-    "c_hof_array_battery",
-    "a2_max_group_by",
-    "x_dedup_exact",
-    "w10_hopping_window_agg",
-    "a4_agg_json_list",
-    "x_fingerprint",
-    "f3_array_to_json",
-    "c_scalar_battery",
-    # last driver-scored r6 (oldest first-half; the rest open the tail)
-    "f4_f5_munge_ts",
-    "a1_a5_scan_aggregates",
-    "cdc_at_least_once_dedup",
-    "x_dedup_minhash_lsh",
-    "t1_asof_join_latest_order",
-    "x_dedup_resolution",
-    "x_knn_lsh",
-    "x_dedup_ngram_jaccard",
-    "x_quality_filter",
-    "q5_local_supplier_volume",
-    "w8_stream_tumbling_window",
-    "w7_tumbling_window_agg",
-    "o1_f8_filter_order",
-    "q10_returned_items",
-    "q1_pricing_summary",
-    "x_knn_bruteforce",
-    "o4_cube_pricing",
-    "x_lang_id",
-    "q18_large_volume_orders",
-    "q19_disjunctive_filter",
-    "o3_topk_per_group",
-    "o2_rollup_pricing",
-    "s2_salted_join_agg",
-    "t2_range_join_sliding_windows",
-    "f1_window_predicate",
-    "f2_f6_capture_projection",
-    # --- tail (entries 51+): the remaining r6 block, then everything
-    # else in its prior order (r9/r10/r11-scored, newest-certified last)
+    # stalest veterans — the r6-last-scored remainder
     "p1_pivot_event_counts",
     "q4_order_priority",
     "j4_full_outer_reconcile",
@@ -208,6 +161,7 @@ GATE_ORDER = [
     "a3_agg_string_list",
     "j3_dedup_latest_window",
     "x_dedup_simhash",
+    # the r7-scored block — next-oldest certifications
     "x_bpe_token_counts",
     "x_lm_quality_score",
     "x_split_by_component",
@@ -238,6 +192,8 @@ GATE_ORDER = [
     "j7_temporal_join",
     "x_dedup_cc_incremental",
     "x_dedup_connected_components",
+    # --- tail (entries 51+): the rest in prior order; the r12 head
+    # (newest-certified) closes the list
     "x_multimodal_decode",
     "x_multimodal_frames",
     "q12_shipmode_priority",
@@ -247,7 +203,6 @@ GATE_ORDER = [
     "x_pack_sequences",
     "x_funnel_conversion",
     "x_cohort_retention",
-    "x_decontaminate",
     "x_repetition",
     "x_dedup_embedding_lsh",
     "q2_min_cost_supplier",
@@ -295,6 +250,55 @@ GATE_ORDER = [
     "q20_heavy_shippers",
     "x_mixture_sample",
     "o7_percentile_battery",
+    # the r12 head — scored last round, newest certifications
+    "x_bpe_train",
+    "x_bpe_5k_vocab",
+    "x_bpe_encode",
+    "x_contamination_report",
+    "x_knn_ivf",
+    "x_ann_recall",
+    "x_knn_ivfadc",
+    "x_knn_ivfadc_rerank",
+    "x_ann_recall_ivfadc",
+    "x_semdedup",
+    "x_hard_negatives",
+    "x_token_counts",
+    "x_multimodal_meta",
+    "q6_forecast_revenue",
+    "c_hof_array_battery",
+    "a2_max_group_by",
+    "x_dedup_exact",
+    "w10_hopping_window_agg",
+    "a4_agg_json_list",
+    "x_fingerprint",
+    "f3_array_to_json",
+    "c_scalar_battery",
+    "f4_f5_munge_ts",
+    "a1_a5_scan_aggregates",
+    "cdc_at_least_once_dedup",
+    "x_dedup_minhash_lsh",
+    "t1_asof_join_latest_order",
+    "x_dedup_resolution",
+    "x_knn_lsh",
+    "x_dedup_ngram_jaccard",
+    "x_quality_filter",
+    "q5_local_supplier_volume",
+    "w8_stream_tumbling_window",
+    "w7_tumbling_window_agg",
+    "o1_f8_filter_order",
+    "q10_returned_items",
+    "q1_pricing_summary",
+    "x_knn_bruteforce",
+    "o4_cube_pricing",
+    "x_lang_id",
+    "q18_large_volume_orders",
+    "q19_disjunctive_filter",
+    "o3_topk_per_group",
+    "o2_rollup_pricing",
+    "s2_salted_join_agg",
+    "t2_range_join_sliding_windows",
+    "f1_window_predicate",
+    "f2_f6_capture_projection",
 ]
 
 

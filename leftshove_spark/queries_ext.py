@@ -427,6 +427,31 @@ def _bpe5k_train_from_counts(wc: dict[str, int]) -> list[tuple[str, str]]:
 
 
 _BPE5K_TABLE_MEMO: list | None = None
+_BPE50K_TABLE_MEMO: list | None = None
+_BPE50K_MERGES = 50000
+
+
+def _frozen_vocab_counts() -> dict[str, int]:
+    """Word counts of the FROZEN reference slice (sf0.01 documents) —
+    the fixed training corpus both vocab artifacts derive from."""
+    import os
+
+    import duckdb
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"the frozen BPE vocabularies train from {path}"
+        )
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT w, count(*) AS c
+            FROM (SELECT unnest({_TOK.format(e="text")}) AS w
+                  FROM read_parquet('{path}'))
+            GROUP BY w"""
+    ).fetchall()
+    con.close()
+    return {w: c for w, c in rows}
 
 
 def _bpe5k_table() -> list[tuple[str, str]]:
@@ -441,29 +466,60 @@ def _bpe5k_table() -> list[tuple[str, str]]:
     global _BPE5K_TABLE_MEMO
     if _BPE5K_TABLE_MEMO is not None:
         return _BPE5K_TABLE_MEMO
-    import os
-
-    import duckdb
-
-    path = "/root/testdata/sf0.01/documents.parquet"
-    if not os.path.exists(path):
-        raise FileNotFoundError(
-            f"x_bpe_5k_vocab trains its frozen vocabulary from {path}"
-        )
-    con = duckdb.connect()
-    rows = con.execute(
-        f"""SELECT w, count(*) AS c
-            FROM (SELECT unnest({_TOK.format(e="text")}) AS w
-                  FROM read_parquet('{path}'))
-            GROUP BY w"""
-    ).fetchall()
-    con.close()
-    _BPE5K_TABLE_MEMO = _bpe5k_train_from_counts({w: c for w, c in rows})
+    _BPE5K_TABLE_MEMO = _bpe5k_train_from_counts(_frozen_vocab_counts())
     return _BPE5K_TABLE_MEMO
 
 
+def _bpe50k_table() -> list[tuple[str, str]]:
+    """The FROZEN 50,000-rank vocabulary (X69 — VERDICT r12 next #2:
+    X63 stopped at 5k; this is the full production-scale inference
+    constant). Same artifact discipline as :func:`_bpe5k_table`; the
+    compound pool is deepened (all word triples + capped quadruples,
+    ~120k types / 1.9M chars) because genuine BPE training saturates
+    when every type is fully merged — the 5k pool caps out at ~8.7k
+    ranks. Trained once per process (~15 s, memoized) with the SAME
+    heap trainer the production :func:`ext.text.bpe_train_scalable`
+    path uses."""
+    global _BPE50K_TABLE_MEMO
+    if _BPE50K_TABLE_MEMO is not None:
+        return _BPE50K_TABLE_MEMO
+    wc = _frozen_vocab_counts()
+    types = dict(wc)
+    words = sorted(wc)[:32]
+    for w1 in words:
+        for w2 in words:
+            types.setdefault(w1 + w2, wc[w1] + wc[w2])
+            for w3 in words:
+                types.setdefault(
+                    w1 + w2 + w3, (wc[w1] + wc[w2] + wc[w3]) // 2
+                )
+                for w4 in words[:3]:
+                    types.setdefault(
+                        w1 + w2 + w3 + w4,
+                        (wc[w1] + wc[w2] + wc[w3] + wc[w4]) // 3,
+                    )
+    _BPE50K_TABLE_MEMO = [
+        (a, b)
+        for a, b, _ in X.bpe_train_fast_py(
+            types, _BPE50K_MERGES, min_pair_count=1
+        )
+    ]
+    return _BPE50K_TABLE_MEMO
+
+
 def _bpe_5k_oracle() -> str:
-    merges = _bpe5k_table()
+    return _bpe_vocab_oracle_sql(_bpe5k_table())
+
+
+def _bpe_50k_oracle() -> str:
+    return _bpe_vocab_oracle_sql(_bpe50k_table())
+
+
+def _bpe_vocab_oracle_sql(merges: list[tuple[str, str]]) -> str:
+    """The frozen-vocab inference oracle, shared by the 5k and 50k
+    rows: embed the table as VALUES, replay the greedy merge recurrence
+    over DISTINCT words (contains-pruned candidates), join back to
+    docs."""
     vals = ", ".join(
         f"({i}, '{a}', '{b}')" for i, (a, b) in enumerate(merges)
     )  # tokens are [a-z0-9]+ — no escaping needed
@@ -539,6 +595,24 @@ def x_bpe_5k_vocab(spark: SparkSession, sf: str) -> DataFrame:
     and x_bpe_train (the learned ranking itself)."""
     docs = load_table(spark, sf, "documents")
     return X.bpe_token_counts(docs, _bpe5k_table())
+
+
+@_q("x_bpe_50k_vocab", _bpe_50k_oracle)
+def x_bpe_50k_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """X69 — the X63 measurement at FULL production vocabulary scale
+    (VERDICT r12 next #2: 'X63 stops at 5k'): a frozen 50,000-rank
+    merge table — trained once from the reference slice with the same
+    heap trainer :func:`ext.text.bpe_train_scalable` runs in
+    production — driven through the greedy-merge inference Arrow pass
+    over every document. The bench row prices the per-word merge-loop
+    constant with a 50k-rule rank map riding the closure (the 'merge
+    table = data' claim at the size a real tokenizer ships). Oracle:
+    the same frozen table as VALUES, inference replayed as the
+    recursive merge recurrence over distinct words. The X63 honesty
+    note applies verbatim (in-vocab types fully merge; order
+    discrimination lives in x_bpe_token_counts / x_bpe_train)."""
+    docs = load_table(spark, sf, "documents")
+    return X.bpe_token_counts(docs, _bpe50k_table())
 
 
 @_q("x_bpe_train", _bpe_train_oracle())
@@ -1967,6 +2041,51 @@ def x_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corp = docs.filter(F.col("doc_id") % 97 != 0)
     return P.decontaminate(corp, bench)
+
+
+@_q(
+    "x_decontaminate_attributed",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOK.format(e="text")} AS t FROM documents),
+         sh AS (SELECT doc_id, {_sh_sql(3)} AS s FROM toks),
+         benchp AS (SELECT DISTINCT doc_id AS bid, unnest(s) AS h
+                    FROM sh WHERE doc_id % 97 = 0),
+         corp AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_shingles,
+                         unnest(s) AS h
+                  FROM sh WHERE doc_id % 97 != 0 AND len(s) > 0),
+         hits AS (SELECT c.doc_id, c.n_shingles, c.h, b.bid
+                  FROM corp c JOIN benchp b USING (h)),
+         per_bid AS (SELECT doc_id, n_shingles, bid, count(*) AS bid_hits
+                     FROM hits GROUP BY doc_id, n_shingles, bid),
+         best AS (SELECT doc_id, n_shingles, bid, bid_hits FROM (
+                    SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY bid_hits DESC, bid ASC) AS rn
+                    FROM per_bid) WHERE rn = 1),
+         tot AS (SELECT doc_id, count(DISTINCT h) AS n_hit
+                 FROM hits GROUP BY doc_id)
+    SELECT b.doc_id,
+           t.n_hit,
+           b.n_shingles,
+           CAST(t.n_hit AS DOUBLE) / b.n_shingles AS contamination,
+           b.bid AS matched_benchmark_id,
+           b.bid_hits AS matched_n_hit
+    FROM best b JOIN tot t USING (doc_id)
+    """,
+)
+def x_decontaminate_attributed(spark: SparkSession, sf: str) -> DataFrame:
+    """X68 — the n-gram pass WITH benchmark attribution (VERDICT r12
+    What's-missing #4): per contaminated doc, which benchmark item it
+    shares the most distinct 3-grams with (ties id-asc — the X64 argmax
+    convention) and how many, so :func:`ext.pipeline.
+    contamination_report` rolls verbatim leaks up with the same
+    governance columns as the paraphrase (semantic) passes. Broadcast
+    side = (hash, benchmark_id) pairs; the per-benchmark aggregation
+    touches only the contaminated hit rows."""
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corp = docs.filter(F.col("doc_id") % 97 != 0)
+    return P.decontaminate(corp, bench, attribute=True)
 
 
 @_q(

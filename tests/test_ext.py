@@ -800,3 +800,99 @@ def test_bpe_5k_vocab_is_realistic_scale(spark):
             len(bpe_tokenize_word_py(w, ranks)) for w in tokenize_py(row["text"])
         )
         assert got[row["doc_id"]] == want
+
+def test_bpe_train_scalable_composes_the_certified_pieces(spark, tmp_path):
+    """VERDICT r12 next #2: the COMPOSED production trainer (one Spark
+    distinct-word reduce → capped top-types collect → heap trainer →
+    merges.txt) learns exactly what the reference Sennrich loop learns
+    from the same counts, equals the distributed relational trainer on
+    an uncapped corpus, honors the top-types cap deterministically, and
+    round-trips through merges.txt into the inference passes."""
+    from leftshove_spark.ext.text import (
+        bpe_encode,
+        bpe_token_counts,
+        bpe_train,
+        bpe_train_ranks_py,
+        bpe_train_scalable,
+        load_merges_file,
+        tokenize_py,
+    )
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the rat aaaa aaa the hat"),
+        (2, "that cat aaaa that that hat"),
+        (3, "in the thin inn aaaa"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    wc: dict = {}
+    for _, t in docs:
+        for w in tokenize_py(t):
+            wc[w] = wc.get(w, 0) + 1
+
+    path = str(tmp_path / "merges.txt")
+    got = bpe_train_scalable(
+        df, num_merges=8, max_word_types=None, min_pair_count=2,
+        merges_path=path,
+    )
+    # ≡ the reference trainer on the same counts
+    assert got == bpe_train_ranks_py(wc, num_merges=8, min_pair_count=2)
+    # ≡ the distributed relational trainer (third implementation)
+    assert got == bpe_train(df, num_merges=8, max_words=None, min_pair_count=2)
+    assert len(got) >= 5
+    # merges.txt round-trip drives the inference passes
+    loaded = load_merges_file(path)
+    assert loaded == [(a, b) for a, b, _ in got]
+    counts = {
+        r["doc_id"]: r["n_tokens_bpe"]
+        for r in bpe_token_counts(df, loaded).collect()
+    }
+    n_chars = {
+        i: sum(len(w) for w in tokenize_py(t)) for i, t in docs
+    }
+    assert all(counts[i] < n_chars[i] for i, _ in docs)  # compresses
+    enc = bpe_encode(df, loaded).collect()
+    assert all(r["n_tokens"] == counts[r["doc_id"]] for r in enc)
+
+    # the top-types cap is the deterministic (count desc, word asc)
+    # prefix — capping in Spark ≡ capping the Python counts
+    capped = bpe_train_scalable(
+        df, num_merges=8, max_word_types=5, min_pair_count=1
+    )
+    top5 = dict(sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:5])
+    assert capped == bpe_train_ranks_py(top5, num_merges=8, min_pair_count=1)
+
+
+def test_bpe_50k_vocab_is_production_scale(spark):
+    """X69: the frozen 50k table really holds 50,000 chaining ranks,
+    every rule's parts are derivable (alphabet or an earlier merge —
+    the chaining structure a real merges.txt has), and inference over
+    the fixture docs agrees with the driver-side greedy loop."""
+    from leftshove_spark.ext.text import (
+        BPE_ALPHABET,
+        bpe_token_counts,
+        bpe_tokenize_word_py,
+        tokenize_py,
+    )
+    from leftshove_spark.queries_ext import _bpe50k_table
+
+    table = _bpe50k_table()
+    assert len(table) == 50000
+    known = set(BPE_ALPHABET)
+    for a, b in table:
+        assert a in known and b in known  # proper chaining
+        known.add(a + b)
+    ranks = {p: i for i, p in enumerate(table)}
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "pack my box with jugs")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_tokens_bpe"]
+        for r in bpe_token_counts(docs, table).collect()
+    }
+    want = {
+        i: sum(len(bpe_tokenize_word_py(w, ranks)) for w in tokenize_py(t))
+        for i, t in [(0, "the quick brown fox"), (1, "pack my box with jugs")]
+    }
+    assert got == want

