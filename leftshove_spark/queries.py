@@ -141,6 +141,7 @@ GATE_ORDER = [
     # entry stays verified each pytest pass by
     # tests/test_gate_tail_oracle.py.
     "x_decontaminate_attributed",
+    "x_contamination_report_ngram",
     "x_bpe_50k_vocab",
     "x_decontaminate",
     "x_decontaminate_semantic",

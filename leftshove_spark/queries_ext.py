@@ -2089,6 +2089,52 @@ def x_decontaminate_attributed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "x_contamination_report_ngram",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOK.format(e="text")} AS t FROM documents),
+         sh AS (SELECT doc_id, {_sh_sql(3)} AS s FROM toks),
+         benchp AS (SELECT DISTINCT doc_id AS bid, unnest(s) AS h
+                    FROM sh WHERE doc_id % 97 = 0),
+         corp AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_shingles,
+                         unnest(s) AS h
+                  FROM sh WHERE doc_id % 97 != 0 AND len(s) > 0),
+         hits AS (SELECT c.doc_id, c.n_shingles, c.h, b.bid
+                  FROM corp c JOIN benchp b USING (h)),
+         per_bid AS (SELECT doc_id, n_shingles, bid, count(*) AS bid_hits
+                     FROM hits GROUP BY doc_id, n_shingles, bid),
+         best AS (SELECT doc_id, n_shingles, bid FROM (
+                    SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY bid_hits DESC, bid ASC) AS rn
+                    FROM per_bid) WHERE rn = 1),
+         tot AS (SELECT doc_id, count(DISTINCT h) AS n_hit
+                 FROM hits GROUP BY doc_id),
+         flagged AS (
+           SELECT b.bid, CAST(t.n_hit AS DOUBLE) / b.n_shingles AS cont
+           FROM best b JOIN tot t USING (doc_id))
+    SELECT bid AS benchmark_id,
+           CAST(count(*) AS BIGINT) AS n_leaked,
+           max(cont) AS worst_cosine,
+           min(cont) AS mildest_cosine
+    FROM flagged GROUP BY bid
+    """,
+)
+def x_contamination_report_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """X67 over the VERBATIM (n-gram) pass — the 'one report shape for
+    both leak classes' claim, gate-certified: the same
+    :func:`ext.pipeline.contamination_report` aggregation the semantic
+    row (x_contamination_report) certifies, consuming the X68
+    attributed output with ``cosine_col="contamination"``."""
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corp = docs.filter(F.col("doc_id") % 97 != 0)
+    return P.contamination_report(
+        P.decontaminate(corp, bench, attribute=True),
+        cosine_col="contamination",
+    )
+
+
+@_q(
     "x_pack_sequences",
     f"""
     WITH RECURSIVE
