@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+from . import cache as _cache
 from .dedup import _staged_shingles, shingle_hashes_from_tokens
 from .hashing import hash60
 from .text import tokenize
@@ -130,16 +131,18 @@ def decontaminate(
             F.col("n_shingles").cast("long").alias("n_shingles"),
             (F.col("n_hit") / F.col("n_shingles")).alias("contamination"),
         )
-    from pyspark.sql import Window
-
     b_pairs = (
         b_sh.select(F.col("id").alias("bid"), F.explode("sh").alias("h"))
         .distinct()
     )
-    # one joined hit relation (O(contaminated) rows), aggregated twice:
-    # per-doc totals (distinct hashes — a shingle shared with several
-    # benchmark items still counts once) and the per-benchmark argmax
-    hit_rows = c_ex.join(F.broadcast(b_pairs), "h")
+    # one joined hit relation, aggregated twice with DIFFERENT grouping
+    # keys (per-benchmark argmax vs per-doc distinct-hash totals) —
+    # Catalyst cannot share the exchange between them, so without the
+    # pin the corpus tokenize+md5 Arrow pass and the broadcast join run
+    # TWICE (r13). Pinned, the second aggregation reads the
+    # O(contaminated hit rows) relation — eval-set-bounded — from cache;
+    # gate/bench release via cache.release_pins like every dedup stage.
+    hit_rows = _cache.pin(c_ex.join(F.broadcast(b_pairs), "h"))
     per_bid = hit_rows.groupBy("id", "n_shingles", "bid").agg(
         F.count(F.lit(1)).alias("bid_hits")
     )

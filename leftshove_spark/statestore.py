@@ -171,9 +171,34 @@ def _write_manifest(state_dir: str, manifest: dict) -> None:
     to exactly one winner; the loser raises
     :class:`ConcurrentCommitError` with the store intact (rename would
     have silently clobbered the winner's pointer). On S3-style stores
-    this maps to a conditional-put of the manifest key."""
+    this maps to a conditional-put of the manifest key.
+
+    Two fence holes the bare link leaves open are closed here (r13):
+
+    - a loser stalled long enough for the racing winner to commit
+      ``keep_generations + 1`` FURTHER times finds its target
+      generation's manifest already GC'd — its link would SUCCEED and
+      the write be silently lost (readers resolve the higher
+      generation). The pre-link highest-generation check turns that
+      into the loud :class:`ConcurrentCommitError`; the residual
+      check-to-link window needs the winner to complete MULTIPLE full
+      commits within it, strictly narrower than the stall the hole
+      requires.
+    - a racing winner's post-commit ``.part`` sweep can delete this
+      writer's in-flight part between fsync and link; the resulting
+      ``FileNotFoundError`` is mapped to :class:`ConcurrentCommitError`
+      (only another writer's sweep removes a foreign part — the
+      single-writer contract is already violated)."""
     os.makedirs(os.path.join(state_dir, _MANIFEST_DIR), exist_ok=True)
     path = _manifest_path(state_dir, manifest["gen"])
+    existing = _list_manifests(state_dir)
+    if existing and existing[-1] >= manifest["gen"]:
+        raise ConcurrentCommitError(
+            f"generation {existing[-1]} of {state_dir} is already "
+            f"committed, past this fold's target {manifest['gen']} "
+            "(single-writer contract violated); this fold's output is "
+            "unreferenced and will be swept"
+        )
     part = f"{path}.{uuid.uuid4().hex[:8]}.part"
     with open(part, "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)
@@ -181,12 +206,16 @@ def _write_manifest(state_dir: str, manifest: dict) -> None:
         os.fsync(fh.fileno())
     try:
         os.link(part, path)
-    except FileExistsError:
-        os.remove(part)
+    except (FileExistsError, FileNotFoundError) as e:
+        try:
+            os.remove(part)
+        except FileNotFoundError:
+            pass
         raise ConcurrentCommitError(
             f"generation {manifest['gen']} of {state_dir} was committed "
-            "by another writer (single-writer contract violated); this "
-            "fold's output is unreferenced and will be swept"
+            "by another writer (single-writer contract violated; "
+            f"{type(e).__name__} at the link): this fold's output is "
+            "unreferenced and will be swept"
         ) from None
     os.remove(part)
 

@@ -643,6 +643,8 @@ def start_current_state_stream(
     once: bool = True,
     processing_time: str = "20 seconds",
     max_files_per_trigger: int | None = None,
+    keep_generations: int | None = None,
+    retention_sec: float | None = None,
 ) -> StreamingQuery:
     """W26 — Structured Streaming maintenance of the W25 materialized
     current-state table: every micro-batch of landed versions folds
@@ -661,7 +663,14 @@ def start_current_state_stream(
     nondeterministic state. Cost per trigger: O(batch + touched
     buckets); the stream carries no Spark state store — the parquet
     table IS the state, readable (and bucket-prunable via
-    :func:`current_state_lookup`) between triggers."""
+    :func:`current_state_lookup`) between triggers.
+
+    ``keep_generations`` / ``retention_sec`` thread through to the
+    manifest GC (r13: THIS maintainer is the fast-cadence deployment
+    the SCALE.md reader-latency envelope is about — a 20 s trigger with
+    a >40 s analytical reader MUST widen the retention here, so the
+    knob has to be reachable from the stream API, not only from the
+    batch fold)."""
     src = _streaming_source(spark, landing_dir, max_files_per_trigger)
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
 
@@ -674,6 +683,8 @@ def start_current_state_stream(
             order_col,
             tiebreak_cols=tiebreak_cols,
             n_buckets=n_buckets,
+            keep_generations=keep_generations,
+            retention_sec=retention_sec,
         )
 
     os.makedirs(checkpoint_dir, exist_ok=True)
@@ -837,8 +848,14 @@ def start_near_dedup_stream(
        doc; among batch-internal near-dup clusters keep the min id
        (exact connected components — batches are small, the O(log d)
        rounds are cheap here);
-    3. append survivors to ``out_dir`` and their (id, sh, bands) rows
-       to ``index_dir`` — the index grows with ADMITTED docs only.
+    3. append survivors to ``out_dir`` — carrying EVERY landed column
+       (since r13; the admission stream chains into decontamination /
+       state materialization, which need the embedding and version
+       columns) — and their (id, sh, bands) rows to ``index_dir``:
+       the index grows with ADMITTED docs only. Because parquet dirs
+       with mixed column sets resolve to whichever file infers first,
+       point an upgraded deployment at a FRESH ``out_dir`` rather than
+       appending wide rows into a pre-r13 ``(id, content)``-only dir.
 
     Delivery: the checkpoint offset commits after the appends, so a
     crash mid-batch replays it — appends are at-least-once. Replay is
@@ -1385,6 +1402,8 @@ def run_corpus_stream_pipeline(
     threshold: float = 0.95,
     n_buckets: int = 16,
     timeout_sec: int = 300,
+    keep_generations: int | None = None,
+    retention_sec: float | None = None,
 ) -> dict[str, str]:
     """The COMPOSED streaming corpus story (VERDICT r12 next #6):
     admit → decontaminate → index → materialize, wired as four
@@ -1416,7 +1435,21 @@ def run_corpus_stream_pipeline(
     Landed rows must carry ``(id_col, text_col, vec_col, order_col)``;
     the composition is pytest-pinned ≡ the batch composition of the
     same four operators (tests/test_streaming_composed.py). Returns
-    the stage directory map."""
+    the stage directory map.
+
+    A stage that has not drained within ``timeout_sec`` raises
+    ``TimeoutError`` (r13: ``awaitTermination``'s False return is a
+    TIMEOUT, not completion — silently starting the next stage would
+    snapshot a partial upstream directory and drop the stragglers from
+    clean/index/state with no error anywhere). ``keep_generations`` /
+    ``retention_sec`` reach stage 4's manifest GC.
+
+    Stage directories are schema-owned by the FIRST deployment that
+    writes them: ``admitted/`` carries every landed column (since r13
+    — pre-r13 admission wrote only ``(id, content)``), so point a
+    fresh ``work_dir`` at this pipeline rather than reusing one an
+    older narrow-schema admission stream populated (parquet dirs with
+    mixed column sets resolve to whichever file infers first)."""
     dirs = {
         "admitted": os.path.join(work_dir, "admitted"),
         "clean": os.path.join(work_dir, "clean"),
@@ -1429,6 +1462,18 @@ def run_corpus_stream_pipeline(
     def ck(name: str) -> str:
         return os.path.join(work_dir, "ck", name)
 
+    def drain(q, stage: str) -> None:
+        # awaitTermination(timeout) returns False on TIMEOUT — the
+        # stream is still writing; snapshotting its output dir for the
+        # next stage would silently drop the stragglers (r13)
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"stage '{stage}' did not drain within {timeout_sec}s; "
+                "downstream stages would snapshot a partial directory — "
+                "raise timeout_sec or reduce the landed wave"
+            )
+
     q = start_near_dedup_stream(
         spark,
         landing_dir=landing_dir,
@@ -1440,7 +1485,7 @@ def run_corpus_stream_pipeline(
         jaccard_threshold=jaccard_threshold,
         once=True,
     )
-    q.awaitTermination(timeout_sec)
+    drain(q, "admit")
     q = start_decontaminate_stream(
         spark,
         landing_dir=dirs["admitted"],
@@ -1453,7 +1498,7 @@ def run_corpus_stream_pipeline(
         vec_col=vec_col,
         once=True,
     )
-    q.awaitTermination(timeout_sec)
+    drain(q, "decontaminate")
     q = start_ivfadc_index_stream(
         spark,
         landing_dir=dirs["clean"],
@@ -1465,7 +1510,7 @@ def run_corpus_stream_pipeline(
         vec_col=vec_col,
         once=True,
     )
-    q.awaitTermination(timeout_sec)
+    drain(q, "index")
     q = start_current_state_stream(
         spark,
         landing_dir=dirs["clean"],
@@ -1475,8 +1520,10 @@ def run_corpus_stream_pipeline(
         order_col=order_col,
         n_buckets=n_buckets,
         once=True,
+        keep_generations=keep_generations,
+        retention_sec=retention_sec,
     )
-    q.awaitTermination(timeout_sec)
+    drain(q, "state")
     return dirs
 
 

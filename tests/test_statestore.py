@@ -563,3 +563,83 @@ def test_pure_deletion_partition_sweeps_crashed_orphans(
     # partition discovery reads p=7 back as an int — values compare
     # through str() like the store's own partition encoding
     assert [(k, v, str(p)) for k, v, p in got] == [(2, "b", "7")]
+
+
+def test_writer_fence_rejects_stale_generation_past_gc(
+    spark, tmp_path, monkeypatch
+):
+    """r13 fence hole: a loser stalled long enough for the winner to
+    commit keep_generations+1 FURTHER times finds its target
+    generation's manifest already GC'd — the bare create-exclusive
+    link would SUCCEED and the loser's write be silently lost (readers
+    resolve the higher generation). The pre-link highest-generation
+    check turns that into the loud ConcurrentCommitError."""
+    state = str(tmp_path / "stale")
+
+    def row(k, v):
+        return spark.createDataFrame([(k, v)], "k long, v string")
+
+    statestore.commit_fold(spark, state, row(1, "base"), None, [""])
+
+    real_write = statestore._write_manifest
+    fired = []
+
+    def interpose(state_dir, manifest):
+        if not fired:
+            fired.append(1)
+            # the winner commits THREE times while this writer stalls:
+            # with keep_generations=1 the third commit GCs the stalled
+            # writer's target manifest, so the old link-only fence
+            # would no longer collide
+            for i, v in enumerate(["w1", "w2", "w3"]):
+                statestore.commit_fold(spark, state, row(10 + i, v), None, [""])
+            assert statestore._list_manifests(state_dir)[0] > manifest["gen"]
+        real_write(state_dir, manifest)
+
+    monkeypatch.setattr(statestore, "_write_manifest", interpose)
+    with pytest.raises(statestore.ConcurrentCommitError):
+        statestore.commit_fold(spark, state, row(99, "stalled"), None, [""])
+    monkeypatch.undo()
+
+    got = sorted(tuple(r) for r in statestore.read_state(spark, state).collect())
+    assert got == [(12, "w3")]
+
+
+def test_part_sweep_race_maps_to_concurrent_commit_error(
+    spark, tmp_path, monkeypatch
+):
+    """r13 fence hole: a racing winner's post-commit ``.part`` sweep
+    can delete this writer's in-flight part between fsync and link —
+    the resulting FileNotFoundError must surface as the documented
+    ConcurrentCommitError (callers catch the fence exception), with
+    the store intact."""
+    state = str(tmp_path / "partrace")
+    statestore.commit_fold(
+        spark,
+        state,
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        None,
+        [""],
+    )
+
+    real_link = os.link
+
+    def sweep_then_fail(src, dst, *a, **kw):
+        if src.endswith(".part") and state in src:
+            # the racing winner's _gc already removed our part
+            os.remove(src)
+            return real_link(src, dst)  # raises FileNotFoundError
+        return real_link(src, dst, *a, **kw)
+
+    monkeypatch.setattr(statestore.os, "link", sweep_then_fail)
+    with pytest.raises(statestore.ConcurrentCommitError, match="FileNotFound"):
+        statestore.commit_fold(
+            spark,
+            state,
+            spark.createDataFrame([(2, "b")], "k long, v string"),
+            None,
+            [""],
+        )
+    monkeypatch.undo()
+    got = sorted(tuple(r) for r in statestore.read_state(spark, state).collect())
+    assert got == [(1, "a")]

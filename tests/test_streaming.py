@@ -1208,3 +1208,45 @@ def test_decontaminate_stream_equals_batch_filter(spark, tmp_path):
     assert set(qrows) == flagged_ids
     for vid, bid in qrows.items():
         assert bid >= 100000
+
+
+def test_current_state_stream_threads_retention_knobs(spark, tmp_path):
+    """r13: the SCALE.md reader-latency envelope says a fast-cadence
+    maintainer with slow readers MUST widen the manifest GC retention —
+    so the knob has to be reachable from the W26 STREAM API (the exact
+    deployment the envelope is about), not only from the batch fold.
+    With keep_generations=3 the stream's folds keep every replaced
+    generation's manifest (and files) across two commits."""
+    import os
+
+    from leftshove_spark import statestore
+    from leftshove_spark.sources import load_table
+    from leftshove_spark.streaming import start_current_state_stream
+
+    o = load_table(spark, SF0001, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "cur")
+    os.makedirs(landing)
+    for wave in (0, 1, 2):
+        o.filter(F.col("o_orderkey") % 3 == wave).write.mode(
+            "append"
+        ).parquet(landing)
+        q = start_current_state_stream(
+            spark,
+            landing_dir=landing,
+            state_dir=state,
+            checkpoint_dir=str(tmp_path / "ck"),
+            key_cols="o_custkey",
+            order_col="o_orderdate",
+            tiebreak_cols=["o_orderkey"],
+            once=True,
+            keep_generations=3,
+        )
+        assert q.awaitTermination(120)
+    gens = statestore._list_manifests(state)
+    # all three generations' manifests retained — the default keep=1
+    # would have dropped gen 1 at commit 3 (1 < 3-1); its survival
+    # proves the stream API delivered the wider knob to the folds
+    assert gens[0] == 1 and len(gens) >= 3

@@ -239,3 +239,37 @@ def test_composed_stream_equals_batch_composition(spark, tmp_path):
     assert got_idx2 == want_idx2 and len(got_idx2) == len(want_live) + (
         1 if 7 in want_admit else 0
     )  # doc 7 appears once per clean landing (index is append-only)
+
+
+def test_composed_pipeline_raises_on_stage_timeout(tmp_path, monkeypatch):
+    """r13: awaitTermination(timeout) returns False on TIMEOUT — the
+    stage is still writing. Silently starting the next stage would
+    snapshot a partial upstream directory and drop the stragglers with
+    no error anywhere; the pipeline must raise instead."""
+    import pytest
+
+    from leftshove_spark import streaming
+
+    class StuckQuery:
+        stopped = False
+
+        def awaitTermination(self, timeout=None):
+            return False  # timed out, still running
+
+        def stop(self):
+            StuckQuery.stopped = True
+
+    monkeypatch.setattr(
+        streaming, "start_near_dedup_stream", lambda *a, **kw: StuckQuery()
+    )
+    with pytest.raises(TimeoutError, match="admit"):
+        streaming.run_corpus_stream_pipeline(
+            None,
+            landing_dir=str(tmp_path / "landing"),
+            work_dir=str(tmp_path / "work"),
+            benchmark_emb_dir=str(tmp_path / "bench"),
+            cents=[[0]],
+            books=[[[0]]],
+            timeout_sec=1,
+        )
+    assert StuckQuery.stopped  # the stuck stage was stopped, not leaked
