@@ -106,6 +106,13 @@ HEADLINE = [
     # real tokenizer ships. Training is memoized module state, so the
     # warmup pass pays it once and the timed rounds measure inference.
     "x_bpe_50k_vocab",
+    # r13: the config-driven pipeline runner priced end-to-end — a
+    # four-stage declarative spec (quality gate → exact dedup →
+    # decontaminate → hash split) driven as ONE fused plan
+    # (count_stages=False, the production mode). Composition overhead
+    # should be ~the sum of its stages; this row is where drift in
+    # that claim would show up.
+    "x_pipeline_curation",
 ]
 
 

@@ -55,9 +55,17 @@ def _stage_quality_filter(
 
 
 def _stage_exact_dedup(spark, df, *, content_col="text", id_col="doc_id"):
+    # keep the SURVIVING ROWS (min id per distinct content), not the
+    # collapsed (hash, len, keep_id, n_copies) relation — every stage
+    # receives and passes on the corpus frame (r13: the old frame
+    # replacement broke any stage downstream of exact_dedup; the
+    # composed gate entry x_pipeline_curation now exercises this)
     from .ext.dedup import exact_dedup
 
-    return exact_dedup(df, content_col, id_col)
+    keep = exact_dedup(df, content_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
 
 
 def _stage_near_dedup(

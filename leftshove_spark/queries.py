@@ -140,6 +140,7 @@ GATE_ORDER = [
     # head (scored last round) rotates to the tail; every rotated-out
     # entry stays verified each pytest pass by
     # tests/test_gate_tail_oracle.py.
+    "x_pipeline_curation",
     "x_decontaminate_attributed",
     "x_contamination_report_ngram",
     "x_bpe_50k_vocab",

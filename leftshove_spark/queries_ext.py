@@ -4300,3 +4300,87 @@ def x_trend_ols(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"),
         ["event_type"],
     )
+
+
+# ===================================== config-driven pipeline composition
+
+@_q(
+    "x_pipeline_curation",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, lang FROM documents WHERE doc_id % 97 != 0
+    ),
+    corp AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text, lang FROM base
+    ),
+    toks AS (SELECT doc_id, {_TOK.format(e="text")} AS t FROM corp),
+    gate AS (
+      SELECT doc_id FROM toks
+      WHERE len(t) >= 20
+        AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.5
+        AND (CAST(len(list_filter(t,
+               x -> x IN ('the','a','of','and','to','in','is','that')))
+               AS DOUBLE) / len(t)) * 0.4
+            + (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 0.3
+            + least(1.0, CAST(len(t) AS DOUBLE) / 100.0) * 0.3 >= 0.3
+    ),
+    g AS (SELECT c.* FROM corp c JOIN gate USING (doc_id)),
+    keep AS (SELECT min(doc_id) AS doc_id
+             FROM g GROUP BY {_h60("text")}, length(text)),
+    gd AS (SELECT g.* FROM g JOIN keep USING (doc_id)),
+    btoks AS (SELECT doc_id, {_TOK.format(e="text")} AS t
+              FROM documents WHERE doc_id % 97 = 0),
+    bs AS (SELECT {_sh_sql(3)} AS s FROM btoks),
+    bh AS (SELECT DISTINCT unnest(s) AS h FROM bs),
+    ctoks AS (SELECT doc_id, {_TOK.format(e="text")} AS t FROM gd),
+    cs AS (SELECT doc_id, {_sh_sql(3)} AS s FROM ctoks),
+    ch AS (SELECT doc_id, unnest(s) AS h FROM cs WHERE len(s) > 0),
+    flg AS (SELECT DISTINCT c.doc_id FROM ch c JOIN bh USING (h)),
+    clean AS (SELECT * FROM gd
+              WHERE doc_id NOT IN (SELECT doc_id FROM flg))
+    SELECT doc_id, lang,
+           CASE WHEN {bucket_sql("doc_id", "split:")} < {_TRAIN_HI}
+                  THEN 'train'
+                WHEN {bucket_sql("doc_id", "split:")} < {_VAL_HI}
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM clean
+    """,
+)
+def x_pipeline_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """X70 — the config-driven pipeline RUNNER certified end-to-end
+    (r13: pipeline_runner was the one inventory row whose correctness
+    signal was pytest-only). A four-stage declarative spec — quality
+    gate → exact dedup (over a corpus with planted exact copies, so
+    the stage decides something) → n-gram eval decontamination →
+    deterministic hash split — runs through
+    :func:`pipeline_runner.run_pipeline` with ``count_stages=False``
+    (ONE fused lazy plan, the production mode), and the oracle replays
+    the full composition as chained CTEs built from the four stages'
+    individually-certified SQL twins. What this adds over the
+    per-stage rows: the RUNNER's composition semantics (stage order,
+    frame threading, config binding) are what the driver hashes, not
+    just each operator in isolation. Plan: all-codegen projections +
+    three hash joins + one broadcast anti-join — no new shuffle class;
+    at 100 TB every stage keeps its own audited envelope (the runner
+    adds no execution machinery of its own)."""
+    from .pipeline_runner import run_pipeline
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    base = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "text", "lang"
+    )
+    corp = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    )
+    spec = [
+        {"op": "quality_filter"},
+        {"op": "exact_dedup"},
+        {"op": "decontaminate", "benchmark": bench},
+        {"op": "hash_split"},
+    ]
+    res = run_pipeline(spark, corp, spec, count_stages=False)
+    return res.df.select("doc_id", "lang", "split")

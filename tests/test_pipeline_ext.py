@@ -1153,3 +1153,34 @@ def test_run_pipeline_bpe_annotate_vocab_artifact(spark, tmp_path):
 
     with _pytest.raises(Exception, match="exactly one"):
         run_pipeline(spark, docs, [{"op": "bpe_annotate"}])
+
+
+def test_run_pipeline_exact_dedup_stage_preserves_frame(spark):
+    """r13: the exact_dedup STAGE used to replace the flowing frame
+    with the collapsed (hash, len, keep_id, n_copies) relation,
+    breaking any stage downstream of it. It now keeps the surviving
+    ROWS — min id per distinct content, all original columns — so the
+    composed spec the gate entry x_pipeline_curation runs is
+    well-typed end to end."""
+    from leftshove_spark.ext.dedup import exact_dedup
+    from leftshove_spark.pipeline_runner import run_pipeline
+    from leftshove_spark.sources import load_table
+
+    docs = load_table(spark, SF0001, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    corp = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    )
+    res = run_pipeline(
+        spark,
+        corp,
+        [{"op": "exact_dedup"}, {"op": "hash_split"}],
+        count_stages=False,
+    )
+    assert set(res.df.columns) == {"doc_id", "text", "lang", "split"}
+    got = sorted(r["doc_id"] for r in res.df.collect())
+    want = sorted(
+        r["keep_id"] for r in exact_dedup(corp).collect()
+    )
+    assert got == want  # exactly the min-id survivors, as full rows
