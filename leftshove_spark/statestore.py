@@ -133,14 +133,85 @@ def _list_manifests(state_dir: str) -> list[int]:
     return sorted(gens)
 
 
-def load_manifest(state_dir: str) -> dict | None:
-    """Resolve the current committed generation (highest complete
-    manifest), or None when the store has never committed."""
+def load_manifest(state_dir: str, generation: int | None = None) -> dict | None:
+    """Resolve a committed generation's manifest — the current one
+    (highest complete manifest) by default, a specific retained one
+    when ``generation`` is given. Returns None when the store has
+    never committed; raises KeyError when the requested generation is
+    not retained (GC'd past ``keep_generations`` / ``retention_sec``,
+    or never committed)."""
     gens = _list_manifests(state_dir)
     if not gens:
         return None
-    with open(_manifest_path(state_dir, gens[-1]), encoding="utf-8") as fh:
+    if generation is not None and generation not in gens:
+        raise KeyError(
+            f"generation {generation} of {state_dir} is not retained "
+            f"(have {gens}); widen keep_generations/retention_sec on "
+            "the maintainer to keep a longer history window"
+        )
+    g = gens[-1] if generation is None else generation
+    with open(_manifest_path(state_dir, g), encoding="utf-8") as fh:
         return json.load(fh)
+
+
+def list_generations(state_dir: str) -> list[int]:
+    """Retained committed generations, ascending; the highest is
+    current. Older ones are time-travel-readable via
+    ``read_state(generation=...)`` within the SAME envelope as a slow
+    reader (SCALE.md): generation G's file set is fully intact while
+    the garbage of generations G+1..current is uncollected — with the
+    default ``keep_generations=1`` that is exactly the previous
+    generation until the next commit; widen the knobs for a longer
+    audit window."""
+    return _list_manifests(state_dir)
+
+
+def changed_partitions(
+    state_dir: str, since_gen: int, to_gen: int | None = None
+) -> list[str]:
+    """Partition values whose file sets DIFFER between two retained
+    generations — the manifest-level change feed: a downstream
+    incremental consumer that processed generation G re-reads ONLY
+    these partitions at the current generation (O(touched) downstream
+    work per maintenance commit, no change log, no full rescan).
+    Membership is exact, not heuristic: a fold rewrites every file of
+    each touched partition under a fresh commit tag, so file-list
+    equality ⇔ the partition was untouched by every intervening fold.
+    The tracking window IS the retention window (``since_gen`` must
+    still be retained — raises KeyError past it; widen
+    ``keep_generations`` on the maintainer to track further back)."""
+    old = load_manifest(state_dir, since_gen) or {"files": {}}
+    new = load_manifest(state_dir, to_gen)
+    if new is None:
+        return []
+    of, nf = old["files"], new["files"]
+    return sorted(
+        v
+        for v in set(of) | set(nf)
+        if of.get(v) != nf.get(v)
+    )
+
+
+def read_changed(
+    spark: SparkSession,
+    state_dir: str,
+    since_gen: int,
+    merge_schema: bool = True,
+) -> DataFrame:
+    """The rows of every partition :func:`changed_partitions` reports
+    against the CURRENT generation — the incremental-consumption read:
+    after each maintenance commit a downstream job calls this with the
+    last generation it processed and gets exactly the partitions that
+    could have changed (well-typed empty relation when none did).
+    Consumers that need deletes reconcile per partition (the returned
+    partitions' new content REPLACES their old content — the same
+    replace-by-partition contract the folds commit under)."""
+    return read_state(
+        spark,
+        state_dir,
+        partition_values=changed_partitions(state_dir, since_gen),
+        merge_schema=merge_schema,
+    )
 
 
 def _is_legacy_dir(state_dir: str, partition_col: str | None) -> bool:
@@ -474,6 +545,7 @@ def read_state(
     state_dir: str,
     partition_values: list[str] | None = None,
     merge_schema: bool = True,
+    generation: int | None = None,
 ) -> DataFrame:
     """Snapshot read: resolve the current manifest ONCE and scan exactly
     that generation's files — a fold committing concurrently changes
@@ -489,9 +561,21 @@ def read_state(
     for correctness): the partition column is inferred from the legacy
     ``col=value`` directory names and applied as a partition filter;
     if pruning was requested but no partition structure exists, the
-    read raises rather than over-return."""
-    m = load_manifest(state_dir)
+    read raises rather than over-return.
+
+    ``generation`` pins the read to a RETAINED older generation (time
+    travel for audits/debug: 'what did the state look like before that
+    fold?'); the readable window is :func:`list_generations` — raises
+    KeyError past it (widen ``keep_generations``/``retention_sec`` on
+    the maintainer for a longer window). A pinned legacy read is a
+    contradiction (no manifests) and raises the same way."""
+    m = load_manifest(state_dir, generation)
     if m is None:
+        if generation is not None:
+            raise KeyError(
+                f"{state_dir} has no committed generations to pin "
+                f"(requested {generation})"
+            )
         df = spark.read.parquet(state_dir)  # legacy dir (or raise)
         if partition_values is not None:
             pcols = sorted(

@@ -528,28 +528,42 @@ def maintain_current_state(
     )
 
 
-def history_state_table(spark: SparkSession, state_dir: str) -> DataFrame:
+def history_state_table(
+    spark: SparkSession, state_dir: str, generation: int | None = None
+) -> DataFrame:
     """Read a :func:`maintain_history` table — every version with its
     [valid_from, valid_to) interval and is_current flag, resolved from
     ONE committed manifest generation (statestore.read_state): a fold
     committing concurrently can never serve a mix of old and new
-    buckets. The bucket partition column stays internal."""
+    buckets. The bucket partition column stays internal. ``generation``
+    pins a retained older generation (time travel — window =
+    statestore.list_generations)."""
     from . import statestore
 
-    return statestore.read_state(spark, state_dir).drop("__bucket")
+    return statestore.read_state(
+        spark, state_dir, generation=generation
+    ).drop("__bucket")
 
 
-def current_state_table(spark: SparkSession, state_dir: str) -> DataFrame:
+def current_state_table(
+    spark: SparkSession, state_dir: str, generation: int | None = None
+) -> DataFrame:
     """Read a :func:`maintain_current_state` table — one row per live
     key, no window, no history scan; the partition column stays
     internal. The read resolves ONE committed manifest generation
     (statestore.read_state), so a fold committing concurrently can
     never serve this scan a mix of old and new buckets. For point reads
     use :func:`current_state_lookup`, which prunes the scan to the
-    key's single bucket."""
+    key's single bucket; ``generation`` pins a retained older
+    generation ('what was live before that fold?' — window =
+    statestore.list_generations, widened by the K16 retention knobs);
+    for downstream incremental consumption read only the buckets a
+    fold touched via statestore.read_changed / changed_partitions."""
     from . import statestore
 
-    return statestore.read_state(spark, state_dir).drop("__bucket")
+    return statestore.read_state(
+        spark, state_dir, generation=generation
+    ).drop("__bucket")
 
 
 def current_state_lookup(

@@ -643,3 +643,82 @@ def test_part_sweep_race_maps_to_concurrent_commit_error(
     monkeypatch.undo()
     got = sorted(tuple(r) for r in statestore.read_state(spark, state).collect())
     assert got == [(1, "a")]
+
+
+def test_time_travel_read_and_change_feed(spark, tmp_path):
+    """r13: generation-pinned reads (time travel for audits) and the
+    manifest-level change feed — a downstream incremental consumer
+    that processed generation G re-reads ONLY the partitions whose
+    file sets changed since G, within the retention window the K16
+    knobs already define."""
+    state = str(tmp_path / "tt")
+
+    def fold(rows, touched):
+        df = spark.createDataFrame(rows, "k long, p string, v string")
+        statestore.commit_fold(
+            spark, state, df, "p", touched, keep_generations=3
+        )
+
+    fold([(1, "1", "a"), (2, "2", "b"), (3, "3", "c")], ["1", "2", "3"])
+    fold([(2, "2", "B")], ["2"])  # gen 2: rewrite p=2
+    fold([(3, "3", "C"), (4, "3", "d")], ["3"])  # gen 3: rewrite p=3
+
+    assert statestore.list_generations(state) == [1, 2, 3]
+
+    # time travel: generation 2 is the state between folds 2 and 3
+    # (partition discovery reads p back as int — compare through str(),
+    # the store's own partition encoding, like the pure-deletion test)
+    got_g2 = sorted(
+        (r["k"], str(r["p"]), r["v"])
+        for r in statestore.read_state(spark, state, generation=2).collect()
+    )
+    assert got_g2 == [(1, "1", "a"), (2, "2", "B"), (3, "3", "c")]
+
+    # the change feed names exactly the touched partitions
+    assert statestore.changed_partitions(state, 1) == ["2", "3"]
+    assert statestore.changed_partitions(state, 2) == ["3"]
+    assert statestore.changed_partitions(state, 3) == []
+    assert statestore.changed_partitions(state, 1, to_gen=2) == ["2"]
+
+    # incremental consumption: read_changed(since 2) is p=3's new rows
+    got = sorted(
+        r["k"] for r in statestore.read_changed(spark, state, 2).collect()
+    )
+    assert got == [3, 4]
+    # nothing changed since current: well-typed empty relation
+    empty = statestore.read_changed(spark, state, 3)
+    assert empty.count() == 0 and "k" in empty.columns
+
+    # a PURE DELETION is a change: the feed names the partition, the
+    # read returns no rows for it (replace-by-partition contract)
+    fold([], ["1"])  # gen 4 deletes p=1
+    assert statestore.changed_partitions(state, 3) == ["1"]
+    assert statestore.read_changed(spark, state, 3).count() == 0
+
+
+def test_time_travel_window_is_the_retention_window(spark, tmp_path):
+    """Past keep_generations the pinned read raises KeyError with the
+    widening hint, rather than scanning a half-GC'd file set."""
+    state = str(tmp_path / "ttgc")
+
+    def fold(k, v):
+        statestore.commit_fold(
+            spark,
+            state,
+            spark.createDataFrame([(k, v)], "k long, v string"),
+            None,
+            [""],
+        )
+
+    fold(1, "a")
+    fold(2, "b")
+    fold(3, "c")  # default keep=1: gen 1's manifest is dropped here
+    gens = statestore.list_generations(state)
+    assert 1 not in gens and gens[-1] == 3
+    with pytest.raises(KeyError, match="keep_generations"):
+        statestore.read_state(spark, state, generation=1)
+    with pytest.raises(KeyError, match="keep_generations"):
+        statestore.changed_partitions(state, 1)
+    # a never-committed store cannot pin at all
+    with pytest.raises(KeyError, match="no committed generations"):
+        statestore.read_state(spark, str(tmp_path / "empty"), generation=1)

@@ -1250,3 +1250,37 @@ def test_current_state_stream_threads_retention_knobs(spark, tmp_path):
     # would have dropped gen 1 at commit 3 (1 < 3-1); its survival
     # proves the stream API delivered the wider knob to the folds
     assert gens[0] == 1 and len(gens) >= 3
+
+
+def test_current_state_table_generation_pin(spark, tmp_path):
+    """r13: the W25 table reader exposes statestore time travel — pin
+    the read to a retained generation and see what was live BEFORE a
+    fold (audit/debug), within the K16 retention window."""
+    from leftshove_spark.streaming import (
+        current_state_table,
+        maintain_current_state,
+    )
+
+    state = str(tmp_path / "cur")
+    b1 = spark.createDataFrame(
+        [(1, "2030-01-01", "a"), (2, "2030-01-01", "b")],
+        "k long, d string, v string",
+    )
+    maintain_current_state(
+        spark, state, b1, "k", "d", keep_generations=2
+    )
+    b2 = spark.createDataFrame(
+        [(1, "2030-02-01", "A")], "k long, d string, v string"
+    )
+    maintain_current_state(
+        spark, state, b2, "k", "d", keep_generations=2
+    )
+    now = {
+        (r["k"], r["v"]) for r in current_state_table(spark, state).collect()
+    }
+    assert now == {(1, "A"), (2, "b")}
+    before = {
+        (r["k"], r["v"])
+        for r in current_state_table(spark, state, generation=1).collect()
+    }
+    assert before == {(1, "a"), (2, "b")}
