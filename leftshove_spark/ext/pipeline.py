@@ -112,7 +112,14 @@ def decontaminate(
     governance columns as the semantic passes. The broadcast side
     carries (hash, benchmark_id) pairs instead of the distinct hash
     set (same eval-set-bounded size class); the per-(doc, benchmark)
-    aggregation still touches only the contaminated hit rows."""
+    aggregation still touches only the contaminated hit rows.
+
+    The attributed path PINS the joined hit relation (it feeds two
+    aggregations with different grouping keys — the repo-wide pinned-
+    intermediate convention, ext.cache): long-running callers release
+    via :func:`ext.cache.release_pins` after consuming the result,
+    exactly as after any dedup/fingerprint operator (the gate and
+    bench do this automatically)."""
     c_sh = _staged_shingles(corpus, text_col, id_col, n=n, pin=False)
     c_ex = c_sh.select(
         "id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("h")

@@ -59,13 +59,24 @@ def _stage_exact_dedup(spark, df, *, content_col="text", id_col="doc_id"):
     # collapsed (hash, len, keep_id, n_copies) relation — every stage
     # receives and passes on the corpus frame (r13: the old frame
     # replacement broke any stage downstream of exact_dedup; the
-    # composed gate entry x_pipeline_curation now exercises this)
-    from .ext.dedup import exact_dedup
+    # composed gate entry x_pipeline_curation now exercises this).
+    # ONE shuffle: rank within (hash, len) groups and keep the min-id
+    # row directly — the operator's groupBy + a second id-keyed semi
+    # join would pay two corpus-sized exchanges for the same rows.
+    # Same birthday-safe (60-bit hash, length) co-key as
+    # ext.dedup.exact_dedup.
+    from pyspark.sql import Window
 
-    keep = exact_dedup(df, content_col, id_col).select(
-        F.col("keep_id").alias(id_col)
+    from .ext.hashing import hash60
+
+    w = Window.partitionBy(
+        hash60(F.col(content_col)), F.length(content_col)
+    ).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    return df.join(keep, id_col, "left_semi")
 
 
 def _stage_near_dedup(

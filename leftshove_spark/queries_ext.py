@@ -4350,7 +4350,7 @@ def x_trend_ols(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def x_pipeline_curation(spark: SparkSession, sf: str) -> DataFrame:
-    """X70 — the config-driven pipeline RUNNER certified end-to-end
+    """X71 — the config-driven pipeline RUNNER certified end-to-end
     (r13: pipeline_runner was the one inventory row whose correctness
     signal was pytest-only). A four-stage declarative spec — quality
     gate → exact dedup (over a corpus with planted exact copies, so

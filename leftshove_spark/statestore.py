@@ -97,6 +97,18 @@ _TMP_DIR = ".fold_tmp"
 GC_KEEP_GENERATIONS = 1
 GC_RETENTION_SEC = 0.0
 
+# Pre-flip orphan-sweep age grace (r13): the sweep deletes files in the
+# touched partitions that no manifest references — crashed-commit
+# debris. But a RACING writer's step-2 files are also momentarily
+# unreferenced (they become referenced at its link moments later), and
+# a stalled loser's sweep deleting them would let the winner commit a
+# manifest pointing at deleted files — the one way the fence's "store
+# intact" guarantee could break. Files younger than this grace are
+# spared (a genuinely in-flight commit is seconds old; crashed debris
+# survives one extra cycle and is swept by a later commit — delayed
+# cleanup is harmless, deleting a winner's live files is not).
+ORPHAN_SWEEP_GRACE_SEC = 600.0
+
 
 class ConcurrentCommitError(RuntimeError):
     """Raised when :func:`commit_fold` detects a second writer racing
@@ -139,9 +151,17 @@ def load_manifest(state_dir: str, generation: int | None = None) -> dict | None:
     when ``generation`` is given. Returns None when the store has
     never committed; raises KeyError when the requested generation is
     not retained (GC'd past ``keep_generations`` / ``retention_sec``,
-    or never committed)."""
+    or never committed — including a wiped/recreated store with no
+    manifests at all: a caller pinning a generation MUST be told the
+    history it tracked is gone, never handed None as if the store were
+    merely fresh)."""
     gens = _list_manifests(state_dir)
     if not gens:
+        if generation is not None:
+            raise KeyError(
+                f"{state_dir} has no committed generations to pin "
+                f"(requested {generation})"
+            )
         return None
     if generation is not None and generation not in gens:
         raise KeyError(
@@ -197,20 +217,35 @@ def read_changed(
     state_dir: str,
     since_gen: int,
     merge_schema: bool = True,
+    to_gen: int | None = None,
 ) -> DataFrame:
-    """The rows of every partition :func:`changed_partitions` reports
-    against the CURRENT generation — the incremental-consumption read:
-    after each maintenance commit a downstream job calls this with the
-    last generation it processed and gets exactly the partitions that
-    could have changed (well-typed empty relation when none did).
-    Consumers that need deletes reconcile per partition (the returned
-    partitions' new content REPLACES their old content — the same
-    replace-by-partition contract the folds commit under)."""
+    """The rows of every partition :func:`changed_partitions` reports —
+    the incremental-consumption read: after each maintenance commit a
+    downstream job calls this with the last generation it processed
+    and gets exactly the partitions that could have changed
+    (well-typed empty relation when none did). Consumers that need
+    deletes reconcile per partition (the returned partitions' new
+    content REPLACES their old content — the same replace-by-partition
+    contract the folds commit under).
+
+    The SYNC PROTOCOL needs ``to_gen``: snapshot
+    ``gen = list_generations(dir)[-1]`` FIRST, read with
+    ``to_gen=gen``, then record ``seen_gen = gen``. Without the pin, a
+    fold committing between this read and the consumer's own
+    generation bookkeeping would leave that fold's partitions neither
+    in this read nor in the next sync's diff — permanently stale
+    replica buckets, silently. With the pin, both the partition list
+    and the scanned files resolve against the SAME retained
+    generation (``to_gen=None`` keeps the convenience form for
+    one-shot reads where the caller does no generation bookkeeping)."""
     return read_state(
         spark,
         state_dir,
-        partition_values=changed_partitions(state_dir, since_gen),
+        partition_values=changed_partitions(
+            state_dir, since_gen, to_gen=to_gen
+        ),
         merge_schema=merge_schema,
+        generation=to_gen,
     )
 
 
@@ -288,7 +323,13 @@ def _write_manifest(state_dir: str, manifest: dict) -> None:
             f"{type(e).__name__} at the link): this fold's output is "
             "unreferenced and will be swept"
         ) from None
-    os.remove(part)
+    try:
+        # the link SUCCEEDED — the commit is durable regardless of the
+        # part's fate; a racing writer's .part sweep may have removed
+        # it already and must not turn a committed fold into an error
+        os.remove(part)
+    except FileNotFoundError:
+        pass
 
 
 def _gc(
@@ -355,7 +396,12 @@ def _sweep_orphans(
     references and that are not in ``exempt`` (the files the in-flight
     commit just moved) — debris from a commit that crashed between the
     file moves and the manifest rename. Scoped to the partitions this
-    commit touches, so the sweep is O(touched), not O(table)."""
+    commit touches, so the sweep is O(touched), not O(table). Files
+    younger than :data:`ORPHAN_SWEEP_GRACE_SEC` are spared — they may
+    be a RACING writer's step-2 output about to be referenced by its
+    own flip (see the constant's comment); crashed debris just waits
+    one grace period for a later commit's sweep."""
+    now = time.time()
     data = os.path.join(state_dir, _DATA_DIR)
     live: set[str] = set(exempt)
     for gen in _list_manifests(state_dir):
@@ -374,7 +420,13 @@ def _sweep_orphans(
         for e in os.listdir(pdir):
             rel = f"{pcol}={v}/{e}" if pcol else e
             if e.endswith(".parquet") and rel not in live:
-                os.remove(os.path.join(pdir, e))
+                p = os.path.join(pdir, e)
+                try:
+                    if (now - os.path.getmtime(p)) < ORPHAN_SWEEP_GRACE_SEC:
+                        continue
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
 
 
 def _migrate_legacy(

@@ -111,7 +111,9 @@ def test_crash_before_manifest_flip_leaves_old_state_and_rerun_converges(
     """Crash at the worst instant — new files moved into data/, manifest
     NOT flipped: readers still resolve the old generation; the retried
     fold (at-least-once redelivery) converges to the right state; the
-    crashed attempt's orphan files are swept by the retry."""
+    crashed attempt's orphan files are swept by the retry (grace
+    zeroed: this debris simulates a crash, not a racing writer)."""
+    monkeypatch.setattr(statestore, "ORPHAN_SWEEP_GRACE_SEC", 0.0)
     state = str(tmp_path / "cur")
     o = _orders(spark)
     maintain_current_state(
@@ -447,7 +449,9 @@ def test_writer_fence_rejects_racing_commit(spark, tmp_path, monkeypatch):
     winner; the loser's manifest flip fails the create-exclusive link
     and raises ConcurrentCommitError with the store reflecting exactly
     the winner's commit. The loser's moved files are unreferenced
-    orphans removed by the next successful commit's sweep."""
+    orphans removed by the next successful commit's sweep (grace
+    zeroed so the sweep fires within the test's lifetime)."""
+    monkeypatch.setattr(statestore, "ORPHAN_SWEEP_GRACE_SEC", 0.0)
     state = str(tmp_path / "flat")
     statestore.commit_fold(
         spark,
@@ -534,7 +538,8 @@ def test_pure_deletion_partition_sweeps_crashed_orphans(
     the commit WROTE files into — a touched partition whose fold output
     is empty (a pure deletion) kept a crashed prior attempt's orphans
     forever. The sweep now covers the union of touched and written
-    partitions."""
+    partitions (grace zeroed: crash debris, not a racing writer)."""
+    monkeypatch.setattr(statestore, "ORPHAN_SWEEP_GRACE_SEC", 0.0)
     state = str(tmp_path / "part")
     df = spark.createDataFrame(
         [(1, "5", "a"), (2, "7", "b")], "k long, p string, v string"
@@ -549,7 +554,8 @@ def test_pure_deletion_partition_sweeps_crashed_orphans(
     upd = spark.createDataFrame([(9, "5", "z")], "k long, p string, v string")
     with pytest.raises(RuntimeError, match="simulated crash"):
         statestore.commit_fold(spark, state, upd, "p", ["5"])
-    monkeypatch.undo()
+    monkeypatch.undo()  # undoes the grace patch too — re-zero it
+    monkeypatch.setattr(statestore, "ORPHAN_SWEEP_GRACE_SEC", 0.0)
     orphans = _flat_files(state) - _live_files(state)
     assert orphans and all(o.startswith("p=5/") for o in orphans)
 
@@ -685,6 +691,13 @@ def test_time_travel_read_and_change_feed(spark, tmp_path):
         r["k"] for r in statestore.read_changed(spark, state, 2).collect()
     )
     assert got == [3, 4]
+    # the pinned sync form: diff AND scan resolve against the SAME
+    # retained generation — gen 2's view of what changed since gen 1
+    pinned = sorted(
+        (r["k"], r["v"])
+        for r in statestore.read_changed(spark, state, 1, to_gen=2).collect()
+    )
+    assert pinned == [(2, "B")]
     # nothing changed since current: well-typed empty relation
     empty = statestore.read_changed(spark, state, 3)
     assert empty.count() == 0 and "k" in empty.columns
@@ -722,3 +735,35 @@ def test_time_travel_window_is_the_retention_window(spark, tmp_path):
     # a never-committed store cannot pin at all
     with pytest.raises(KeyError, match="no committed generations"):
         statestore.read_state(spark, str(tmp_path / "empty"), generation=1)
+
+
+def test_orphan_sweep_spares_young_inflight_files(spark, tmp_path, monkeypatch):
+    """r13: the pre-flip orphan sweep must not delete a RACING writer's
+    just-moved, not-yet-referenced step-2 files (the winner would then
+    commit a manifest pointing at deleted files — the one way the
+    fence's 'store intact' claim could break). Files younger than
+    ORPHAN_SWEEP_GRACE_SEC are spared; once past the grace they are
+    crash debris and swept as before."""
+    import os
+
+    state = str(tmp_path / "race")
+    df = spark.createDataFrame([(1, "5", "a")], "k long, p string, v string")
+    statestore.commit_fold(spark, state, df, "p", ["5"])
+
+    # a racing winner's seconds-old step-2 file: moved into data/,
+    # referenced by no manifest YET (its flip comes moments later)
+    planted = os.path.join(
+        state, "data", "p=5", "g0000000099-feedbeef-part-0.parquet"
+    )
+    with open(planted, "wb") as fh:
+        fh.write(b"PAR1")
+
+    upd = spark.createDataFrame([(2, "5", "b")], "k long, p string, v string")
+    statestore.commit_fold(spark, state, upd, "p", ["5"])
+    assert os.path.exists(planted)  # young ⇒ spared (default grace)
+
+    # past the grace it is debris: the next sweep removes it
+    monkeypatch.setattr(statestore, "ORPHAN_SWEEP_GRACE_SEC", 0.0)
+    upd2 = spark.createDataFrame([(3, "5", "c")], "k long, p string, v string")
+    statestore.commit_fold(spark, state, upd2, "p", ["5"])
+    assert not os.path.exists(planted)

@@ -1284,3 +1284,75 @@ def test_current_state_table_generation_pin(spark, tmp_path):
         for r in current_state_table(spark, state, generation=1).collect()
     }
     assert before == {(1, "a"), (2, "b")}
+
+
+def test_change_feed_drives_incremental_downstream_replica(spark, tmp_path):
+    """r13 K17 end-to-end: a downstream consumer keeps a replica of the
+    W26 materialized table by reading ONLY the buckets each maintenance
+    commit touched (statestore.changed_partitions between the
+    generation it last processed and current) — replace those buckets
+    in its replica and it equals the full table after every wave,
+    without ever rescanning untouched buckets."""
+    import os
+
+    from leftshove_spark import statestore
+    from leftshove_spark.sources import load_table
+    from leftshove_spark.streaming import (
+        current_state_table,
+        start_current_state_stream,
+    )
+
+    o = load_table(spark, SF0001, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "cur")
+    os.makedirs(landing)
+
+    replica: dict[str, set] = {}  # bucket value -> rows
+    seen_gen = 0
+    for wave in (0, 1, 2):
+        o.filter(F.col("o_orderkey") % 3 == wave).write.mode(
+            "append"
+        ).parquet(landing)
+        q = start_current_state_stream(
+            spark,
+            landing_dir=landing,
+            state_dir=state,
+            checkpoint_dir=str(tmp_path / "ck"),
+            key_cols="o_custkey",
+            order_col="o_orderdate",
+            tiebreak_cols=["o_orderkey"],
+            once=True,
+            keep_generations=4,  # track back to the consumer's last gen
+        )
+        assert q.awaitTermination(120)
+        # the documented sync protocol: snapshot the generation FIRST,
+        # then read the diff PINNED to it (to_gen) — a fold committing
+        # mid-sync can then never fall between the read and the
+        # bookkeeping (r13 review finding)
+        cur_gen = statestore.list_generations(state)[-1]
+        touched = (
+            statestore.changed_partitions(state, seen_gen, to_gen=cur_gen)
+            if seen_gen
+            else list(
+                statestore.load_manifest(state, cur_gen)["files"]
+            )
+        )
+        changed = statestore.read_state(
+            spark, state, partition_values=touched, generation=cur_gen
+        )
+        by_bucket: dict[str, set] = {v: set() for v in touched}
+        for r in changed.collect():
+            by_bucket[str(r["__bucket"])].add(
+                (r["o_custkey"], r["o_orderkey"])
+            )
+        replica.update(by_bucket)  # replace-by-partition contract
+        seen_gen = cur_gen
+
+        want = {
+            (r["o_custkey"], r["o_orderkey"])
+            for r in current_state_table(spark, state).collect()
+        }
+        got = set().union(*replica.values()) if replica else set()
+        assert got == want  # replica ≡ full table after every wave
