@@ -47,8 +47,13 @@ Commit protocol (:func:`commit_fold`) — single writer, lock-free readers:
    cadence (set it to the longest expected scan).
 
 Crash safety: a crash before step 3's link leaves the old manifest
-current and only unreferenced orphan bytes on disk (removed by the next
-commit's sweep of its touched partitions); the link itself is atomic;
+current and only unreferenced orphan bytes on disk — removed by a
+LATER commit's sweep of its touched partitions once past the
+:data:`ORPHAN_SWEEP_GRACE_SEC` age grace (the grace keeps a racing
+writer's in-flight files safe; its cost is that crash debris on a
+partition never folded again persists as bounded dead bytes — one
+crashed attempt's worth — rather than being swept by the immediate
+retry); the link itself is atomic;
 a crash after it re-runs only the idempotent GC. There is no
 read-during-fold window at all — that is the point.
 
@@ -200,7 +205,9 @@ def changed_partitions(
     The tracking window IS the retention window (``since_gen`` must
     still be retained — raises KeyError past it; widen
     ``keep_generations`` on the maintainer to track further back)."""
-    old = load_manifest(state_dir, since_gen) or {"files": {}}
+    # load_manifest with a non-None generation returns a dict or
+    # raises (unretained gen / wiped store) — no silent fallbacks here
+    old = load_manifest(state_dir, since_gen)
     new = load_manifest(state_dir, to_gen)
     if new is None:
         return []
@@ -519,7 +526,16 @@ def commit_fold(
             if not f.endswith(".parquet") or f.startswith(("_", ".")):
                 continue
             new_name = f"{commit_tag}-{f}"
-            os.rename(os.path.join(src_dir, f), os.path.join(dst_dir, new_name))
+            dst = os.path.join(dst_dir, new_name)
+            os.rename(os.path.join(src_dir, f), dst)
+            # re-stamp mtime to the MOVE time: rename preserves the
+            # scratch-write stamp, so a fold whose Spark write took
+            # longer than ORPHAN_SWEEP_GRACE_SEC would move files that
+            # already look old — and a racing loser's sweep would
+            # delete them as debris despite the grace (r13 review).
+            # Age must measure time-since-entry-into-data/, not
+            # time-since-write.
+            os.utime(dst, None)
             rels.append(f"{pd}/{new_name}" if pd else new_name)
         new_files[value] = rels
     shutil.rmtree(tmp, ignore_errors=True)
@@ -621,13 +637,11 @@ def read_state(
     KeyError past it (widen ``keep_generations``/``retention_sec`` on
     the maintainer for a longer window). A pinned legacy read is a
     contradiction (no manifests) and raises the same way."""
+    # load_manifest raises KeyError itself when a specific generation
+    # is pinned on a store with no manifests — m is None only for the
+    # unpinned legacy path
     m = load_manifest(state_dir, generation)
     if m is None:
-        if generation is not None:
-            raise KeyError(
-                f"{state_dir} has no committed generations to pin "
-                f"(requested {generation})"
-            )
         df = spark.read.parquet(state_dir)  # legacy dir (or raise)
         if partition_values is not None:
             pcols = sorted(

@@ -767,3 +767,35 @@ def test_orphan_sweep_spares_young_inflight_files(spark, tmp_path, monkeypatch):
     upd2 = spark.createDataFrame([(3, "5", "c")], "k long, p string, v string")
     statestore.commit_fold(spark, state, upd2, "p", ["5"])
     assert not os.path.exists(planted)
+
+
+def test_moved_files_age_from_move_time_not_write_time(spark, tmp_path):
+    """r13: the sweep grace must measure time-since-entry-into-data/,
+    not time-since-scratch-write (os.rename preserves mtime, so a fold
+    whose Spark write outlasts the grace would move files that already
+    look old — and a racing loser's sweep would delete them as debris).
+    commit_fold re-stamps each moved file at the move; and a planted
+    unreferenced file with an OLD mtime is swept even under the
+    default grace."""
+    import os
+    import time
+
+    state = str(tmp_path / "mt")
+    t0 = time.time()
+    df = spark.createDataFrame([(1, "5", "a")], "k long, p string, v string")
+    statestore.commit_fold(spark, state, df, "p", ["5"])
+    pdir = os.path.join(state, "data", "p=5")
+    for f in os.listdir(pdir):
+        if f.endswith(".parquet"):
+            assert os.path.getmtime(os.path.join(pdir, f)) >= t0 - 1
+
+    # debris that is genuinely old (crashed long ago) is swept even
+    # with the default grace in force
+    planted = os.path.join(pdir, "g0000000098-deadbeef-part-0.parquet")
+    with open(planted, "wb") as fh:
+        fh.write(b"PAR1")
+    old = time.time() - statestore.ORPHAN_SWEEP_GRACE_SEC - 60
+    os.utime(planted, (old, old))
+    upd = spark.createDataFrame([(2, "5", "b")], "k long, p string, v string")
+    statestore.commit_fold(spark, state, upd, "p", ["5"])
+    assert not os.path.exists(planted)
