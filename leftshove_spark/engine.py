@@ -411,7 +411,28 @@ class Engine:
                     results[name] = n
         for st in self.state.all():
             self.refresh_view(st)
+        if self.config.vacuum_orphans_on_cycle:
+            for st in self.state.all():
+                self.vacuum_state_orphans(st.name)
         return results
+
+    def vacuum_state_orphans(self, table: str) -> list[str]:
+        """Sweep crash-loop debris from ``table``'s materialized
+        current-state store (statestore.vacuum_orphans — whole-store,
+        grace-respecting, never touches committed generations). No-op
+        for tables without a manifest store (W25 off, or never
+        folded). Runs per-cycle when
+        ``config.vacuum_orphans_on_cycle`` is set; callable directly
+        from a maintenance window otherwise."""
+        from . import statestore
+
+        st = next((s for s in self.state.all() if s.name == table), None)
+        if st is None:
+            raise KeyError(f"{table}: not a seeded capture table")
+        path = self.current_state_path(st)
+        if not os.path.isdir(os.path.join(path, statestore._MANIFEST_DIR)):
+            return []
+        return statestore.vacuum_orphans(path)
 
     # -------------------------------------------------------------------- run
     def run(

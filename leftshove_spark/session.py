@@ -115,5 +115,13 @@ class EngineConfig:
     # key-bucket count for the W25 table (crc32(pkey) % n); size to the
     # key population — per-bucket state is bounded by live keys
     current_state_buckets: int = 16
+    # run statestore.vacuum_orphans over each materialized state table
+    # at the end of every cycle — caps crash-loop debris on partitions
+    # never folded again (the per-commit sweep only covers touched
+    # partitions). Off by default: the sweep is O(table file listing)
+    # per cycle, which a tight trigger cadence doesn't want; turn it on
+    # for long-lived deployments or call Engine.vacuum_state_orphans /
+    # statestore.vacuum_orphans from a maintenance window instead.
+    vacuum_orphans_on_cycle: bool = False
     warehouse_dir: str = "/tmp/leftshove_spark_warehouse"
     sources: dict[str, dict] = field(default_factory=dict)

@@ -216,20 +216,32 @@ def recover_staged(path: str) -> None:
     _recover_staging(path)
 
 
-def rewrite_dir_staged(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+def rewrite_dir_staged(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+) -> None:
     """Replace ``path``'s contents with ``df`` — which may READ from
     ``path`` (the write to the staging dir materializes it before any
     original file moves) — via the crash-recoverable trash-then-promote
     swap. The new-state manifest is fsync'd into the trash dir (atomic
     rename) before the first move, so a crash at any later point rolls
     FORWARD deterministically in :func:`_recover_staging` (see
-    compact_landing's docstring for the non-atomicity caveat)."""
+    compact_landing's docstring for the non-atomicity caveat).
+    ``partition_by`` writes Hive-layout partition dirs — the swap
+    machinery moves those top-level ``col=value`` dirs exactly as it
+    moves files (statestore.sync_state's full-clone path needs the
+    replica partitioned so later syncs can swap single partitions)."""
     import os
 
     _recover_staging(path)
     tmp = os.path.join(path, ".compact_tmp")
     trash = os.path.join(path, ".compact_trash")
-    df.write.mode("overwrite").format(fmt).save(tmp)
+    w = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(tmp)
     os.makedirs(trash)
     new_names = set(os.listdir(tmp))
     manifest = os.path.join(trash, _MANIFEST)

@@ -547,7 +547,10 @@ def test_engine_materialized_current_state_tracks_view(spark, tmp_path):
     capture cycle folds its delta into <sink>_current, and the table
     stays ≡ the deterministic latest-per-key form of the full sink
     after EVERY cycle — including a re-captured window (watermark
-    deliberately rolled back to simulate a crash before commit)."""
+    deliberately rolled back to simulate a crash before commit).
+    vacuum_orphans_on_cycle rides along: the whole-store sweep runs
+    each cycle without disturbing table ≡ view, and removes planted
+    past-grace crash debris (r14)."""
     from datetime import datetime, timedelta
 
     from leftshove_spark.engine import Engine
@@ -568,6 +571,7 @@ def test_engine_materialized_current_state_tracks_view(spark, tmp_path):
             replication_buffer_secs=0,
             materialize_current_state=True,
             current_state_buckets=4,
+            vacuum_orphans_on_cycle=True,
         ),
         state_path=f"{work}/state.json",
         sink_root=f"{work}/sink",
@@ -610,6 +614,33 @@ def test_engine_materialized_current_state_tracks_view(spark, tmp_path):
     assert got == want
     # and the table is exactly one row per live key
     assert len(got) == 6
+
+    # r14: the per-cycle vacuum sweeps planted past-grace crash debris
+    # from the state store (a partition the cycles never fold again
+    # would otherwise keep it forever); live state is untouched
+    import os as _os
+    import time as _time
+
+    from leftshove_spark import statestore
+
+    st = next(s for s in eng.state.all() if s.name == "t")
+    state_dir = eng.current_state_path(st)
+    bucket = next(
+        d
+        for d in _os.listdir(_os.path.join(state_dir, "data"))
+        if d.startswith("__bucket=")
+    )
+    planted = _os.path.join(
+        state_dir, "data", bucket, "g0000000099-feedbeef-part-0.parquet"
+    )
+    with open(planted, "wb") as fh:
+        fh.write(b"PAR1")
+    old_ts = _time.time() - statestore.ORPHAN_SWEEP_GRACE_SEC - 60
+    _os.utime(planted, (old_ts, old_ts))
+    eng.run_cycle(now=now + timedelta(days=2), snapshot_at=now)
+    assert not _os.path.exists(planted)
+    got, want = table_vs_view()
+    assert got == want
 
 
 def test_backfill_folds_into_materialized_state(spark, tmp_path):

@@ -183,14 +183,17 @@ def test_crash_before_manifest_flip_leaves_old_state_and_rerun_converges(
 def test_deferred_gc_bounds_file_population(spark, tmp_path):
     """N folds leave at most two generations' files per bucket on disk
     — replaced files survive exactly one further commit (reader grace)
-    and are then deleted; manifests older than the grace are dropped."""
+    and are then deleted; manifests older than the grace are dropped.
+    retention_sec=0 isolates the GENERATION bound (the r14 default is
+    600 s — test_default_retention_spans_fast_commits pins that)."""
     state = str(tmp_path / "cur")
     one = spark.createDataFrame(
         [(1, i, i) for i in range(1, 6)], "k long, d long, v long"
     )
     for i in range(1, 6):
         maintain_current_state(
-            spark, state, one.filter(F.col("d") == i), "k", "d"
+            spark, state, one.filter(F.col("d") == i), "k", "d",
+            retention_sec=0.0,
         )
     gens = statestore._list_manifests(state)
     assert len(gens) <= 2  # grace window only
@@ -379,22 +382,25 @@ def test_time_retention_protects_reader_slower_than_two_commits(
     generation N loses N's files after TWO further commits (they enter
     garbage at N+1 and are deleted at commit N+2) — at a 20 s trigger
     cadence a 40 s scan can hit FileNotFound mid-job. RED HALF: that is
-    exactly what the default (retention_sec=0) does. GREEN HALF: with a
-    time-based retention bound, THREE further commits leave the slow
-    reader's files untouched and its collect still succeeds."""
+    exactly what retention_sec=0 (eager reclaim — the pre-r14 DEFAULT)
+    does. GREEN HALF: with a time-based retention bound, THREE further
+    commits leave the slow reader's files untouched and its collect
+    still succeeds. (The r14 default is 600 s —
+    test_default_retention_spans_fast_commits pins that.)"""
 
     def batch(version):
         return spark.createDataFrame(
             [(1, version, f"v{version}")], "k long, d long, v string"
         )
 
-    # --- red half: default retention — the old behavior, demonstrated
+    # --- red half: eager reclaim — the pre-r14 default, demonstrated
     state = str(tmp_path / "fast_gc")
-    maintain_current_state(spark, state, batch(0), "k", "d")
+    zero = dict(retention_sec=0.0)
+    maintain_current_state(spark, state, batch(0), "k", "d", **zero)
     gen1_files = _flat_files(state)
     reader = current_state_table(spark, state)  # resolves gen 1
-    maintain_current_state(spark, state, batch(1), "k", "d")
-    maintain_current_state(spark, state, batch(2), "k", "d")
+    maintain_current_state(spark, state, batch(1), "k", "d", **zero)
+    maintain_current_state(spark, state, batch(2), "k", "d", **zero)
     # gen 1's files are gone after two further commits
     assert not (gen1_files & _flat_files(state))
 
@@ -423,9 +429,10 @@ def test_time_retention_protects_reader_slower_than_two_commits(
 def test_gc_keep_generations_widens_the_grace(spark, tmp_path):
     """keep_generations=k keeps a replaced file alive through k further
     commits (default 1) — the generation-count half of the retention
-    policy, surfaced as a caller knob (ADVICE r12)."""
+    policy, surfaced as a caller knob (ADVICE r12); retention_sec=0
+    isolates it from the (since r14, nonzero) wall-clock half."""
     state = str(tmp_path / "keep3")
-    kw = dict(keep_generations=3)
+    kw = dict(keep_generations=3, retention_sec=0.0)
 
     def batch(version):
         return spark.createDataFrame(
@@ -585,7 +592,11 @@ def test_writer_fence_rejects_stale_generation_past_gc(
     def row(k, v):
         return spark.createDataFrame([(k, v)], "k long, v string")
 
-    statestore.commit_fold(spark, state, row(1, "base"), None, [""])
+    # retention_sec=0 throughout: the scenario NEEDS the winner's
+    # commits to GC the stalled writer's target manifest promptly
+    statestore.commit_fold(
+        spark, state, row(1, "base"), None, [""], retention_sec=0.0
+    )
 
     real_write = statestore._write_manifest
     fired = []
@@ -598,7 +609,10 @@ def test_writer_fence_rejects_stale_generation_past_gc(
             # writer's target manifest, so the old link-only fence
             # would no longer collide
             for i, v in enumerate(["w1", "w2", "w3"]):
-                statestore.commit_fold(spark, state, row(10 + i, v), None, [""])
+                statestore.commit_fold(
+                    spark, state, row(10 + i, v), None, [""],
+                    retention_sec=0.0,
+                )
             assert statestore._list_manifests(state_dir)[0] > manifest["gen"]
         real_write(state_dir, manifest)
 
@@ -711,7 +725,8 @@ def test_time_travel_read_and_change_feed(spark, tmp_path):
 
 def test_time_travel_window_is_the_retention_window(spark, tmp_path):
     """Past keep_generations the pinned read raises KeyError with the
-    widening hint, rather than scanning a half-GC'd file set."""
+    widening hint, rather than scanning a half-GC'd file set
+    (retention_sec=0 so the generation bound alone drives the GC)."""
     state = str(tmp_path / "ttgc")
 
     def fold(k, v):
@@ -721,6 +736,7 @@ def test_time_travel_window_is_the_retention_window(spark, tmp_path):
             spark.createDataFrame([(k, v)], "k long, v string"),
             None,
             [""],
+            retention_sec=0.0,
         )
 
     fold(1, "a")
@@ -799,3 +815,261 @@ def test_moved_files_age_from_move_time_not_write_time(spark, tmp_path):
     upd = spark.createDataFrame([(2, "5", "b")], "k long, p string, v string")
     statestore.commit_fold(spark, state, upd, "p", ["5"])
     assert not os.path.exists(planted)
+
+
+def test_default_retention_spans_fast_commits(spark, tmp_path):
+    """r14 (VERDICT r13 next #3): with NO knobs at all, a reader that
+    resolved generation 1 survives THREE immediate further commits —
+    the out-of-box grace is the 600 s wall-clock default, not the
+    two-commit-cadence envelope retention_sec=0 used to ship. Safe by
+    default; eager reclaim is now the opt-in."""
+    state = str(tmp_path / "default_ret")
+
+    def batch(version):
+        return spark.createDataFrame(
+            [(1, version, f"v{version}")], "k long, d long, v string"
+        )
+
+    assert statestore.GC_RETENTION_SEC >= 600.0
+    maintain_current_state(spark, state, batch(0), "k", "d")
+    gen1_files = _flat_files(state)
+    reader = current_state_table(spark, state)  # resolves gen 1
+    want = sorted(map(tuple, reader.collect()))
+    for v in (1, 2, 3):  # fast commits, no retention knobs anywhere
+        maintain_current_state(spark, state, batch(v), "k", "d")
+    assert gen1_files <= _flat_files(state)  # nothing deleted yet
+    assert sorted(map(tuple, reader.collect())) == want  # scan survives
+    got = current_state_table(spark, state).collect()
+    assert len(got) == 1 and got[0]["d"] == 3  # fresh readers see gen 4
+
+
+def test_vacuum_orphans_caps_crash_loop_debris(spark, tmp_path, monkeypatch):
+    """r14 (VERDICT r13 what's-wrong #1): crash debris on a partition
+    NEVER folded again is invisible to the per-commit touched-partition
+    sweep — a crash-loop can stack several attempts' worth. The offline
+    vacuum_orphans entry point removes every past-grace unreferenced
+    file across ALL partitions (plus a stale .fold_tmp), while live
+    generations and sub-grace in-flight files survive."""
+    import time
+
+    state = str(tmp_path / "vac")
+    df = spark.createDataFrame(
+        [(1, "5", "a"), (2, "7", "b")], "k long, p string, v string"
+    )
+    statestore.commit_fold(spark, state, df, "p", ["5", "7"])
+
+    # two crashed attempts stack debris on p=7; later folds touch ONLY
+    # p=5, so the per-commit sweep never visits the debris
+    def crash(state_dir, manifest):
+        raise RuntimeError("simulated crash")
+
+    real_write = statestore._write_manifest
+    for attempt in range(2):
+        monkeypatch.setattr(statestore, "_write_manifest", crash)
+        upd = spark.createDataFrame(
+            [(8 + attempt, "7", "z")], "k long, p string, v string"
+        )
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            statestore.commit_fold(spark, state, upd, "p", ["7"])
+        monkeypatch.setattr(statestore, "_write_manifest", real_write)
+    statestore.commit_fold(
+        spark,
+        state,
+        spark.createDataFrame([(3, "5", "c")], "k long, p string, v string"),
+        "p",
+        ["5"],
+    )
+    debris = _flat_files(state) - _live_files(state)
+    assert len(debris) >= 2 and all(d.startswith("p=7/") for d in debris)
+
+    # young debris is spared (it may be a racing writer's in-flight
+    # step-2 output) ...
+    assert statestore.vacuum_orphans(state) == []
+    assert (_flat_files(state) - _live_files(state)) == debris
+
+    # a stale crashed scratch dir is debris too
+    tmp_dir = os.path.join(state, ".fold_tmp")
+    os.makedirs(tmp_dir)
+    old = time.time() - statestore.ORPHAN_SWEEP_GRACE_SEC - 60
+    os.utime(tmp_dir, (old, old))
+    # ... past the grace it is removed — and ONLY it
+    live_before = _live_files(state)
+    for rel in debris:
+        p = os.path.join(state, "data", rel)
+        os.utime(p, (old, old))
+    removed = statestore.vacuum_orphans(state)
+    assert {r for r in removed if r != ".fold_tmp"} == {
+        os.path.join("data", d) for d in debris
+    }
+    assert ".fold_tmp" in removed and not os.path.isdir(tmp_dir)
+    assert _flat_files(state) <= _live_files(state)
+    assert _live_files(state) == live_before
+    got = sorted(
+        (r["k"], str(r["p"]), r["v"])
+        for r in statestore.read_state(spark, state).collect()
+    )
+    # fold 2 REPLACED p=5's content (the commit contract), p=7 intact
+    assert got == [(2, "7", "b"), (3, "5", "c")]
+    # a store with no manifests is left alone (nothing defines 'live')
+    assert statestore.vacuum_orphans(str(tmp_path / "nostore")) == []
+
+
+def test_read_changed_unpinned_resolves_one_generation(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r13: the convenience form (to_gen=None) used to resolve
+    the current generation TWICE — once for the partition list, once
+    for the scan — so a fold committing between the two calls yielded a
+    torn view. It now snapshots the generation once: a fold injected
+    exactly between the diff and the scan changes nothing the call
+    returns."""
+    state = str(tmp_path / "pin")
+
+    def fold(rows, touched):
+        statestore.commit_fold(
+            spark,
+            state,
+            spark.createDataFrame(rows, "k long, p string, v string"),
+            "p",
+            touched,
+            keep_generations=4,
+        )
+
+    fold([(1, "1", "a"), (2, "2", "b")], ["1", "2"])
+    fold([(2, "2", "B")], ["2"])  # gen 2
+
+    real_diff = statestore.changed_partitions
+    fired = []
+
+    def diff_then_fold(*a, **kw):
+        out = real_diff(*a, **kw)
+        if not fired:
+            fired.append(1)
+            # a fold lands AFTER the diff, BEFORE the scan: gen 3
+            # rewrites p=1, which the since-gen-1 diff did NOT report
+            fold([(1, "1", "A3")], ["1"])
+        return out
+
+    monkeypatch.setattr(statestore, "changed_partitions", diff_then_fold)
+    got = sorted(
+        (r["k"], r["v"])
+        for r in statestore.read_changed(spark, state, 1).collect()
+    )
+    monkeypatch.undo()
+    # the unpinned call resolved gen 2 throughout: p=2's gen-2 rows,
+    # and NOT gen 3's p=1 rewrite (which its own next sync will report:
+    # changed_partitions(2) now names p=1)
+    assert got == [(2, "B")]
+    assert "1" in statestore.changed_partitions(state, 2)
+
+
+def test_sync_state_incremental_then_full_resync(spark, tmp_path):
+    """r14 (VERDICT r13 next #1): sync_state keeps a plain-parquet
+    replica following the store — incrementally while the feed window
+    holds (only touched partitions rewritten), by full re-clone after a
+    retention lapse, replica ≡ table at EVERY step, bookkeeping carried
+    in the replica itself."""
+    state = str(tmp_path / "src")
+    replica = str(tmp_path / "rep")
+
+    def fold(rows, touched, **kw):
+        statestore.commit_fold(
+            spark,
+            state,
+            spark.createDataFrame(rows, "k long, p string, v string"),
+            "p",
+            touched,
+            **kw,
+        )
+
+    def replica_equals_table():
+        got = sorted(
+            (r["k"], str(r["p"]), r["v"])
+            for r in spark.read.parquet(replica).collect()
+        )
+        want = sorted(
+            (r["k"], str(r["p"]), r["v"])
+            for r in statestore.read_state(spark, state).collect()
+        )
+        assert got == want
+
+    def pdir_listing(v):
+        d = os.path.join(replica, f"p={v}")
+        return sorted(os.listdir(d)) if os.path.isdir(d) else None
+
+    # wave 0: first sync is a full clone
+    fold([(1, "1", "a"), (2, "2", "b"), (3, "3", "c")], ["1", "2", "3"])
+    g = statestore.sync_state(spark, state, replica)
+    assert g == 1 and statestore.last_synced_generation(replica) == 1
+    replica_equals_table()
+
+    # waves 1-3: incremental — untouched partition dirs are NOT
+    # rewritten (their file listings stay byte-identical)
+    untouched = pdir_listing("1")
+    fold([(2, "2", "B")], ["2"], keep_generations=4)
+    g = statestore.sync_state(spark, state, replica)
+    assert g == 2 and pdir_listing("1") == untouched
+    replica_equals_table()
+
+    fold([(3, "3", "C"), (4, "3", "d")], ["3"], keep_generations=4)
+    g = statestore.sync_state(spark, state, replica)
+    assert g == 3 and pdir_listing("1") == untouched
+    replica_equals_table()
+
+    # a pure deletion propagates: the partition dir leaves the replica
+    fold([], ["2"], keep_generations=4)
+    g = statestore.sync_state(spark, state, replica)
+    assert g == 4 and pdir_listing("2") is None
+    replica_equals_table()
+
+    # no-op sync: nothing committed since → same generation back
+    assert statestore.sync_state(spark, state, replica) == 4
+
+    # retention lapse: two eager-GC folds drop gen 4 from retention —
+    # the next sync cannot diff against it and falls back to a FULL
+    # re-clone instead of surfacing the KeyError
+    fold([(5, "1", "e")], ["1"], retention_sec=0.0)
+    fold([(6, "3", "f")], ["3"], retention_sec=0.0)
+    assert 4 not in statestore.list_generations(state)
+    g = statestore.sync_state(spark, state, replica)
+    assert g == statestore.list_generations(state)[-1]
+    assert statestore.last_synced_generation(replica) == g
+    replica_equals_table()
+    # explicit last_gen overrides the marker (caller bookkeeping)
+    assert statestore.sync_state(spark, state, replica, last_gen=g) == g
+    replica_equals_table()
+
+    # a store that never committed has no feed to sync from
+    with pytest.raises(ValueError, match="no committed generations"):
+        statestore.sync_state(spark, str(tmp_path / "empty"), replica)
+
+
+def test_sync_state_unpartitioned_store(spark, tmp_path):
+    """An unpartitioned store degenerates to a full staged rewrite per
+    sync (the whole table is its one partition) — same contract, same
+    marker bookkeeping."""
+    state = str(tmp_path / "flat")
+    replica = str(tmp_path / "flatrep")
+
+    def fold(rows):
+        statestore.commit_fold(
+            spark,
+            state,
+            spark.createDataFrame(rows, "k long, v string"),
+            None,
+            [""],
+            keep_generations=3,
+        )
+
+    fold([(1, "a"), (2, "b")])
+    assert statestore.sync_state(spark, state, replica) == 1
+    fold([(1, "A"), (3, "c")])
+    assert statestore.sync_state(spark, state, replica) == 2
+    got = sorted(
+        (r["k"], r["v"]) for r in spark.read.parquet(replica).collect()
+    )
+    want = sorted(
+        (r["k"], r["v"])
+        for r in statestore.read_state(spark, state).collect()
+    )
+    assert got == want == [(1, "A"), (3, "c")]
