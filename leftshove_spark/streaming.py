@@ -73,18 +73,32 @@ def _timestamp_schema(schema):
     )
 
 
-def _streaming_source(spark: SparkSession, landing_dir: str, max_files: int | None):
+def _streaming_source(
+    spark: SparkSession,
+    landing_dir: str,
+    max_files: int | None,
+    schema=None,
+):
     """File-source readStream with the engine's nano-timestamp
     normalization (streaming requires an explicit schema; we take it from
     the files already landed — the reference likewise seeds schema before
-    capture, postgres.go:158-184)."""
+    capture, postgres.go:158-184). ``schema`` overrides the inference
+    for a source dir that has NO files yet — the live composed pipeline
+    (W28) starts its downstream stages on still-empty intermediate dirs
+    whose schema is known from the landing dir. An explicit schema is
+    the BATCH-VISIBLE one (post nano-normalization): the caller derived
+    it from a batch read, so no nano rewrite is applied."""
     _ensure_nanos_conf(spark)
-    schema = _timestamp_schema(spark.read.parquet(landing_dir).schema)
-    reader = spark.readStream.schema(schema)
+    if schema is None:
+        schema = spark.read.parquet(landing_dir).schema
+        nano_cols = _nano_ts_columns(landing_dir)
+    else:
+        nano_cols = []
+    reader = spark.readStream.schema(_timestamp_schema(schema))
     if max_files:
         reader = reader.option("maxFilesPerTrigger", str(max_files))
     df = reader.parquet(landing_dir)
-    for c in _nano_ts_columns(landing_dir):
+    for c in nano_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
@@ -659,6 +673,7 @@ def start_current_state_stream(
     max_files_per_trigger: int | None = None,
     keep_generations: int | None = None,
     retention_sec: float | None = None,
+    source_schema=None,
 ) -> StreamingQuery:
     """W26 — Structured Streaming maintenance of the W25 materialized
     current-state table: every micro-batch of landed versions folds
@@ -684,8 +699,13 @@ def start_current_state_stream(
     the SCALE.md reader-latency envelope is about — a 20 s trigger with
     a >40 s analytical reader MUST widen the retention here, so the
     knob has to be reachable from the stream API, not only from the
-    batch fold)."""
-    src = _streaming_source(spark, landing_dir, max_files_per_trigger)
+    batch fold).
+
+    ``source_schema`` lets the stream start on a still-empty landing
+    dir (the live composed pipeline's downstream stages, W28)."""
+    src = _streaming_source(
+        spark, landing_dir, max_files_per_trigger, schema=source_schema
+    )
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
 
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
@@ -1014,6 +1034,7 @@ def start_decontaminate_stream(
     once: bool = True,
     processing_time: str = "20 seconds",
     max_files_per_trigger: int | None = None,
+    source_schema=None,
 ) -> StreamingQuery:
     """W27 — streaming SEMANTIC-DECONTAMINATION admission: every
     micro-batch of embedded documents is screened against the frozen
@@ -1038,10 +1059,15 @@ def start_decontaminate_stream(
     is ONE narrow Arrow pass over the batch (O(batch·|benchmark|)
     integer multiply-adds, no shuffle, no join) plus the appends;
     stream-admitted ≡ batch-filtered by construction (the same
-    operator runs both — pytest-pinned across triggers)."""
+    operator runs both — pytest-pinned across triggers).
+
+    ``source_schema`` lets the stream start on a still-empty landing
+    dir (the live composed pipeline's downstream stages, W28)."""
     from .ext.pipeline import decontaminate_semantic
 
-    src = _streaming_source(spark, landing_dir, max_files_per_trigger)
+    src = _streaming_source(
+        spark, landing_dir, max_files_per_trigger, schema=source_schema
+    )
 
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
@@ -1541,6 +1567,146 @@ def run_corpus_stream_pipeline(
     return dirs
 
 
+def start_corpus_stream_pipeline_live(
+    spark: SparkSession,
+    *,
+    landing_dir: str,
+    work_dir: str,
+    benchmark_emb_dir: str,
+    cents: list[list[int]],
+    books: list[list[list[int]]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    order_col: str = "version",
+    jaccard_threshold: float = 0.6,
+    threshold: float = 0.95,
+    n_buckets: int = 16,
+    processing_time: str = "2 seconds",
+    keep_generations: int | None = None,
+    retention_sec: float | None = None,
+    schema=None,
+) -> tuple[dict[str, str], list[StreamingQuery]]:
+    """The CONTINUOUS deployment mode of the composed corpus pipeline
+    (VERDICT r13 next #2): the same four stages as
+    :func:`run_corpus_stream_pipeline` — admit → decontaminate → index
+    → materialize — but started as four CONCURRENTLY-RUNNING
+    ``processingTime`` streams chained by directories. New files
+    landing in ``landing_dir`` flow through all four stages while they
+    run; each stage's file source picks up its upstream's appends on
+    its next trigger, so end-to-end latency is a few trigger periods,
+    not a re-run.
+
+    The downstream stages start on still-EMPTY intermediate dirs, so
+    their sources take an explicit schema derived from the landing
+    dir's (every stage preserves the landed columns — admitted/ and
+    clean/ carry the same schema; ``schema`` overrides the derivation
+    when the landing dir itself is still empty at start). Checkpoints
+    live under the same ``work_dir/ck/`` as the availableNow form —
+    the two modes are interchangeable deployments of one pipeline: a
+    live run stopped cleanly can be drained the rest of the way by one
+    availableNow re-run, and vice versa (same checkpoints, same stage
+    contracts; pytest pins live end-state ≡ chained end-state).
+
+    Returns ``(stage_dirs, [admit, decontaminate, index, state])`` —
+    the queries in upstream-to-downstream order. Shutdown: stop the
+    ADMIT query first, wait for the downstream dirs to drain (poll the
+    state table / clean dir), then :func:`stop_corpus_stream_pipeline`
+    stops the rest; or just stop everything and let the next start's
+    checkpoints resume exactly where each stage left off
+    (at-least-once end to end, the same delivery story as each stage
+    alone). The state stage remains the statestore's ONE writer — the
+    four streams write disjoint dirs, so the concurrency adds no new
+    commit race."""
+    dirs = {
+        "admitted": os.path.join(work_dir, "admitted"),
+        "clean": os.path.join(work_dir, "clean"),
+        "quarantine": os.path.join(work_dir, "quarantine"),
+        "lsh_index": os.path.join(work_dir, "lsh_index"),
+        "ivfadc_index": os.path.join(work_dir, "ivfadc_index"),
+        "state": os.path.join(work_dir, "state"),
+    }
+    if schema is None:
+        schema = spark.read.parquet(landing_dir).schema
+    # the intermediate sources must EXIST before their streams start;
+    # their schemas equal the landing schema (both stages preserve
+    # every landed column)
+    os.makedirs(dirs["admitted"], exist_ok=True)
+    os.makedirs(dirs["clean"], exist_ok=True)
+
+    def ck(name: str) -> str:
+        return os.path.join(work_dir, "ck", name)
+
+    queries = [
+        start_near_dedup_stream(
+            spark,
+            landing_dir=landing_dir,
+            index_dir=dirs["lsh_index"],
+            out_dir=dirs["admitted"],
+            checkpoint_dir=ck("admit"),
+            content_col=text_col,
+            id_col=id_col,
+            jaccard_threshold=jaccard_threshold,
+            once=False,
+            processing_time=processing_time,
+        ),
+        start_decontaminate_stream(
+            spark,
+            landing_dir=dirs["admitted"],
+            benchmark_emb_dir=benchmark_emb_dir,
+            out_dir=dirs["clean"],
+            checkpoint_dir=ck("decontaminate"),
+            quarantine_dir=dirs["quarantine"],
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            once=False,
+            processing_time=processing_time,
+            source_schema=schema,
+        ),
+        start_ivfadc_index_stream(
+            spark,
+            landing_dir=dirs["clean"],
+            index_dir=dirs["ivfadc_index"],
+            cents=cents,
+            books=books,
+            checkpoint_dir=ck("index"),
+            id_col=id_col,
+            vec_col=vec_col,
+            once=False,
+            processing_time=processing_time,
+            source_schema=schema,
+        ),
+        start_current_state_stream(
+            spark,
+            landing_dir=dirs["clean"],
+            state_dir=dirs["state"],
+            checkpoint_dir=ck("state"),
+            key_cols=id_col,
+            order_col=order_col,
+            n_buckets=n_buckets,
+            once=False,
+            processing_time=processing_time,
+            keep_generations=keep_generations,
+            retention_sec=retention_sec,
+            source_schema=schema,
+        ),
+    ]
+    return dirs, queries
+
+
+def stop_corpus_stream_pipeline(queries: list[StreamingQuery]) -> None:
+    """Stop a live composed pipeline's queries (upstream first) and
+    wait for each to terminate. Files a stopped upstream had already
+    appended but a downstream had not yet triggered on are NOT lost —
+    the downstream's checkpoint resumes exactly there on the next
+    start (live or availableNow)."""
+    for q in queries:
+        q.stop()
+    for q in queries:
+        q.awaitTermination()
+
+
 def start_ivfadc_index_stream(
     spark: SparkSession,
     *,
@@ -1554,6 +1720,7 @@ def start_ivfadc_index_stream(
     once: bool = True,
     processing_time: str = "20 seconds",
     max_files_per_trigger: int | None = None,
+    source_schema=None,
 ) -> StreamingQuery:
     """W24 — streaming IVFADC index maintenance: W23's frozen-codebook
     discipline applied to the two-level index. Every micro-batch is
@@ -1569,10 +1736,14 @@ def start_ivfadc_index_stream(
     narrows as the index grows. Retrain (new cents/books) = new index
     dir + cutover, exactly as W23; at-least-once replays dedup on
     vec_id at search time (knn_ivfadc_codes' dedup flag). O(batch) per
-    trigger, no shuffle, no state."""
+    trigger, no shuffle, no state. ``source_schema`` lets the stream
+    start on a still-empty landing dir (the live composed pipeline's
+    downstream stages, W28)."""
     from .ext.similarity import ivfadc_encode
 
-    src = _streaming_source(spark, landing_dir, max_files_per_trigger)
+    src = _streaming_source(
+        spark, landing_dir, max_files_per_trigger, schema=source_schema
+    )
 
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

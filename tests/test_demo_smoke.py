@@ -28,3 +28,35 @@ def test_demo_pipeline_runs_end_to_end():
     counts = json.loads(line[line.index('{"ingested"'):])
     assert counts["scd2_versions"] > 0
     assert counts["engine_state_at"] == counts["engine_current_state"] > 0
+
+
+def test_quickstart_curation_runs_end_to_end():
+    """r14: the user-facing quickstart (VERDICT r13 next #5) is
+    executable documentation — batch curation via run_pipeline →
+    train parquet + merges.txt, then the incremental streaming form.
+    Subprocess-isolated like the demo, exactly as a user runs it."""
+    res = subprocess.run(
+        [
+            sys.executable,
+            "scripts/quickstart_curation.py",
+            "/root/testdata/sf0.001",
+        ],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "QUICKSTART OK" in res.stdout
+    import json
+
+    line = next(ln for ln in res.stdout.splitlines() if '{"ingested"' in ln)
+    counts = json.loads(line[line.index('{"ingested"'):])
+    # every stage kept rows and the artifacts landed
+    assert counts["train_rows"] > 0 and counts["bpe_merges"] > 0
+    assert counts["stream_state_keys"] > 0
+    # curation monotonically narrows (each stage filters, never adds)
+    stages = ["ingested", "0_quality_filter", "1_exact_dedup",
+              "2_near_dedup", "3_decontaminate", "4_hash_split"]
+    vals = [counts[s] for s in stages]
+    assert vals == sorted(vals, reverse=True)

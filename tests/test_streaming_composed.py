@@ -273,3 +273,169 @@ def test_composed_pipeline_raises_on_stage_timeout(tmp_path, monkeypatch):
             timeout_sec=1,
         )
     assert StuckQuery.stopped  # the stuck stage was stopped, not leaked
+
+
+def test_live_composed_pipeline_matches_chained_end_state(spark, tmp_path):
+    """r14 (VERDICT r13 next #2): the CONTINUOUS deployment — all four
+    stages live at once on ``processingTime`` triggers, waves landing
+    while they run — reaches exactly the end state the availableNow
+    chain reaches over the same waves (admitted ids, quarantine audit
+    trail, clean ids, state rows). Then the interchangeability claim:
+    a wave landed AFTER the live pipeline stopped is drained by ONE
+    availableNow re-run over the SAME work dir/checkpoints, and the
+    end states still agree — checkpoint/manifest interleaving under
+    concurrency holds up, not just the serialized chain."""
+    import time
+
+    from leftshove_spark.ext.similarity import ivfadc_train
+    from leftshove_spark.streaming import (
+        run_corpus_stream_pipeline,
+        start_corpus_stream_pipeline_live,
+        stop_corpus_stream_pipeline,
+    )
+
+    base = _fixture(spark)
+    bench = base.filter(
+        (F.col("doc_id") >= 480) & (F.col("doc_id") < 485)
+    ).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i < 4, F.lit(0.0).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    bench_dir = str(tmp_path / "bench")
+    bench.write.parquet(bench_dir)
+    cents, books = ivfadc_train(
+        base, n_centroids=4, id_col="doc_id", vec_col="embedding"
+    )
+
+    w1_base = base.filter(F.col("doc_id") < 30).withColumn(
+        "version", F.lit(1).cast("long")
+    )
+    d0 = w1_base.filter(F.col("doc_id") == 0).select("text", "embedding").first()
+    d5 = base.filter(F.col("doc_id") == 5).select("text", "embedding").first()
+    e480 = base.filter(F.col("doc_id") == 480).select("embedding").first()
+    novel = base.filter(F.col("doc_id") == 200).select("embedding").first()
+    plants1 = spark.createDataFrame(
+        [
+            (9000, d0["text"] + " tail", d0["embedding"], 1),  # in-wave dup
+            (9001, "a wholly unique paraphrase nothing ngram shares", e480["embedding"], 1),
+        ],
+        "doc_id long, text string, embedding array<float>, version long",
+    )
+    w1 = w1_base.unionByName(plants1)
+    w2 = spark.createDataFrame(
+        [
+            (7, "completely rewritten body after the second draft edit", d5["embedding"], 2),
+            (200, "a genuinely novel document matching nothing else at all", novel["embedding"], 1),
+            (9002, d5["text"] + " suffix", d5["embedding"], 1),  # dup of admitted 5
+        ],
+        "doc_id long, text string, embedding array<float>, version long",
+    )
+    w3 = spark.createDataFrame(
+        [(300, "a third wave document entirely unlike the others", novel["embedding"], 1)],
+        "doc_id long, text string, embedding array<float>, version long",
+    )
+    waves = [w1, w2, w3]
+
+    def snapshot(dirs):
+        admitted = {
+            r["doc_id"] for r in spark.read.parquet(dirs["admitted"]).collect()
+        }
+        quar = {
+            r["doc_id"]: r["matched_benchmark_id"]
+            for r in spark.read.parquet(dirs["quarantine"]).collect()
+        }
+        clean = {r["doc_id"] for r in spark.read.parquet(dirs["clean"]).collect()}
+        state = sorted(
+            (r["doc_id"], r["version"], r["text"])
+            for r in current_state_table(spark, dirs["state"]).collect()
+        )
+        return admitted, quar, clean, state
+
+    # --- reference: the availableNow chain, one run per wave
+    landing_c = str(tmp_path / "landing_chain")
+    os.makedirs(landing_c)
+    per_wave = []
+    for w in waves:
+        w.coalesce(1).write.mode("append").parquet(landing_c)
+        dirs_c = run_corpus_stream_pipeline(
+            spark,
+            landing_dir=landing_c,
+            work_dir=str(tmp_path / "work_chain"),
+            benchmark_emb_dir=bench_dir,
+            cents=cents,
+            books=books,
+            threshold=0.95,
+        )
+        per_wave.append(snapshot(dirs_c))
+
+    # --- live: all four streams running, waves landing while they run
+    landing_l = str(tmp_path / "landing_live")
+    os.makedirs(landing_l)
+    waves[0].coalesce(1).write.mode("append").parquet(landing_l)
+    dirs_l, queries = start_corpus_stream_pipeline_live(
+        spark,
+        landing_dir=landing_l,
+        work_dir=str(tmp_path / "work_live"),
+        benchmark_emb_dir=bench_dir,
+        cents=cents,
+        books=books,
+        threshold=0.95,
+        processing_time="1 second",
+    )
+    assert all(q.isActive for q in queries)
+
+    def wait_for(want, timeout=240):
+        deadline = time.time() + timeout
+        last = None
+        while time.time() < deadline:
+            for q in queries:
+                assert q.exception() is None, str(q.exception())
+            try:
+                last = snapshot(dirs_l)
+                if last == want:
+                    return
+            except Exception:
+                pass  # a dir not written yet / state not committed yet
+            time.sleep(2)
+        raise AssertionError(f"live pipeline never reached {want}; last {last}")
+
+    wait_for(per_wave[0])
+    waves[1].coalesce(1).write.mode("append").parquet(landing_l)
+    wait_for(per_wave[1])
+    waves[2].coalesce(1).write.mode("append").parquet(landing_l)
+    wait_for(per_wave[2])
+    stop_corpus_stream_pipeline(queries)
+    assert not any(q.isActive for q in queries)
+    assert snapshot(dirs_l) == per_wave[2]  # clean stop, nothing torn
+
+    # --- interchangeability: a wave landed after the stop is drained
+    # by ONE availableNow pass over the SAME checkpoints
+    w4 = spark.createDataFrame(
+        [(301, "a final wave document unlike anything processed before", novel["embedding"], 1)],
+        "doc_id long, text string, embedding array<float>, version long",
+    )
+    w4.coalesce(1).write.mode("append").parquet(landing_c)
+    dirs_c = run_corpus_stream_pipeline(
+        spark,
+        landing_dir=landing_c,
+        work_dir=str(tmp_path / "work_chain"),
+        benchmark_emb_dir=bench_dir,
+        cents=cents,
+        books=books,
+        threshold=0.95,
+    )
+    want_final = snapshot(dirs_c)
+    w4.coalesce(1).write.mode("append").parquet(landing_l)
+    dirs_l2 = run_corpus_stream_pipeline(
+        spark,
+        landing_dir=landing_l,
+        work_dir=str(tmp_path / "work_live"),
+        benchmark_emb_dir=bench_dir,
+        cents=cents,
+        books=books,
+        threshold=0.95,
+    )
+    assert snapshot(dirs_l2) == want_final
