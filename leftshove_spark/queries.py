@@ -128,74 +128,19 @@ GATE_EXCLUDE = frozenset({"j3_dedup_latest_semijoin", "x_text_stats"})
 # tests/test_gate_tail_oracle.py, which oracle-checks the FULL gate
 # surface regardless of rotation position.
 GATE_ORDER = [
-    # --- r13 head: never-driver-scored operators first (X68 attributed
-    # n-gram decontamination, X69 the 50k-rank frozen-vocab inference
-    # row), then the changed-implementation re-scores — the n-gram pass
-    # refactored for attribution (x_decontaminate), the semantic passes
-    # reworked (ordinal benchmark-id tracking in the IVF pass + live
-    # dim validation in both), and the three manifest-store consumers
-    # whose commit path gained dual-bounded GC retention, the writer
-    # fence, and the widened orphan sweep — then the stalest veterans:
-    # the r6-last-scored remainder and the r7-scored block. The r12
-    # head (scored last round) rotates to the tail; every rotated-out
-    # entry stays verified each pytest pass by
+    # --- r14 rotation (the standing gate-hygiene discipline, VERDICT
+    # r13 next #7): the r13-scored head-50 moves to the tail; the head
+    # is now the STALEST 50 — the block last driver-scored in r12 or
+    # earlier (multimodal, analytics batteries, the ANN/PQ family,
+    # TPC-H veterans). r14 adds no new gate entries: the round's new
+    # surface (sync_state replica consumer, whole-store orphan vacuum,
+    # the live four-stream composed pipeline) is filesystem/streaming
+    # maintenance with no SQL twin — pytest-pinned
+    # (tests/test_statestore.py, tests/test_streaming_composed.py).
+    # Every rotated-out entry stays oracle-verified each pytest pass by
     # tests/test_gate_tail_oracle.py.
-    "x_pipeline_curation",
-    "x_decontaminate_attributed",
-    "x_contamination_report_ngram",
-    "x_bpe_50k_vocab",
-    "x_decontaminate",
-    "x_decontaminate_semantic",
-    "x_decontaminate_semantic_ivf",
-    "x_current_state_materialized",
-    "w21_rollup_incremental",
-    "w22_corpus_stats_incremental",
-    # stalest veterans — the r6-last-scored remainder
-    "p1_pivot_event_counts",
-    "q4_order_priority",
-    "j4_full_outer_reconcile",
-    "s1_set_ops_customers",
-    "q14_promo_revenue",
-    "w9_session_window",
-    "o5_stats_battery",
-    "j1_left_join_orders_customer",
-    "j2_inner_join_lineitem_orders",
-    "a3_agg_string_list",
-    "j3_dedup_latest_window",
-    "x_dedup_simhash",
-    # the r7-scored block — next-oldest certifications
-    "x_bpe_token_counts",
-    "x_lm_quality_score",
-    "x_split_by_component",
-    "x_trend_ols",
-    "x_knn_pq",
-    "x_knn_pq_rerank",
-    "q16_supplier_part_counts",
-    "q22_dormant_customers",
-    "q21_latest_shipper",
-    "q7_volume_shipping",
-    "o6_grouping_sets",
-    "w15_window_battery",
-    "c16_json_null_battery",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "c17_temporal_battery",
-    "c18_string_battery",
-    "w19_nav_battery",
-    "c19_math_battery",
-    "x_chunk_documents",
-    "x_epoch_shuffle",
-    "x_token_budget_cap",
-    "t3_asof_join_bucketed",
-    "x_snapshot_diff",
-    "x_zorder_layout",
-    "x_retention_policy",
-    "j7_temporal_join",
     "x_dedup_cc_incremental",
     "x_dedup_connected_components",
-    # --- tail (entries 51+): the rest in prior order; the r12 head
-    # (newest-certified) closes the list
     "x_multimodal_decode",
     "x_multimodal_frames",
     "q12_shipmode_priority",
@@ -252,7 +197,6 @@ GATE_ORDER = [
     "q20_heavy_shippers",
     "x_mixture_sample",
     "o7_percentile_battery",
-    # the r12 head — scored last round, newest certifications
     "x_bpe_train",
     "x_bpe_5k_vocab",
     "x_bpe_encode",
@@ -301,6 +245,56 @@ GATE_ORDER = [
     "t2_range_join_sliding_windows",
     "f1_window_predicate",
     "f2_f6_capture_projection",
+    "x_pipeline_curation",
+    "x_decontaminate_attributed",
+    "x_contamination_report_ngram",
+    "x_bpe_50k_vocab",
+    "x_decontaminate",
+    "x_decontaminate_semantic",
+    "x_decontaminate_semantic_ivf",
+    "x_current_state_materialized",
+    "w21_rollup_incremental",
+    "w22_corpus_stats_incremental",
+    "p1_pivot_event_counts",
+    "q4_order_priority",
+    "j4_full_outer_reconcile",
+    "s1_set_ops_customers",
+    "q14_promo_revenue",
+    "w9_session_window",
+    "o5_stats_battery",
+    "j1_left_join_orders_customer",
+    "j2_inner_join_lineitem_orders",
+    "a3_agg_string_list",
+    "j3_dedup_latest_window",
+    "x_dedup_simhash",
+    "x_bpe_token_counts",
+    "x_lm_quality_score",
+    "x_split_by_component",
+    "x_trend_ols",
+    "x_knn_pq",
+    "x_knn_pq_rerank",
+    "q16_supplier_part_counts",
+    "q22_dormant_customers",
+    "q21_latest_shipper",
+    "q7_volume_shipping",
+    "o6_grouping_sets",
+    "w15_window_battery",
+    "c16_json_null_battery",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "c17_temporal_battery",
+    "c18_string_battery",
+    "w19_nav_battery",
+    "c19_math_battery",
+    "x_chunk_documents",
+    "x_epoch_shuffle",
+    "x_token_budget_cap",
+    "t3_asof_join_bucketed",
+    "x_snapshot_diff",
+    "x_zorder_layout",
+    "x_retention_policy",
+    "j7_temporal_join",
 ]
 
 
