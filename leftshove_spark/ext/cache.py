@@ -43,3 +43,31 @@ def release_pins() -> int:
 
 def pinned_count() -> int:
     return len(_PINNED)
+
+
+class pin_scope:
+    """Context-manager form of the pin lifecycle (ADVICE r13) for
+    LIBRARY callers outside the gate/bench convention: operators that
+    pin intermediates (decontaminate(attribute=True), the LSH stages)
+    leak one persist per call into a long-lived session unless the
+    caller remembers :func:`release_pins`. Inside a scope, pins taken
+    by the wrapped calls are released on exit — but only the pins the
+    scope ADDED: pre-existing pins (an outer scope's, or a gate
+    query's) survive, so scopes nest and compose with the gate's
+    release-at-entry discipline.
+
+        with cache.pin_scope():
+            hits = decontaminate(corpus, bench, attribute=True)
+            report = hits.groupBy(...).agg(...).collect()  # consume HERE
+        # the attribution join's persist is released; `hits` remains a
+        # valid lazy frame (it recomputes if referenced again)
+    """
+
+    def __enter__(self) -> "pin_scope":
+        self._base = len(_PINNED)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        for df in _PINNED[self._base:]:
+            df.unpersist()
+        del _PINNED[self._base:]

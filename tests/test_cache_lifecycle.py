@@ -111,3 +111,39 @@ def test_arrow_stage_fans_out_narrow_input(spark, docs, stage):
         assert out.rdd.getNumPartitions() == width
     finally:
         cache.release_pins()
+
+
+def test_pin_scope_releases_only_its_own_pins(spark, docs):
+    """r14 (ADVICE r13): the context-manager pin form for library
+    callers — pins taken inside the scope are released on exit, pins
+    that existed before it survive (scopes nest and compose with the
+    gate's release-at-entry discipline), and release_pins() called
+    inside a scope doesn't break the exit accounting."""
+    outer = cache.pin(docs.select("doc_id"))
+    outer.count()
+    assert cache.pinned_count() == 1
+
+    with cache.pin_scope():
+        inner = _staged_shingles(docs.limit(50), "text", "doc_id")
+        inner.count()
+        assert cache.pinned_count() >= 2
+    assert cache.pinned_count() == 1  # inner released, outer kept
+    assert outer.storageLevel.useMemory  # the outer pin is still live
+
+    # nesting: the inner scope's exit leaves the outer scope's pins
+    with cache.pin_scope():
+        a = cache.pin(docs.select("text"))
+        a.count()
+        with cache.pin_scope():
+            b = cache.pin(docs.select("lang"))
+            b.count()
+            assert cache.pinned_count() == 3
+        assert cache.pinned_count() == 2
+    assert cache.pinned_count() == 1
+
+    # release_pins() inside a scope empties everything; exit is a no-op
+    with cache.pin_scope():
+        cache.pin(docs.select("source")).count()
+        assert cache.release_pins() == 2  # outer + this scope's pin
+    assert cache.pinned_count() == 0
+    assert _cache_empty(spark)
