@@ -64,10 +64,21 @@ class pin_scope:
     """
 
     def __enter__(self) -> "pin_scope":
-        self._base = len(_PINNED)
+        # IDENTITY accounting, not a length index: release_pins()
+        # running inside the scope (an operator's own cleanup, or the
+        # caller's) rewrites the registry under us, and pins taken
+        # after it would land below a length watermark and silently
+        # survive exit (r14 review). Membership against the entry-time
+        # objects releases exactly the pins this scope ADDED, whatever
+        # happened to the registry in between.
+        self._before = {id(df) for df in _PINNED}
         return self
 
     def __exit__(self, *exc) -> None:
-        for df in _PINNED[self._base:]:
-            df.unpersist()
-        del _PINNED[self._base:]
+        kept: list[DataFrame] = []
+        for df in _PINNED:
+            if id(df) in self._before:
+                kept.append(df)
+            else:
+                df.unpersist()
+        _PINNED[:] = kept

@@ -447,6 +447,49 @@ def _gc(
             os.remove(os.path.join(mdir, e))
 
 
+def _live_set(state_dir: str) -> set[str]:
+    """Every data-relative path ANY retained manifest references —
+    current files AND garbage awaiting retention. This is THE
+    definition of 'not an orphan' for both sweeps (the per-commit
+    pre-flip sweep and :func:`vacuum_orphans`); keeping it in one
+    place means a manifest-format change cannot make the two sweeps
+    disagree about what is deletable (r14 review)."""
+    live: set[str] = set()
+    for gen in _list_manifests(state_dir):
+        try:
+            with open(_manifest_path(state_dir, gen), encoding="utf-8") as fh:
+                m = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for rels in m.get("files", {}).values():
+            live.update(rels)
+        live.update(m.get("garbage", []))
+    return live
+
+
+def _tree_newest_mtime(root: str) -> float:
+    """The newest mtime anywhere under ``root`` (the root itself
+    included). A directory's own mtime only changes when its DIRECT
+    entries change — a Spark job writing deep under
+    ``.fold_tmp/_temporary/...`` for longer than the sweep grace
+    leaves the top-level dir looking old while the write is very much
+    alive; age must be measured against the most recent activity in
+    the tree (r14 review — the directory analog of the move-time
+    re-stamp)."""
+    newest = 0.0
+    try:
+        newest = os.path.getmtime(root)
+    except OSError:
+        pass
+    for dp, dns, fns in os.walk(root):
+        for e in dns + fns:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(dp, e)))
+            except OSError:
+                pass
+    return newest
+
+
 def _sweep_orphans(
     state_dir: str,
     pcol: str | None,
@@ -466,16 +509,7 @@ def _sweep_orphans(
     clock — see the clock-discipline note at the grace constant."""
     now = _fs_now(state_dir)
     data = os.path.join(state_dir, _DATA_DIR)
-    live: set[str] = set(exempt)
-    for gen in _list_manifests(state_dir):
-        try:
-            with open(_manifest_path(state_dir, gen), encoding="utf-8") as fh:
-                m = json.load(fh)
-        except (OSError, json.JSONDecodeError):
-            continue
-        for rels in m.get("files", {}).values():
-            live.update(rels)
-        live.update(m.get("garbage", []))
+    live: set[str] = set(exempt) | _live_set(state_dir)
     for v in partition_values:
         pdir = os.path.join(data, f"{pcol}={v}") if pcol else data
         if not os.path.isdir(pdir):
@@ -520,16 +554,7 @@ def vacuum_orphans(
         return []
     grace = ORPHAN_SWEEP_GRACE_SEC if grace_sec is None else grace_sec
     now = _fs_now(state_dir)
-    live: set[str] = set()
-    for gen in _list_manifests(state_dir):
-        try:
-            with open(_manifest_path(state_dir, gen), encoding="utf-8") as fh:
-                m = json.load(fh)
-        except (OSError, json.JSONDecodeError):
-            continue
-        for rels in m.get("files", {}).values():
-            live.update(rels)
-        live.update(m.get("garbage", []))
+    live = _live_set(state_dir)
     removed: list[str] = []
     data = os.path.join(state_dir, _DATA_DIR)
     for dirpath, dirnames, filenames in os.walk(data):
@@ -556,12 +581,14 @@ def vacuum_orphans(
             except FileNotFoundError:
                 pass
     tmp = os.path.join(state_dir, _TMP_DIR)
-    try:
-        if os.path.isdir(tmp) and (now - os.path.getmtime(tmp)) >= grace:
-            shutil.rmtree(tmp, ignore_errors=True)
-            removed.append(_TMP_DIR)
-    except FileNotFoundError:
-        pass
+    # age the scratch dir by the NEWEST mtime in its tree, not the top
+    # dir's — a live fold's Spark write keeps creating files deep under
+    # _temporary/ while the top-level mtime stays at creation time, so
+    # a >grace-long write would otherwise look like old debris and its
+    # in-flight scratch would be deleted mid-write (r14 review)
+    if os.path.isdir(tmp) and (now - _tree_newest_mtime(tmp)) >= grace:
+        shutil.rmtree(tmp, ignore_errors=True)
+        removed.append(_TMP_DIR)
     return removed
 
 
@@ -886,50 +913,81 @@ def sync_state(
     swap per changed partition, never a rescan of untouched ones."""
     from .sinks import recover_staged, rewrite_dir_staged
 
-    gens = _list_manifests(state_dir)
-    if not gens:
-        raise ValueError(
-            f"{state_dir} has no committed generations to sync from "
-            "(legacy/pre-manifest stores have no change feed — fold "
-            "once to adopt them)"
-        )
-    gen = gens[-1]
-    m = load_manifest(state_dir, gen)
-    pcol = m["partition_col"]
     if last_gen is None:
         last_gen = last_synced_generation(replica_dir)
-    touched: list[str] | None = None
-    if last_gen is not None and last_gen != gen:
-        try:
-            touched = changed_partitions(state_dir, last_gen, to_gen=gen)
-        except KeyError:
-            touched = None  # retention lapsed → full re-clone
-    if last_gen is None or touched is None:
-        full = read_state(spark, state_dir, generation=gen)
-        rewrite_dir_staged(
-            full, replica_dir, partition_by=[pcol] if pcol else None
+
+    def _retention_shaped(e: BaseException) -> bool:
+        # a generation this sync pinned fell out of retention MID-SYNC
+        # (a fast maintainer running eager-reclaim knobs committed past
+        # it between the snapshot and a read): manifest-level lapses
+        # raise KeyError; a pinned scan losing its files mid-job
+        # surfaces as Spark's FileNotFound family. Both mean the same
+        # thing — re-snapshot and re-clone — and surfacing either would
+        # leak the retention protocol this helper exists to hide.
+        if isinstance(e, KeyError):
+            return True
+        s = str(e)
+        return (
+            "FileNotFound" in s
+            or "FILE_NOT_FOUND" in s
+            or "PATH_NOT_FOUND" in s
         )
-    elif last_gen != gen:
-        for v in touched:
-            pdir = (
-                os.path.join(replica_dir, f"{pcol}={v}")
-                if pcol
-                else replica_dir
+
+    for attempt in range(3):
+        gens = _list_manifests(state_dir)
+        if not gens:
+            raise ValueError(
+                f"{state_dir} has no committed generations to sync from "
+                "(legacy/pre-manifest stores have no change feed — fold "
+                "once to adopt them)"
             )
-            if v in m["files"]:
-                part = read_state(
-                    spark, state_dir, partition_values=[v], generation=gen
+        gen = gens[-1]
+        try:
+            m = load_manifest(state_dir, gen)
+            pcol = m["partition_col"]
+            touched: list[str] | None = None
+            if last_gen is not None and last_gen != gen:
+                try:
+                    touched = changed_partitions(
+                        state_dir, last_gen, to_gen=gen
+                    )
+                except KeyError:
+                    touched = None  # retention lapsed → full re-clone
+            if last_gen is None or touched is None:
+                full = read_state(spark, state_dir, generation=gen)
+                rewrite_dir_staged(
+                    full, replica_dir, partition_by=[pcol] if pcol else None
                 )
-                if pcol:
-                    # the dir name carries the partition value; a copy
-                    # in the data files would collide with partition
-                    # discovery at replica read time
-                    part = part.drop(pcol)
-                rewrite_dir_staged(part, pdir)
-            else:
-                # the diff says the partition was deleted outright
-                recover_staged(pdir)
-                shutil.rmtree(pdir, ignore_errors=True)
+            elif last_gen != gen:
+                for v in touched:
+                    pdir = (
+                        os.path.join(replica_dir, f"{pcol}={v}")
+                        if pcol
+                        else replica_dir
+                    )
+                    if v in m["files"]:
+                        part = read_state(
+                            spark,
+                            state_dir,
+                            partition_values=[v],
+                            generation=gen,
+                        )
+                        if pcol:
+                            # the dir name carries the partition value;
+                            # a copy in the data files would collide
+                            # with partition discovery at replica read
+                            part = part.drop(pcol)
+                        rewrite_dir_staged(part, pdir)
+                    else:
+                        # the diff says the partition was deleted
+                        recover_staged(pdir)
+                        shutil.rmtree(pdir, ignore_errors=True)
+            break
+        except Exception as e:
+            if attempt < 2 and _retention_shaped(e):
+                last_gen = None  # next attempt re-snapshots + re-clones
+                continue
+            raise
     os.makedirs(replica_dir, exist_ok=True)
     marker = os.path.join(replica_dir, _SYNC_GEN_FILE)
     part_path = f"{marker}.{uuid.uuid4().hex[:8]}.part"

@@ -865,6 +865,7 @@ def start_near_dedup_stream(
     once: bool = True,
     processing_time: str = "20 seconds",
     max_files_per_trigger: int | None = None,
+    source_schema=None,
 ) -> StreamingQuery:
     """W20 — streaming near-dup ADMISSION CONTROL: every micro-batch of
     documents is screened against the persisted LSH index before it may
@@ -898,7 +899,13 @@ def start_near_dedup_stream(
     other at-least-once sink here (J3 view / exact_dedup). At 100 TB
     the index lives partitioned by a band-key prefix and the per-batch
     cost stays O(batch + collisions) — the same envelope as
-    minhash_lsh_pairs_incremental."""
+    minhash_lsh_pairs_incremental.
+
+    ``source_schema`` lets the stream start on a still-EMPTY landing
+    dir (the live composed pipeline started ahead of the first wave);
+    files landing later must physically match it — Spark-written
+    micros timestamps, not raw nano parquet, which only the
+    inference path normalizes."""
     import os as _os
 
     from .ext.dedup import (
@@ -907,7 +914,9 @@ def start_near_dedup_stream(
     )
     from .ext.graph import connected_components
 
-    src = _streaming_source(spark, landing_dir, max_files_per_trigger)
+    src = _streaming_source(
+        spark, landing_dir, max_files_per_trigger, schema=source_schema
+    )
     from pyspark.sql import types as _T
 
     id_type = src.schema[id_col].dataType
@@ -1598,10 +1607,21 @@ def start_corpus_stream_pipeline_live(
     not a re-run.
 
     The downstream stages start on still-EMPTY intermediate dirs, so
-    their sources take an explicit schema derived from the landing
-    dir's (every stage preserves the landed columns — admitted/ and
-    clean/ carry the same schema; ``schema`` overrides the derivation
-    when the landing dir itself is still empty at start). Checkpoints
+    their sources take an explicit schema — derived from the landing
+    dir's BATCH-VISIBLE schema (``sources.read_parquet_normalized``:
+    nano-timestamp columns surface as TimestampType, exactly the types
+    stage 1's foreachBatch frames carry and therefore the types the
+    admitted/clean parquet is physically written with; a raw
+    ``spark.read.parquet(...).schema`` would claim LongType for nano
+    columns and mis-describe the normalized downstream files). Every
+    stage preserves the landed columns, so admitted/ and clean/ carry
+    the landing schema. ``schema`` overrides the derivation when the
+    landing dir itself is still empty at start — it is then threaded
+    to ALL FOUR stages including admission, and later-landing files
+    must physically match it (Spark-written micros timestamps, not raw
+    nano parquet — only the inference path normalizes nanos). With a
+    populated landing dir, stage 1 keeps schema INFERENCE so physical
+    nano columns are read and normalized correctly. Checkpoints
     live under the same ``work_dir/ck/`` as the availableNow form —
     the two modes are interchangeable deployments of one pipeline: a
     live run stopped cleanly can be drained the rest of the way by one
@@ -1626,11 +1646,19 @@ def start_corpus_stream_pipeline_live(
         "ivfadc_index": os.path.join(work_dir, "ivfadc_index"),
         "state": os.path.join(work_dir, "state"),
     }
+    admit_schema = schema  # explicit only for a still-empty landing dir
     if schema is None:
-        schema = spark.read.parquet(landing_dir).schema
-    # the intermediate sources must EXIST before their streams start;
-    # their schemas equal the landing schema (both stages preserve
-    # every landed column)
+        # the BATCH-VISIBLE schema (nano → TimestampType) — what stage
+        # 1's normalized frames carry and the intermediate parquet is
+        # physically written with; stage 1 itself keeps inference so
+        # raw nano landing files read correctly (r14 review)
+        from .sources import read_parquet_normalized
+
+        schema = read_parquet_normalized(spark, landing_dir).schema
+    # the sources must EXIST before their streams start; the
+    # intermediate schemas equal the landing schema (both stages
+    # preserve every landed column)
+    os.makedirs(landing_dir, exist_ok=True)
     os.makedirs(dirs["admitted"], exist_ok=True)
     os.makedirs(dirs["clean"], exist_ok=True)
 
@@ -1649,6 +1677,7 @@ def start_corpus_stream_pipeline_live(
             jaccard_threshold=jaccard_threshold,
             once=False,
             processing_time=processing_time,
+            source_schema=admit_schema,
         ),
         start_decontaminate_stream(
             spark,

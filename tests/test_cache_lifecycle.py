@@ -147,3 +147,18 @@ def test_pin_scope_releases_only_its_own_pins(spark, docs):
         assert cache.release_pins() == 2  # outer + this scope's pin
     assert cache.pinned_count() == 0
     assert _cache_empty(spark)
+
+
+def test_pin_scope_survives_mid_scope_release(spark, docs):
+    """r14 review: pins taken AFTER a release_pins() that ran inside
+    the scope must still be released at exit — identity accounting,
+    not a length watermark (a length index would leave them below the
+    watermark and leak them)."""
+    with cache.pin_scope():
+        cache.release_pins()  # registry rewritten under the scope
+        late = cache.pin(docs.select("doc_id"))
+        late.count()
+        assert cache.pinned_count() == 1
+    assert cache.pinned_count() == 0
+    assert not late.storageLevel.useMemory  # actually unpersisted
+    assert _cache_empty(spark)

@@ -1073,3 +1073,95 @@ def test_sync_state_unpartitioned_store(spark, tmp_path):
         for r in statestore.read_state(spark, state).collect()
     )
     assert got == want == [(1, "A"), (3, "c")]
+
+
+def test_vacuum_spares_live_inflight_scratch_tree(spark, tmp_path):
+    """r14 review: a fold whose Spark write into .fold_tmp outlasts the
+    grace keeps writing files DEEP in the tree while the top-level dir
+    mtime stays at creation — vacuum must age the scratch by the
+    newest mtime in the tree (spared while any entry is fresh), and
+    sweep it only once the whole tree is past grace."""
+    import time
+
+    state = str(tmp_path / "vtree")
+    statestore.commit_fold(
+        spark,
+        state,
+        spark.createDataFrame([(1, "5", "a")], "k long, p string, v string"),
+        "p",
+        ["5"],
+    )
+    tmp_dir = os.path.join(state, ".fold_tmp", "_temporary", "0")
+    os.makedirs(tmp_dir)
+    old = time.time() - statestore.ORPHAN_SWEEP_GRACE_SEC - 60
+    # top-level dirs look old; one deep in-flight task file is FRESH
+    fresh = os.path.join(tmp_dir, "part-00000.parquet")
+    with open(fresh, "wb") as fh:
+        fh.write(b"PAR1")
+    for p in (
+        os.path.join(state, ".fold_tmp"),
+        os.path.join(state, ".fold_tmp", "_temporary"),
+        tmp_dir,
+    ):
+        os.utime(p, (old, old))
+    assert statestore.vacuum_orphans(state) == []  # live write spared
+    assert os.path.exists(fresh)
+    # the write finished long ago (every entry old) → debris, swept
+    os.utime(fresh, (old, old))
+    assert statestore.vacuum_orphans(state) == [".fold_tmp"]
+    assert not os.path.isdir(os.path.join(state, ".fold_tmp"))
+
+
+def test_sync_state_survives_mid_sync_retention_lapse(
+    spark, tmp_path, monkeypatch
+):
+    """r14 review: the generation sync_state pinned can itself be GC'd
+    MID-SYNC by a fast eager-reclaim maintainer (two commits between
+    the snapshot and a pinned read). The helper must re-snapshot and
+    fall back to a full re-clone instead of surfacing KeyError —
+    'no retention-protocol knowledge required of the caller' has to
+    hold against this race too."""
+    state = str(tmp_path / "lapse")
+    replica = str(tmp_path / "lapserep")
+
+    def fold(rows, touched):
+        statestore.commit_fold(
+            spark,
+            state,
+            spark.createDataFrame(rows, "k long, p string, v string"),
+            "p",
+            touched,
+            retention_sec=0.0,
+        )
+
+    fold([(1, "1", "a"), (2, "2", "b")], ["1", "2"])
+    assert statestore.sync_state(spark, state, replica) == 1
+    fold([(2, "2", "B")], ["2"])  # gen 2 — the sync below pins this
+
+    real_read = statestore.read_state
+    fired = []
+
+    def read_then_lapse(*a, **kw):
+        if not fired:
+            fired.append(1)
+            # two eager commits land AFTER the snapshot, BEFORE the
+            # pinned read: gen 2 falls out of retention
+            fold([(3, "1", "c")], ["1"])
+            fold([(4, "2", "d")], ["2"])
+            assert 2 not in statestore.list_generations(state)
+        return real_read(*a, **kw)
+
+    monkeypatch.setattr(statestore, "read_state", read_then_lapse)
+    gen = statestore.sync_state(spark, state, replica)
+    monkeypatch.undo()
+    assert gen == statestore.list_generations(state)[-1]
+    got = sorted(
+        (r["k"], str(r["p"]), r["v"])
+        for r in spark.read.parquet(replica).collect()
+    )
+    want = sorted(
+        (r["k"], str(r["p"]), r["v"])
+        for r in statestore.read_state(spark, state).collect()
+    )
+    assert got == want
+    assert statestore.last_synced_generation(replica) == gen

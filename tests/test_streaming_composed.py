@@ -439,3 +439,108 @@ def test_live_composed_pipeline_matches_chained_end_state(spark, tmp_path):
         threshold=0.95,
     )
     assert snapshot(dirs_l2) == want_final
+
+
+def test_live_pipeline_starts_on_empty_landing_with_schema(spark, tmp_path):
+    """r14 review: the documented empty-landing start — pass `schema`,
+    all four stages (admission included: its source needs the explicit
+    schema too, there are no files to infer from) start on empty dirs,
+    and the first wave landing AFTER the start flows through to the
+    materialized state. The derived-schema path is also pinned: for a
+    populated landing dir the downstream schema must be the BATCH-
+    VISIBLE one (read_parquet_normalized), not the raw footer schema."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from leftshove_spark.ext.similarity import ivfadc_train
+    from leftshove_spark.sources import read_parquet_normalized
+    from leftshove_spark.streaming import (
+        start_corpus_stream_pipeline_live,
+        stop_corpus_stream_pipeline,
+    )
+
+    base = _fixture(spark).withColumn("version", F.lit(1).cast("long"))
+    bench_dir = str(tmp_path / "bench")
+    base.limit(0).select("doc_id", "embedding").write.parquet(bench_dir)
+    cents, books = ivfadc_train(
+        base, n_centroids=2, id_col="doc_id", vec_col="embedding"
+    )
+    wave = base.filter(F.col("doc_id") < 10)
+
+    landing = str(tmp_path / "landing")  # does NOT exist yet
+    dirs, queries = start_corpus_stream_pipeline_live(
+        spark,
+        landing_dir=landing,
+        work_dir=str(tmp_path / "work"),
+        benchmark_emb_dir=bench_dir,
+        cents=cents,
+        books=books,
+        processing_time="1 second",
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+                T.StructField("version", T.LongType()),
+            ]
+        ),
+    )
+    try:
+        assert all(q.isActive for q in queries)
+        wave.coalesce(1).write.mode("append").parquet(landing)
+        deadline = time.time() + 240
+        want = {r["doc_id"] for r in wave.collect()}
+        got = set()
+        while time.time() < deadline and got != want:
+            for q in queries:
+                assert q.exception() is None, str(q.exception())
+            try:
+                got = {
+                    r["doc_id"]
+                    for r in current_state_table(
+                        spark, dirs["state"]
+                    ).collect()
+                }
+            except Exception:
+                pass
+            time.sleep(2)
+        assert got == want
+    finally:
+        stop_corpus_stream_pipeline(queries)
+
+    # the populated-landing schema derivation is the BATCH-VISIBLE one:
+    # on a landing dir with physical nano-timestamp columns (events),
+    # the raw footer schema claims LongType (nanosAsLong) while the
+    # normalized read — what stage 1's frames carry and the
+    # intermediate parquet is written with — surfaces TimestampType;
+    # deriving downstream schemas from the raw form would mis-describe
+    # the normalized files (the r14 review finding)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T2
+
+    nano_dir = str(tmp_path / "nano_landing")
+    import os as _os
+
+    _os.makedirs(nano_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array([1_700_000_000_000_000_001, 2], pa.timestamp("ns")),
+            }
+        ),
+        _os.path.join(nano_dir, "part-0.parquet"),
+        store_schema=False,  # bare TIMESTAMP(NANOS), no arrow metadata
+    )
+    raw = dict(spark.read.parquet(nano_dir).dtypes)
+    norm = {
+        f.name: f.dataType
+        for f in read_parquet_normalized(spark, nano_dir).schema
+    }
+    assert raw["ts"] == "bigint"  # the raw footer schema: nanosAsLong
+    assert isinstance(norm["ts"], T2.TimestampType)  # batch-visible form
+    # and the flat landing used above derives identically either way
+    assert [f.name for f in read_parquet_normalized(spark, landing).schema] \
+        == ["doc_id", "text", "embedding", "version"]
