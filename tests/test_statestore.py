@@ -1165,3 +1165,76 @@ def test_sync_state_survives_mid_sync_retention_lapse(
     )
     assert got == want
     assert statestore.last_synced_generation(replica) == gen
+
+
+def test_sync_state_follows_concurrent_live_maintainer(spark, tmp_path):
+    """r14 capstone: two REAL actors, no interposition — a maintainer
+    thread committing folds on its own cadence while the consumer loop
+    calls sync_state whenever it likes. Every sync must leave the
+    replica exactly equal to the generation-pinned table at the
+    generation the sync returned (keep_generations wide enough that
+    each returned generation is still retained for the check) — the
+    pinned-sync protocol holding under genuine interleaving, not a
+    scripted one."""
+    import threading
+    import time
+
+    state = str(tmp_path / "live")
+    replica = str(tmp_path / "liverep")
+    N_FOLDS = 7
+
+    def fold(i):
+        rows = [(i * 10 + j, str(j % 3), f"v{i}") for j in range(3)]
+        statestore.commit_fold(
+            spark,
+            state,
+            spark.createDataFrame(rows, "k long, p string, v string"),
+            "p",
+            sorted({str(j % 3) for j in range(3)}),
+            keep_generations=30,
+        )
+
+    fold(0)  # gen 1 exists before the race starts
+    errors: list[BaseException] = []
+
+    def maintainer():
+        try:
+            for i in range(1, N_FOLDS):
+                fold(i)
+                time.sleep(0.2)
+        except BaseException as e:  # surface thread failures in the test
+            errors.append(e)
+
+    t = threading.Thread(target=maintainer)
+    t.start()
+    checks = 0
+    try:
+        while t.is_alive() or checks == 0:
+            g = statestore.sync_state(spark, state, replica)
+            got = sorted(
+                (r["k"], str(r["p"]), r["v"])
+                for r in spark.read.parquet(replica).collect()
+            )
+            want = sorted(
+                (r["k"], str(r["p"]), r["v"])
+                for r in statestore.read_state(
+                    spark, state, generation=g
+                ).collect()
+            )
+            assert got == want, f"replica diverged at generation {g}"
+            checks += 1
+    finally:
+        t.join()
+    assert not errors, errors
+    # final sync converges on the last committed generation
+    g = statestore.sync_state(spark, state, replica)
+    assert g == statestore.list_generations(state)[-1] == N_FOLDS
+    got = sorted(
+        (r["k"], str(r["p"]), r["v"])
+        for r in spark.read.parquet(replica).collect()
+    )
+    want = sorted(
+        (r["k"], str(r["p"]), r["v"])
+        for r in statestore.read_state(spark, state).collect()
+    )
+    assert got == want and checks >= 1
