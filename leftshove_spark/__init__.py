@@ -12,7 +12,11 @@ Layering (SURVEY.md §7):
 - :mod:`leftshove_spark.views`       — current-state dedup view (J3, D5)
 - :mod:`leftshove_spark.sinks`       — append / JSON-lines sinks (S2, S3)
 - :mod:`leftshove_spark.engine`      — seed / create-sinks / run-cycle loop (§3)
+- :mod:`leftshove_spark.statestore`  — manifest-committed fold store (K15–K19):
+  atomic commits, retention/time travel, change feed, sync_state replicas,
+  vacuum_orphans maintenance
 - :mod:`leftshove_spark.streaming`   — Structured Streaming variant (W1–W5)
+- :mod:`leftshove_spark.pipeline_runner` — declarative curation pipelines (P2/P3)
 - :mod:`leftshove_spark.operators`   — relational surface (§2.2–2.8)
 - :mod:`leftshove_spark.ext`         — dedup / similarity / text / multimodal
 """

@@ -12,9 +12,13 @@ Two waves land; the second wave re-runs the SAME pipeline call and the
 chained checkpoints process only the new files — wave 2 carries a
 version-2 edit (visible in the final state), a near-dup (rejected at
 admission), and a planted paraphrase leak (quarantined with its
-matched benchmark id). The composition is pytest-pinned ≡ the batch
-composition (tests/test_streaming_composed.py); this script shows the
-operational story with per-stage counts. Run:
+matched benchmark id). A third wave then lands while the same four
+stages run as CONCURRENT processingTime streams over the same
+checkpoints (start_corpus_stream_pipeline_live, r14) — the live
+deployment, interchangeable with the chained form. The composition is
+pytest-pinned ≡ the batch composition
+(tests/test_streaming_composed.py); this script shows the operational
+story with per-stage counts. Run:
 
     python scripts/demo_stream_composed.py [sf_dir]
 
@@ -179,6 +183,73 @@ def main() -> None:
         assert admitted.filter(F.col("doc_id") == 9_000_001).count() == 0, (
             "the near-dup must be rejected at admission"
         )
+
+        # wave 3 — the LIVE deployment (r14): the SAME four stages as
+        # concurrently-running processingTime streams over the SAME
+        # checkpoints; a wave landing while they run flows through to
+        # the state within a few trigger periods, and the live run is
+        # interchangeable with the chained availableNow form
+        import time
+
+        from leftshove_spark.streaming import (
+            start_corpus_stream_pipeline_live,
+            stop_corpus_stream_pipeline,
+        )
+
+        dirs, queries = start_corpus_stream_pipeline_live(
+            spark,
+            landing_dir=landing,
+            work_dir=work,
+            benchmark_emb_dir=bench_dir,
+            cents=cents,
+            books=books,
+            threshold=0.9,
+            processing_time="1 second",
+        )
+        try:
+            novel = spark.createDataFrame(
+                [
+                    (
+                        9_000_003,
+                        "a live wave document wholly unlike every other one",
+                        b0["embedding"],  # leaks → quarantined live
+                        1,
+                    ),
+                    (
+                        9_000_004,
+                        "another live wave document matching nothing at all",
+                        some["embedding"],
+                        1,
+                    ),
+                ],
+                "doc_id long, text string, embedding array<float>, version long",
+            )
+            novel.coalesce(1).write.mode("append").parquet(landing)
+            report["landed_wave3_live"] = 2
+            deadline = time.time() + 180
+            while time.time() < deadline:
+                for q in queries:
+                    assert q.exception() is None, str(q.exception())
+                try:
+                    if (
+                        current_state_table(spark, dirs["state"])
+                        .filter(F.col("doc_id") == 9_000_004)
+                        .count()
+                        == 1
+                    ):
+                        break
+                except Exception:
+                    pass
+                time.sleep(2)
+            else:
+                raise AssertionError("live wave never reached the state")
+        finally:
+            stop_corpus_stream_pipeline(queries)
+        quar = spark.read.parquet(dirs["quarantine"])
+        assert quar.filter(F.col("doc_id") == 9_000_003).count() == 1, (
+            "the live leak must be quarantined while the streams run"
+        )
+        report["wave3_live"] = _counts(spark, dirs)
         print(json.dumps(report))
         print("COMPOSED STREAM DEMO OK")
     finally:
