@@ -68,17 +68,22 @@ class pin_scope:
         # running inside the scope (an operator's own cleanup, or the
         # caller's) rewrites the registry under us, and pins taken
         # after it would land below a length watermark and silently
-        # survive exit (r14 review). Membership against the entry-time
-        # objects releases exactly the pins this scope ADDED, whatever
-        # happened to the registry in between.
-        self._before = {id(df) for df in _PINNED}
+        # survive exit (r14 review). STRONG references, not bare id()s
+        # (ADVICE r14): if release_pins() inside the scope dropped the
+        # registry's reference and the DataFrame were collected, a
+        # later pin could reuse the freed id() and be misclassified as
+        # pre-existing on exit — holding the objects keeps every
+        # recorded id() unique for the scope's lifetime.
+        self._before: list[DataFrame] = list(_PINNED)
         return self
 
     def __exit__(self, *exc) -> None:
+        before_ids = {id(b) for b in self._before}
         kept: list[DataFrame] = []
         for df in _PINNED:
-            if id(df) in self._before:
+            if id(df) in before_ids:
                 kept.append(df)
             else:
                 df.unpersist()
         _PINNED[:] = kept
+        self._before = []

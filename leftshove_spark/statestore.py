@@ -923,15 +923,23 @@ def sync_state(
         # raise KeyError; a pinned scan losing its files mid-job
         # surfaces as Spark's FileNotFound family. Both mean the same
         # thing — re-snapshot and re-clone — and surfacing either would
-        # leak the retention protocol this helper exists to hide.
+        # leak the retention protocol this helper exists to hide. The
+        # FileNotFound heuristic is scoped to the SOURCE store: the
+        # message must reference state_dir, so a replica-side
+        # FileNotFoundError (rewrite_dir_staged against a missing or
+        # misconfigured replica path) surfaces on its FIRST occurrence
+        # instead of being silently retried as full re-clones
+        # (ADVICE r14).
         if isinstance(e, KeyError):
             return True
         s = str(e)
-        return (
+        if not (
             "FileNotFound" in s
             or "FILE_NOT_FOUND" in s
             or "PATH_NOT_FOUND" in s
-        )
+        ):
+            return False
+        return state_dir in s or os.path.abspath(state_dir) in s
 
     for attempt in range(3):
         gens = _list_manifests(state_dir)
@@ -942,6 +950,13 @@ def sync_state(
                 "once to adopt them)"
             )
         gen = gens[-1]
+        if last_gen == gen:
+            # already current — a genuine no-op (ADVICE r14: this case
+            # previously fell through to the full-clone branch because
+            # touched stayed None, rewriting the whole replica on every
+            # idle maintenance wave). Skip all data work; still refresh
+            # the marker below so callers relying on it converge.
+            break
         try:
             m = load_manifest(state_dir, gen)
             pcol = m["partition_col"]

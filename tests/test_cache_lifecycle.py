@@ -162,3 +162,32 @@ def test_pin_scope_survives_mid_scope_release(spark, docs):
     assert cache.pinned_count() == 0
     assert not late.storageLevel.useMemory  # actually unpersisted
     assert _cache_empty(spark)
+
+
+def test_pin_scope_holds_entry_pins_alive(spark, docs):
+    """ADVICE r14: the scope records entry-time pins as STRONG
+    references, not bare id()s. If release_pins() inside the scope
+    dropped the registry's reference and the DataFrame were collected,
+    a later pin could reuse the freed id() and be misclassified as
+    pre-existing at exit (leaked past the scope). Holding the objects
+    makes id reuse impossible for the scope's lifetime."""
+    import gc
+    import weakref
+
+    pre = cache.pin(docs.select("doc_id"))
+    pre.count()
+    ref = weakref.ref(pre)
+    with cache.pin_scope() as scope:
+        cache.release_pins()  # registry drops its reference
+        del pre  # caller drops theirs too
+        gc.collect()
+        assert ref() is not None  # the scope itself keeps it alive
+        assert any(ref() is b for b in scope._before)
+        late = cache.pin(docs.select("text"))
+        late.count()
+    # the late pin was correctly classified as scope-owned and released
+    assert cache.pinned_count() == 0
+    assert not late.storageLevel.useMemory
+    gc.collect()
+    assert ref() is None  # exit drops the held references
+    assert _cache_empty(spark)

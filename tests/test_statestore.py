@@ -1238,3 +1238,126 @@ def test_sync_state_follows_concurrent_live_maintainer(spark, tmp_path):
         for r in statestore.read_state(spark, state).collect()
     )
     assert got == want and checks >= 1
+
+
+def _replica_listing(replica: str):
+    """Every data file under the replica as (relpath, size, mtime_ns,
+    inode), marker excluded — byte-identical across a no-op sync."""
+    out = []
+    for dirpath, _dirs, files in os.walk(replica):
+        for f in files:
+            if f.startswith("_SYNC_GEN"):
+                continue
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out.append(
+                (os.path.relpath(p, replica), st.st_size, st.st_mtime_ns, st.st_ino)
+            )
+    return sorted(out)
+
+
+def test_sync_state_noop_rewrites_nothing(spark, tmp_path, monkeypatch):
+    """ADVICE r14 (medium): ``last_gen == gen`` must be a TRUE no-op.
+    The r14 code fell through to the full-clone branch (touched stayed
+    None), rewriting the entire replica via a staged swap on every idle
+    maintenance wave — O(table) work plus a reader-visible swap window
+    where the contract promises O(0). Pin it two ways: the staged-swap
+    machinery is never invoked, and the partition file listings stay
+    byte-identical (path + size + mtime + inode)."""
+    from leftshove_spark import sinks
+
+    state = str(tmp_path / "noop")
+    replica = str(tmp_path / "nooprep")
+
+    def fold(rows, touched):
+        statestore.commit_fold(
+            spark,
+            state,
+            spark.createDataFrame(rows, "k long, p string, v string"),
+            "p",
+            touched,
+        )
+
+    fold([(1, "1", "a"), (2, "2", "b")], ["1", "2"])
+    assert statestore.sync_state(spark, state, replica) == 1
+    before = _replica_listing(replica)
+    assert before  # the clone actually landed files
+
+    def bomb(*a, **kw):
+        raise AssertionError("no-op sync must not rewrite any partition")
+
+    monkeypatch.setattr(sinks, "rewrite_dir_staged", bomb)
+    # marker path (last_gen read from the replica) and explicit
+    # last_gen override both short-circuit
+    assert statestore.sync_state(spark, state, replica) == 1
+    assert statestore.sync_state(spark, state, replica, last_gen=1) == 1
+    monkeypatch.undo()
+    assert _replica_listing(replica) == before
+    assert statestore.last_synced_generation(replica) == 1
+    # and the next real commit still syncs incrementally
+    fold([(2, "2", "B")], ["2"])
+    assert statestore.sync_state(spark, state, replica) == 2
+    got = sorted(
+        (r["k"], str(r["p"]), r["v"])
+        for r in spark.read.parquet(replica).collect()
+    )
+    assert got == [(1, "1", "a"), (2, "2", "B")]
+
+
+def test_sync_state_replica_side_error_surfaces_first_try(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r14 (low): the retention-lapse heuristic classified ANY
+    'FileNotFound' message as a lapse — including replica-side
+    FileNotFoundError from a misconfigured replica path — silently
+    burning two full re-clone retries before the real error surfaced.
+    A FileNotFound that does NOT reference the source store must
+    surface on the FIRST attempt; one that does must still retry."""
+    from leftshove_spark import sinks
+
+    state = str(tmp_path / "srcerr")
+    replica = str(tmp_path / "srcerrrep")
+    statestore.commit_fold(
+        spark,
+        state,
+        spark.createDataFrame([(1, "1", "a")], "k long, p string, v string"),
+        "p",
+        ["1"],
+    )
+
+    calls = []
+    real = sinks.rewrite_dir_staged
+
+    def replica_side_enoent(*a, **kw):
+        calls.append(1)
+        raise FileNotFoundError(
+            f"[Errno 2] No such file or directory: '{replica}/p=1/part-0.parquet'"
+        )
+
+    monkeypatch.setattr(sinks, "rewrite_dir_staged", replica_side_enoent)
+    with pytest.raises(FileNotFoundError):
+        statestore.sync_state(spark, state, replica)
+    assert len(calls) == 1  # no silent re-clone retries
+    monkeypatch.undo()
+
+    # green half: a FileNotFound naming the SOURCE store is
+    # retention-shaped — retried (and succeeds once it stops firing)
+    calls.clear()
+
+    def source_side_fnf_once(*a, **kw):
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError(
+                f"FileNotFoundException: File {state}/data/p=1/f.parquet "
+                "does not exist"
+            )
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sinks, "rewrite_dir_staged", source_side_fnf_once)
+    assert statestore.sync_state(spark, state, replica) == 1
+    assert len(calls) == 2
+    got = sorted(
+        (r["k"], str(r["p"]), r["v"])
+        for r in spark.read.parquet(replica).collect()
+    )
+    assert got == [(1, "1", "a")]
