@@ -113,6 +113,12 @@ HEADLINE = [
     # should be ~the sum of its stages; this row is where drift in
     # that claim would show up.
     "x_pipeline_curation",
+    # r15: ONE new row, prior rows untouched for comparability — the
+    # K20 small-file maintenance path priced end-to-end (W25 folds +
+    # a deliberate wide-shuffle fragmentation + compact_partitions'
+    # probe/route/rewrite fenced commit + the post-compaction read):
+    # the OPTIMIZE-analog a 100 TB deployment runs behind readers.
+    "x_compact_state_transparent",
 ]
 
 

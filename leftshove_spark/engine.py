@@ -434,6 +434,38 @@ class Engine:
             return []
         return statestore.vacuum_orphans(path)
 
+    def compact_state(
+        self,
+        table: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 8,
+    ) -> dict[str, int]:
+        """Rewrite ``table``'s fragmented current-state partitions into
+        ~``target_file_bytes`` files (statestore.compact_partitions —
+        one fenced commit, contents untouched, pinned readers keep
+        their generation). A fold writes one file per (write task ×
+        touched bucket), so at cluster scale a capture loop's wide
+        shuffles re-fragment the hot buckets every cycle; run this
+        from a maintenance window when the live file population
+        matters (the default ``min_files=8`` only rewrites buckets at
+        least 8 files deep).
+        No-op for tables without a manifest store. Returns the
+        executed plan ``{bucket: target_file_count}``."""
+        from . import statestore
+
+        st = next((s for s in self.state.all() if s.name == table), None)
+        if st is None:
+            raise KeyError(f"{table}: not a seeded capture table")
+        path = self.current_state_path(st)
+        if not os.path.isdir(os.path.join(path, statestore._MANIFEST_DIR)):
+            return {}
+        return statestore.compact_partitions(
+            self.spark,
+            path,
+            target_file_bytes=target_file_bytes,
+            min_files=min_files,
+        )
+
     # -------------------------------------------------------------------- run
     def run(
         self,

@@ -128,67 +128,14 @@ GATE_EXCLUDE = frozenset({"j3_dedup_latest_semijoin", "x_text_stats"})
 # tests/test_gate_tail_oracle.py, which oracle-checks the FULL gate
 # surface regardless of rotation position.
 GATE_ORDER = [
-    # --- r14 rotation (the standing gate-hygiene discipline, VERDICT
-    # r13 next #7): the r13-scored head-50 moves to the tail; the head
-    # is now the STALEST 50 — the block last driver-scored in r12 or
-    # earlier (multimodal, analytics batteries, the ANN/PQ family,
-    # TPC-H veterans). r14 adds no new gate entries: the round's new
-    # surface (sync_state replica consumer, whole-store orphan vacuum,
-    # the live four-stream composed pipeline) is filesystem/streaming
-    # maintenance with no SQL twin — pytest-pinned
-    # (tests/test_statestore.py, tests/test_streaming_composed.py).
+    # --- r15 rotation (standing gate-hygiene discipline): the r14-
+    # scored head-50 moves to the tail; the head leads with the ONE
+    # never-scored r15 entry (x_compact_state_transparent — the K20
+    # small-file compaction path, oracle-proven transparent), followed
+    # by the now-stalest block (last driver-scored r13 or earlier).
     # Every rotated-out entry stays oracle-verified each pytest pass by
     # tests/test_gate_tail_oracle.py.
-    "x_dedup_cc_incremental",
-    "x_dedup_connected_components",
-    "x_multimodal_decode",
-    "x_multimodal_frames",
-    "q12_shipmode_priority",
-    "x_hash_split",
-    "x_pii_scan",
-    "x_vocab_topk",
-    "x_pack_sequences",
-    "x_funnel_conversion",
-    "x_cohort_retention",
-    "x_repetition",
-    "x_dedup_embedding_lsh",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "x_dedup_maximal_spans",
-    "x_bm25_search",
-    "x_temperature_mixture",
-    "x_target_affinity",
-    "x_dsir_sample",
-    "x_pagerank_dedup",
-    "q3_shipping_priority",
-    "x_dedup_substring",
-    "x_dedup_substring_spans",
-    "c20_unicode_battery",
-    "x_dedup_substring_redact",
-    "x_dataset_fingerprint",
-    "x_split_leakage",
-    "x_kmv_distinct",
-    "x_kmv_jaccard",
-    "x_weighted_sample",
-    "x_quantile_sketch",
-    "x_outlier_mad",
-    "k13_bloom_prune_join",
-    "x_interleave_sources",
-    "x_stratified_pps",
-    "w17_range_frame_battery",
-    "x_dedup_index_incremental",
-    "s3_salted_agg",
-    "x_ann_recall_lsh",
-    "x_profile_columns",
-    "x_tfidf_search",
-    "x_hybrid_search_rrf",
-    "x_dedup_jaccard_exact",
-    "x_dedup_minhash_recall",
-    "x_winsorize",
-    "j5_scd2_history",
-    "j6_asof_state",
+    "x_compact_state_transparent",
     "x_sample_k_per_group",
     "k5_skew_diagnostics",
     "x_integrity_check",
@@ -295,6 +242,56 @@ GATE_ORDER = [
     "x_zorder_layout",
     "x_retention_policy",
     "j7_temporal_join",
+    "x_dedup_cc_incremental",
+    "x_dedup_connected_components",
+    "x_multimodal_decode",
+    "x_multimodal_frames",
+    "q12_shipmode_priority",
+    "x_hash_split",
+    "x_pii_scan",
+    "x_vocab_topk",
+    "x_pack_sequences",
+    "x_funnel_conversion",
+    "x_cohort_retention",
+    "x_repetition",
+    "x_dedup_embedding_lsh",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "x_dedup_maximal_spans",
+    "x_bm25_search",
+    "x_temperature_mixture",
+    "x_target_affinity",
+    "x_dsir_sample",
+    "x_pagerank_dedup",
+    "q3_shipping_priority",
+    "x_dedup_substring",
+    "x_dedup_substring_spans",
+    "c20_unicode_battery",
+    "x_dedup_substring_redact",
+    "x_dataset_fingerprint",
+    "x_split_leakage",
+    "x_kmv_distinct",
+    "x_kmv_jaccard",
+    "x_weighted_sample",
+    "x_quantile_sketch",
+    "x_outlier_mad",
+    "k13_bloom_prune_join",
+    "x_interleave_sources",
+    "x_stratified_pps",
+    "w17_range_frame_battery",
+    "x_dedup_index_incremental",
+    "s3_salted_agg",
+    "x_ann_recall_lsh",
+    "x_profile_columns",
+    "x_tfidf_search",
+    "x_hybrid_search_rrf",
+    "x_dedup_jaccard_exact",
+    "x_dedup_minhash_recall",
+    "x_winsorize",
+    "j5_scd2_history",
+    "j6_asof_state",
 ]
 
 
@@ -1363,6 +1360,74 @@ def x_current_state_materialized(spark: SparkSession, sf: str) -> DataFrame:
                 maintain_current_state(
                     spark, state, batch, "user_id", "ts",
                     tiebreak_cols=["event_id"],
+                )
+        out = current_state_table(spark, state).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(state, ignore_errors=True)
+        raise
+    return _scratch_result(spark, out, state)
+
+
+@_q(
+    "x_compact_state_transparent",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def x_compact_state_transparent(spark: SparkSession, sf: str) -> DataFrame:
+    """K20 — small-file compaction, oracle-proven TRANSPARENT: the W25
+    materialized current-state store is folded from events, every
+    bucket is then deliberately fragmented (a wide multi-task rewrite —
+    the file layout a cluster-scale fold's shuffle produces, one file
+    per write task × touched bucket), and statestore.compact_partitions
+    rewrites the fragmented buckets as ONE fenced commit. The oracle is
+    the same latest-per-key window over the full history, so the
+    driver's hash check certifies that compaction changed the LAYOUT
+    (file counts drop to the plan — the query raises if not) and
+    nothing else — the OPTIMIZE-analog maintenance path a 100 TB
+    deployment runs behind readers, who keep their pinned generation
+    throughout."""
+    import tempfile
+
+    from . import statestore
+    from .streaming import current_state_table, maintain_current_state
+
+    ev = load_table(spark, sf, "events")
+    state = tempfile.mkdtemp(prefix="ls_compact_gate_")
+    try:
+        for i in range(2):
+            maintain_current_state(
+                spark, state, ev.filter(F.col("event_id") % 2 == i),
+                "user_id", "ts", tiebreak_cols=["event_id"],
+            )
+        # fragment: rewrite every bucket through a wide shuffle
+        m = statestore.load_manifest(state)
+        scattered = statestore.read_state(spark, state).repartition(
+            16, "user_id"
+        )
+        statestore.commit_fold(
+            spark, state, scattered, "__bucket", sorted(m["files"])
+        )
+        plan = statestore.compact_partitions(
+            spark, state, target_file_bytes=1 << 30, min_files=2
+        )
+        if not plan:
+            raise RuntimeError(
+                "compaction gate expected fragmented buckets to rewrite"
+            )
+        after = statestore.load_manifest(state)["files"]
+        for v, n in plan.items():
+            if len(after[v]) > n:
+                raise RuntimeError(
+                    f"bucket {v}: {len(after[v])} files after compaction, "
+                    f"plan promised {n}"
                 )
         out = current_state_table(spark, state).select(
             "event_id", "ts", "user_id", "event_type", "value", "props"

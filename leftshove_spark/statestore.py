@@ -592,6 +592,172 @@ def vacuum_orphans(
     return removed
 
 
+def compaction_plan(
+    state_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+    partitions: list[str] | None = None,
+) -> dict[str, int]:
+    """Which partitions :func:`compact_partitions` would rewrite, and
+    into how many files — the dry-run half, so a maintenance loop can
+    inspect/log before paying the rewrite. A partition qualifies when
+    its live file count is ``>= min_files`` AND rewriting at
+    ``target_file_bytes`` would actually REDUCE its file count (a
+    10-file partition already at 10× the target gains nothing from a
+    rewrite and is skipped). ``partitions`` narrows the scan to the
+    named values. Returns ``{partition_value: target_file_count}``;
+    empty for legacy/empty stores."""
+    m = load_manifest(state_dir)
+    if m is None:
+        return {}
+    data = os.path.join(state_dir, _DATA_DIR)
+    want = None if partitions is None else {str(v) for v in partitions}
+    plan: dict[str, int] = {}
+    for v, rels in m["files"].items():
+        if want is not None and v not in want:
+            continue
+        if len(rels) < max(min_files, 2):
+            continue
+        size = sum(os.path.getsize(os.path.join(data, rel)) for rel in rels)
+        n = max(1, -(-size // target_file_bytes)) if target_file_bytes > 0 else 1
+        if n < len(rels):
+            plan[v] = n
+    return plan
+
+
+def _injective_task_ids(spark: SparkSession, total: int) -> list[int]:
+    """``total`` bigints whose Spark hash-partitioning residues mod
+    ``total`` are pairwise distinct — ``repartition(total, tid)`` on
+    them puts each distinct tid in its OWN task. Found by probing
+    ``F.hash`` (the same Murmur3 HashPartitioning applies) over a
+    synthesized range and keeping the first id per residue: one tiny
+    aggregate job, O(total) collected rows. Position ``i`` of the
+    result is the id for residue ``i``."""
+    if total <= 1:
+        return [0] * total
+    k = 64 * total
+    for _ in range(4):
+        probe = (
+            spark.range(k)
+            .select(
+                F.pmod(F.hash(F.col("id")), F.lit(total)).alias("r"),
+                F.col("id"),
+            )
+            .groupBy("r")
+            .agg(F.min("id").alias("tid"))
+            .collect()
+        )
+        if len(probe) == total:
+            by_r = {row["r"]: row["tid"] for row in probe}
+            return [by_r[r] for r in range(total)]
+        k *= 8  # coupon-collector tail — practically unreachable
+    raise RuntimeError(
+        f"could not find {total} hash-distinct task ids in {k} probes"
+    )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    state_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+    partitions: list[str] | None = None,
+    keep_generations: int | None = None,
+    retention_sec: float | None = None,
+) -> dict[str, int]:
+    """Small-file maintenance: rewrite fragmented partitions into
+    ~``target_file_bytes`` files as ONE ordinary fenced commit — the
+    OPTIMIZE/compaction analog for this store. A fold's write lands
+    one file per (write task × touched partition): at cluster scale
+    the fold output arrives through a wide shuffle, so every touched
+    partition fragments into up-to-shuffle-width small files in a
+    single fold, and the scan cost becomes file-open-bound long before
+    it is byte-bound. Contents are
+    untouched BY CONSTRUCTION: the selected partitions' rows are read
+    pinned to the current generation and committed back verbatim
+    through :func:`commit_fold`, so the writer fence, GC retention
+    (readers pinned to pre-compaction generations keep scanning the
+    old files until BOTH retention bounds pass), time travel, and the
+    change feed all apply unchanged. Downstream :func:`sync_state`
+    replicas see the compacted partitions as changed (the feed's
+    file-list contract) and converge on identical values.
+
+    Layout inside a rewritten partition is a deterministic content
+    salt — ``pmod(xxhash64(data columns), n)`` — so the output file
+    count is reproducible and independent of the input task layout.
+    Returns the executed plan (``{partition_value: target_file_count}``;
+    empty = nothing qualified, no commit made). Raises
+    :class:`ConcurrentCommitError` like any fold if a writer races the
+    compaction; the store is left intact."""
+    plan = compaction_plan(state_dir, target_file_bytes, min_files, partitions)
+    if not plan:
+        return {}
+    m = load_manifest(state_dir)
+    gen, pcol = m["gen"], m["partition_col"]
+    touched = sorted(plan)
+    df = read_state(spark, state_dir, partition_values=touched, generation=gen)
+    total = sum(plan.values())
+    if pcol and total > 1:
+        # Exact group→task routing. Each row gets a global ordinal:
+        # the partition's base offset plus a deterministic content
+        # salt pmod(xxhash64(data cols), n). A plain hash repartition
+        # on that ordinal collides ~1/e of the groups into shared
+        # tasks (birthday problem), silently merging files the plan
+        # promised to split — and range partitioning balances by ROW
+        # COUNT, not distinct ordinals, so uneven groups merge too.
+        # Instead, map each ordinal to a task id probed to have a
+        # DISTINCT Spark hash residue mod ``total``: repartition then
+        # puts every group in its own task, so each rewritten
+        # partition lands exactly its planned file count at
+        # ~target_file_bytes each.
+        tids = _injective_task_ids(spark, total)
+        widths, ords, base = [], [], 0
+        for v, n in sorted(plan.items()):
+            widths.append((v, n, base))
+            for s in range(n):
+                ords.append((base + s, tids[base + s]))
+            base += n
+        wdf = spark.createDataFrame(
+            widths, "__cp_v string, __cp_n int, __cp_base int"
+        )
+        odf = spark.createDataFrame(ords, "__cp_ord int, __cp_tid long")
+        data_cols = [c for c in df.columns if c != pcol]
+        df = (
+            df.join(
+                F.broadcast(wdf),
+                F.col(pcol).cast("string") == F.col("__cp_v"),
+                "inner",
+            )
+            .withColumn(
+                "__cp_ord",
+                (
+                    F.col("__cp_base").cast("bigint")
+                    + F.pmod(
+                        F.xxhash64(*[F.col(c) for c in data_cols]),
+                        F.col("__cp_n").cast("bigint"),
+                    )
+                ).cast("int"),
+            )
+            .join(F.broadcast(odf), "__cp_ord", "inner")
+            .repartition(total, F.col("__cp_tid"))
+            .drop("__cp_v", "__cp_n", "__cp_base", "__cp_ord", "__cp_tid")
+        )
+    elif pcol:
+        df = df.repartition(1)
+    else:
+        df = df.repartition(total)
+    commit_fold(
+        spark,
+        state_dir,
+        df,
+        pcol,
+        touched,
+        keep_generations=keep_generations,
+        retention_sec=retention_sec,
+    )
+    return plan
+
+
 def _migrate_legacy(
     spark: SparkSession, state_dir: str, partition_col: str | None
 ) -> None:

@@ -642,6 +642,30 @@ def test_engine_materialized_current_state_tracks_view(spark, tmp_path):
     got, want = table_vs_view()
     assert got == want
 
+    # r15 (K20): at cluster scale a fold's wide shuffle writes a file
+    # per (write task × touched bucket) — AQE coalesces that away at
+    # this test's size, so fragment one bucket deliberately (a
+    # multi-task rewrite of its own rows), then compact through the
+    # engine: counts drop, and table ≡ view is undisturbed.
+    m = statestore.load_manifest(state_dir)
+    all_buckets = sorted(m["files"])
+    # one task per key → every bucket's rows land one file per key, so
+    # any bucket holding >=2 of the 6 keys fragments deterministically
+    scattered = statestore.read_state(spark, state_dir).repartitionByRange(
+        6, "pk"
+    )
+    statestore.commit_fold(spark, state_dir, scattered, "__bucket", all_buckets)
+    m = statestore.load_manifest(state_dir)
+    frag = {v: len(rels) for v, rels in m["files"].items() if len(rels) >= 2}
+    assert frag  # 6 keys over 4 buckets: pigeonhole guarantees one
+    plan = eng.compact_state("t", min_files=2)
+    assert set(plan) == set(frag)
+    m2 = statestore.load_manifest(state_dir)
+    for v, n in plan.items():
+        assert len(m2["files"][v]) <= n < frag[v]
+    got, want = table_vs_view()
+    assert got == want
+
 
 def test_backfill_folds_into_materialized_state(spark, tmp_path):
     """r11 regression: backfill's post-append W25 fold must see the

@@ -1361,3 +1361,146 @@ def test_sync_state_replica_side_error_surfaces_first_try(
         for r in spark.read.parquet(replica).collect()
     )
     assert got == [(1, "1", "a")]
+
+
+def test_compaction_reduces_files_preserves_everything(spark, tmp_path):
+    """r15 (K20): per-cycle folds add a file per touched bucket, so hot
+    partitions fragment at maintenance cadence. compact_partitions
+    rewrites fragmented partitions as ONE ordinary fenced commit —
+    file counts drop to the plan, contents are byte-for-byte the same
+    relation, time travel still serves the pre-compaction generation,
+    the change feed reports exactly the rewritten partitions, an
+    untouched partition's file list carries over by reference, and a
+    sync_state replica follows with identical values."""
+    state = str(tmp_path / "cmp")
+    replica = str(tmp_path / "cmprep")
+
+    # p=2 committed once (single file, stays put); p=1 committed as a
+    # deliberately fragmented multi-task write (what a hot bucket looks
+    # like after many maintenance folds)
+    statestore.commit_fold(
+        spark,
+        state,
+        spark.createDataFrame([(100, "2", "w")], "k long, p string, v string"),
+        "p",
+        ["2"],
+        keep_generations=20,
+    )
+    frag = spark.createDataFrame(
+        [(i, "1", f"v{i}") for i in range(8)], "k long, p string, v string"
+    ).repartition(4)
+    statestore.commit_fold(spark, state, frag, "p", ["1"], keep_generations=20)
+    m = statestore.load_manifest(state)
+    pre_gen = m["gen"]
+    n_before = len(m["files"]["1"])
+    assert n_before >= 2 and len(m["files"]["2"]) == 1
+    files_p2_before = list(m["files"]["2"])
+
+    want = sorted(
+        (r["k"], str(r["p"]), r["v"])
+        for r in statestore.read_state(spark, state).collect()
+    )
+    assert statestore.sync_state(spark, state, replica) == pre_gen
+
+    plan = statestore.compaction_plan(state, target_file_bytes=1 << 30)
+    assert plan == {"1": 1}  # p=2 is single-file — nothing to gain
+    executed = statestore.compact_partitions(
+        spark, state, target_file_bytes=1 << 30, keep_generations=20
+    )
+    assert executed == plan
+
+    m2 = statestore.load_manifest(state)
+    assert m2["gen"] == pre_gen + 1
+    assert len(m2["files"]["1"]) == 1
+    assert m2["files"]["2"] == files_p2_before  # carried by reference
+
+    got = sorted(
+        (r["k"], str(r["p"]), r["v"])
+        for r in statestore.read_state(spark, state).collect()
+    )
+    assert got == want  # contents untouched
+    # time travel: the pre-compaction generation still reads (retention)
+    old = sorted(
+        (r["k"], str(r["p"]), r["v"])
+        for r in statestore.read_state(spark, state, generation=pre_gen).collect()
+    )
+    assert old == want
+    # the change feed reports exactly the rewritten partition
+    assert statestore.changed_partitions(state, pre_gen) == ["1"]
+    # a replica synced pre-compaction follows incrementally
+    assert statestore.sync_state(spark, state, replica) == pre_gen + 1
+    got_rep = sorted(
+        (r["k"], str(r["p"]), r["v"])
+        for r in spark.read.parquet(replica).collect()
+    )
+    assert got_rep == want
+
+
+def test_compaction_target_bytes_and_thresholds(spark, tmp_path):
+    """r15 (K20): the plan honors target_file_bytes (a partition larger
+    than the target splits into >=2 deterministic-salt files), skips
+    partitions below min_files, and an empty plan commits NOTHING (no
+    new generation)."""
+    state = str(tmp_path / "cmpt")
+    rows = [(i, "1", "x" * 200) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, p string, v string").repartition(6)
+    statestore.commit_fold(spark, state, df, "p", ["1"], keep_generations=20)
+    m = statestore.load_manifest(state)
+    assert len(m["files"]["1"]) >= 3
+    data = os.path.join(state, statestore._DATA_DIR)
+    total = sum(
+        os.path.getsize(os.path.join(data, rel)) for rel in m["files"]["1"]
+    )
+
+    # below min_files → empty plan, no commit
+    assert statestore.compaction_plan(state, min_files=50) == {}
+    gen_before = statestore.load_manifest(state)["gen"]
+    assert statestore.compact_partitions(spark, state, min_files=50) == {}
+    assert statestore.load_manifest(state)["gen"] == gen_before
+
+    # target below the partition's bytes → split into ceil(total/target)
+    target = total // 2 + 1
+    plan = statestore.compaction_plan(state, target_file_bytes=target)
+    assert plan == {"1": 2}
+    statestore.compact_partitions(
+        spark, state, target_file_bytes=target, keep_generations=20
+    )
+    m2 = statestore.load_manifest(state)
+    assert len(m2["files"]["1"]) == 2  # both salt groups landed a file
+    got = sorted(
+        (r["k"], str(r["p"]), r["v"])
+        for r in statestore.read_state(spark, state).collect()
+    )
+    assert got == sorted((k, p, v) for k, p, v in rows)
+
+    # fixed point: once a partition is down to one file, no target can
+    # propose further work (rewritten files recompress smaller, so the
+    # SAME target may legitimately propose a further 2→1 merge first)
+    statestore.compact_partitions(
+        spark, state, target_file_bytes=1 << 30, keep_generations=20
+    )
+    assert len(statestore.load_manifest(state)["files"]["1"]) == 1
+    assert statestore.compaction_plan(state, target_file_bytes=target) == {}
+
+
+def test_compaction_unpartitioned_store(spark, tmp_path):
+    """r15 (K20): an unpartitioned store compacts as its single ''
+    partition — same fence, same contract."""
+    state = str(tmp_path / "cmpflat")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "k long, v string"
+    ).repartition(5)
+    statestore.commit_fold(spark, state, df, None, [""], keep_generations=20)
+    m = statestore.load_manifest(state)
+    assert len(m["files"][""]) >= 2
+    want = sorted(
+        (r["k"], r["v"]) for r in statestore.read_state(spark, state).collect()
+    )
+    plan = statestore.compact_partitions(spark, state, target_file_bytes=1 << 30)
+    assert plan == {"": 1}
+    m2 = statestore.load_manifest(state)
+    assert len(m2["files"][""]) == 1
+    got = sorted(
+        (r["k"], r["v"]) for r in statestore.read_state(spark, state).collect()
+    )
+    assert got == want
