@@ -1019,6 +1019,27 @@ def read_state(
 
 
 _SYNC_GEN_FILE = "_SYNC_GEN"
+_SYNC_SCHEMA_FILE = "_SYNC_SCHEMA"
+
+
+def _schema_key(schema) -> str:
+    """Order- and nullability-insensitive schema identity for the
+    replica drift check: sorted (name, type) pairs. Nullability and
+    field order jitter across parquet round-trips and merge order;
+    neither changes what a plain replica read returns."""
+    return json.dumps(
+        sorted((f.name, f.dataType.simpleString()) for f in schema.fields)
+    )
+
+
+def _recorded_schema_key(replica_dir: str) -> str | None:
+    try:
+        with open(
+            os.path.join(replica_dir, _SYNC_SCHEMA_FILE), encoding="utf-8"
+        ) as fh:
+            return fh.read()
+    except OSError:
+        return None
 
 
 def last_synced_generation(replica_dir: str) -> int | None:
@@ -1065,7 +1086,13 @@ def sync_state(
        (sinks.rewrite_dir_staged), partitions the diff reports deleted
        removed outright; KeyError (``last_gen`` fell out of retention
        during a maintenance pause — statestore GC) → full re-clone
-       instead of an error surfaced to the consumer;
+       instead of an error surfaced to the consumer; a SCHEMA change
+       in the incoming partitions (the store evolved) also forces a
+       full re-clone, because an incremental swap would leave the
+       replica with mixed per-partition schemas and a plain
+       ``spark.read.parquet(replica)`` silently drops columns the
+       sampled footer lacks — the replica records the one schema it
+       was uniformly written with (``_SYNC_SCHEMA``);
     4. only after every partition landed, atomically advance the
        replica's marker. A crash anywhere re-syncs from the OLD marker
        next call — partition replacement is idempotent, so the replica
@@ -1107,6 +1134,8 @@ def sync_state(
             return False
         return state_dir in s or os.path.abspath(state_dir) in s
 
+    recorded = _recorded_schema_key(replica_dir)
+    synced_key = recorded
     for attempt in range(3):
         gens = _list_manifests(state_dir)
         if not gens:
@@ -1134,8 +1163,34 @@ def sync_state(
                     )
                 except KeyError:
                     touched = None  # retention lapsed → full re-clone
+            if touched is not None:
+                # schema-drift guard: an incremental swap writes the
+                # touched partitions with the SOURCE's current schema —
+                # if the store evolved (added/widened columns), the
+                # replica would end up with mixed per-partition schemas
+                # and a plain spark.read.parquet(replica) silently
+                # drops whichever columns the footer it samples lacks.
+                # The replica records the one schema it was uniformly
+                # written with; incoming data that doesn't match (or a
+                # pre-schema-marker replica) forces a full re-clone at
+                # the store's current merged schema. Evolution is rare;
+                # the O(table) rewrite is the price of the plain-read
+                # contract.
+                live_touched = [v for v in touched if v in m["files"]]
+                if live_touched:
+                    incoming = _schema_key(
+                        read_state(
+                            spark,
+                            state_dir,
+                            partition_values=live_touched,
+                            generation=gen,
+                        ).schema
+                    )
+                    if recorded is None or incoming != recorded:
+                        touched = None  # → full re-clone below
             if last_gen is None or touched is None:
                 full = read_state(spark, state_dir, generation=gen)
+                synced_key = _schema_key(full.schema)
                 rewrite_dir_staged(
                     full, replica_dir, partition_by=[pcol] if pcol else None
                 )
@@ -1170,6 +1225,18 @@ def sync_state(
                 continue
             raise
     os.makedirs(replica_dir, exist_ok=True)
+    # schema marker first: a crash between the two writes leaves the
+    # OLD generation marker with the new schema key — the next sync
+    # re-applies from the old marker, and a stale-keyed compare can
+    # only err toward a full re-clone, never toward a torn replica
+    if synced_key is not None and synced_key != recorded:
+        spath = os.path.join(replica_dir, _SYNC_SCHEMA_FILE)
+        sp = f"{spath}.{uuid.uuid4().hex[:8]}.part"
+        with open(sp, "w", encoding="utf-8") as fh:
+            fh.write(synced_key)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(sp, spath)
     marker = os.path.join(replica_dir, _SYNC_GEN_FILE)
     part_path = f"{marker}.{uuid.uuid4().hex[:8]}.part"
     with open(part_path, "w", encoding="utf-8") as fh:

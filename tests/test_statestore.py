@@ -1504,3 +1504,88 @@ def test_compaction_unpartitioned_store(spark, tmp_path):
         (r["k"], r["v"]) for r in statestore.read_state(spark, state).collect()
     )
     assert got == want
+
+
+def test_sync_state_schema_evolution_forces_uniform_replica(spark, tmp_path):
+    """r15: a store evolution (added column) landing in SOME partitions
+    would, under a naive incremental swap, leave the replica with
+    mixed per-partition schemas — and a plain
+    spark.read.parquet(replica) silently DROPS the new column whenever
+    the footer it samples predates the evolution (reproduced: evolving
+    the later-sorting partition lost the column and its values).
+    sync_state records the schema the replica was uniformly written
+    with and full-re-clones on drift, so the plain-read contract holds
+    through evolution; syncs with an unchanged schema stay
+    incremental."""
+    state = str(tmp_path / "evo")
+    replica = str(tmp_path / "evorep")
+
+    def fold(rows, schema, touched):
+        statestore.commit_fold(
+            spark,
+            state,
+            spark.createDataFrame(rows, schema),
+            "p",
+            touched,
+            keep_generations=10,
+        )
+
+    def replica_equals_table():
+        got = sorted(
+            tuple(str(r[c]) for c in sorted(r.asDict()))
+            for r in spark.read.parquet(replica).collect()
+        )
+        want = sorted(
+            tuple(str(r[c]) for c in sorted(r.asDict()))
+            for r in statestore.read_state(spark, state).collect()
+        )
+        assert got == want
+
+    fold([(1, "1", "a"), (2, "2", "b")], "k long, p string, v string", ["1", "2"])
+    assert statestore.sync_state(spark, state, replica) == 1
+    replica_equals_table()
+
+    # same-schema fold stays incremental: untouched dir not rewritten
+    p1 = sorted(os.listdir(os.path.join(replica, "p=1")))
+    fold([(2, "2", "B")], "k long, p string, v string", ["2"])
+    assert statestore.sync_state(spark, state, replica) == 2
+    assert sorted(os.listdir(os.path.join(replica, "p=1"))) == p1
+    replica_equals_table()
+
+    # evolution lands ONLY in the later-sorting partition — the exact
+    # case the naive swap loses; the drift guard full-re-clones and the
+    # plain read keeps the new column across ALL partitions
+    fold(
+        [(3, "2", "c", "NEW")],
+        "k long, p string, v string, extra string",
+        ["2"],
+    )
+    assert statestore.sync_state(spark, state, replica) == 3
+    rep = spark.read.parquet(replica)
+    assert "extra" in rep.columns
+    replica_equals_table()
+    # p=1 was rewritten too (uniform schema), even though untouched
+    assert sorted(os.listdir(os.path.join(replica, "p=1"))) != p1
+
+    # post-evolution syncs are incremental again under the new schema
+    p1b = sorted(os.listdir(os.path.join(replica, "p=1")))
+    fold(
+        [(4, "2", "d", "NEW2")],
+        "k long, p string, v string, extra string",
+        ["2"],
+    )
+    assert statestore.sync_state(spark, state, replica) == 4
+    assert sorted(os.listdir(os.path.join(replica, "p=1"))) == p1b
+    replica_equals_table()
+
+    # a pre-schema-marker replica (older sync_state wrote it) forces
+    # one uniform re-clone, then records the schema
+    os.remove(os.path.join(replica, "_SYNC_SCHEMA"))
+    fold(
+        [(5, "1", "e", "NEW3")],
+        "k long, p string, v string, extra string",
+        ["1"],
+    )
+    assert statestore.sync_state(spark, state, replica) == 5
+    assert os.path.exists(os.path.join(replica, "_SYNC_SCHEMA"))
+    replica_equals_table()
