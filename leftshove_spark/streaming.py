@@ -429,6 +429,7 @@ def maintain_history(
     n_buckets: int = 16,
     keep_generations: int | None = None,
     retention_sec: float | None = None,
+    files_per_bucket: int | None = None,
 ) -> None:
     """W18 — incremental SCD-Type-2 maintenance: fold one micro-batch of
     new versions into a persistent history table (``views.history_view``
@@ -474,6 +475,7 @@ def maintain_history(
         ),
         keep_generations=keep_generations,
         retention_sec=retention_sec,
+        files_per_bucket=files_per_bucket,
     )
 
 
@@ -487,6 +489,7 @@ def maintain_current_state(
     n_buckets: int = 16,
     keep_generations: int | None = None,
     retention_sec: float | None = None,
+    files_per_bucket: int | None = None,
 ) -> None:
     """W25 — incrementally MATERIALIZED current-state table: fold one
     micro-batch of new versions into a persistent latest-per-key
@@ -539,6 +542,7 @@ def maintain_current_state(
         ),
         keep_generations=keep_generations,
         retention_sec=retention_sec,
+        files_per_bucket=files_per_bucket,
     )
 
 
@@ -674,6 +678,7 @@ def start_current_state_stream(
     keep_generations: int | None = None,
     retention_sec: float | None = None,
     source_schema=None,
+    files_per_bucket: int | None = None,
 ) -> StreamingQuery:
     """W26 — Structured Streaming maintenance of the W25 materialized
     current-state table: every micro-batch of landed versions folds
@@ -719,6 +724,7 @@ def start_current_state_stream(
             n_buckets=n_buckets,
             keep_generations=keep_generations,
             retention_sec=retention_sec,
+            files_per_bucket=files_per_bucket,
         )
 
     os.makedirs(checkpoint_dir, exist_ok=True)
@@ -746,6 +752,7 @@ def _maintain_bucketed_state(
     derive,
     keep_generations: int | None = None,
     retention_sec: float | None = None,
+    files_per_bucket: int | None = None,
 ) -> None:
     """Shared W18/W25 maintenance core: crc32-bucket the batch, read
     ONLY the touched buckets' stored rows, collapse byte-identical
@@ -837,6 +844,26 @@ def _maintain_bucketed_state(
                 "(capture sequence) or repair the upstream duplicate."
             )
         out = derive(merged)
+        if files_per_bucket is not None and files_per_bucket >= 1:
+            # shape the write at the source (r15, K20's flip side): the
+            # fold output otherwise arrives through the dedup/window
+            # shuffle, landing one file per (write task × touched
+            # bucket) — at cluster scale every touched bucket fragments
+            # into up-to-shuffle-width files each fold, and compaction
+            # has to claw it back. One extra O(output) shuffle keyed on
+            # (bucket, key-salt) caps the layout at files_per_bucket
+            # files per bucket (hash collisions only merge, never
+            # split); the salt keys on the fold keys, so it is
+            # deterministic under retry.
+            salt = F.pmod(
+                F.xxhash64(*[F.col(k) for k in keys]),
+                F.lit(int(files_per_bucket)).cast("bigint"),
+            )
+            out = out.repartition(
+                max(1, len(touched) * int(files_per_bucket)),
+                F.col("__bucket"),
+                salt,
+            )
         # commit only the touched buckets — atomically, via the
         # manifest flip (readers mid-scan keep the prior generation)
         statestore.commit_fold(
