@@ -338,6 +338,7 @@ class Engine:
                 sch.SNAPSHOT_COL,
                 tiebreak_cols=self._tiebreaks(cap, st),
                 n_buckets=self.config.current_state_buckets,
+                files_per_bucket=self.config.current_state_files_per_bucket,
             )
         # W5: commit only after a successful write. Row count from the
         # sink-side is not re-counted (the write succeeded); state carries
@@ -750,6 +751,7 @@ class Engine:
                     sch.SNAPSHOT_COL,
                     tiebreak_cols=self._tiebreaks(fresh, st),
                     n_buckets=self.config.current_state_buckets,
+                    files_per_bucket=self.config.current_state_files_per_bucket,
                 )
         return n
 

@@ -115,6 +115,12 @@ class EngineConfig:
     # key-bucket count for the W25 table (crc32(pkey) % n); size to the
     # key population — per-bucket state is bounded by live keys
     current_state_buckets: int = 16
+    # cap each fold's write at this many files per touched bucket (one
+    # extra O(output) shuffle keyed on (bucket, key-salt)); None =
+    # task-shaped layout (a wide shuffle fragments every touched
+    # bucket per fold — compact_state claws it back from a
+    # maintenance window instead)
+    current_state_files_per_bucket: int | None = None
     # run statestore.vacuum_orphans over each materialized state table
     # at the end of every cycle — caps crash-loop debris on partitions
     # never folded again (the per-commit sweep only covers touched

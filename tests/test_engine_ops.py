@@ -866,3 +866,49 @@ def test_evolution_composes_with_materialized_current_state(spark, tmp_path):
         r["pk"]: (r["v"], r["note"]) for r in eng.current_state("t").collect()
     }
     assert view == got
+
+
+def test_engine_threads_files_per_bucket_to_folds(spark, tmp_path, monkeypatch):
+    """r15: EngineConfig.current_state_files_per_bucket reaches every
+    maintain_current_state call the engine makes (capture fold and
+    backfill fold alike) — wiring pinned by interception, since AQE
+    coalescing hides the layout effect at this test's size."""
+    from datetime import datetime, timedelta
+
+    from leftshove_spark import streaming
+    from leftshove_spark.engine import Engine
+    from leftshove_spark.session import EngineConfig
+
+    seen = []
+    real = streaming.maintain_current_state
+
+    def spy(*a, **kw):
+        seen.append(kw.get("files_per_bucket"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(streaming, "maintain_current_state", spy)
+
+    work = str(tmp_path)
+    src = f"{work}/src.parquet"
+    rows = [
+        (k, f"v{k}", datetime(2030, 1, 1) + timedelta(minutes=k))
+        for k in range(4)
+    ]
+    spark.createDataFrame(rows, "pk long, v string, ts timestamp").write.parquet(src)
+    eng = Engine(
+        spark,
+        EngineConfig(
+            replication_buffer_secs=0,
+            materialize_current_state=True,
+            current_state_buckets=2,
+            current_state_files_per_bucket=1,
+        ),
+        state_path=f"{work}/state.json",
+        sink_root=f"{work}/sink",
+    )
+    eng.seed([{"name": "t", "path": src, "nms_column": "ts", "pkey_column": "pk"}])
+    eng.create_sinks()
+    now = datetime(2030, 1, 2)
+    eng.run_cycle(now=now, snapshot_at=now)
+    assert seen and all(v == 1 for v in seen)
+    assert eng.current_state_table("t").count() == 4
