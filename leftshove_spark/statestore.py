@@ -685,67 +685,95 @@ def compact_partitions(
     Layout inside a rewritten partition is a deterministic content
     salt — ``pmod(xxhash64(data columns), n)`` — so the output file
     count is reproducible and independent of the input task layout.
+    Mixed-schema selections union with missing columns NULL-padded, so
+    compacting an old narrow partition beside an evolved one widens it
+    to the selection's merged schema — exactly what any read through
+    :func:`read_state` already returns for it.
     Returns the executed plan (``{partition_value: target_file_count}``;
     empty = nothing qualified, no commit made). Raises
     :class:`ConcurrentCommitError` like any fold if a writer races the
-    compaction; the store is left intact."""
+    compaction; the store is left intact. The fused plan grows with the
+    selection (one pruned scan branch per partition) — compact the
+    worst offenders per call (``min_files`` / ``partitions``) rather
+    than thousands at once."""
+    import functools
+
     plan = compaction_plan(state_dir, target_file_bytes, min_files, partitions)
     if not plan:
         return {}
     m = load_manifest(state_dir)
     gen, pcol = m["gen"], m["partition_col"]
     touched = sorted(plan)
-    df = read_state(spark, state_dir, partition_values=touched, generation=gen)
     total = sum(plan.values())
     if pcol and total > 1:
-        # Exact group→task routing. Each row gets a global ordinal:
-        # the partition's base offset plus a deterministic content
+        # Exact group→task routing, keyed on the MANIFEST's file lists,
+        # never on partition-VALUE equality: directory names are
+        # path-escaped (':' → '%3A') and NULL is a sentinel dir, so a
+        # join on the decoded column vs the manifest key would silently
+        # drop those partitions' rows — and commit_fold would then
+        # DELETE them (r15 review). Each selected partition is read
+        # pruned-by-manifest and tagged with literal (base, n); the
+        # union is the same scan set as one multi-partition read.
+        #
+        # Each row's global ordinal = base + a deterministic content
         # salt pmod(xxhash64(data cols), n). A plain hash repartition
-        # on that ordinal collides ~1/e of the groups into shared
-        # tasks (birthday problem), silently merging files the plan
-        # promised to split — and range partitioning balances by ROW
-        # COUNT, not distinct ordinals, so uneven groups merge too.
-        # Instead, map each ordinal to a task id probed to have a
-        # DISTINCT Spark hash residue mod ``total``: repartition then
-        # puts every group in its own task, so each rewritten
-        # partition lands exactly its planned file count at
+        # on the ordinal collides ~1/e of the groups into shared tasks
+        # (birthday problem), silently merging files the plan promised
+        # to split — and range partitioning balances by ROW COUNT, not
+        # distinct ordinals, so uneven groups merge too. Instead, each
+        # ordinal maps to a task id probed to a DISTINCT Spark hash
+        # residue mod ``total``: repartition then puts every group in
+        # its own task, landing exactly the planned file count at
         # ~target_file_bytes each.
-        tids = _injective_task_ids(spark, total)
-        widths, ords, base = [], [], 0
-        for v, n in sorted(plan.items()):
-            widths.append((v, n, base))
-            for s in range(n):
-                ords.append((base + s, tids[base + s]))
-            base += n
-        wdf = spark.createDataFrame(
-            widths, "__cp_v string, __cp_n int, __cp_base int"
-        )
-        odf = spark.createDataFrame(ords, "__cp_ord int, __cp_tid long")
-        data_cols = [c for c in df.columns if c != pcol]
-        df = (
-            df.join(
-                F.broadcast(wdf),
-                F.col(pcol).cast("string") == F.col("__cp_v"),
-                "inner",
+        from .schema import type_contains_map
+
+        parts, base = [], 0
+        for v in touched:
+            p = read_state(
+                spark, state_dir, partition_values=[v], generation=gen
             )
-            .withColumn(
+            parts.append(
+                p.withColumn(
+                    "__cp_base", F.lit(base).cast("bigint")
+                ).withColumn("__cp_n", F.lit(int(plan[v])).cast("bigint"))
+            )
+            base += plan[v]
+        df = functools.reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
+        tids = _injective_task_ids(spark, total)
+        odf = spark.createDataFrame(
+            list(enumerate(tids)), "__cp_ord int, __cp_tid long"
+        )
+        data_cols = [
+            c
+            for c in df.columns
+            if c not in (pcol, "__cp_base", "__cp_n")
+        ]
+        # xxhash64 rejects map-bearing inputs — salt their to_json
+        # proxy instead (the dedup proxy pattern, _maintain_bucketed_state)
+        salt_in = [
+            F.to_json(F.col(c))
+            if type_contains_map(df.schema[c].dataType)
+            else F.col(c)
+            for c in data_cols
+        ]
+        df = (
+            df.withColumn(
                 "__cp_ord",
                 (
-                    F.col("__cp_base").cast("bigint")
-                    + F.pmod(
-                        F.xxhash64(*[F.col(c) for c in data_cols]),
-                        F.col("__cp_n").cast("bigint"),
-                    )
+                    F.col("__cp_base")
+                    + F.pmod(F.xxhash64(*salt_in), F.col("__cp_n"))
                 ).cast("int"),
             )
             .join(F.broadcast(odf), "__cp_ord", "inner")
             .repartition(total, F.col("__cp_tid"))
-            .drop("__cp_v", "__cp_n", "__cp_base", "__cp_ord", "__cp_tid")
+            .drop("__cp_base", "__cp_n", "__cp_ord", "__cp_tid")
         )
-    elif pcol:
-        df = df.repartition(1)
     else:
-        df = df.repartition(total)
+        df = read_state(
+            spark, state_dir, partition_values=touched, generation=gen
+        ).repartition(total)
     commit_fold(
         spark,
         state_dir,
@@ -1032,13 +1060,18 @@ def _schema_key(schema) -> str:
     )
 
 
-def _recorded_schema_key(replica_dir: str) -> str | None:
+def _recorded_schema(replica_dir: str):
+    """The StructType the replica was last uniformly written with
+    (``_SYNC_SCHEMA``), or None for a pre-marker replica / unreadable
+    marker (both force one full re-clone, which re-records it)."""
+    from pyspark.sql.types import StructType
+
     try:
         with open(
             os.path.join(replica_dir, _SYNC_SCHEMA_FILE), encoding="utf-8"
         ) as fh:
-            return fh.read()
-    except OSError:
+            return StructType.fromJson(json.loads(fh.read()))
+    except (OSError, ValueError, KeyError, TypeError):
         return None
 
 
@@ -1086,13 +1119,15 @@ def sync_state(
        (sinks.rewrite_dir_staged), partitions the diff reports deleted
        removed outright; KeyError (``last_gen`` fell out of retention
        during a maintenance pause — statestore GC) → full re-clone
-       instead of an error surfaced to the consumer; a SCHEMA change
-       in the incoming partitions (the store evolved) also forces a
-       full re-clone, because an incremental swap would leave the
-       replica with mixed per-partition schemas and a plain
-       ``spark.read.parquet(replica)`` silently drops columns the
-       sampled footer lacks — the replica records the one schema it
-       was uniformly written with (``_SYNC_SCHEMA``);
+       instead of an error surfaced to the consumer; schema drift is
+       handled per partition against the one schema the replica was
+       uniformly written with (``_SYNC_SCHEMA``) — a NARROWER incoming
+       partition (routine in a long-evolved store) is NULL-padded to
+       that shape and stays incremental, while new columns / changed
+       types (the store evolved wider) force a full re-clone at the
+       store's current merged schema, because a mixed-schema replica
+       makes a plain ``spark.read.parquet(replica)`` silently drop
+       columns the sampled footer lacks;
     4. only after every partition landed, atomically advance the
        replica's marker. A crash anywhere re-syncs from the OLD marker
        next call — partition replacement is idempotent, so the replica
@@ -1132,10 +1167,32 @@ def sync_state(
             or "PATH_NOT_FOUND" in s
         ):
             return False
-        return state_dir in s or os.path.abspath(state_dir) in s
+        # path-boundary match on the RESOLVED source path, not a raw
+        # substring (r15 review): '/a/state' is a substring of
+        # '/a/state_replica', and a relative 'state' matches inside
+        # 'replica_state/...' — both would re-mask replica-side errors
+        # as retention lapses. A hit must start at a path boundary and
+        # end at one.
+        ap = os.path.abspath(state_dir).rstrip("/")
+        i = s.find(ap)
+        while i != -1:
+            before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] in "._-")
+            j = i + len(ap)
+            after_ok = j == len(s) or not (s[j].isalnum() or s[j] in "._-")
+            if before_ok and after_ok:
+                return True
+            i = s.find(ap, i + 1)
+        return False
 
-    recorded = _recorded_schema_key(replica_dir)
-    synced_key = recorded
+    recorded = _recorded_schema(replica_dir)
+    rec_key = _schema_key(recorded) if recorded is not None else None
+    rec_pairs = (
+        {(f.name, f.dataType.simpleString()) for f in recorded.fields}
+        if recorded is not None
+        else None
+    )
+    synced_schema = recorded
+    full_cloned = False
     for attempt in range(3):
         gens = _list_manifests(state_dir)
         if not gens:
@@ -1163,34 +1220,49 @@ def sync_state(
                     )
                 except KeyError:
                     touched = None  # retention lapsed → full re-clone
+            frames: dict[str, DataFrame] = {}
             if touched is not None:
-                # schema-drift guard: an incremental swap writes the
-                # touched partitions with the SOURCE's current schema —
-                # if the store evolved (added/widened columns), the
-                # replica would end up with mixed per-partition schemas
-                # and a plain spark.read.parquet(replica) silently
-                # drops whichever columns the footer it samples lacks.
-                # The replica records the one schema it was uniformly
-                # written with; incoming data that doesn't match (or a
-                # pre-schema-marker replica) forces a full re-clone at
-                # the store's current merged schema. Evolution is rare;
-                # the O(table) rewrite is the price of the plain-read
-                # contract.
-                live_touched = [v for v in touched if v in m["files"]]
-                if live_touched:
-                    incoming = _schema_key(
-                        read_state(
-                            spark,
-                            state_dir,
-                            partition_values=live_touched,
-                            generation=gen,
-                        ).schema
+                # Schema-drift guard (r15): an incremental swap writes
+                # each touched partition with that PARTITION's own
+                # schema — if the store evolved, the replica would end
+                # up with mixed per-partition schemas and a plain
+                # spark.read.parquet(replica) silently drops whichever
+                # columns the footer it samples lacks. The replica
+                # records the one schema it was uniformly written with:
+                #  - an incoming partition whose (name, type) pairs are
+                #    a SUBSET of the recorded schema (a narrow partition
+                #    of a long-evolved store — routine) is NULL-padded
+                #    to the recorded shape and stays incremental;
+                #  - new columns or changed types (the store evolved
+                #    WIDER than the replica) force a full re-clone at
+                #    the store's current merged schema, re-recording it;
+                #  - a pre-marker replica full-re-clones once.
+                # Checked per PARTITION on the same frames the swap
+                # writes (a merged check over all touched partitions
+                # would pass while individual partitions are narrower —
+                # the mixed-footer hole again — and would double the
+                # footer I/O; r15 review).
+                for v in touched:
+                    if v not in m["files"]:
+                        continue
+                    part = read_state(
+                        spark,
+                        state_dir,
+                        partition_values=[v],
+                        generation=gen,
                     )
-                    if recorded is None or incoming != recorded:
+                    pairs = {
+                        (f.name, f.dataType.simpleString())
+                        for f in part.schema.fields
+                    }
+                    if rec_pairs is None or not pairs <= rec_pairs:
                         touched = None  # → full re-clone below
+                        break
+                    frames[v] = part
             if last_gen is None or touched is None:
                 full = read_state(spark, state_dir, generation=gen)
-                synced_key = _schema_key(full.schema)
+                synced_schema = full.schema
+                full_cloned = True
                 rewrite_dir_staged(
                     full, replica_dir, partition_by=[pcol] if pcol else None
                 )
@@ -1202,12 +1274,19 @@ def sync_state(
                         else replica_dir
                     )
                     if v in m["files"]:
-                        part = read_state(
-                            spark,
-                            state_dir,
-                            partition_values=[v],
-                            generation=gen,
-                        )
+                        part = frames[v]
+                        if _schema_key(part.schema) != rec_key:
+                            # narrow partition: pad to the recorded
+                            # shape so the replica stays uniform
+                            have = set(part.columns)
+                            for f in recorded.fields:
+                                if f.name not in have:
+                                    part = part.withColumn(
+                                        f.name, F.lit(None).cast(f.dataType)
+                                    )
+                            part = part.select(
+                                [f.name for f in recorded.fields]
+                            )
                         if pcol:
                             # the dir name carries the partition value;
                             # a copy in the data files would collide
@@ -1226,14 +1305,24 @@ def sync_state(
             raise
     os.makedirs(replica_dir, exist_ok=True)
     # schema marker first: a crash between the two writes leaves the
-    # OLD generation marker with the new schema key — the next sync
-    # re-applies from the old marker, and a stale-keyed compare can
-    # only err toward a full re-clone, never toward a torn replica
-    if synced_key is not None and synced_key != recorded:
-        spath = os.path.join(replica_dir, _SYNC_SCHEMA_FILE)
+    # OLD generation marker with the new schema — the next sync
+    # re-applies from the old marker, and a stale compare can only err
+    # toward a full re-clone, never toward a torn replica. Rewritten
+    # after EVERY full clone, not only on schema change (r15 review:
+    # the clone's root swap displaces the old marker to trash, so an
+    # unchanged-schema re-clone would otherwise leave the replica
+    # marker-less and force a second full clone next sync) — and
+    # whenever the file is missing (an unpartitioned store's
+    # incremental swap is also a root swap).
+    spath = os.path.join(replica_dir, _SYNC_SCHEMA_FILE)
+    if synced_schema is not None and (
+        full_cloned
+        or not os.path.exists(spath)
+        or _schema_key(synced_schema) != rec_key
+    ):
         sp = f"{spath}.{uuid.uuid4().hex[:8]}.part"
         with open(sp, "w", encoding="utf-8") as fh:
-            fh.write(synced_key)
+            fh.write(json.dumps(synced_schema.jsonValue()))
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(sp, spath)

@@ -1589,3 +1589,169 @@ def test_sync_state_schema_evolution_forces_uniform_replica(spark, tmp_path):
     assert statestore.sync_state(spark, state, replica) == 5
     assert os.path.exists(os.path.join(replica, "_SYNC_SCHEMA"))
     replica_equals_table()
+
+
+def test_compaction_escaped_null_and_map_partitions(spark, tmp_path):
+    """r15 review: compaction routing must key on the MANIFEST's file
+    lists, never on partition-value equality — directory names are
+    path-escaped (':' → '%3A') and NULL is a sentinel dir, so a join
+    on the decoded column vs the manifest key matches nothing and
+    commit_fold would then DELETE those partitions' rows outright.
+    Also: the content salt must tolerate map-bearing payload columns
+    (xxhash64 rejects MapType; the to_json proxy applies)."""
+    state = str(tmp_path / "esc")
+    rows = [
+        (i, "a:b", f"v{i}", {"x": i}) for i in range(6)
+    ] + [
+        (10 + i, None, f"w{i}", {"y": i}) for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, p string, v string, m map<string,int>"
+    ).repartition(4)
+    touched = ["a%3Ab", "__HIVE_DEFAULT_PARTITION__"]
+    statestore.commit_fold(spark, state, df, "p", touched, keep_generations=20)
+    m = statestore.load_manifest(state)
+    assert set(m["files"]) == set(touched)
+    assert all(len(rels) >= 2 for rels in m["files"].values())
+
+    want = sorted(
+        (r["k"], r["p"], r["v"], tuple(sorted((r["m"] or {}).items())))
+        for r in statestore.read_state(spark, state).collect()
+    )
+    plan = statestore.compact_partitions(
+        spark, state, target_file_bytes=1 << 30, keep_generations=20
+    )
+    assert set(plan) == set(touched)
+    m2 = statestore.load_manifest(state)
+    assert set(m2["files"]) == set(touched)  # nothing deleted
+    assert all(len(rels) == 1 for rels in m2["files"].values())
+    got = sorted(
+        (r["k"], r["p"], r["v"], tuple(sorted((r["m"] or {}).items())))
+        for r in statestore.read_state(spark, state).collect()
+    )
+    assert got == want and len(got) == 12
+
+
+def test_sync_state_pads_narrow_partitions_incrementally(spark, tmp_path):
+    """r15 review: in a long-evolved store, a fold touching a dormant
+    bucket rewrites it WITHOUT columns only other buckets carry — the
+    incoming partition is NARROWER than the replica's recorded schema.
+    That must NOT force a full re-clone (it would make every such wave
+    O(table)); the partition is NULL-padded to the recorded shape and
+    the sync stays incremental, replica uniform, plain read keeps all
+    columns."""
+    state = str(tmp_path / "narrow")
+    replica = str(tmp_path / "narrowrep")
+
+    def fold(rows, schema, touched):
+        statestore.commit_fold(
+            spark,
+            state,
+            spark.createDataFrame(rows, schema),
+            "p",
+            touched,
+            keep_generations=10,
+        )
+
+    # store evolved long ago: partition 1 carries 'extra', partition 2
+    # was last written before the evolution (narrow)
+    fold([(1, "1", "a", "E1")], "k long, p string, v string, extra string", ["1"])
+    fold([(2, "2", "b")], "k long, p string, v string", ["2"])
+    assert statestore.sync_state(spark, state, replica) == 2
+    rep = spark.read.parquet(replica)
+    assert "extra" in rep.columns
+
+    # a fold rewrites the narrow partition, still narrow
+    p1 = sorted(os.listdir(os.path.join(replica, "p=1")))
+    fold([(3, "2", "c")], "k long, p string, v string", ["2"])
+    assert statestore.sync_state(spark, state, replica) == 3
+    # incremental: the wide partition dir was NOT rewritten
+    assert sorted(os.listdir(os.path.join(replica, "p=1"))) == p1
+    rep = spark.read.parquet(replica)
+    assert "extra" in rep.columns
+    got = sorted(
+        (r["k"], str(r["p"]), r["v"], r["extra"]) for r in rep.collect()
+    )
+    assert got == [(1, "1", "a", "E1"), (3, "2", "c", None)]
+
+
+def test_sync_state_full_clone_rewrites_schema_marker(spark, tmp_path):
+    """r15 review: a full re-clone's root swap displaces the replica's
+    _SYNC_SCHEMA marker to trash — it must be rewritten after EVERY
+    clone, not only on schema change, or the next sync finds no
+    recorded schema and pays a second unnecessary full clone."""
+    state = str(tmp_path / "mk")
+    replica = str(tmp_path / "mkrep")
+
+    def fold(rows, touched, **kw):
+        statestore.commit_fold(
+            spark,
+            state,
+            spark.createDataFrame(rows, "k long, p string, v string"),
+            "p",
+            touched,
+            **kw,
+        )
+
+    fold([(1, "1", "a"), (2, "2", "b")], ["1", "2"])
+    assert statestore.sync_state(spark, state, replica) == 1
+    # force a retention lapse → full re-clone with UNCHANGED schema
+    fold([(3, "1", "c")], ["1"], retention_sec=0.0)
+    fold([(4, "2", "d")], ["2"], retention_sec=0.0)
+    assert 1 not in statestore.list_generations(state)
+    g = statestore.sync_state(spark, state, replica)
+    assert os.path.exists(os.path.join(replica, "_SYNC_SCHEMA"))
+
+    # and the NEXT sync is incremental, not another clone
+    from leftshove_spark import sinks
+
+    p1 = sorted(os.listdir(os.path.join(replica, "p=1")))
+    fold([(5, "2", "e")], ["2"], keep_generations=5)
+    real = sinks.rewrite_dir_staged
+    roots = []
+
+    def spy(df, path, **kw):
+        roots.append(path)
+        return real(df, path, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(sinks, "rewrite_dir_staged", spy):
+        assert statestore.sync_state(spark, state, replica) == g + 1
+    # only the touched partition dir was swapped — no root re-clone
+    assert roots == [os.path.join(replica, "p=2")]
+    assert sorted(os.listdir(os.path.join(replica, "p=1"))) == p1
+
+
+def test_sync_state_sibling_prefix_path_not_retention_shaped(
+    spark, tmp_path, monkeypatch
+):
+    """r15 review: the retention heuristic must match the source path
+    at PATH BOUNDARIES — '/a/state' is a raw substring of
+    '/a/state_replica', so a Spark FileNotFound naming the sibling
+    replica dir would be misclassified as a source retention lapse and
+    silently retried as full re-clones."""
+    from leftshove_spark import sinks
+
+    state = str(tmp_path / "st")
+    replica = f"{state}_replica"  # state path is a string prefix
+    statestore.commit_fold(
+        spark,
+        state,
+        spark.createDataFrame([(1, "1", "a")], "k long, p string, v string"),
+        "p",
+        ["1"],
+    )
+    calls = []
+
+    def spark_shaped_replica_fnf(*a, **kw):
+        calls.append(1)
+        raise RuntimeError(
+            f"FileNotFoundException: File {replica}/p=1/f.parquet "
+            "does not exist"
+        )
+
+    monkeypatch.setattr(sinks, "rewrite_dir_staged", spark_shaped_replica_fnf)
+    with pytest.raises(RuntimeError):
+        statestore.sync_state(spark, state, replica)
+    assert len(calls) == 1  # surfaced first try, no re-clone retries
