@@ -1480,6 +1480,7 @@ def run_corpus_stream_pipeline(
     timeout_sec: int = 300,
     keep_generations: int | None = None,
     retention_sec: float | None = None,
+    files_per_bucket: int | None = None,
 ) -> dict[str, str]:
     """The COMPOSED streaming corpus story (VERDICT r12 next #6):
     admit → decontaminate → index → materialize, wired as four
@@ -1598,6 +1599,7 @@ def run_corpus_stream_pipeline(
         once=True,
         keep_generations=keep_generations,
         retention_sec=retention_sec,
+        files_per_bucket=files_per_bucket,
     )
     drain(q, "state")
     return dirs
@@ -1622,6 +1624,7 @@ def start_corpus_stream_pipeline_live(
     keep_generations: int | None = None,
     retention_sec: float | None = None,
     schema=None,
+    files_per_bucket: int | None = None,
 ) -> tuple[dict[str, str], list[StreamingQuery]]:
     """The CONTINUOUS deployment mode of the composed corpus pipeline
     (VERDICT r13 next #2): the same four stages as
@@ -1746,6 +1749,7 @@ def start_corpus_stream_pipeline_live(
             keep_generations=keep_generations,
             retention_sec=retention_sec,
             source_schema=schema,
+            files_per_bucket=files_per_bucket,
         ),
     ]
     return dirs, queries

@@ -91,6 +91,9 @@ def test_composed_stream_equals_batch_composition(spark, tmp_path):
         cents=cents,
         books=books,
         threshold=0.95,
+        # r15: the shaping knob threads through the composed pipeline's
+        # materialize stage — same end state, capped write layout
+        files_per_bucket=1,
     )
 
     admitted = {r["doc_id"] for r in spark.read.parquet(dirs["admitted"]).collect()}
