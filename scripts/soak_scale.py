@@ -47,6 +47,10 @@ QUERIES = [
     "x_dedup_substring",
     "x_pagerank_dedup",
     "x_current_state_materialized",
+    # r15: the K20 maintenance path at 10x the certified key population
+    # (fold -> fragment -> compact -> read) — measures the compaction
+    # commit itself at scale, not just its plan shape
+    "x_compact_state_transparent",
 ]
 
 soak_dir = tempfile.mkdtemp(prefix=f"soak_sf{X}_")
