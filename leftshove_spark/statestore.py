@@ -80,6 +80,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
@@ -730,7 +731,11 @@ def compact_partitions(
         parts, base = [], 0
         for v in touched:
             p = read_state(
-                spark, state_dir, partition_values=[v], generation=gen
+                spark,
+                state_dir,
+                partition_values=[v],
+                generation=gen,
+                _manifest=m,
             )
             parts.append(
                 p.withColumn(
@@ -964,6 +969,7 @@ def read_state(
     partition_values: list[str] | None = None,
     merge_schema: bool = True,
     generation: int | None = None,
+    _manifest: dict | None = None,
 ) -> DataFrame:
     """Snapshot read: resolve the current manifest ONCE and scan exactly
     that generation's files — a fold committing concurrently changes
@@ -989,8 +995,10 @@ def read_state(
     contradiction (no manifests) and raises the same way."""
     # load_manifest raises KeyError itself when a specific generation
     # is pinned on a store with no manifests — m is None only for the
-    # unpinned legacy path
-    m = load_manifest(state_dir, generation)
+    # unpinned legacy path. ``_manifest`` lets per-partition callers
+    # (sync_state, compact_partitions) reuse their already-pinned
+    # manifest instead of re-parsing the JSON once per partition.
+    m = _manifest if _manifest is not None else load_manifest(state_dir, generation)
     if m is None:
         df = spark.read.parquet(state_dir)  # legacy dir (or raise)
         if partition_values is not None:
@@ -1064,8 +1072,6 @@ def _recorded_schema(replica_dir: str):
     """The StructType the replica was last uniformly written with
     (``_SYNC_SCHEMA``), or None for a pre-marker replica / unreadable
     marker (both force one full re-clone, which re-records it)."""
-    from pyspark.sql.types import StructType
-
     try:
         with open(
             os.path.join(replica_dir, _SYNC_SCHEMA_FILE), encoding="utf-8"
@@ -1119,7 +1125,15 @@ def sync_state(
        (sinks.rewrite_dir_staged), partitions the diff reports deleted
        removed outright; KeyError (``last_gen`` fell out of retention
        during a maintenance pause — statestore GC) → full re-clone
-       instead of an error surfaced to the consumer; schema drift is
+       instead of an error surfaced to the consumer. A lapse landing
+       MID-sync (an eager-reclaim maintainer commits past the pinned
+       generation between snapshot and read) resolves one of two ways,
+       neither needing caller involvement: the pinned files are
+       already gone → FileNotFound → re-snapshot + full re-clone this
+       sync; or they still exist (replaced files outlive replacement
+       one further generation) → the sync completes as a CONSISTENT
+       snapshot of the pinned generation and the next sync, unable to
+       diff against the lapsed marker, full-resyncs. Schema drift is
        handled per partition against the one schema the replica was
        uniformly written with (``_SYNC_SCHEMA``) — a NARROWER incoming
        partition (routine in a long-evolved store) is NULL-padded to
@@ -1184,6 +1198,13 @@ def sync_state(
             i = s.find(ap, i + 1)
         return False
 
+    # the recorded schema covers DATA columns only — the partition
+    # column is dropped before every replica write, and its INFERRED
+    # type varies with the read's selection (a single-partition read of
+    # p=1 infers int where the full store infers string; a NULL-only
+    # read infers void), so including it would misread routine syncs as
+    # drift and silently degrade them to full re-clones forever (r15
+    # review, reproduced)
     recorded = _recorded_schema(replica_dir)
     rec_key = _schema_key(recorded) if recorded is not None else None
     rec_pairs = (
@@ -1250,7 +1271,16 @@ def sync_state(
                         state_dir,
                         partition_values=[v],
                         generation=gen,
+                        _manifest=m,
                     )
+                    if pcol:
+                        # drop BEFORE the schema compare: the partition
+                        # column's inferred type depends on which dirs
+                        # the read selects (int for p=1 alone, string
+                        # over the full store, void for the NULL
+                        # sentinel) and it never reaches the replica's
+                        # data files anyway
+                        part = part.drop(pcol)
                     pairs = {
                         (f.name, f.dataType.simpleString())
                         for f in part.schema.fields
@@ -1260,8 +1290,16 @@ def sync_state(
                         break
                     frames[v] = part
             if last_gen is None or touched is None:
-                full = read_state(spark, state_dir, generation=gen)
-                synced_schema = full.schema
+                full = read_state(
+                    spark, state_dir, generation=gen, _manifest=m
+                )
+                synced_schema = (
+                    StructType(
+                        [f for f in full.schema.fields if f.name != pcol]
+                    )
+                    if pcol
+                    else full.schema
+                )
                 full_cloned = True
                 rewrite_dir_staged(
                     full, replica_dir, partition_by=[pcol] if pcol else None
@@ -1274,7 +1312,7 @@ def sync_state(
                         else replica_dir
                     )
                     if v in m["files"]:
-                        part = frames[v]
+                        part = frames[v]  # pcol already dropped
                         if _schema_key(part.schema) != rec_key:
                             # narrow partition: pad to the recorded
                             # shape so the replica stays uniform
@@ -1287,11 +1325,6 @@ def sync_state(
                             part = part.select(
                                 [f.name for f in recorded.fields]
                             )
-                        if pcol:
-                            # the dir name carries the partition value;
-                            # a copy in the data files would collide
-                            # with partition discovery at replica read
-                            part = part.drop(pcol)
                         rewrite_dir_staged(part, pdir)
                     else:
                         # the diff says the partition was deleted

@@ -774,6 +774,14 @@ def _maintain_bucketed_state(
 
     from . import statestore
 
+    if files_per_bucket is not None and files_per_bucket < 1:
+        # fail loudly up front — silently skipping the shaping would
+        # leave the misconfiguration discoverable only by inspecting
+        # manifest file counts (r15 review)
+        raise ValueError(
+            f"files_per_bucket must be >= 1, got {files_per_bucket} "
+            "(None disables write shaping)"
+        )
     bucket = statestore.bucket_expr(
         [F.col(k).cast("string") for k in keys], n_buckets
     )
@@ -844,7 +852,7 @@ def _maintain_bucketed_state(
                 "(capture sequence) or repair the upstream duplicate."
             )
         out = derive(merged)
-        if files_per_bucket is not None and files_per_bucket >= 1:
+        if files_per_bucket is not None:
             # shape the write at the source (r15, K20's flip side): the
             # fold output otherwise arrives through the dedup/window
             # shuffle, landing one file per (write task × touched

@@ -1115,12 +1115,20 @@ def test_vacuum_spares_live_inflight_scratch_tree(spark, tmp_path):
 def test_sync_state_survives_mid_sync_retention_lapse(
     spark, tmp_path, monkeypatch
 ):
-    """r14 review: the generation sync_state pinned can itself be GC'd
-    MID-SYNC by a fast eager-reclaim maintainer (two commits between
-    the snapshot and a pinned read). The helper must re-snapshot and
-    fall back to a full re-clone instead of surfacing KeyError —
-    'no retention-protocol knowledge required of the caller' has to
-    hold against this race too."""
+    """r14 review, semantics refined r15: the generation sync_state
+    pinned can be GC'd MID-SYNC by a fast eager-reclaim maintainer
+    (two commits between the snapshot and a pinned read). Either way
+    the caller needs no retention-protocol knowledge:
+
+    - if the pinned files were already reclaimed, the read surfaces as
+      FileNotFound → re-snapshot + full re-clone (same sync);
+    - if the pinned files still exist (replaced files outlive their
+      replacement one further generation), the sync COMPLETES as a
+      consistent snapshot of the pinned generation — the manifest's
+      disappearance alone is not an error — and the NEXT sync, unable
+      to diff against the lapsed marker, full-resyncs to head.
+
+    This test drives the second (benign) path end-to-end."""
     state = str(tmp_path / "lapse")
     replica = str(tmp_path / "lapserep")
 
@@ -1154,6 +1162,16 @@ def test_sync_state_survives_mid_sync_retention_lapse(
     monkeypatch.setattr(statestore, "read_state", read_then_lapse)
     gen = statestore.sync_state(spark, state, replica)
     monkeypatch.undo()
+    # the pinned files still existed → the sync completed as a
+    # CONSISTENT snapshot of the pinned generation 2
+    assert gen == 2 and statestore.last_synced_generation(replica) == 2
+    got = sorted(
+        (r["k"], str(r["p"]), r["v"])
+        for r in spark.read.parquet(replica).collect()
+    )
+    assert got == [(1, "1", "a"), (2, "2", "B")]  # exactly gen 2
+    # the next sync cannot diff against the lapsed gen 2 → full resync
+    gen = statestore.sync_state(spark, state, replica)
     assert gen == statestore.list_generations(state)[-1]
     got = sorted(
         (r["k"], str(r["p"]), r["v"])
@@ -1755,3 +1773,64 @@ def test_sync_state_sibling_prefix_path_not_retention_shaped(
     with pytest.raises(RuntimeError):
         statestore.sync_state(spark, state, replica)
     assert len(calls) == 1  # surfaced first try, no re-clone retries
+
+
+def test_sync_state_partition_type_inference_not_drift(spark, tmp_path):
+    """r15 review (reproduced): the partition column's INFERRED type
+    depends on which dirs a read selects — p=1 alone infers int where
+    the full store (holding 'x') infers string, and a NULL-sentinel
+    read infers void. The drift guard must exclude the partition
+    column (it never reaches the replica's data files), or every sync
+    touching such a partition silently degrades to a full O(table)
+    re-clone forever."""
+    from leftshove_spark import sinks
+
+    state = str(tmp_path / "ti")
+    replica = str(tmp_path / "tirep")
+
+    def fold(rows, touched):
+        statestore.commit_fold(
+            spark,
+            state,
+            spark.createDataFrame(rows, "k long, p string, v string"),
+            "p",
+            touched,
+            keep_generations=10,
+        )
+
+    fold(
+        [(1, "1", "a"), (2, "x", "b"), (3, None, "c")],
+        ["1", "x", "__HIVE_DEFAULT_PARTITION__"],
+    )
+    assert statestore.sync_state(spark, state, replica) == 1
+
+    # folds touching the int-looking and the NULL partition: both must
+    # sync INCREMENTALLY (no root re-clone)
+    roots = []
+    real = sinks.rewrite_dir_staged
+
+    def spy(df, path, **kw):
+        roots.append(path)
+        return real(df, path, **kw)
+
+    import unittest.mock as mock
+
+    fold([(1, "1", "A")], ["1"])
+    with mock.patch.object(sinks, "rewrite_dir_staged", spy):
+        assert statestore.sync_state(spark, state, replica) == 2
+    fold([(4, None, "C")], ["__HIVE_DEFAULT_PARTITION__"])
+    with mock.patch.object(sinks, "rewrite_dir_staged", spy):
+        assert statestore.sync_state(spark, state, replica) == 3
+    assert roots == [
+        os.path.join(replica, "p=1"),
+        os.path.join(replica, "p=__HIVE_DEFAULT_PARTITION__"),
+    ]
+    got = sorted(
+        (r["k"], r["p"], r["v"])
+        for r in spark.read.parquet(replica).collect()
+    )
+    want = sorted(
+        (r["k"], r["p"], r["v"])
+        for r in statestore.read_state(spark, state).collect()
+    )
+    assert got == want

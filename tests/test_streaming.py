@@ -1413,3 +1413,22 @@ def test_fold_files_per_bucket_caps_write_layout(spark, tmp_path):
         for r in current_state_table(spark, shaped).collect()
     )
     assert got_plain == got_shaped == sorted(rows)
+
+
+def test_fold_files_per_bucket_invalid_raises(spark, tmp_path):
+    """r15 review: files_per_bucket=0 must fail loudly, not silently
+    skip the shaping the knob's contract promises."""
+    import pytest
+
+    from leftshove_spark.streaming import maintain_current_state
+
+    batch = spark.createDataFrame([(1, "a", 1)], "pk long, v string, ts long")
+    with pytest.raises(ValueError, match="files_per_bucket"):
+        maintain_current_state(
+            spark,
+            str(tmp_path / "bad"),
+            batch,
+            "pk",
+            "ts",
+            files_per_bucket=0,
+        )
