@@ -214,10 +214,18 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     import pyspark
 
+    # Two output lines (VERDICT r15 next #4): the driver records only the
+    # LAST ~2,000 characters of stdout and json-parses the final line —
+    # the r14/r15 single-line record had grown past that window, so both
+    # rounds were graded from a clipped string ("parsed": null). The full
+    # record (per-query spread, provenance) goes out FIRST for humans
+    # reading the raw log; the FINAL line is a compact summary (values to
+    # 2 dp, no spread) kept under the capture window, with a guard that
+    # drops the per-query dict rather than ever exceeding it.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_wall",
+                "metric": "headline_queries_wall_detail",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
@@ -236,6 +244,19 @@ def main() -> None:
             }
         )
     )
+    compact = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "calibration_sec": round(min(calib), 3),
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:  # never let the final line outgrow the capture
+        compact.pop("queries")
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -467,6 +467,41 @@ class Engine:
             min_files=min_files,
         )
 
+    def maintain_state(
+        self,
+        table: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 8,
+        vacuum: bool = True,
+    ) -> dict:
+        """One civilized maintenance pass over ``table``'s current-state
+        store — compaction + orphan vacuum via
+        :func:`statestore.maintain_store` — safe to run WHILE a live
+        capture loop / W26 stream folds the same store: a lost
+        generation race is absorbed (re-planned once, then deferred to
+        the next pass), never surfaced as an error, and the fold side
+        retries over the contents-preserving maintenance commit
+        (statestore.commit_fold_retrying). Run it from a maintenance
+        cadence (cron, or every N cycles) on tables whose live file
+        population matters. Returns the maintain_store result dict
+        (``compacted`` / ``lost_races`` / ``vacuumed``); all-empty for
+        tables without a manifest store."""
+        from . import statestore
+
+        st = next((s for s in self.state.all() if s.name == table), None)
+        if st is None:
+            raise KeyError(f"{table}: not a seeded capture table")
+        path = self.current_state_path(st)
+        if not os.path.isdir(os.path.join(path, statestore._MANIFEST_DIR)):
+            return {"compacted": {}, "lost_races": 0, "vacuumed": []}
+        return statestore.maintain_store(
+            self.spark,
+            path,
+            target_file_bytes=target_file_bytes,
+            min_files=min_files,
+            vacuum=vacuum,
+        )
+
     # -------------------------------------------------------------------- run
     def run(
         self,

@@ -626,6 +626,21 @@ def compaction_plan(
     return plan
 
 
+def _decode_partition_value(v: str):
+    """Manifest key (the directory-ENCODED partition string Spark wrote:
+    path-escaped, NULL = ``__HIVE_DEFAULT_PARTITION__``) → the raw value
+    whose re-encoding by ``partitionBy`` reproduces the SAME directory
+    name. Spark's escaping is %XX on a fixed char set with ``%`` itself
+    escaped, so canonical directory names round-trip through a plain
+    URL-unquote. Returns None for the NULL sentinel (``F.lit(None)``
+    re-renders it)."""
+    if v == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    from urllib.parse import unquote
+
+    return unquote(v)
+
+
 def _injective_task_ids(spark: SparkSession, total: int) -> list[int]:
     """``total`` bigints whose Spark hash-partitioning residues mod
     ``total`` are pairwise distinct — ``repartition(total, tid)`` on
@@ -665,6 +680,7 @@ def compact_partitions(
     partitions: list[str] | None = None,
     keep_generations: int | None = None,
     retention_sec: float | None = None,
+    _pre_commit_hook=None,
 ) -> dict[str, int]:
     """Small-file maintenance: rewrite fragmented partitions into
     ~``target_file_bytes`` files as ONE ordinary fenced commit — the
@@ -706,7 +722,7 @@ def compact_partitions(
     gen, pcol = m["gen"], m["partition_col"]
     touched = sorted(plan)
     total = sum(plan.values())
-    if pcol and total > 1:
+    if pcol:
         # Exact group→task routing, keyed on the MANIFEST's file lists,
         # never on partition-VALUE equality: directory names are
         # path-escaped (':' → '%3A') and NULL is a sentinel dir, so a
@@ -736,6 +752,18 @@ def compact_partitions(
                 partition_values=[v],
                 generation=gen,
                 _manifest=m,
+            )
+            # Carry the partition column as a LITERAL of the decoded
+            # manifest key, not the discovery-inferred column (ADVICE
+            # r15): discovery types the column by the SELECTION (p=01
+            # alone infers int 1), so re-writing through partitionBy
+            # would re-render it canonically and silently re-key the
+            # partition ('01' deleted, rows reappear under '1').
+            # Strings render verbatim and Spark's path-escape of the
+            # decoded value reproduces the directory name byte-exactly,
+            # so the manifest key round-trips through the rewrite.
+            p = p.drop(pcol).withColumn(
+                pcol, F.lit(_decode_partition_value(v)).cast("string")
             )
             parts.append(
                 p.withColumn(
@@ -779,6 +807,8 @@ def compact_partitions(
         df = read_state(
             spark, state_dir, partition_values=touched, generation=gen
         ).repartition(total)
+    if _pre_commit_hook is not None:
+        _pre_commit_hook()  # test seam: interpose a racing fold here
     commit_fold(
         spark,
         state_dir,
@@ -787,6 +817,13 @@ def compact_partitions(
         touched,
         keep_generations=keep_generations,
         retention_sec=retention_sec,
+        # the read above pinned generation `gen`: committing over a
+        # LATER base would silently revert a racing fold's touched
+        # partitions to their pinned-gen contents (ADVICE r15 lost-
+        # update window) — commit_fold re-checks the base and raises
+        # ConcurrentCommitError instead, store intact
+        expected_base_gen=gen,
+        _maintenance=True,
     )
     return plan
 
@@ -831,7 +868,9 @@ def commit_fold(
     touched_values: list[str],
     keep_generations: int | None = None,
     retention_sec: float | None = None,
+    expected_base_gen: int | None = None,
     _migrating: bool = False,
+    _maintenance: bool = False,
 ) -> None:
     """Atomically replace the ``touched_values`` partitions with ``out``
     (which must carry ``partition_col`` and only touched partitions'
@@ -842,7 +881,18 @@ def commit_fold(
     replacement (None = the module defaults; see the GC constants).
     Raises :class:`ConcurrentCommitError` — store intact — when a
     racing writer violates the single-writer contract. See the module
-    docstring for the protocol."""
+    docstring for the protocol.
+
+    ``expected_base_gen`` pins the commit to a read snapshot (ADVICE
+    r15): a caller that derived ``out`` from generation G passes G, and
+    the commit then lands as EXACTLY G+1 or raises — a racer committing
+    G+1 first is caught either by the pre-write base check here or by
+    the manifest link's generation CAS, never silently overwritten with
+    data pinned to the older generation. Pass 0 to assert the store has
+    never committed. ``_maintenance`` stamps the manifest as a
+    contents-preserving rewrite (compaction) — the marker
+    :func:`commit_fold_retrying` consults to decide a lost race is safe
+    to retry over."""
     if not _migrating and _is_legacy_dir(state_dir, partition_col):
         _migrate_legacy(spark, state_dir, partition_col)
     cur = load_manifest(state_dir)
@@ -851,6 +901,15 @@ def commit_fold(
             f"state store {state_dir} is partitioned by "
             f"{cur.get('partition_col')!r}, not {partition_col!r}"
         )
+    if expected_base_gen is not None:
+        cur_gen = cur["gen"] if cur else 0
+        if cur_gen != expected_base_gen:
+            raise ConcurrentCommitError(
+                f"{state_dir} is at generation {cur_gen}, not the "
+                f"expected base {expected_base_gen} this fold's read "
+                "pinned — a writer raced between the read and the "
+                "commit; nothing was written"
+            )
     gen = (cur["gen"] + 1) if cur else 1
     data = os.path.join(state_dir, _DATA_DIR)
     tmp = os.path.join(state_dir, _TMP_DIR)
@@ -912,6 +971,8 @@ def commit_fold(
         "garbage": garbage,
         "committed_at": time.time(),
     }
+    if _maintenance:
+        manifest["maintenance"] = True
     # pre-flip orphan sweep: files a CRASHED commit moved into the
     # touched partitions but never referenced, exempting the files this
     # commit just moved (bounded to this commit's partitions). Swept
@@ -932,6 +993,129 @@ def commit_fold(
     _gc(state_dir, gen, keep_generations, retention_sec)
     if not _migrating and gen > 1:
         _drop_legacy_files(state_dir, partition_col)
+
+
+def commit_fold_retrying(
+    spark: SparkSession,
+    state_dir: str,
+    out: DataFrame,
+    partition_col: str | None,
+    touched_values: list[str],
+    keep_generations: int | None = None,
+    retention_sec: float | None = None,
+    retries: int = 2,
+    backoff_sec: float = 0.5,
+) -> None:
+    """:func:`commit_fold` for folds that may legitimately race
+    CONTENTS-PRESERVING maintenance (VERDICT r15 next #1): the one
+    sanctioned concurrent writer on a live store is the maintenance
+    loop (:func:`maintain_store` — compaction rewrites the same rows
+    into fewer files), and a fold losing the generation CAS to it must
+    not kill the streaming query that drives the fold. On
+    :class:`ConcurrentCommitError` this inspects the generations
+    committed since the fold started: if EVERY one carries the
+    ``maintenance`` stamp (written only by :func:`compact_partitions`),
+    the racer changed no row values, so re-running the commit — same
+    ``out`` plan, re-materialized against the new base generation — is
+    value-identical and safe; it retries after ``backoff_sec``. Any
+    unstamped intervening generation means a second DATA writer raced
+    (a genuine single-writer-contract violation) and the error
+    re-raises loudly, exactly as the plain fold would. ``out`` must
+    read the store (if at all) through pinned paths
+    (:func:`read_state` snapshots do), so a retry re-scans the same
+    files — GC retention keeps them live through the maintenance
+    commit that displaced them."""
+    base = load_manifest(state_dir)
+    base_gen = base["gen"] if base else 0
+    for attempt in range(retries + 1):
+        try:
+            commit_fold(
+                spark,
+                state_dir,
+                out,
+                partition_col,
+                touched_values,
+                keep_generations=keep_generations,
+                retention_sec=retention_sec,
+            )
+            return
+        except ConcurrentCommitError:
+            since = [g for g in _list_manifests(state_dir) if g > base_gen]
+            all_maintenance = bool(since)
+            for g in since:
+                try:
+                    mg = load_manifest(state_dir, g)
+                except KeyError:
+                    mg = None
+                if not (mg or {}).get("maintenance"):
+                    all_maintenance = False  # a DATA writer raced
+                    break
+            if attempt >= retries or not all_maintenance:
+                raise
+            base_gen = max(since)
+            time.sleep(backoff_sec)
+
+
+def maintain_store(
+    spark: SparkSession,
+    state_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 8,
+    partitions: list[str] | None = None,
+    keep_generations: int | None = None,
+    retention_sec: float | None = None,
+    vacuum: bool = True,
+    vacuum_grace_sec: float | None = None,
+    retries: int = 1,
+    backoff_sec: float = 0.5,
+    _pre_commit_hook=None,
+) -> dict:
+    """One maintenance pass over a live store — compaction plus orphan
+    vacuum — with the CIVILIZED loss discipline a maintenance loop
+    racing a live fold writer needs (VERDICT r15 next #1): compaction
+    is contents-preserving, so losing the generation CAS to a
+    concurrent fold costs nothing but the rewrite — catch the
+    :class:`ConcurrentCommitError`, back off, re-plan against the new
+    generation, and after ``retries`` losses DEFER to the next
+    maintenance cycle rather than surfacing an error (the fold always
+    wins; maintenance is best-effort by design). The inverse race —
+    the FOLD losing to a maintenance commit — is handled on the fold
+    side by :func:`commit_fold_retrying` via the ``maintenance``
+    manifest stamp. Together the two make
+    compact-while-streaming a supported deployment: every commit is
+    still one fenced generation CAS; no locks, no coordination beyond
+    the manifest.
+
+    Returns ``{"compacted": plan, "lost_races": n, "vacuumed": [...]}``
+    — ``compacted`` empty when nothing qualified OR every attempt lost
+    (distinguish via ``lost_races``). No-op (all-empty result) for
+    stores with no manifest yet."""
+    out = {"compacted": {}, "lost_races": 0, "vacuumed": []}
+    if not _list_manifests(state_dir):
+        return out
+    hook = _pre_commit_hook
+    for attempt in range(retries + 1):
+        try:
+            out["compacted"] = compact_partitions(
+                spark,
+                state_dir,
+                target_file_bytes=target_file_bytes,
+                min_files=min_files,
+                partitions=partitions,
+                keep_generations=keep_generations,
+                retention_sec=retention_sec,
+                _pre_commit_hook=hook,
+            )
+            break
+        except ConcurrentCommitError:
+            out["lost_races"] += 1
+            hook = None  # the seam provokes at most the first attempt
+            if attempt >= retries:
+                break  # defer to the next maintenance cycle
+            time.sleep(backoff_sec)
+    if vacuum:
+        out["vacuumed"] = vacuum_orphans(state_dir, grace_sec=vacuum_grace_sec)
+    return out
 
 
 def _widened_schema_of_files(paths: list[str]):
@@ -1079,6 +1263,26 @@ def _recorded_schema(replica_dir: str):
             return StructType.fromJson(json.loads(fh.read()))
     except (OSError, ValueError, KeyError, TypeError):
         return None
+
+
+def _replica_holds_data(replica_dir: str) -> bool:
+    """True when ``replica_dir`` contains at least one parquet data
+    file — the cheap 'this replica has actually been cloned' probe the
+    no-op fast path gates on (ADVICE r15): a caller-supplied
+    ``last_gen`` equal to the current generation must not skip the
+    clone against a missing/wiped replica, or the skip would mint an
+    empty replica that every marker-driven sync thereafter treats as
+    current. Walk with early exit; staging/metadata dirs pruned."""
+    if not os.path.isdir(replica_dir):
+        return False
+    for dirpath, dirnames, filenames in os.walk(replica_dir):
+        dirnames[:] = [
+            d for d in dirnames if "=" in d or not d.startswith(("_", "."))
+        ]
+        for f in filenames:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                return True
+    return False
 
 
 def last_synced_generation(replica_dir: str) -> int | None:
@@ -1229,7 +1433,20 @@ def sync_state(
             # touched stayed None, rewriting the whole replica on every
             # idle maintenance wave). Skip all data work; still refresh
             # the marker below so callers relying on it converge.
-            break
+            # Trust a CALLER-supplied claim only when the replica
+            # actually holds a prior sync (ADVICE r15): against a
+            # missing/wiped replica_dir the skip would still stamp a
+            # _SYNC_GEN marker, minting an empty replica every later
+            # marker-driven sync treats as current. An empty replica
+            # of a store that itself holds no data is consistent —
+            # only a data-bearing store forces the clone.
+            if (
+                last_synced_generation(replica_dir) is not None
+                or _replica_holds_data(replica_dir)
+                or not (load_manifest(state_dir, gen) or {}).get("files")
+            ):
+                break
+            last_gen = None  # empty replica claiming currency → clone
         try:
             m = load_manifest(state_dir, gen)
             pcol = m["partition_col"]

@@ -1834,3 +1834,292 @@ def test_sync_state_partition_type_inference_not_drift(spark, tmp_path):
         for r in statestore.read_state(spark, state).collect()
     )
     assert got == want
+
+
+def _fold(spark, state, rows, touched, **kw):
+    statestore.commit_fold(
+        spark,
+        state,
+        spark.createDataFrame(rows, "k long, p string, v string"),
+        "p",
+        touched,
+        keep_generations=kw.pop("keep_generations", 20),
+        **kw,
+    )
+
+
+def test_compaction_preserves_noncanonical_partition_keys(spark, tmp_path):
+    """ADVICE r15 (low #1): a partition value whose directory form is
+    not the canonical rendering of its inferred type — '01' beside '1',
+    both inferred int 1 by partition discovery — must round-trip
+    through compaction byte-identically. The pre-r16 rewrite read the
+    column via discovery and re-rendered it through partitionBy, so
+    key '01' was deleted from the manifest and its rows re-keyed under
+    '1'; compaction now re-attaches the DECODED MANIFEST KEY as a
+    string literal, which renders verbatim."""
+    state = str(tmp_path / "noncanon")
+    frag01 = spark.createDataFrame(
+        [(i, "01", f"a{i}") for i in range(6)], "k long, p string, v string"
+    ).repartition(3)
+    statestore.commit_fold(spark, state, frag01, "p", ["01"], keep_generations=20)
+    frag1 = spark.createDataFrame(
+        [(100 + i, "1", f"b{i}") for i in range(6)], "k long, p string, v string"
+    ).repartition(3)
+    statestore.commit_fold(spark, state, frag1, "p", ["1"], keep_generations=20)
+    m = statestore.load_manifest(state)
+    assert set(m["files"]) == {"01", "1"}
+    assert all(len(rels) >= 2 for rels in m["files"].values())
+
+    plan = statestore.compact_partitions(
+        spark, state, target_file_bytes=1 << 30, keep_generations=20
+    )
+    assert set(plan) == {"01", "1"}
+    m2 = statestore.load_manifest(state)
+    # the keys survive byte-identically — '01' neither deleted nor
+    # merged into '1' — and each holds exactly the planned single file
+    assert set(m2["files"]) == {"01", "1"}
+    assert all(len(rels) == 1 for rels in m2["files"].values())
+    # the rows stayed under their own key: pruned reads per key
+    k01 = sorted(
+        r["k"]
+        for r in statestore.read_state(
+            spark, state, partition_values=["01"]
+        ).collect()
+    )
+    k1 = sorted(
+        r["k"]
+        for r in statestore.read_state(
+            spark, state, partition_values=["1"]
+        ).collect()
+    )
+    assert k01 == list(range(6))
+    assert k1 == [100 + i for i in range(6)]
+
+
+def test_compaction_loses_race_to_fold_loudly(spark, tmp_path):
+    """ADVICE r15 (low #2): the lost-update window. A fold committing
+    between compaction's manifest pin and its commit used to be
+    silently adopted as the new base and then OVERWRITTEN with data
+    pinned to the older generation — the racer's changes reverted with
+    no error. commit_fold's expected_base_gen check turns that into a
+    loud ConcurrentCommitError with the racer's commit intact."""
+    state = str(tmp_path / "race")
+    frag = spark.createDataFrame(
+        [(i, "1", f"v{i}") for i in range(6)], "k long, p string, v string"
+    ).repartition(3)
+    statestore.commit_fold(spark, state, frag, "p", ["1"], keep_generations=20)
+    base_gen = statestore.load_manifest(state)["gen"]
+
+    def racing_fold():
+        _fold(spark, state, [(999, "1", "RACER")], ["1"])
+
+    with pytest.raises(statestore.ConcurrentCommitError):
+        statestore.compact_partitions(
+            spark,
+            state,
+            target_file_bytes=1 << 30,
+            keep_generations=20,
+            _pre_commit_hook=racing_fold,
+        )
+    # the racer's commit is the surviving current generation — its row
+    # present, the compaction attempt invisible
+    m = statestore.load_manifest(state)
+    assert m["gen"] == base_gen + 1 and not m.get("maintenance")
+    ks = sorted(
+        r["k"] for r in statestore.read_state(spark, state).collect()
+    )
+    assert ks == [999]  # the racer REPLACED partition 1 (fold contract)
+
+
+def test_maintain_store_retries_lost_race_and_converges(spark, tmp_path):
+    """VERDICT r15 next #1 (maintenance side): maintain_store absorbs a
+    lost generation race — re-plans against the racer's generation and
+    lands the compaction on the retry; after `retries` losses it
+    defers to the next cycle instead of raising. The final state holds
+    BOTH the racer's fold and the compacted layout."""
+    state = str(tmp_path / "maint")
+    frag = spark.createDataFrame(
+        [(i, "1", f"v{i}") for i in range(6)], "k long, p string, v string"
+    ).repartition(3)
+    statestore.commit_fold(spark, state, frag, "p", ["1"], keep_generations=20)
+
+    def racing_fold():
+        # the racer ADDS partition 2 (does not touch partition 1), so
+        # the retry must still find partition 1 fragmented
+        frag2 = spark.createDataFrame(
+            [(100 + i, "2", f"w{i}") for i in range(4)],
+            "k long, p string, v string",
+        ).repartition(2)
+        statestore.commit_fold(
+            spark, state, frag2, "p", ["2"], keep_generations=20
+        )
+
+    res = statestore.maintain_store(
+        spark,
+        state,
+        target_file_bytes=1 << 30,
+        min_files=2,
+        keep_generations=20,
+        retries=1,
+        backoff_sec=0.0,
+        vacuum_grace_sec=0.0,
+        _pre_commit_hook=racing_fold,
+    )
+    assert res["lost_races"] == 1
+    # the retry re-planned over BOTH now-fragmented partitions
+    assert set(res["compacted"]) == {"1", "2"}
+    m = statestore.load_manifest(state)
+    assert m.get("maintenance") is True
+    assert all(len(rels) == 1 for rels in m["files"].values())
+    got = sorted(
+        (r["k"], str(r["p"])) for r in statestore.read_state(spark, state).collect()
+    )
+    assert got == [(i, "1") for i in range(6)] + [
+        (100 + i, "2") for i in range(4)
+    ]
+
+    # exhausted retries DEFER (no raise), reporting the losses
+    def always_race():
+        _fold(spark, state, [(999, "3", "R")], ["3"])
+
+    # re-fragment so a plan exists
+    statestore.commit_fold(
+        spark,
+        state,
+        spark.createDataFrame(
+            [(200 + i, "1", f"z{i}") for i in range(4)],
+            "k long, p string, v string",
+        ).repartition(2),
+        "p",
+        ["1"],
+        keep_generations=20,
+    )
+    res2 = statestore.maintain_store(
+        spark,
+        state,
+        target_file_bytes=1 << 30,
+        min_files=2,
+        keep_generations=20,
+        retries=0,
+        backoff_sec=0.0,
+        _pre_commit_hook=always_race,
+    )
+    assert res2["lost_races"] == 1 and res2["compacted"] == {}
+
+
+def test_fold_retries_over_maintenance_commit_only(spark, tmp_path, monkeypatch):
+    """VERDICT r15 next #1 (fold side): commit_fold_retrying re-commits
+    a fold that lost the generation CAS to a CONTENTS-PRESERVING
+    maintenance commit (the 'maintenance' manifest stamp), but
+    re-raises when the racer was an unstamped DATA writer — retrying
+    over a genuine second fold would silently clobber its rows."""
+    state = str(tmp_path / "foldretry")
+    frag = spark.createDataFrame(
+        [(i, "1", f"v{i}") for i in range(6)], "k long, p string, v string"
+    ).repartition(3)
+    statestore.commit_fold(spark, state, frag, "p", ["1"], keep_generations=20)
+
+    real_commit = statestore.commit_fold
+    calls = {"n": 0}
+
+    def lose_once_to_maintenance(*a, **kw):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            # the maintenance racer wins the CAS first...
+            statestore.compact_partitions(
+                spark, state, target_file_bytes=1 << 30, keep_generations=20
+            )
+            raise statestore.ConcurrentCommitError("simulated lost CAS")
+        return real_commit(*a, **kw)
+
+    monkeypatch.setattr(statestore, "commit_fold", lose_once_to_maintenance)
+    out = spark.createDataFrame(
+        [(i, "1", f"v{i}") for i in range(6)] + [(50, "1", "NEW")],
+        "k long, p string, v string",
+    )
+    statestore.commit_fold_retrying(
+        spark, state, out, "p", ["1"], keep_generations=20
+    )
+    monkeypatch.undo()
+    assert calls["n"] == 1
+    ks = sorted(
+        r["k"] for r in statestore.read_state(spark, state).collect()
+    )
+    assert ks == [0, 1, 2, 3, 4, 5, 50]  # the retried fold landed
+
+    # an UNSTAMPED racer (second data writer) re-raises
+    calls2 = {"n": 0}
+
+    def lose_once_to_data_writer(*a, **kw):
+        if calls2["n"] == 0:
+            calls2["n"] += 1
+            real_commit(
+                spark,
+                state,
+                spark.createDataFrame(
+                    [(777, "1", "OTHER")], "k long, p string, v string"
+                ),
+                "p",
+                ["1"],
+                keep_generations=20,
+            )
+            raise statestore.ConcurrentCommitError("simulated lost CAS")
+        return real_commit(*a, **kw)
+
+    monkeypatch.setattr(statestore, "commit_fold", lose_once_to_data_writer)
+    with pytest.raises(statestore.ConcurrentCommitError):
+        statestore.commit_fold_retrying(
+            spark, state, out, "p", ["1"], keep_generations=20
+        )
+    monkeypatch.undo()
+    ks2 = sorted(
+        r["k"] for r in statestore.read_state(spark, state).collect()
+    )
+    assert ks2 == [777]  # the data writer's commit stands untouched
+
+
+def test_sync_state_noop_claim_against_empty_replica_clones(spark, tmp_path):
+    """ADVICE r15 (low #3): sync_state(..., last_gen=<current gen>)
+    against a replica_dir that does not exist (or was wiped) must NOT
+    skip the clone — the old code created the directory and stamped a
+    _SYNC_GEN marker anyway, minting an empty replica that every later
+    marker-driven sync treated as current. The claim is honored only
+    when the replica actually holds a prior sync."""
+    state = str(tmp_path / "claim")
+    replica = str(tmp_path / "claimrep")
+    _fold(spark, state, [(1, "1", "a"), (2, "2", "b")], ["1", "2"])
+    gen = statestore.load_manifest(state)["gen"]
+
+    # replica never synced: the caller's currency claim is refuted by
+    # the empty dir — a full clone lands the data
+    assert statestore.sync_state(spark, state, replica, last_gen=gen) == gen
+    got = sorted(
+        (r["k"], str(r["p"]), r["v"])
+        for r in spark.read.parquet(replica).collect()
+    )
+    assert got == [(1, "1", "a"), (2, "2", "b")]
+
+    # wiped replica: same refutation
+    import shutil as _sh
+
+    _sh.rmtree(replica)
+    assert statestore.sync_state(spark, state, replica, last_gen=gen) == gen
+    assert sorted(
+        (r["k"], str(r["p"]), r["v"])
+        for r in spark.read.parquet(replica).collect()
+    ) == [(1, "1", "a"), (2, "2", "b")]
+
+    # a replica that DOES hold the prior sync keeps the no-op fast path
+    from leftshove_spark import sinks
+
+    def bomb(*a, **kw):
+        raise AssertionError("no-op sync must not rewrite any partition")
+
+    import pytest as _pt
+
+    mp = _pt.MonkeyPatch()
+    mp.setattr(sinks, "rewrite_dir_staged", bomb)
+    try:
+        assert statestore.sync_state(spark, state, replica, last_gen=gen) == gen
+    finally:
+        mp.undo()
