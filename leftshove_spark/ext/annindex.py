@@ -1,0 +1,289 @@
+"""ANN index ROTATION — generation-pointer cutover for retrained
+vector indexes (VERDICT r15 next #2).
+
+An IVFADC/PQ index is (codes parquet, frozen cents/books): a retrain
+replaces ALL of it at once — new codebooks make old codes meaningless,
+so a searcher must never see new codes with old books or a
+half-written codes directory. The reference handles the analogous
+problem with create-then-swap view cutovers (bigquery.go:187-207); an
+engine that owns its storage needs the swap itself. This module is the
+statestore manifest-flip discipline (statestore.py) reduced to the
+whole-index-replacement case:
+
+Layout::
+
+    index_root/
+      _generations/gen-0000000002.json   # the COMMIT POINTER
+      gen-0000000001/cell=.../*.parquet  # superseded, GC'd after grace
+      gen-0000000002/cell=.../*.parquet  # current codes
+
+A pointer file is the complete description of one index generation::
+
+    {"gen": 2, "path": "gen-0000000002", "meta": {"cents": ..., "books": ...},
+     "committed_at": <epoch sec>}
+
+:func:`rotate_index` builds the next generation in its OWN directory
+(invisible — no pointer resolves it), then flips the pointer via the
+same fsync + CREATE-EXCLUSIVE link CAS the statestore uses: a searcher
+resolving the index at ANY instant gets exactly one generation's codes
+and THAT generation's codebooks, never a mix; two concurrent rotations
+resolve to one winner (the loser raises
+:class:`statestore.ConcurrentCommitError`, the store intact).
+Superseded generations are removed only after BOTH ``keep_generations``
+further rotations AND ``retention_sec`` wall-clock have passed — a
+searcher that resolved the old pointer just before the flip keeps
+scanning files that still exist (set ``retention_sec`` to the longest
+expected search; same reader-grace contract as the statestore GC).
+
+Streaming composition: :func:`streaming.start_ivfadc_index_stream`
+appends micro-batches into the CURRENT generation's directory
+(:func:`current_index` resolves it at stream start). A retrain is:
+build gen N+1 via :func:`rotate_index` (re-encoding the corpus with the
+new codebooks), stop the maintainer, restart it pointed at the new
+directory — in-flight searches on gen N finish on gen N's files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..statestore import ConcurrentCommitError
+
+_GEN_DIR = "_generations"
+
+
+def _pointer_path(index_root: str, gen: int) -> str:
+    return os.path.join(index_root, _GEN_DIR, f"gen-{gen:010d}.json")
+
+
+def _list_pointers(index_root: str) -> list[int]:
+    gdir = os.path.join(index_root, _GEN_DIR)
+    if not os.path.isdir(gdir):
+        return []
+    return sorted(
+        int(e[4:-5])
+        for e in os.listdir(gdir)
+        if e.startswith("gen-") and e.endswith(".json")
+    )
+
+
+def current_index(index_root: str, generation: int | None = None) -> dict | None:
+    """Resolve a committed index generation — the current one by
+    default, a retained older one when ``generation`` is given (a
+    searcher that snapshotted the pointer before a cutover re-resolves
+    its own generation). Returns the pointer dict with ``path``
+    expanded to an absolute directory, or None when no generation was
+    ever committed; raises KeyError for a requested generation that is
+    not retained."""
+    gens = _list_pointers(index_root)
+    if not gens:
+        if generation is not None:
+            raise KeyError(f"{index_root} has no committed index generations")
+        return None
+    if generation is not None and generation not in gens:
+        raise KeyError(
+            f"index generation {generation} of {index_root} is not retained "
+            f"(have {gens}); widen keep_generations/retention_sec on the "
+            "rotation"
+        )
+    g = gens[-1] if generation is None else generation
+    with open(_pointer_path(index_root, g), encoding="utf-8") as fh:
+        ptr = json.load(fh)
+    ptr["path"] = os.path.join(index_root, ptr["path"])
+    return ptr
+
+
+def read_index(
+    spark: SparkSession, index_root: str, generation: int | None = None
+) -> tuple[DataFrame, dict]:
+    """The searcher entry point: resolve the pointer ONCE and return
+    ``(codes, meta)`` — the codes scan over exactly that generation's
+    directory plus the codebooks it was encoded with. A rotation
+    committing concurrently changes nothing this read sees (its files
+    survive the retention grace). Raises ValueError for an index that
+    has never committed."""
+    ptr = current_index(index_root, generation)
+    if ptr is None:
+        raise ValueError(
+            f"{index_root} holds no committed index generation — build one "
+            "with rotate_index first"
+        )
+    return spark.read.parquet(ptr["path"]), ptr.get("meta") or {}
+
+
+def rotate_index(
+    index_root: str,
+    build_fn,
+    meta: dict | None = None,
+    keep_generations: int = 1,
+    retention_sec: float = 600.0,
+) -> int:
+    """Cut the index over to a freshly-built generation. ``build_fn``
+    is called with the new generation's directory path and must write
+    the complete codes relation there (e.g.
+    ``lambda d: ivfadc_encode(corpus, cents, books).write
+    .partitionBy("cell").parquet(d)``); ``meta`` (JSON-serializable —
+    typically ``{"cents": ..., "books": ...}``) rides the pointer so a
+    searcher always pairs codes with the codebooks that produced them.
+    Returns the committed generation number.
+
+    Crash/race discipline (the statestore protocol, whole-index case):
+    a crash during ``build_fn`` leaves the old pointer current and only
+    an unreferenced directory behind — the next rotation targeting the
+    same generation clears it and rebuilds; the pointer flip is a
+    CREATE-EXCLUSIVE link, so two rotations racing one root resolve to
+    one winner and the loser raises
+    :class:`statestore.ConcurrentCommitError` with the store intact.
+    Superseded generations are removed only past BOTH retention bounds
+    (see the module docstring)."""
+    os.makedirs(os.path.join(index_root, _GEN_DIR), exist_ok=True)
+    gens = _list_pointers(index_root)
+    gen = (gens[-1] + 1) if gens else 1
+    rel = f"gen-{gen:010d}"
+    target = os.path.join(index_root, rel)
+    # crash debris from a previous attempt at this generation: no
+    # pointer references it (the attempt died before its flip), and a
+    # LIVE racer building the same generation would lose the link CAS
+    # anyway — clearing is safe and makes the retry deterministic
+    shutil.rmtree(target, ignore_errors=True)
+    build_fn(target)
+    ptr = {
+        "gen": gen,
+        "path": rel,
+        "meta": meta or {},
+        "committed_at": time.time(),
+    }
+    path = _pointer_path(index_root, gen)
+    part = f"{path}.{uuid.uuid4().hex[:8]}.part"
+    with open(part, "w", encoding="utf-8") as fh:
+        json.dump(ptr, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(part, path)
+    except (FileExistsError, FileNotFoundError) as e:
+        try:
+            os.remove(part)
+        except FileNotFoundError:
+            pass
+        shutil.rmtree(target, ignore_errors=True)
+        raise ConcurrentCommitError(
+            f"index generation {gen} of {index_root} was committed by "
+            f"another rotation ({type(e).__name__} at the link); this "
+            "build is discarded"
+        ) from None
+    try:
+        os.remove(part)
+    except FileNotFoundError:
+        pass
+    _gc(index_root, gen, keep_generations, retention_sec)
+    return gen
+
+
+def _gc(
+    index_root: str, current_gen: int, keep_generations: int, retention_sec: float
+) -> None:
+    """Remove superseded index generations past BOTH retention bounds —
+    a searcher that resolved generation G just before G+1's flip keeps
+    its files for ``keep_generations`` further rotations AND
+    ``retention_sec`` seconds, whichever is longer. Idempotent,
+    best-effort (a crash mid-GC re-runs on the next rotation)."""
+    now = time.time()
+    for g in _list_pointers(index_root):
+        if g >= current_gen or (current_gen - g) < max(1, keep_generations):
+            continue
+        try:
+            with open(_pointer_path(index_root, g), encoding="utf-8") as fh:
+                committed = json.load(fh).get("committed_at", 0.0)
+        except (OSError, json.JSONDecodeError):
+            committed = 0.0
+        if (now - committed) < retention_sec:
+            continue
+        shutil.rmtree(
+            os.path.join(index_root, f"gen-{g:010d}"), ignore_errors=True
+        )
+        try:
+            os.remove(_pointer_path(index_root, g))
+        except FileNotFoundError:
+            pass
+    # sweep orphan .part pointers
+    gdir = os.path.join(index_root, _GEN_DIR)
+    for e in os.listdir(gdir):
+        if ".part" in e and e.startswith("gen-"):
+            try:
+                os.remove(os.path.join(gdir, e))
+            except FileNotFoundError:
+                pass
+
+
+def knn_ivfadc_rotated(
+    spark: SparkSession,
+    index_root: str,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    sub_dim: int | None = None,
+    generation: int | None = None,
+) -> DataFrame:
+    """:func:`similarity.knn_ivfadc_codes` resolved through the
+    rotation pointer: codes AND codebooks come from ONE committed
+    generation, so a search issued before/during/after a retrain
+    cutover scores old codes with old books or new codes with new
+    books — never a mix. ``generation`` pins an older retained
+    generation (a long-running search session re-resolving its own
+    snapshot)."""
+    from .similarity import PQ_SUB, knn_ivfadc_codes
+
+    codes, meta = read_index(spark, index_root, generation)
+    if "cents" not in meta or "books" not in meta:
+        raise ValueError(
+            f"{index_root}: the committed generation carries no "
+            "cents/books meta — rotate_index(meta={'cents':..., "
+            "'books':...}) is required for IVFADC search"
+        )
+    return knn_ivfadc_codes(
+        codes,
+        queries,
+        meta["cents"],
+        meta["books"],
+        k=k,
+        nprobe=nprobe,
+        sub_dim=PQ_SUB if sub_dim is None else sub_dim,
+    )
+
+
+def knn_pq_rotated(
+    spark: SparkSession,
+    index_root: str,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    sub_dim: int | None = None,
+    generation: int | None = None,
+) -> DataFrame:
+    """:func:`similarity.knn_pq_adc_codes` through the rotation pointer
+    (flat-PQ variant of :func:`knn_ivfadc_rotated`); the pointer meta
+    must carry ``books``."""
+    from .similarity import PQ_SUB, knn_pq_adc_codes
+
+    codes, meta = read_index(spark, index_root, generation)
+    if "books" not in meta:
+        raise ValueError(
+            f"{index_root}: the committed generation carries no books "
+            "meta — rotate_index(meta={'books': ...}) is required for "
+            "PQ search"
+        )
+    return knn_pq_adc_codes(
+        codes,
+        queries,
+        meta["books"],
+        k=k,
+        sub_dim=PQ_SUB if sub_dim is None else sub_dim,
+    )

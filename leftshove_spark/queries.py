@@ -128,63 +128,15 @@ GATE_EXCLUDE = frozenset({"j3_dedup_latest_semijoin", "x_text_stats"})
 # tests/test_gate_tail_oracle.py, which oracle-checks the FULL gate
 # surface regardless of rotation position.
 GATE_ORDER = [
-    # --- r15 rotation (standing gate-hygiene discipline): the r14-
-    # scored head-50 moves to the tail; the head leads with the ONE
-    # never-scored r15 entry (x_compact_state_transparent — the K20
-    # small-file compaction path, oracle-proven transparent), followed
-    # by the now-stalest block (last driver-scored r13 or earlier).
+    # --- r16 rotation (standing gate-hygiene discipline): the r15-
+    # scored head-50 retires to the tail in order; the head leads with
+    # the now-stalest veteran block (last driver-scored r13 or
+    # earlier). No never-scored entries this round — r16's additions
+    # (maintenance-under-live-load, schema-drift guard, ANN index
+    # rotation, conditional-put manifests) are control-plane/streaming
+    # surfaces certified by pytest, not SQL-expressible gate rows.
     # Every rotated-out entry stays oracle-verified each pytest pass by
     # tests/test_gate_tail_oracle.py.
-    "x_compact_state_transparent",
-    "x_sample_k_per_group",
-    "k5_skew_diagnostics",
-    "x_integrity_check",
-    "x_quality_deciles",
-    "x_dedup_embedding_cosine",
-    "q20_heavy_shippers",
-    "x_mixture_sample",
-    "o7_percentile_battery",
-    "x_bpe_train",
-    "x_bpe_5k_vocab",
-    "x_bpe_encode",
-    "x_contamination_report",
-    "x_knn_ivf",
-    "x_ann_recall",
-    "x_knn_ivfadc",
-    "x_knn_ivfadc_rerank",
-    "x_ann_recall_ivfadc",
-    "x_semdedup",
-    "x_hard_negatives",
-    "x_token_counts",
-    "x_multimodal_meta",
-    "q6_forecast_revenue",
-    "c_hof_array_battery",
-    "a2_max_group_by",
-    "x_dedup_exact",
-    "w10_hopping_window_agg",
-    "a4_agg_json_list",
-    "x_fingerprint",
-    "f3_array_to_json",
-    "c_scalar_battery",
-    "f4_f5_munge_ts",
-    "a1_a5_scan_aggregates",
-    "cdc_at_least_once_dedup",
-    "x_dedup_minhash_lsh",
-    "t1_asof_join_latest_order",
-    "x_dedup_resolution",
-    "x_knn_lsh",
-    "x_dedup_ngram_jaccard",
-    "x_quality_filter",
-    "q5_local_supplier_volume",
-    "w8_stream_tumbling_window",
-    "w7_tumbling_window_agg",
-    "o1_f8_filter_order",
-    "q10_returned_items",
-    "q1_pricing_summary",
-    "x_knn_bruteforce",
-    "o4_cube_pricing",
-    "x_lang_id",
-    "q18_large_volume_orders",
     "q19_disjunctive_filter",
     "o3_topk_per_group",
     "o2_rollup_pricing",
@@ -292,6 +244,56 @@ GATE_ORDER = [
     "x_winsorize",
     "j5_scd2_history",
     "j6_asof_state",
+    "x_compact_state_transparent",
+    "x_sample_k_per_group",
+    "k5_skew_diagnostics",
+    "x_integrity_check",
+    "x_quality_deciles",
+    "x_dedup_embedding_cosine",
+    "q20_heavy_shippers",
+    "x_mixture_sample",
+    "o7_percentile_battery",
+    "x_bpe_train",
+    "x_bpe_5k_vocab",
+    "x_bpe_encode",
+    "x_contamination_report",
+    "x_knn_ivf",
+    "x_ann_recall",
+    "x_knn_ivfadc",
+    "x_knn_ivfadc_rerank",
+    "x_ann_recall_ivfadc",
+    "x_semdedup",
+    "x_hard_negatives",
+    "x_token_counts",
+    "x_multimodal_meta",
+    "q6_forecast_revenue",
+    "c_hof_array_battery",
+    "a2_max_group_by",
+    "x_dedup_exact",
+    "w10_hopping_window_agg",
+    "a4_agg_json_list",
+    "x_fingerprint",
+    "f3_array_to_json",
+    "c_scalar_battery",
+    "f4_f5_munge_ts",
+    "a1_a5_scan_aggregates",
+    "cdc_at_least_once_dedup",
+    "x_dedup_minhash_lsh",
+    "t1_asof_join_latest_order",
+    "x_dedup_resolution",
+    "x_knn_lsh",
+    "x_dedup_ngram_jaccard",
+    "x_quality_filter",
+    "q5_local_supplier_volume",
+    "w8_stream_tumbling_window",
+    "w7_tumbling_window_agg",
+    "o1_f8_filter_order",
+    "q10_returned_items",
+    "q1_pricing_summary",
+    "x_knn_bruteforce",
+    "o4_cube_pricing",
+    "x_lang_id",
+    "q18_large_volume_orders",
 ]
 
 

@@ -135,6 +135,23 @@ GC_RETENTION_SEC = 600.0
 ORPHAN_SWEEP_GRACE_SEC = 600.0
 
 
+# Optional OBJECT-STORE commit hook (r16, SCALE.md's one undischarged
+# architectural assumption made pluggable): on stores without atomic
+# CREATE-EXCLUSIVE link semantics (S3-style), set this to a callable
+# ``put_if_absent(path: str, payload: str) -> None`` that performs an
+# ATOMIC conditional put of the manifest key (S3 ``If-None-Match: *``,
+# GCS ``ifGenerationMatch=0``) and raises :class:`FileExistsError` when
+# the key already exists. :func:`_write_manifest` then routes the
+# commit point — and ONLY the commit point — through it: the data
+# layout beneath the pointer is already rename-free (scratch files are
+# new keys; 'moves' become copies on such stores), so the conditional
+# put is the complete swap the module docstring promises. The hook
+# covers the COMMIT protocol; a full object-store deployment also needs
+# listing/read adapters for the `_manifests/` prefix, which plain
+# s3fs/gcs mounts provide.
+MANIFEST_PUT_IF_ABSENT = None
+
+
 class ConcurrentCommitError(RuntimeError):
     """Raised when :func:`commit_fold` detects a second writer racing
     the single-writer contract: the manifest flip found this commit's
@@ -367,6 +384,20 @@ def _write_manifest(state_dir: str, manifest: dict) -> None:
             "(single-writer contract violated); this fold's output is "
             "unreferenced and will be swept"
         )
+    if MANIFEST_PUT_IF_ABSENT is not None:
+        # object-store variant: the conditional put IS the fence — no
+        # part file, no link; the store's compare-and-swap on key
+        # existence gives exactly the one-winner-per-generation CAS
+        try:
+            MANIFEST_PUT_IF_ABSENT(path, json.dumps(manifest))
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"generation {manifest['gen']} of {state_dir} was "
+                "committed by another writer (conditional put found the "
+                "manifest key already present): this fold's output is "
+                "unreferenced and will be swept"
+            ) from None
+        return
     part = f"{path}.{uuid.uuid4().hex[:8]}.part"
     with open(part, "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)

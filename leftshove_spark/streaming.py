@@ -103,6 +103,61 @@ def _streaming_source(
     return df
 
 
+def make_schema_drift_guard(landing_dir: str, pinned_schema) -> Callable[[], None]:
+    """Per-trigger guard against the ONE schema-evolution failure a
+    pinned-schema file stream cannot surface itself (VERDICT r15 next
+    #3, W29): a file landing with columns the stream's schema LACKS is
+    silently projected down — the new column's data is dropped with no
+    error, and once the batch's checkpoint commits, dropped for good.
+    (Changed/incompatible types already fail loudly at scan time; files
+    NARROWER than the schema are legitimately NULL-padded.)
+
+    The returned callable is invoked at the top of each ``foreachBatch``
+    — BEFORE any write, so raising aborts the batch with its checkpoint
+    uncommitted: stop the pipeline, restart with the widened schema, and
+    the flagged file re-reads in full (lossless additive evolution via
+    restart — the D7a discipline one layer up). Each call footer-scans
+    only files not yet examined (immutable once landed), so the steady
+    cost is O(new files per trigger) ~ the ingest rate, not O(dir)."""
+    import pyarrow.parquet as pq
+
+    pinned = {f.name for f in pinned_schema.fields}
+    seen: set[str] = set()
+
+    def check() -> None:
+        for dirpath, dirnames, filenames in os.walk(landing_dir):
+            dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+            for e in filenames:
+                if not e.endswith(".parquet") or e.startswith(("_", ".")):
+                    continue
+                p = os.path.join(dirpath, e)
+                if p in seen:
+                    continue
+                try:
+                    names = set(pq.read_schema(p).names)
+                except (OSError, ValueError):
+                    continue  # mid-write file — rechecked next trigger
+                seen.add(p)
+                extra = sorted(names - pinned)
+                if extra:
+                    raise ValueError(
+                        f"schema drift in {landing_dir}: {e} carries "
+                        f"column(s) {extra} the stream's pinned schema "
+                        "lacks — the file source would silently DROP "
+                        "them. Stop the pipeline and restart it with "
+                        "the widened schema — derive it with a "
+                        "mergeSchema read (spark.read.option("
+                        "'mergeSchema','true').parquet(landing_dir)"
+                        ".schema; a plain read samples ONE footer and "
+                        "can return the narrow shape again). This "
+                        "batch's checkpoint is uncommitted, so the "
+                        "file re-reads in full — no data loss. Or "
+                        "re-land the file without the new columns."
+                    )
+
+    return check
+
+
 def build_stream_capture(
     src: DataFrame,
     nms_col: str,
@@ -679,6 +734,7 @@ def start_current_state_stream(
     retention_sec: float | None = None,
     source_schema=None,
     files_per_bucket: int | None = None,
+    guard_schema_drift: bool = False,
 ) -> StreamingQuery:
     """W26 — Structured Streaming maintenance of the W25 materialized
     current-state table: every micro-batch of landed versions folds
@@ -711,9 +767,16 @@ def start_current_state_stream(
     src = _streaming_source(
         spark, landing_dir, max_files_per_trigger, schema=source_schema
     )
+    drift_guard = (
+        make_schema_drift_guard(landing_dir, src.schema)
+        if guard_schema_drift
+        else None
+    )
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
 
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        if drift_guard is not None:
+            drift_guard()  # raises BEFORE any write — batch replays
         maintain_current_state(
             spark,
             state_dir,
@@ -873,8 +936,15 @@ def _maintain_bucketed_state(
                 salt,
             )
         # commit only the touched buckets — atomically, via the
-        # manifest flip (readers mid-scan keep the prior generation)
-        statestore.commit_fold(
+        # manifest flip (readers mid-scan keep the prior generation).
+        # The RETRYING form (r16): a concurrent maintenance pass
+        # (statestore.maintain_store — compaction, contents-preserving
+        # by construction) may win the generation CAS between this
+        # fold's read and its commit; losing to it must not kill the
+        # streaming query, so the fold re-commits over the compacted
+        # base (value-identical — the pinned read's files outlive the
+        # maintenance commit). An unstamped racer still raises.
+        statestore.commit_fold_retrying(
             spark,
             state_dir,
             out,
@@ -901,6 +971,7 @@ def start_near_dedup_stream(
     processing_time: str = "20 seconds",
     max_files_per_trigger: int | None = None,
     source_schema=None,
+    guard_schema_drift: bool = False,
 ) -> StreamingQuery:
     """W20 — streaming near-dup ADMISSION CONTROL: every micro-batch of
     documents is screened against the persisted LSH index before it may
@@ -952,6 +1023,11 @@ def start_near_dedup_stream(
     src = _streaming_source(
         spark, landing_dir, max_files_per_trigger, schema=source_schema
     )
+    drift_guard = (
+        make_schema_drift_guard(landing_dir, src.schema)
+        if guard_schema_drift
+        else None
+    )
     from pyspark.sql import types as _T
 
     id_type = src.schema[id_col].dataType
@@ -967,6 +1043,8 @@ def start_near_dedup_stream(
         )
 
     def batch_fn(full_df: DataFrame, batch_id: int) -> None:
+        if drift_guard is not None:
+            drift_guard()  # raises BEFORE any write — batch replays
         # survivors keep EVERY landed column (r13: the admission stream
         # chains into downstream stages — decontamination needs the
         # embedding, state materialization the version column); only
@@ -1079,6 +1157,7 @@ def start_decontaminate_stream(
     processing_time: str = "20 seconds",
     max_files_per_trigger: int | None = None,
     source_schema=None,
+    guard_schema_drift: bool = False,
 ) -> StreamingQuery:
     """W27 — streaming SEMANTIC-DECONTAMINATION admission: every
     micro-batch of embedded documents is screened against the frozen
@@ -1112,8 +1191,15 @@ def start_decontaminate_stream(
     src = _streaming_source(
         spark, landing_dir, max_files_per_trigger, schema=source_schema
     )
+    drift_guard = (
+        make_schema_drift_guard(landing_dir, src.schema)
+        if guard_schema_drift
+        else None
+    )
 
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        if drift_guard is not None:
+            drift_guard()  # raises BEFORE any write — batch replays
         batch_df = batch_df.persist()
         try:
             if batch_df.isEmpty():
@@ -1237,8 +1323,10 @@ def maintain_rollup(
         .withColumn("__wday", F.to_date("window_start"))
     )
     # atomic manifest commit of the touched day-partitions (same
-    # discipline as the bucketed folds — no torn reads mid-fold)
-    statestore.commit_fold(
+    # discipline as the bucketed folds — no torn reads mid-fold; the
+    # retrying form tolerates a concurrent contents-preserving
+    # maintenance commit, r16)
+    statestore.commit_fold_retrying(
         spark,
         state_dir,
         remerged,
@@ -1353,7 +1441,7 @@ def maintain_corpus_stats(
         )
     else:
         merged = _merge_corpus_stats(stats, gcols, k)
-    statestore.commit_fold(
+    statestore.commit_fold_retrying(
         spark,
         state_dir,
         merged,
@@ -1633,6 +1721,7 @@ def start_corpus_stream_pipeline_live(
     retention_sec: float | None = None,
     schema=None,
     files_per_bucket: int | None = None,
+    guard_schema_drift: bool = True,
 ) -> tuple[dict[str, str], list[StreamingQuery]]:
     """The CONTINUOUS deployment mode of the composed corpus pipeline
     (VERDICT r13 next #2): the same four stages as
@@ -1665,6 +1754,19 @@ def start_corpus_stream_pipeline_live(
     live run stopped cleanly can be drained the rest of the way by one
     availableNow re-run, and vice versa (same checkpoints, same stage
     contracts; pytest pins live end-state ≡ chained end-state).
+
+    Mid-stream schema evolution (VERDICT r15 next #3, the W29 pin):
+    with ``guard_schema_drift`` (default ON here), every stage checks
+    each trigger — before any write — that no landed file carries
+    columns its pinned schema lacks, and FAILS LOUDLY when one does
+    (:func:`make_schema_drift_guard`): a pinned-schema file source
+    would otherwise silently project the new column away, and once the
+    batch's checkpoint committed, drop it for good. The failing batch's
+    checkpoint stays uncommitted, so the additive-evolution path is a
+    lossless RESTART: stop the pipeline, re-start it with the widened
+    ``schema`` — the flagged file re-reads in full, downstream narrow
+    files NULL-pad through mergeSchema/unionByName, and the state fold
+    widens additively (D7a discipline). Never a silent column drop.
 
     Returns ``(stage_dirs, [admit, decontaminate, index, state])`` —
     the queries in upstream-to-downstream order. Shutdown: stop the
@@ -1716,6 +1818,7 @@ def start_corpus_stream_pipeline_live(
             once=False,
             processing_time=processing_time,
             source_schema=admit_schema,
+            guard_schema_drift=guard_schema_drift,
         ),
         start_decontaminate_stream(
             spark,
@@ -1730,6 +1833,7 @@ def start_corpus_stream_pipeline_live(
             once=False,
             processing_time=processing_time,
             source_schema=schema,
+            guard_schema_drift=guard_schema_drift,
         ),
         start_ivfadc_index_stream(
             spark,
@@ -1743,6 +1847,7 @@ def start_corpus_stream_pipeline_live(
             once=False,
             processing_time=processing_time,
             source_schema=schema,
+            guard_schema_drift=guard_schema_drift,
         ),
         start_current_state_stream(
             spark,
@@ -1757,6 +1862,7 @@ def start_corpus_stream_pipeline_live(
             keep_generations=keep_generations,
             retention_sec=retention_sec,
             source_schema=schema,
+            guard_schema_drift=guard_schema_drift,
             files_per_bucket=files_per_bucket,
         ),
     ]
@@ -1789,6 +1895,7 @@ def start_ivfadc_index_stream(
     processing_time: str = "20 seconds",
     max_files_per_trigger: int | None = None,
     source_schema=None,
+    guard_schema_drift: bool = False,
 ) -> StreamingQuery:
     """W24 — streaming IVFADC index maintenance: W23's frozen-codebook
     discipline applied to the two-level index. Every micro-batch is
@@ -1812,8 +1919,15 @@ def start_ivfadc_index_stream(
     src = _streaming_source(
         spark, landing_dir, max_files_per_trigger, schema=source_schema
     )
+    drift_guard = (
+        make_schema_drift_guard(landing_dir, src.schema)
+        if guard_schema_drift
+        else None
+    )
 
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        if drift_guard is not None:
+            drift_guard()  # raises BEFORE any write — batch replays
         if batch_df.isEmpty():
             return
         enc = ivfadc_encode(batch_df, cents, books, id_col, vec_col)

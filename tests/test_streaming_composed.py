@@ -547,3 +547,397 @@ def test_live_pipeline_starts_on_empty_landing_with_schema(spark, tmp_path):
     # and the flat landing used above derives identically either way
     assert [f.name for f in read_parquet_normalized(spark, landing).schema] \
         == ["doc_id", "text", "embedding", "version"]
+
+
+def test_maintenance_under_live_load(spark, tmp_path):
+    """VERDICT r15 next #1 — the deployment composition: a maintenance
+    loop (statestore.maintain_store: compaction + orphan vacuum) runs
+    WHILE the live composed pipeline folds concurrent waves into the
+    same state store. Pins:
+
+    - ≥2 maintenance passes execute during live folding;
+    - at least one fence loss is PROVOKED (a wave folds between the
+      compaction's manifest pin and its commit — the ADVICE r15
+      lost-update window) and absorbed: maintain_store re-plans and
+      lands the compaction on the retry, no error, no lost fold;
+    - the final state ≡ the batch composition (latest_per_key_window
+      over everything that reached clean/ — the W25 invariant through
+      live folding + concurrent maintenance);
+    - compacted partitions hold exactly the planned file counts;
+    - a sync_state replica of the maintained store converges to the
+      same values."""
+    import time
+
+    from leftshove_spark import statestore
+    from leftshove_spark.ext.similarity import ivfadc_train
+    from leftshove_spark.streaming import (
+        start_corpus_stream_pipeline_live,
+        stop_corpus_stream_pipeline,
+    )
+    from leftshove_spark.views import latest_per_key_window
+
+    base = _fixture(spark)
+    bench = base.filter(
+        (F.col("doc_id") >= 480) & (F.col("doc_id") < 485)
+    ).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i < 4, F.lit(0.0).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    bench_dir = str(tmp_path / "bench")
+    bench.write.parquet(bench_dir)
+    cents, books = ivfadc_train(
+        base, n_centroids=4, id_col="doc_id", vec_col="embedding"
+    )
+    novel = base.filter(F.col("doc_id") == 200).select("embedding").first()[
+        "embedding"
+    ]
+
+    def wave(lo, hi, version):
+        return base.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).withColumn("version", F.lit(version).cast("long"))
+
+    def synth(rows):
+        return spark.createDataFrame(
+            [(i, t, novel, v) for i, t, v in rows],
+            "doc_id long, text string, embedding array<float>, version long",
+        )
+
+    # sentinel/update texts are pairwise-unrelated prose so admission
+    # control provably admits them (a near-dup would silently stall the
+    # wave the hook waits on). Wave 1 lands in TWO parts so the fold
+    # cadence is exercised before maintenance starts.
+    w1a = wave(0, 15, 1)
+    w1b = wave(15, 30, 1).unionByName(
+        synth([(9100, "sentinel wave one part two describes volcanic basalt columns and tidal pools", 1)])
+    )
+    w2 = wave(30, 45, 1).unionByName(
+        synth([(9101, "sentinel wave two mentions radio telescopes and distant quasar surveys", 1)])
+    )
+    w3 = wave(45, 60, 1).unionByName(
+        synth(
+            [
+                (9102, "sentinel wave three covers fermentation chemistry and sourdough cultures", 1),
+                (0, "the first rewrite speaks entirely of maritime navigation and harbor lights", 2),
+                (1, "a second revision concerns alpine meadows snowfall and glacier retreat", 2),
+            ]
+        )
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    w1a.coalesce(1).write.mode("append").parquet(landing)
+    dirs, queries = start_corpus_stream_pipeline_live(
+        spark,
+        landing_dir=landing,
+        work_dir=str(tmp_path / "work"),
+        benchmark_emb_dir=bench_dir,
+        cents=cents,
+        books=books,
+        threshold=0.95,
+        n_buckets=4,
+        processing_time="1 second",
+        # shape each fold at 3 files per touched bucket: locally AQE
+        # coalesces a fold's write to ONE file per bucket, so without
+        # the shaping the store never fragments and the compaction
+        # plan is empty (at cluster scale the wide shuffle fragments
+        # on its own — files_per_bucket here plays that role)
+        files_per_bucket=3,
+    )
+    state_dir = dirs["state"]
+
+    def clean_rows():
+        try:
+            return {
+                (r["doc_id"], r["version"])
+                for r in spark.read.parquet(dirs["clean"]).collect()
+            }
+        except Exception:
+            return None  # clean/ not written yet
+
+    def state_rows():
+        try:
+            return {
+                (r["doc_id"], r["version"])
+                for r in current_state_table(spark, state_dir).collect()
+            }
+        except Exception:
+            return None
+
+    def latest(rows):
+        by = {}
+        for d, v in rows:
+            by[d] = max(by.get(d, v), v)
+        return {(d, v) for d, v in by.items()}
+
+    def wait_caught_up(must_contain, timeout=240):
+        """Until state == latest-per-key of clean/ AND the sentinels
+        arrived — i.e. the fold drained the wave."""
+        deadline = time.time() + timeout
+        last = None
+        while time.time() < deadline:
+            for q in queries:
+                assert q.exception() is None, str(q.exception())
+            c, s = clean_rows(), state_rows()
+            last = (c, s)
+            if (
+                c
+                and s is not None
+                and must_contain <= c
+                and s == latest(c)
+            ):
+                return c
+            time.sleep(2)
+        raise AssertionError(f"fold never caught up; last {last}")
+
+    try:
+        wait_caught_up(set())  # wave 1 part one drained (first fold)
+        w1b.coalesce(1).write.mode("append").parquet(landing)
+        wait_caught_up({(9100, 1)})  # second fold landed
+
+        # --- maintenance pass 1: PROVOKE the fence loss. The hook runs
+        # between the compaction's manifest pin and its commit; it
+        # lands wave 2 and waits for the live fold to commit, so the
+        # compaction's CAS must lose — maintain_store absorbs it and
+        # retries.
+        def provoke_fold():
+            g0 = statestore.list_generations(state_dir)[-1]
+            w2.coalesce(1).write.mode("append").parquet(landing)
+            deadline = time.time() + 180
+            while time.time() < deadline:
+                gs = statestore.list_generations(state_dir)
+                if gs and gs[-1] > g0:
+                    return
+                time.sleep(1)
+            raise AssertionError("live fold never committed during the hook")
+
+        res1 = statestore.maintain_store(
+            spark,
+            state_dir,
+            target_file_bytes=1 << 30,
+            min_files=2,
+            retries=3,
+            backoff_sec=0.5,
+            _pre_commit_hook=provoke_fold,
+        )
+        assert res1["lost_races"] >= 1  # the provoked loss happened
+        assert res1["compacted"]  # ...and the retry landed the compaction
+        assert any(
+            statestore.load_manifest(state_dir, g).get("maintenance")
+            for g in statestore.list_generations(state_dir)
+        )
+        wait_caught_up({(9101, 1)})  # wave 2 fully drained
+
+        # --- wave 3 folds around a second (unprovoked) maintenance pass
+        w3.coalesce(1).write.mode("append").parquet(landing)
+        statestore.maintain_store(
+            spark, state_dir, target_file_bytes=1 << 30, min_files=2, retries=3
+        )
+        wait_caught_up({(9102, 1), (0, 2), (1, 2)})
+        stop_corpus_stream_pipeline(queries)
+
+        # --- final maintenance with the pipeline stopped: the plan
+        # executes exactly, and the store then holds the planned counts
+        res3 = statestore.maintain_store(
+            spark, state_dir, target_file_bytes=1 << 30, min_files=2
+        )
+        m_final = statestore.load_manifest(state_dir)
+        for v, n in res3["compacted"].items():
+            assert len(m_final["files"][v]) == n
+        assert all(len(rels) >= 1 for rels in m_final["files"].values())
+
+        # --- composition invariant: state ≡ latest-per-key over clean/
+        want = sorted(
+            (r["doc_id"], r["version"], r["text"])
+            for r in latest_per_key_window(
+                spark.read.parquet(dirs["clean"]), ["doc_id"], "version"
+            ).collect()
+        )
+        got = sorted(
+            (r["doc_id"], r["version"], r["text"])
+            for r in current_state_table(spark, state_dir).collect()
+        )
+        assert got == want
+        assert (0, 2) in {(d, v) for d, v, _ in got}  # update applied
+
+        # --- a replica converges on the maintained store
+        replica = str(tmp_path / "replica")
+        assert statestore.sync_state(spark, state_dir, replica) == m_final["gen"]
+        got_rep = sorted(
+            (r["doc_id"], r["version"], r["text"])
+            for r in spark.read.parquet(replica).collect()
+        )
+        assert got_rep == want
+    finally:
+        # a failing assert must not leak active queries into the next
+        # test (same shared session)
+        for q in queries:
+            try:
+                q.stop()
+            except Exception:
+                pass
+
+
+def test_live_pipeline_schema_drift_fails_loud_then_evolves_by_restart(
+    spark, tmp_path
+):
+    """VERDICT r15 next #3 (W29): land a wave with an ADDED column while
+    the live pipeline runs. Pinned semantics: the admission stage fails
+    LOUDLY (schema-drift guard) before any write — never a silent
+    column drop — and the additive-evolution path is a lossless
+    restart-with-wider-schema: the flagged wave re-reads in full, the
+    new column propagates to the state, and pre-evolution rows surface
+    it as NULL (D7a discipline end to end). Documents are synthetic
+    pairwise-unrelated prose so admission provably admits every one —
+    the waits can then pin EXACT id sets."""
+    import time
+
+    from leftshove_spark.ext.similarity import ivfadc_train
+    from leftshove_spark.streaming import (
+        start_corpus_stream_pipeline_live,
+    )
+
+    base = _fixture(spark)
+    bench = base.filter(
+        (F.col("doc_id") >= 480) & (F.col("doc_id") < 485)
+    ).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i < 4, F.lit(0.0).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    bench_dir = str(tmp_path / "bench")
+    bench.write.parquet(bench_dir)
+    cents, books = ivfadc_train(
+        base, n_centroids=4, id_col="doc_id", vec_col="embedding"
+    )
+    novel = base.filter(F.col("doc_id") == 200).select("embedding").first()[
+        "embedding"
+    ]
+
+    texts = [
+        "granite cliffs along the fjord reflect pale morning light",
+        "the orchestra rehearsed a brisk rondo for the festival",
+        "fermented tea leaves steep slowly in copper kettles",
+        "migratory cranes circle the estuary before the frost",
+        "a cartographer inks contour lines onto vellum sheets",
+        "volcanic ash enriches the terraced vineyard soils",
+        "the observatory dome rotates toward a distant nebula",
+        "hand-thrown porcelain bowls cool beside the kiln door",
+        "monsoon rains swell the river past the paddy bunds",
+        "a locksmith files the final ward of a brass key",
+    ]
+    wider_texts = [
+        "solar panels tilt to follow the equinox sun across the mesa",
+        "the beekeeper smokes the hive before lifting each frame",
+        "tidewater glaciers calve icebergs into the silted bay",
+        "a luthier carves the scroll of a maple violin neck",
+        "night markets string paper lanterns over the canal",
+    ]
+
+    def synth(rows, with_lang=False):
+        if with_lang:
+            return spark.createDataFrame(
+                [(i, t, novel, 1, "en") for i, t in rows],
+                "doc_id long, text string, embedding array<float>, "
+                "version long, lang string",
+            )
+        return spark.createDataFrame(
+            [(i, t, novel, 1) for i, t in rows],
+            "doc_id long, text string, embedding array<float>, version long",
+        )
+
+    w1 = synth(list(enumerate(texts)))
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    w1.coalesce(1).write.mode("append").parquet(landing)
+
+    def start(schema=None):
+        return start_corpus_stream_pipeline_live(
+            spark,
+            landing_dir=landing,
+            work_dir=str(tmp_path / "work"),
+            benchmark_emb_dir=bench_dir,
+            cents=cents,
+            books=books,
+            threshold=0.95,
+            n_buckets=4,
+            processing_time="1 second",
+            schema=schema,
+        )
+
+    dirs, queries = start()
+    state_dir = dirs["state"]
+
+    def wait_state(pred, timeout=240):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            for q in queries:
+                assert q.exception() is None, str(q.exception())
+            try:
+                rows = current_state_table(spark, state_dir).collect()
+                if pred(rows):
+                    return rows
+            except Exception:
+                pass
+            time.sleep(2)
+        raise AssertionError("state never satisfied the predicate")
+
+    try:
+        wait_state(lambda rows: {r["doc_id"] for r in rows} == set(range(10)))
+
+        # --- the WIDER wave: an added language column
+        w2 = synth(list(enumerate(wider_texts, start=20)), with_lang=True)
+        w2.coalesce(1).write.mode("append").parquet(landing)
+
+        # the admission stage must fail LOUDLY, naming the new column,
+        # BEFORE its checkpoint commits the wider file
+        deadline = time.time() + 180
+        while queries[0].exception() is None and time.time() < deadline:
+            time.sleep(1)
+        exc = queries[0].exception()
+        assert exc is not None and "schema drift" in str(exc)
+        assert "lang" in str(exc)
+        for q in queries:
+            q.stop()
+        for q in queries[1:]:
+            q.awaitTermination()
+        # nothing of the wider wave leaked downstream narrow
+        admitted_ids = {
+            r["doc_id"] for r in spark.read.parquet(dirs["admitted"]).collect()
+        }
+        assert admitted_ids == set(range(10))
+
+        # --- additive evolution by restart: same checkpoints, wider
+        # schema derived exactly as the guard's error message instructs
+        # (a PLAIN read samples one footer and can return the narrow
+        # shape again)
+        wider = spark.read.option("mergeSchema", "true").parquet(landing).schema
+        assert "lang" in [f.name for f in wider.fields]
+        dirs, queries = start(schema=wider)
+        rows = wait_state(
+            lambda rows: {r["doc_id"] for r in rows}
+            == set(range(10)) | set(range(20, 25))
+            and "lang" in (rows[0].asDict() if rows else {})
+        )
+        for q in queries:
+            q.stop()
+        for q in queries:
+            q.awaitTermination()
+        by_id = {r["doc_id"]: r for r in rows}
+        # the flagged wave re-read IN FULL — its new column landed...
+        assert all(by_id[i]["lang"] == "en" for i in range(20, 25))
+        # ...and pre-evolution rows surface it as NULL, values intact
+        assert all(by_id[i]["lang"] is None for i in range(10))
+        assert all(by_id[i]["version"] == 1 for i in by_id)
+    finally:
+        # never leak active queries into the next test (shared session)
+        for q in queries:
+            try:
+                q.stop()
+            except Exception:
+                pass
