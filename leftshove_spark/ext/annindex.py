@@ -13,14 +13,16 @@ whole-index-replacement case:
 Layout::
 
     index_root/
-      _generations/gen-0000000002.json   # the COMMIT POINTER
-      gen-0000000001/cell=.../*.parquet  # superseded, GC'd after grace
-      gen-0000000002/cell=.../*.parquet  # current codes
+      _generations/gen-0000000002.json         # the COMMIT POINTER
+      gen-0000000001-3fa9c1d2/cell=.../*.parquet  # superseded → GC'd
+      gen-0000000002-8be04711/cell=.../*.parquet  # current codes
 
-A pointer file is the complete description of one index generation::
+Build directories are uuid-suffixed so concurrent rotations never
+share one (the CAS loser removes only its OWN bytes). A pointer file
+is the complete description of one index generation::
 
-    {"gen": 2, "path": "gen-0000000002", "meta": {"cents": ..., "books": ...},
-     "committed_at": <epoch sec>}
+    {"gen": 2, "path": "gen-0000000002-8be04711",
+     "meta": {"cents": ..., "books": ...}, "committed_at": <epoch sec>}
 
 :func:`rotate_index` builds the next generation in its OWN directory
 (invisible — no pointer resolves it), then flips the pointer via the
@@ -30,10 +32,12 @@ and THAT generation's codebooks, never a mix; two concurrent rotations
 resolve to one winner (the loser raises
 :class:`statestore.ConcurrentCommitError`, the store intact).
 Superseded generations are removed only after BOTH ``keep_generations``
-further rotations AND ``retention_sec`` wall-clock have passed — a
-searcher that resolved the old pointer just before the flip keeps
-scanning files that still exist (set ``retention_sec`` to the longest
-expected search; same reader-grace contract as the statestore GC).
+further rotations AND ``retention_sec`` wall-clock SINCE SUPERSESSION
+(the next pointer's commit time, not the generation's own age) have
+passed — a searcher that resolved the old pointer just before the flip
+keeps scanning files that still exist (set ``retention_sec`` to the
+longest expected search; same reader-grace contract as the statestore
+GC).
 
 Streaming composition: :func:`streaming.start_ivfadc_index_stream`
 appends micro-batches into the CURRENT generation's directory
@@ -134,24 +138,27 @@ def rotate_index(
     Returns the committed generation number.
 
     Crash/race discipline (the statestore protocol, whole-index case):
-    a crash during ``build_fn`` leaves the old pointer current and only
-    an unreferenced directory behind — the next rotation targeting the
-    same generation clears it and rebuilds; the pointer flip is a
-    CREATE-EXCLUSIVE link, so two rotations racing one root resolve to
-    one winner and the loser raises
-    :class:`statestore.ConcurrentCommitError` with the store intact.
-    Superseded generations are removed only past BOTH retention bounds
-    (see the module docstring)."""
+    each build lands in its OWN uuid-suffixed directory (r16 review —
+    a generation-keyed build dir let a racing loser delete the
+    winner's committed data), so concurrent rotations never touch each
+    other's bytes; the pointer flip is the statestore's shared CAS
+    (:func:`statestore._commit_pointer` — CREATE-EXCLUSIVE link, or
+    the MANIFEST_PUT_IF_ABSENT conditional put on object stores), so
+    two rotations racing one root resolve to one winner; the loser
+    raises :class:`statestore.ConcurrentCommitError`, removes only its
+    OWN build directory, and the winner's generation is untouched. A
+    crash during ``build_fn`` leaves the old pointer current and an
+    unreferenced build dir that the next rotation's debris sweep
+    removes past the age grace. Superseded generations are removed
+    only past BOTH retention bounds measured from SUPERSESSION (see
+    the module docstring)."""
+    from .. import statestore as _ss
+
     os.makedirs(os.path.join(index_root, _GEN_DIR), exist_ok=True)
     gens = _list_pointers(index_root)
     gen = (gens[-1] + 1) if gens else 1
-    rel = f"gen-{gen:010d}"
+    rel = f"gen-{gen:010d}-{uuid.uuid4().hex[:8]}"
     target = os.path.join(index_root, rel)
-    # crash debris from a previous attempt at this generation: no
-    # pointer references it (the attempt died before its flip), and a
-    # LIVE racer building the same generation would lose the link CAS
-    # anyway — clearing is safe and makes the retry deterministic
-    shutil.rmtree(target, ignore_errors=True)
     build_fn(target)
     ptr = {
         "gen": gen,
@@ -159,29 +166,15 @@ def rotate_index(
         "meta": meta or {},
         "committed_at": time.time(),
     }
-    path = _pointer_path(index_root, gen)
-    part = f"{path}.{uuid.uuid4().hex[:8]}.part"
-    with open(part, "w", encoding="utf-8") as fh:
-        json.dump(ptr, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
     try:
-        os.link(part, path)
-    except (FileExistsError, FileNotFoundError) as e:
-        try:
-            os.remove(part)
-        except FileNotFoundError:
-            pass
+        _ss._commit_pointer(
+            _pointer_path(index_root, gen), json.dumps(ptr)
+        )
+    except ConcurrentCommitError:
+        # the loser removes only its OWN build — the winner's directory
+        # has a different uuid suffix and its pointer already resolves
         shutil.rmtree(target, ignore_errors=True)
-        raise ConcurrentCommitError(
-            f"index generation {gen} of {index_root} was committed by "
-            f"another rotation ({type(e).__name__} at the link); this "
-            "build is discarded"
-        ) from None
-    try:
-        os.remove(part)
-    except FileNotFoundError:
-        pass
+        raise
     _gc(index_root, gen, keep_generations, retention_sec)
     return gen
 
@@ -189,29 +182,57 @@ def rotate_index(
 def _gc(
     index_root: str, current_gen: int, keep_generations: int, retention_sec: float
 ) -> None:
-    """Remove superseded index generations past BOTH retention bounds —
-    a searcher that resolved generation G just before G+1's flip keeps
+    """Remove superseded index generations past BOTH retention bounds.
+    The wall-clock bound is measured from SUPERSESSION — the commit
+    time of the NEXT generation's pointer — not from the generation's
+    own commit (r16 review: own-age gave a long-lived current
+    generation ZERO reader grace the instant a retrain landed); a
+    searcher that resolved the old pointer just before the flip keeps
     its files for ``keep_generations`` further rotations AND
-    ``retention_sec`` seconds, whichever is longer. Idempotent,
+    ``retention_sec`` seconds after the flip. Unreferenced build
+    directories (crashed or CAS-losing rotations) are swept past the
+    statestore orphan grace, aged by the newest mtime in their tree so
+    an in-flight racer's Spark write is never reaped. Idempotent,
     best-effort (a crash mid-GC re-runs on the next rotation)."""
+    from .. import statestore as _ss
+
     now = time.time()
-    for g in _list_pointers(index_root):
-        if g >= current_gen or (current_gen - g) < max(1, keep_generations):
-            continue
+    gens = _list_pointers(index_root)
+    ptrs: dict[int, dict] = {}
+    for g in gens:
         try:
             with open(_pointer_path(index_root, g), encoding="utf-8") as fh:
-                committed = json.load(fh).get("committed_at", 0.0)
+                ptrs[g] = json.load(fh)
         except (OSError, json.JSONDecodeError):
-            committed = 0.0
-        if (now - committed) < retention_sec:
+            ptrs[g] = {}
+    for i, g in enumerate(gens):
+        if g >= current_gen or (current_gen - g) < max(1, keep_generations):
             continue
-        shutil.rmtree(
-            os.path.join(index_root, f"gen-{g:010d}"), ignore_errors=True
-        )
+        successor = gens[i + 1]  # exists: g < current_gen ≤ gens[-1]
+        superseded_at = ptrs[successor].get("committed_at", 0.0)
+        if (now - superseded_at) < retention_sec:
+            continue
+        rel = ptrs[g].get("path", f"gen-{g:010d}")
+        shutil.rmtree(os.path.join(index_root, rel), ignore_errors=True)
         try:
             os.remove(_pointer_path(index_root, g))
         except FileNotFoundError:
             pass
+        ptrs.pop(g, None)
+    # sweep crash/CAS-loser debris: build dirs no retained pointer
+    # references, past the age grace (tree-newest mtime — a racing
+    # rotation's in-flight Spark write stays protected)
+    referenced = {p.get("path") for p in ptrs.values()}
+    for e in os.listdir(index_root):
+        full = os.path.join(index_root, e)
+        if (
+            e.startswith("gen-")
+            and os.path.isdir(full)
+            and e not in referenced
+            and (now - _ss._tree_newest_mtime(full))
+            >= _ss.ORPHAN_SWEEP_GRACE_SEC
+        ):
+            shutil.rmtree(full, ignore_errors=True)
     # sweep orphan .part pointers
     gdir = os.path.join(index_root, _GEN_DIR)
     for e in os.listdir(gdir):

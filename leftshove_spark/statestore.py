@@ -28,7 +28,8 @@ A manifest is the complete file listing of one table generation::
 
 Commit protocol (:func:`commit_fold`) — single writer, lock-free readers:
 
-1. write the fold output to a scratch dir (``.fold_tmp``) — new bytes
+1. write the fold output to a scratch dir (a per-commit unique
+   ``.fold_tmp-*``) — new bytes
    only, nothing a reader can resolve;
 2. MOVE the new files beside the old ones under ``data/`` with a
    generation prefix (renames of unreferenced files — still invisible);
@@ -384,23 +385,34 @@ def _write_manifest(state_dir: str, manifest: dict) -> None:
             "(single-writer contract violated); this fold's output is "
             "unreferenced and will be swept"
         )
+    _commit_pointer(path, json.dumps(manifest))
+
+
+def _commit_pointer(path: str, payload: str) -> None:
+    """THE shared pointer-flip CAS: fsync'd part write + atomic
+    CREATE-EXCLUSIVE link — or, when :data:`MANIFEST_PUT_IF_ABSENT` is
+    installed, one atomic conditional put of the key. Shared between
+    state-store manifests (:func:`_write_manifest`) and ANN index
+    rotations (ext/annindex.py), so the object-store swap and every
+    protocol fix apply to BOTH commit points (r16 review — the inline
+    duplicate left index cutovers on os.link semantics object stores
+    don't provide). Raises :class:`ConcurrentCommitError` on a lost
+    CAS: the key already present, or this writer's part file swept by
+    a racing winner's GC (only another writer's sweep removes a
+    foreign part)."""
     if MANIFEST_PUT_IF_ABSENT is not None:
-        # object-store variant: the conditional put IS the fence — no
-        # part file, no link; the store's compare-and-swap on key
-        # existence gives exactly the one-winner-per-generation CAS
         try:
-            MANIFEST_PUT_IF_ABSENT(path, json.dumps(manifest))
+            MANIFEST_PUT_IF_ABSENT(path, payload)
         except FileExistsError:
             raise ConcurrentCommitError(
-                f"generation {manifest['gen']} of {state_dir} was "
-                "committed by another writer (conditional put found the "
-                "manifest key already present): this fold's output is "
-                "unreferenced and will be swept"
+                f"{path} was committed by another writer (conditional "
+                "put found the key already present): this writer's "
+                "output is unreferenced and will be swept"
             ) from None
         return
     part = f"{path}.{uuid.uuid4().hex[:8]}.part"
     with open(part, "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh)
+        fh.write(payload)
         fh.flush()
         os.fsync(fh.fileno())
     try:
@@ -411,10 +423,9 @@ def _write_manifest(state_dir: str, manifest: dict) -> None:
         except FileNotFoundError:
             pass
         raise ConcurrentCommitError(
-            f"generation {manifest['gen']} of {state_dir} was committed "
-            "by another writer (single-writer contract violated; "
-            f"{type(e).__name__} at the link): this fold's output is "
-            "unreferenced and will be swept"
+            f"{path} was committed by another writer "
+            f"({type(e).__name__} at the link): this writer's output "
+            "is unreferenced and will be swept"
         ) from None
     try:
         # the link SUCCEEDED — the commit is durable regardless of the
@@ -564,8 +575,8 @@ def vacuum_orphans(
     """Offline maintenance sweep over the WHOLE store (VERDICT r13
     what's-wrong #1): remove every data file that no retained manifest
     references, across ALL partitions, sparing files younger than the
-    grace — plus a stale ``.fold_tmp`` scratch dir past the same grace
-    (a commit that crashed during its step-1 Spark write).
+    grace — plus stale ``.fold_tmp*`` scratch dirs past the same grace
+    (commits that crashed during their step-1 Spark writes).
 
     The per-commit pre-flip sweep is deliberately scoped to the
     partitions that commit touches, so crash debris on a partition
@@ -612,15 +623,20 @@ def vacuum_orphans(
                 removed.append(os.path.join(_DATA_DIR, rel))
             except FileNotFoundError:
                 pass
-    tmp = os.path.join(state_dir, _TMP_DIR)
-    # age the scratch dir by the NEWEST mtime in its tree, not the top
+    # age each scratch dir by the NEWEST mtime in its tree, not the top
     # dir's — a live fold's Spark write keeps creating files deep under
     # _temporary/ while the top-level mtime stays at creation time, so
     # a >grace-long write would otherwise look like old debris and its
-    # in-flight scratch would be deleted mid-write (r14 review)
-    if os.path.isdir(tmp) and (now - _tree_newest_mtime(tmp)) >= grace:
-        shutil.rmtree(tmp, ignore_errors=True)
-        removed.append(_TMP_DIR)
+    # in-flight scratch would be deleted mid-write (r14 review). Every
+    # .fold_tmp* entry is a candidate: commits use per-commit unique
+    # scratch names (r16), and the legacy shared name still sweeps.
+    for e in sorted(os.listdir(state_dir)):
+        if not e.startswith(_TMP_DIR):
+            continue
+        tmp = os.path.join(state_dir, e)
+        if os.path.isdir(tmp) and (now - _tree_newest_mtime(tmp)) >= grace:
+            shutil.rmtree(tmp, ignore_errors=True)
+            removed.append(e)
     return removed
 
 
@@ -943,8 +959,14 @@ def commit_fold(
             )
     gen = (cur["gen"] + 1) if cur else 1
     data = os.path.join(state_dir, _DATA_DIR)
-    tmp = os.path.join(state_dir, _TMP_DIR)
-    shutil.rmtree(tmp, ignore_errors=True)
+    # a UNIQUE scratch dir per commit (r16 review): the sanctioned
+    # concurrent writers — a maintenance compaction racing a live fold
+    # — would otherwise share (and rmtree / cross-read) one
+    # .fold_tmp, failing the fold with FileNotFoundException instead
+    # of the fence, or worse moving each other's files under the wrong
+    # commit tag. A crashed commit's scratch is swept by
+    # vacuum_orphans past the age grace (every .fold_tmp* entry).
+    tmp = os.path.join(state_dir, f"{_TMP_DIR}-{uuid.uuid4().hex[:8]}")
 
     # 1. materialize the fold output in scratch — reader-invisible
     w = out.write.mode("overwrite")

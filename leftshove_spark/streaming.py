@@ -103,46 +103,125 @@ def _streaming_source(
     return df
 
 
+def _spark_field_paths(struct) -> set[str]:
+    """Every dotted field path a Spark StructType resolves — top-level
+    names plus nested struct fields (through arrays and maps): the
+    exact namespace a parquet scan projects by, so the drift guard can
+    catch an ADDED NESTED field, not only top-level columns."""
+    from pyspark.sql import types as T
+
+    out: set[str] = set()
+
+    def walk(prefix: str, dt) -> None:
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                out.add(prefix + f.name)
+                walk(prefix + f.name + ".", f.dataType)
+        elif isinstance(dt, T.ArrayType):
+            walk(prefix + "element.", dt.elementType)
+        elif isinstance(dt, T.MapType):
+            walk(prefix + "key.", dt.keyType)
+            walk(prefix + "value.", dt.valueType)
+
+    walk("", struct)
+    return out
+
+
+def _arrow_field_paths(schema) -> set[str]:
+    """The pyarrow-footer mirror of :func:`_spark_field_paths` — same
+    dotted-path namespace, so set difference is exactly the fields a
+    pinned-schema scan would silently drop."""
+    import pyarrow as pa
+
+    out: set[str] = set()
+
+    def walk(prefix: str, typ) -> None:
+        if pa.types.is_struct(typ):
+            for f in typ:
+                out.add(prefix + f.name)
+                walk(prefix + f.name + ".", f.type)
+        elif (
+            pa.types.is_list(typ)
+            or pa.types.is_large_list(typ)
+            or pa.types.is_fixed_size_list(typ)
+        ):
+            walk(prefix + "element.", typ.value_type)
+        elif pa.types.is_map(typ):
+            walk(prefix + "key.", typ.key_type)
+            walk(prefix + "value.", typ.item_type)
+
+    for f in schema:
+        out.add(f.name)
+        walk(f.name + ".", f.type)
+    return out
+
+
 def make_schema_drift_guard(landing_dir: str, pinned_schema) -> Callable[[], None]:
     """Per-trigger guard against the ONE schema-evolution failure a
     pinned-schema file stream cannot surface itself (VERDICT r15 next
-    #3, W29): a file landing with columns the stream's schema LACKS is
-    silently projected down — the new column's data is dropped with no
+    #3, W29): a file landing with fields the stream's schema LACKS is
+    silently projected down — the new field's data is dropped with no
     error, and once the batch's checkpoint commits, dropped for good.
-    (Changed/incompatible types already fail loudly at scan time; files
-    NARROWER than the schema are legitimately NULL-padded.)
+    Compared as full DOTTED PATHS (r16 review), so an added field
+    inside a nested struct (``meta.lang``) is caught exactly like a
+    new top-level column. (Changed/incompatible types already fail
+    loudly at scan time; files NARROWER than the schema are
+    legitimately NULL-padded.)
 
     The returned callable is invoked at the top of each ``foreachBatch``
     — BEFORE any write, so raising aborts the batch with its checkpoint
     uncommitted: stop the pipeline, restart with the widened schema, and
     the flagged file re-reads in full (lossless additive evolution via
-    restart — the D7a discipline one layer up). Each call footer-scans
-    only files not yet examined (immutable once landed), so the steady
-    cost is O(new files per trigger) ~ the ingest rate, not O(dir)."""
+    restart — the D7a discipline one layer up). Cost per trigger: one
+    directory listing (the same O(dir) listing the file source itself
+    performs to discover the trigger's files) plus footer reads for
+    files newer than the mtime high-water cursor — O(new files) ~ the
+    ingest rate; the de-dup memory holds only files inside the cursor's
+    slack window, never one entry per file ever landed (r16 review).
+    Assumption the cursor rests on: files LAND with fresh mtimes (true
+    for Spark writes and any copy that stamps on write); a producer
+    that preserves ancient mtimes (``cp -p``) slips under the cursor —
+    land through a normal write path."""
     import pyarrow.parquet as pq
 
-    pinned = {f.name for f in pinned_schema.fields}
-    seen: set[str] = set()
+    pinned = _spark_field_paths(pinned_schema)
+    slack = 60.0  # mtime granularity/ordering slop across writers
+    state = {"cursor": 0.0, "seen": {}}
 
     def check() -> None:
+        cursor = state["cursor"]
+        seen = state["seen"]
+        new_cursor = cursor
+        failed_floor = None  # keep the cursor behind unreadable files
         for dirpath, dirnames, filenames in os.walk(landing_dir):
             dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
             for e in filenames:
                 if not e.endswith(".parquet") or e.startswith(("_", ".")):
                     continue
                 p = os.path.join(dirpath, e)
-                if p in seen:
+                try:
+                    mt = os.path.getmtime(p)
+                except OSError:
+                    continue
+                if mt < cursor - slack or p in seen:
                     continue
                 try:
-                    names = set(pq.read_schema(p).names)
+                    paths = _arrow_field_paths(pq.read_schema(p))
                 except (OSError, ValueError):
-                    continue  # mid-write file — rechecked next trigger
-                seen.add(p)
-                extra = sorted(names - pinned)
+                    # mid-write file — recheck next trigger; hold the
+                    # cursor at/below it so it stays in the window even
+                    # if its mtime never advances
+                    failed_floor = mt if failed_floor is None else min(failed_floor, mt)
+                    continue
+                extra = sorted(paths - pinned)
                 if extra:
+                    # raise WITHOUT marking the file seen or advancing
+                    # the cursor: Structured Streaming retries the
+                    # batch, and the retry must re-flag the same file,
+                    # not sail past it as already-examined
                     raise ValueError(
                         f"schema drift in {landing_dir}: {e} carries "
-                        f"column(s) {extra} the stream's pinned schema "
+                        f"field(s) {extra} the stream's pinned schema "
                         "lacks — the file source would silently DROP "
                         "them. Stop the pipeline and restart it with "
                         "the widened schema — derive it with a "
@@ -152,8 +231,16 @@ def make_schema_drift_guard(landing_dir: str, pinned_schema) -> Callable[[], Non
                         "can return the narrow shape again). This "
                         "batch's checkpoint is uncommitted, so the "
                         "file re-reads in full — no data loss. Or "
-                        "re-land the file without the new columns."
+                        "re-land the file without the new fields."
                     )
+                seen[p] = mt
+                new_cursor = max(new_cursor, mt)
+        if failed_floor is not None:
+            new_cursor = min(new_cursor, failed_floor)
+        state["cursor"] = new_cursor
+        state["seen"] = {
+            q: m for q, m in seen.items() if m >= new_cursor - slack
+        }
 
     return check
 

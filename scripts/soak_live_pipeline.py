@@ -118,6 +118,9 @@ landing = os.path.join(work_root, "landing")
 os.makedirs(landing)
 first = wave_df(0)
 schema = first.schema
+# actual landed counts (r16 review: WAVES * n_base would overstate if
+# the partner join ever dropped rows on a non-dense id space)
+docs_landed = first.count()
 t_land0 = time.time()
 first.write.mode("append").parquet(landing)
 
@@ -190,7 +193,9 @@ print(json.dumps(wave_stats[-1]), flush=True)
 
 for c in range(1, WAVES):
     t0 = time.time()
-    wave_df(c).write.mode("append").parquet(landing)
+    w = wave_df(c)
+    docs_landed += w.count()
+    w.write.mode("append").parquet(landing)
     if c % 2 == 0:
         # K21 racing the live folds: compaction + vacuum with the loss
         # discipline — lost CAS re-plans, retries, then defers
@@ -232,7 +237,7 @@ assert got == want, (got, want)
 gens = statestore.list_generations(state_dir)
 audit = {
     "waves": WAVES,
-    "docs_landed": WAVES * n_base,
+    "docs_landed": docs_landed,
     "state_rows": got,
     "drain_s_max": max(w["drain_s"] for w in wave_stats),
     "drain_s_mean": round(sum(w["drain_s"] for w in wave_stats) / len(wave_stats), 1),

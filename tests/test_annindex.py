@@ -136,6 +136,7 @@ def test_rotation_crash_retry_race_and_gc(spark, tmp_path):
     emb = _emb(spark, n=60)
     cents, books = S.ivfadc_train(emb, n_centroids=4)
     AI.rotate_index(root, _build_fn(emb, cents, books), meta={"cents": cents, "books": books})
+    gen1_dir = AI.current_index(root)["path"]
 
     # crashed build: the pointer stays on generation 1, debris is
     # invisible, and the retry clears it and lands generation 2
@@ -192,7 +193,7 @@ def test_rotation_crash_retry_race_and_gc(spark, tmp_path):
     )
     gens = AI._list_pointers(root)
     assert 1 not in gens and 2 not in gens
-    assert not os.path.isdir(os.path.join(root, "gen-0000000001"))
+    assert not os.path.isdir(gen1_dir)
     with pytest.raises(KeyError):
         AI.current_index(root, generation=1)
     # the current generation still reads
