@@ -97,8 +97,18 @@ def current_index(index_root: str, generation: int | None = None) -> dict | None
             "rotation"
         )
     g = gens[-1] if generation is None else generation
-    with open(_pointer_path(index_root, g), encoding="utf-8") as fh:
-        ptr = json.load(fh)
+    try:
+        with open(_pointer_path(index_root, g), encoding="utf-8") as fh:
+            ptr = json.load(fh)
+    except FileNotFoundError:
+        # TOCTOU with a concurrent rotation's GC (r16 review): the
+        # pointer listed a moment ago was removed before the open —
+        # surface the DOCUMENTED retention error, not a raw OSError
+        raise KeyError(
+            f"index generation {g} of {index_root} was garbage-"
+            "collected between listing and read; widen "
+            "keep_generations/retention_sec on the rotation"
+        ) from None
     ptr["path"] = os.path.join(index_root, ptr["path"])
     return ptr
 
@@ -199,16 +209,25 @@ def _gc(
     now = time.time()
     gens = _list_pointers(index_root)
     ptrs: dict[int, dict] = {}
+    unreadable = False
     for g in gens:
         try:
             with open(_pointer_path(index_root, g), encoding="utf-8") as fh:
                 ptrs[g] = json.load(fh)
         except (OSError, json.JSONDecodeError):
-            ptrs[g] = {}
+            # conservative on BOTH destructive paths (r16 review): an
+            # unreadable pointer must never shorten a reader grace or
+            # orphan a live directory
+            ptrs[g] = None
+            unreadable = True
     for i, g in enumerate(gens):
         if g >= current_gen or (current_gen - g) < max(1, keep_generations):
             continue
+        if ptrs.get(g) is None:
+            continue  # can't resolve its directory — leave both alone
         successor = gens[i + 1]  # exists: g < current_gen ≤ gens[-1]
+        if ptrs.get(successor) is None:
+            continue  # unknown supersession time ⇒ assume inside grace
         superseded_at = ptrs[successor].get("committed_at", 0.0)
         if (now - superseded_at) < retention_sec:
             continue
@@ -221,24 +240,34 @@ def _gc(
         ptrs.pop(g, None)
     # sweep crash/CAS-loser debris: build dirs no retained pointer
     # references, past the age grace (tree-newest mtime — a racing
-    # rotation's in-flight Spark write stays protected)
-    referenced = {p.get("path") for p in ptrs.values()}
-    for e in os.listdir(index_root):
-        full = os.path.join(index_root, e)
-        if (
-            e.startswith("gen-")
-            and os.path.isdir(full)
-            and e not in referenced
-            and (now - _ss._tree_newest_mtime(full))
-            >= _ss.ORPHAN_SWEEP_GRACE_SEC
-        ):
-            shutil.rmtree(full, ignore_errors=True)
-    # sweep orphan .part pointers
+    # rotation's in-flight Spark write stays protected). Skipped
+    # entirely while any retained pointer is unreadable — the
+    # referenced set would be incomplete and a LIVE generation's
+    # directory could be reaped as debris (r16 review).
+    if not unreadable:
+        referenced = {p.get("path") for p in ptrs.values() if p}
+        for e in os.listdir(index_root):
+            full = os.path.join(index_root, e)
+            if (
+                e.startswith("gen-")
+                and os.path.isdir(full)
+                and e not in referenced
+                and (now - _ss._tree_newest_mtime(full))
+                >= _ss.ORPHAN_SWEEP_GRACE_SEC
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+    # sweep orphan .part pointers — only past the age grace: a racing
+    # rotation's in-flight part swept mid-commit would turn into a
+    # spurious ConcurrentCommitError AND discard its finished build
+    # (rotate_index has no retry), so young parts are sacrosanct
+    # (r16 review)
     gdir = os.path.join(index_root, _GEN_DIR)
     for e in os.listdir(gdir):
         if ".part" in e and e.startswith("gen-"):
+            p = os.path.join(gdir, e)
             try:
-                os.remove(os.path.join(gdir, e))
+                if (now - os.path.getmtime(p)) >= _ss.ORPHAN_SWEEP_GRACE_SEC:
+                    os.remove(p)
             except FileNotFoundError:
                 pass
 

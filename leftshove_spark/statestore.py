@@ -483,11 +483,27 @@ def _gc(
             except FileNotFoundError:
                 pass
         if gen < current_gen - keep:
-            os.remove(_manifest_path(state_dir, gen))
+            try:
+                # two sanctioned writers (a fold and a maintenance
+                # pass, r16) can run _gc concurrently — losing the
+                # remove race must not crash a commit that already
+                # landed (r16 review #2)
+                os.remove(_manifest_path(state_dir, gen))
+            except FileNotFoundError:
+                pass
     mdir = os.path.join(state_dir, _MANIFEST_DIR)
     for e in os.listdir(mdir):
         if e.endswith(".part"):
-            os.remove(os.path.join(mdir, e))
+            p = os.path.join(mdir, e)
+            try:
+                # age guard (r16 review #2): a CONCURRENT sanctioned
+                # writer's in-flight part must not be swept mid-commit
+                # — its loss maps to a spurious ConcurrentCommitError.
+                # Crash debris just waits one grace period.
+                if (now - os.path.getmtime(p)) >= ORPHAN_SWEEP_GRACE_SEC:
+                    os.remove(p)
+            except FileNotFoundError:
+                pass
 
 
 def _live_set(state_dir: str) -> set[str]:
@@ -1080,8 +1096,24 @@ def commit_fold_retrying(
     commit that displaced them."""
     base = load_manifest(state_dir)
     base_gen = base["gen"] if base else 0
+    # a legacy (pre-manifest) dir migrates itself to generation 1
+    # INSIDE commit_fold — pinning that first attempt to base 0 would
+    # refuse the commit's own migration; leave it unpinned (the fence
+    # still applies from the first manifested commit on)
+    pin = (
+        None
+        if base is None and _is_legacy_dir(state_dir, partition_col)
+        else base_gen
+    )
     for attempt in range(retries + 1):
         try:
+            # pin every attempt to the base this wrapper last inspected
+            # (r16 review #2): without the pin, a DATA writer slipping
+            # in during the backoff would be reloaded as the base and
+            # silently overwritten — the lost-update class
+            # expected_base_gen exists to close. With it, any commit
+            # landing after the inspection makes this attempt raise,
+            # and the stamp check below decides retry vs re-raise.
             commit_fold(
                 spark,
                 state_dir,
@@ -1090,6 +1122,7 @@ def commit_fold_retrying(
                 touched_values,
                 keep_generations=keep_generations,
                 retention_sec=retention_sec,
+                expected_base_gen=pin,
             )
             return
         except ConcurrentCommitError:
@@ -1105,7 +1138,7 @@ def commit_fold_retrying(
                     break
             if attempt >= retries or not all_maintenance:
                 raise
-            base_gen = max(since)
+            base_gen = pin = max(since)
             time.sleep(backoff_sec)
 
 
