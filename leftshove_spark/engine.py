@@ -520,10 +520,17 @@ class Engine:
 
         results = []
         cycle = 0
+        every = self.config.maintain_state_every_cycles
         while max_cycles is None or cycle < max_cycles:
             now = now_fn() if now_fn else None
             results.append(self.run_cycle(now=now, snapshot_at=snapshot_at))
             cycle += 1
+            if every and cycle % every == 0:
+                # K21 maintenance cadence (r16): compaction + vacuum
+                # with the loss discipline — a race with the next
+                # cycle's fold is absorbed, never an engine error
+                for st in self.state.all():
+                    self.maintain_state(st.name)
             if sleep_secs and (max_cycles is None or cycle < max_cycles):
                 _time.sleep(sleep_secs)
         return results

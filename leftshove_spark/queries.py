@@ -137,6 +137,9 @@ GATE_ORDER = [
     # surfaces certified by pytest, not SQL-expressible gate rows.
     # Every rotated-out entry stays oracle-verified each pytest pass by
     # tests/test_gate_tail_oracle.py.
+    # r16 never-scored entry first: the W31 ANN rotation
+    # cutover, hash-certified against the direct-pipeline oracle.
+    "x_knn_rotated_index",
     "q19_disjunctive_filter",
     "o3_topk_per_group",
     "o2_rollup_pricing",

@@ -3818,6 +3818,54 @@ def x_knn_ivfadc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("x_knn_rotated_index", _knn_ivfadc_oracle())
+def x_knn_rotated_index(spark: SparkSession, sf: str) -> DataFrame:
+    """W31 driver-gradable: the ANN retrain CUTOVER
+    (ext/annindex.rotate_index — generation-pointer CAS, the
+    reference's create-then-swap view discipline, bigquery.go:187-207)
+    is bit-transparent to search results. Generation 1 is a DIFFERENT
+    index (half the corpus, its own codebooks); generation 2 is the
+    full-corpus retrain with exactly :func:`ext.similarity.knn_ivfadc`'s
+    parameters; the searcher resolves ONLY the pointer
+    (knn_ivfadc_rotated). The oracle replays the direct full-corpus
+    two-level pipeline in SQL, so the driver hash certifies BOTH the
+    pointer resolution and the cutover atomicity — any mixing of
+    generation-1 codes or codebooks into the result mismatches."""
+    import tempfile
+
+    from .ext import annindex as AI
+
+    emb = load_table(spark, sf, "embeddings")
+    root = tempfile.mkdtemp(prefix="leftshove_rotidx_")
+    old_half = emb.filter(F.col("vec_id") % 2 == 0)
+    c1, b1 = S.ivfadc_train(old_half)
+    AI.rotate_index(
+        root,
+        lambda d: S.ivfadc_encode(old_half, c1, b1)
+        .write.partitionBy("cell")
+        .parquet(d),
+        meta={"cents": c1, "books": b1},
+    )
+    c2, b2 = S.ivfadc_train(emb)  # the oracle-replayed retrain
+    AI.rotate_index(
+        root,
+        lambda d: S.ivfadc_encode(emb, c2, b2)
+        .write.partitionBy("cell")
+        .parquet(d),
+        meta={"cents": c2, "books": b2},
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), S.quantize("embedding").alias("qqv")
+    ).filter(F.col("query_id") < 10)
+    out = AI.knn_ivfadc_rotated(spark, root, q, k=5, nprobe=4)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rnk").cast("long").alias("rnk"),
+        "approx_l2",
+    )
+
+
 @_q("x_knn_ivfadc_rerank", _knn_ivfadc_oracle(rerank=50))
 def x_knn_ivfadc_rerank(spark: SparkSession, sf: str) -> DataFrame:
     """The full FAISS search loop hash-certified end-to-end: IVFADC

@@ -129,5 +129,13 @@ class EngineConfig:
     # for long-lived deployments or call Engine.vacuum_state_orphans /
     # statestore.vacuum_orphans from a maintenance window instead.
     vacuum_orphans_on_cycle: bool = False
+    # K21 (r16): run Engine.maintain_state (compaction + vacuum with
+    # the civilized loss discipline — a lost generation race re-plans,
+    # retries once, then defers) over every materialized state table
+    # every N cycles of Engine.run. 0 = off (the default: compaction
+    # belongs in a maintenance window unless the deployment's file
+    # population demands a cadence); the capture loop stays safe either
+    # way because the fold side retries over maintenance commits.
+    maintain_state_every_cycles: int = 0
     warehouse_dir: str = "/tmp/leftshove_spark_warehouse"
     sources: dict[str, dict] = field(default_factory=dict)

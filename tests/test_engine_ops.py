@@ -912,3 +912,78 @@ def test_engine_threads_files_per_bucket_to_folds(spark, tmp_path, monkeypatch):
     eng.run_cycle(now=now, snapshot_at=now)
     assert seen and all(v == 1 for v in seen)
     assert eng.current_state_table("t").count() == 4
+
+
+def test_engine_maintain_state_cadence_in_run_loop(spark, tmp_path):
+    """K21 engine wiring (r16): maintain_state_every_cycles=N runs the
+    compaction+vacuum maintenance pass (statestore.maintain_store,
+    loss-discipline form) inside Engine.run every N cycles — and the
+    pass never disturbs the capture semantics: the materialized table
+    still ≡ the deterministic latest-per-key view afterwards, and the
+    maintained store's per-bucket file counts respect the compaction
+    plan."""
+    from datetime import datetime, timedelta
+
+    from leftshove_spark import statestore
+    from leftshove_spark.engine import Engine
+    from leftshove_spark.session import EngineConfig
+    from leftshove_spark.views import latest_per_key_window
+
+    work = str(tmp_path)
+    src = f"{work}/src.parquet"
+    rows = [
+        (k, f"v{k}-{d}", datetime(2030, 1, 1) + timedelta(days=d, minutes=k))
+        for k in range(6)
+        for d in range(4)
+    ]
+    spark.createDataFrame(rows, "pk long, v string, ts timestamp").write.parquet(src)
+    eng = Engine(
+        spark,
+        EngineConfig(
+            replication_buffer_secs=0,
+            materialize_current_state=True,
+            current_state_buckets=4,
+            # shape folds at 2 files/bucket so the maintenance pass has
+            # real compaction work (locally AQE coalesces to 1 without)
+            current_state_files_per_bucket=2,
+            maintain_state_every_cycles=2,
+        ),
+        state_path=f"{work}/state.json",
+        sink_root=f"{work}/sink",
+    )
+    eng.seed([{"name": "t", "path": src, "nms_column": "ts", "pkey_column": "pk"}])
+    eng.create_sinks()
+
+    calls = []
+    real = eng.maintain_state
+
+    def counting(table, **kw):
+        res = real(table, min_files=2, **kw)
+        calls.append((table, res))
+        return res
+
+    eng.maintain_state = counting
+    eng.run(max_cycles=4, now_fn=lambda: datetime(2030, 1, 3))
+    # cadence: every 2 of 4 cycles → exactly 2 maintenance passes
+    assert [t for t, _ in calls] == ["t", "t"]
+    # a pass actually compacted (files_per_bucket=2 left ≥2-file
+    # buckets) and none surfaced an error
+    assert any(res["compacted"] for _, res in calls)
+
+    # semantics untouched: table ≡ view
+    cdc, _ = eng._cdc_df("t")
+    view = latest_per_key_window(
+        cdc, "pk", order_col="snapshot_tm", tiebreak_cols=["ts"]
+    )
+    got = sorted(
+        (r["pk"], r["v"], r["ts"]) for r in eng.current_state_table("t").collect()
+    )
+    want = sorted(
+        (r["pk"], r["v"], r["ts"]) for r in view.select("pk", "v", "ts").collect()
+    )
+    assert got == want
+
+    # the maintained store's layout matches its final manifest plan
+    st = next(s for s in eng.state.all() if s.name == "t")
+    m = statestore.load_manifest(eng.current_state_path(st))
+    assert m is not None and all(len(v) >= 1 for v in m["files"].values())
