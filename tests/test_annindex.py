@@ -53,7 +53,6 @@ def test_rotate_cutover_never_serves_a_mix(spark, tmp_path):
     q = _queries(spark)
 
     # generation 1: codebooks trained on the old half
-    cents1, books1 = ivf1 = None, None
     cents1, books1 = S.ivfadc_train(old_half, n_centroids=4)
     g1 = AI.rotate_index(
         root,
@@ -198,3 +197,108 @@ def test_rotation_crash_retry_race_and_gc(spark, tmp_path):
         AI.current_index(root, generation=1)
     # the current generation still reads
     assert AI.read_index(spark, root)[0].count() == 60
+
+
+def test_index_stream_appends_into_current_generation_and_cutover(
+    spark, tmp_path
+):
+    """The documented W24 ↔ W31 composition: the streaming IVFADC
+    maintainer appends micro-batches INTO the current rotation
+    generation's directory (current_index resolves it at stream
+    start), searches through the pointer see the growing index, and a
+    retrain is rotate-then-restart — the new stream appends into the
+    new generation while the superseded one still serves pinned
+    readers through the grace."""
+    from pyspark.sql import functions as F
+
+    from leftshove_spark.streaming import start_ivfadc_index_stream
+
+    emb = _emb(spark, n=120)
+    first, later = (
+        emb.filter(F.col("vec_id") < 80),
+        emb.filter(F.col("vec_id") >= 80),
+    )
+    root = str(tmp_path / "idx")
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    q = _queries(spark)
+
+    # generation 1: batch-built from the initial corpus
+    cents1, books1 = S.ivfadc_train(first, n_centroids=4)
+    AI.rotate_index(
+        root,
+        _build_fn(first, cents1, books1),
+        meta={"cents": cents1, "books": books1},
+    )
+    gen1 = AI.current_index(root)
+
+    # the maintainer appends INTO the current generation's directory
+    later.coalesce(1).write.mode("append").parquet(landing)
+    sq = start_ivfadc_index_stream(
+        spark,
+        landing_dir=landing,
+        index_dir=gen1["path"],
+        cents=cents1,
+        books=books1,
+        checkpoint_dir=str(tmp_path / "ck1"),
+        once=True,
+    )
+    assert sq.awaitTermination(180), "index stream did not drain"
+    # a pointer-resolved search now covers the WHOLE corpus, encoded
+    # with generation 1's codebooks — ≡ one batch encode
+    got = sorted(
+        map(tuple, AI.knn_ivfadc_rotated(spark, root, q, k=3).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            S.knn_ivfadc_codes(
+                S.ivfadc_encode(emb, cents1, books1),
+                q,
+                cents1,
+                books1,
+                k=3,
+                dedup=False,
+            ).collect(),
+        )
+    )
+    assert got == want and got
+
+    # retrain = rotate (full re-encode, new codebooks) + restart the
+    # maintainer on the NEW generation's directory
+    cents2, books2 = S.ivfadc_train(emb, n_centroids=8)
+    AI.rotate_index(
+        root,
+        _build_fn(emb, cents2, books2),
+        meta={"cents": cents2, "books": books2},
+        retention_sec=3600.0,
+    )
+    gen2 = AI.current_index(root)
+    assert gen2["gen"] == gen1["gen"] + 1 and gen2["path"] != gen1["path"]
+    got2 = sorted(
+        map(tuple, AI.knn_ivfadc_rotated(spark, root, q, k=3).collect())
+    )
+    want2 = sorted(
+        map(
+            tuple,
+            S.knn_ivfadc_codes(
+                S.ivfadc_encode(emb, cents2, books2),
+                q,
+                cents2,
+                books2,
+                k=3,
+                dedup=False,
+            ).collect(),
+        )
+    )
+    assert got2 == want2
+    # the superseded generation still serves its pinned snapshot
+    got1_pinned = sorted(
+        map(
+            tuple,
+            AI.knn_ivfadc_rotated(
+                spark, root, q, k=3, generation=gen1["gen"]
+            ).collect(),
+        )
+    )
+    assert got1_pinned == want

@@ -2182,3 +2182,69 @@ def test_conditional_put_commit_variant(spark, tmp_path, monkeypatch):
     after = statestore.load_manifest(state)
     assert after["gen"] == cur["gen"] + 1
     assert after["files"] == {}  # the COMPETITOR's content won, verbatim
+
+
+def test_compaction_key_roundtrip_battery(spark, tmp_path):
+    """r16: the decoded-manifest-key rewrite must round-trip EVERY
+    directory-encoding class byte-identically through compaction —
+    leading zeros (non-canonical int forms), Spark path-escaped
+    characters (colon, slash, equals, hash, percent, space), unicode,
+    negative and decimal number forms, and the NULL sentinel. Ground
+    truth is whatever encoding commit_fold's own write produced; the
+    battery asserts compaction preserves the key set exactly and every
+    pruned per-key read returns its own rows."""
+    values = [
+        "01",
+        "1",
+        "a:b",
+        "a/b",
+        "sp ace",
+        "té%st",
+        "eq=val",
+        "#hash",
+        "-3",
+        "0.10",
+        None,
+    ]
+    state = str(tmp_path / "battery")
+    rows = [
+        (100 * i + j, v, f"p{i}r{j}")
+        for i, v in enumerate(values)
+        for j in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, p string, v string"
+    ).repartition(3)
+    statestore.commit_fold(spark, state, df, "p", [], keep_generations=20)
+    m = statestore.load_manifest(state)
+    keys_before = set(m["files"])
+    assert len(keys_before) == len(values)  # every value got its own dir
+    by_key_before = {
+        key: sorted(
+            r["k"]
+            for r in statestore.read_state(
+                spark, state, partition_values=[key]
+            ).collect()
+        )
+        for key in keys_before
+    }
+    assert all(len(ks) == 4 for ks in by_key_before.values())
+
+    plan = statestore.compact_partitions(
+        spark, state, target_file_bytes=1 << 30, keep_generations=20
+    )
+    # only ≥2-file keys qualify (a repartitioned write may leave some
+    # single-file); the battery's pin is that EVERY planned key
+    # round-trips and the key SET is byte-identical afterwards
+    assert plan and set(plan) <= keys_before
+    m2 = statestore.load_manifest(state)
+    assert set(m2["files"]) == keys_before  # byte-identical key set
+    assert all(len(m2["files"][key]) == 1 for key in plan)
+    for key, want in by_key_before.items():
+        got = sorted(
+            r["k"]
+            for r in statestore.read_state(
+                spark, state, partition_values=[key]
+            ).collect()
+        )
+        assert got == want, key
