@@ -1664,6 +1664,8 @@ def run_corpus_stream_pipeline(
     keep_generations: int | None = None,
     retention_sec: float | None = None,
     files_per_bucket: int | None = None,
+    schema=None,
+    guard_schema_drift: bool = True,
 ) -> dict[str, str]:
     """The COMPOSED streaming corpus story (VERDICT r12 next #6):
     admit → decontaminate → index → materialize, wired as four
@@ -1703,6 +1705,18 @@ def run_corpus_stream_pipeline(
     snapshot a partial upstream directory and drop the stragglers from
     clean/index/state with no error anywhere). ``keep_generations`` /
     ``retention_sec`` reach stage 4's manifest GC.
+
+    Mid-landing schema evolution gets the SAME discipline as the live
+    form (W30, r16): with ``guard_schema_drift`` each stage fails
+    loudly — checkpoint uncommitted — when a landed file carries
+    fields its schema lacks (a pinned/inferred-schema source silently
+    projects them away, and a plain inference may sample a NARROW
+    footer even when wider files landed). The lossless remedy is the
+    same re-run with ``schema`` set to the mergeSchema-derived wider
+    shape (``spark.read.option('mergeSchema','true')
+    .parquet(landing_dir).schema``) — the flagged files then read in
+    full and older narrow files NULL-pad; ``schema=None`` keeps
+    per-stage inference for the stable-schema common case.
 
     Stage directories are schema-owned by the FIRST deployment that
     writes them: ``admitted/`` carries every landed column (since r13
@@ -1744,6 +1758,8 @@ def run_corpus_stream_pipeline(
         id_col=id_col,
         jaccard_threshold=jaccard_threshold,
         once=True,
+        source_schema=schema,
+        guard_schema_drift=guard_schema_drift,
     )
     drain(q, "admit")
     q = start_decontaminate_stream(
@@ -1757,6 +1773,8 @@ def run_corpus_stream_pipeline(
         id_col=id_col,
         vec_col=vec_col,
         once=True,
+        source_schema=schema,
+        guard_schema_drift=guard_schema_drift,
     )
     drain(q, "decontaminate")
     q = start_ivfadc_index_stream(
@@ -1769,6 +1787,8 @@ def run_corpus_stream_pipeline(
         id_col=id_col,
         vec_col=vec_col,
         once=True,
+        source_schema=schema,
+        guard_schema_drift=guard_schema_drift,
     )
     drain(q, "index")
     q = start_current_state_stream(
@@ -1783,6 +1803,8 @@ def run_corpus_stream_pipeline(
         keep_generations=keep_generations,
         retention_sec=retention_sec,
         files_per_bucket=files_per_bucket,
+        source_schema=schema,
+        guard_schema_drift=guard_schema_drift,
     )
     drain(q, "state")
     return dirs

@@ -941,3 +941,96 @@ def test_live_pipeline_schema_drift_fails_loud_then_evolves_by_restart(
                 q.stop()
             except Exception:
                 pass
+
+
+def test_availablenow_pipeline_schema_drift_guard_and_explicit_widening(
+    spark, tmp_path
+):
+    """W30's availableNow half (r16): the checkpoint-chained re-run
+    form gets the same never-silent-drop discipline as the live
+    pipeline. A re-run whose (explicit or sampled) schema is narrower
+    than a landed file fails loudly naming the new field; the lossless
+    remedy — the same re-run with the mergeSchema-derived wider
+    schema — processes the flagged wave in full, propagates the new
+    column to the state, and NULL-pads pre-evolution rows."""
+    from leftshove_spark.ext.similarity import ivfadc_train
+    from leftshove_spark.streaming import run_corpus_stream_pipeline
+
+    base = _fixture(spark)
+    bench = base.filter(
+        (F.col("doc_id") >= 480) & (F.col("doc_id") < 485)
+    ).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i < 4, F.lit(0.0).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    bench_dir = str(tmp_path / "bench")
+    bench.write.parquet(bench_dir)
+    cents, books = ivfadc_train(
+        base, n_centroids=4, id_col="doc_id", vec_col="embedding"
+    )
+    novel = base.filter(F.col("doc_id") == 200).select("embedding").first()[
+        "embedding"
+    ]
+
+    def synth(rows, with_lang=False):
+        if with_lang:
+            return spark.createDataFrame(
+                [(i, t, novel, 1, "en") for i, t in rows],
+                "doc_id long, text string, embedding array<float>, "
+                "version long, lang string",
+            )
+        return spark.createDataFrame(
+            [(i, t, novel, 1) for i, t in rows],
+            "doc_id long, text string, embedding array<float>, version long",
+        )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    synth(
+        [
+            (1, "willow branches trail across the millpond at dusk"),
+            (2, "the typesetter locks brass quoins around the chase"),
+        ]
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    def run(schema=None):
+        return run_corpus_stream_pipeline(
+            spark,
+            landing_dir=landing,
+            work_dir=str(tmp_path / "work"),
+            benchmark_emb_dir=bench_dir,
+            cents=cents,
+            books=books,
+            threshold=0.95,
+            n_buckets=4,
+            schema=schema,
+        )
+
+    dirs = run()
+    narrow_schema = spark.read.parquet(landing).schema
+
+    # wave 2 adds a column; a re-run pinned to the NARROW schema (the
+    # shape a plain inference can sample even with wider files landed)
+    # must fail loudly, checkpoint uncommitted
+    synth(
+        [(3, "a glassblower turns the punty against the marver slab")],
+        with_lang=True,
+    ).coalesce(1).write.mode("append").parquet(landing)
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="schema drift.*lang"):
+        run(schema=narrow_schema)
+
+    # the documented remedy: the SAME re-run, mergeSchema-derived shape
+    wider = spark.read.option("mergeSchema", "true").parquet(landing).schema
+    dirs = run(schema=wider)
+    rows = {
+        r["doc_id"]: r
+        for r in current_state_table(spark, dirs["state"]).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[3]["lang"] == "en"  # the flagged wave landed IN FULL
+    assert rows[1]["lang"] is None and rows[2]["lang"] is None
