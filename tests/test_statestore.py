@@ -2248,3 +2248,64 @@ def test_compaction_key_roundtrip_battery(spark, tmp_path):
             ).collect()
         )
         assert got == want, key
+
+
+def test_compaction_over_date_partitioned_rollup_store(spark, tmp_path):
+    """K20 × W21 composition (r16): the decoded-key rewrite holds for
+    DATE-valued partition directories too — a fragmented rollup store
+    (__wday=YYYY-MM-DD partitions) compacts with byte-identical keys
+    and an unchanged rollup_view."""
+    from leftshove_spark.sources import load_table
+    from leftshove_spark.streaming import maintain_rollup, rollup_view
+
+    state = str(tmp_path / "rollup")
+    ev = load_table(spark, SF0001, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.col("value").cast("decimal(18,4)").alias("value"),
+    )
+    # three chunked folds fragment each hit day across commits
+    for i in range(3):
+        maintain_rollup(
+            spark,
+            state,
+            ev.filter(F.col("event_id") % 3 == i),
+            "ts",
+            ["event_type"],
+            sum_cols=["value"],
+            window="1 day",
+            keep_generations=20,
+        )
+    m1 = statestore.load_manifest(state)
+    keys_before = set(m1["files"])
+    assert keys_before and all("-" in k for k in keys_before)  # date dirs
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in rollup_view(spark, state, sum_cols=["value"]).collect()
+    }
+
+    # fragment one day explicitly (locally AQE coalesces each fold's
+    # write to a single file per day; at cluster scale the shuffle
+    # width does this for free): same rows, three-task layout
+    day = sorted(keys_before)[0]
+    frag = statestore.read_state(
+        spark, state, partition_values=[day]
+    ).repartition(3)
+    statestore.commit_fold(
+        spark, state, frag, "__wday", [day], keep_generations=20
+    )
+    assert len(statestore.load_manifest(state)["files"][day]) >= 2
+
+    plan = statestore.compact_partitions(
+        spark, state, target_file_bytes=1 << 30, keep_generations=20
+    )
+    assert day in plan
+    m2 = statestore.load_manifest(state)
+    assert set(m2["files"]) == keys_before  # date keys round-trip
+    assert all(len(m2["files"][k]) == n for k, n in plan.items())
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in rollup_view(spark, state, sum_cols=["value"]).collect()
+    }
+    assert got == want
