@@ -195,6 +195,10 @@ def _staged_shingles(
     src = fanout_if_narrow(src, "id" if pin else None)
 
     def gen(batches: Iterator) -> Iterator:
+        import hashlib
+        from itertools import accumulate
+
+        md5 = hashlib.md5
         for pdf in batches:
             shs = []
             for text in pdf["__text"]:
@@ -202,12 +206,30 @@ def _staged_shingles(
                 if len(toks) < n:
                     shs.append([])
                 else:
+                    # One encode of the space-joined stream + byte-offset
+                    # slicing replaces the per-shingle join (r16, guide
+                    # §4.2) — identical bytes ⇒ bit-identical md5-prefix
+                    # hash (int.from_bytes(digest[:8]) >> 4 IS
+                    # int(hexdigest[:15], 16), the hash60_py value).
                     # dict.fromkeys = order-preserving distinct, matching
                     # array_distinct's first-occurrence order
+                    buf = " ".join(toks).encode("utf-8")
+                    ends = list(
+                        accumulate(len(t.encode("utf-8")) + 1 for t in toks)
+                    )
+                    view = memoryview(buf)
                     shs.append(
                         list(
                             dict.fromkeys(
-                                hash60_py(" ".join(toks[i : i + n]))
+                                int.from_bytes(
+                                    md5(
+                                        view[
+                                            0 if i == 0 else ends[i - 1] : ends[i + n - 1] - 1
+                                        ]
+                                    ).digest()[:8],
+                                    "big",
+                                )
+                                >> 4
                                 for i in range(len(toks) - n + 1)
                             )
                         )
@@ -696,16 +718,43 @@ def window_hashes_with_pos(
     src = fanout_if_narrow(src)
 
     def gen(batches: Iterator) -> Iterator:
+        import hashlib
+        from itertools import accumulate
+
         import pandas as pd
 
+        md5 = hashlib.md5
         for pdf in batches:
             ids, poss, hs = [], [], []
             for i, text in zip(pdf["id"], pdf["__text"]):
                 toks = tokenize_py(text)
-                for p in range(len(toks) - window + 1):
-                    ids.append(i)
-                    poss.append(p + 1)
-                    hs.append(hash60_py(" ".join(toks[p : p + window])))
+                n_win = len(toks) - window + 1
+                if n_win <= 0:
+                    continue
+                # One encode of the space-joined stream + byte-offset
+                # slicing replaces the per-window ``" ".join(toks[p:p+w])``
+                # (r16, guide §4.2): window p's bytes are
+                # buf[starts[p] : ends[p+w-1]] — identical bytes, so the
+                # md5-prefix hash is bit-identical to hash60_py of the
+                # joined string (pinned by the expression-twin parity
+                # test). int.from_bytes(digest[:8]) >> 4 IS
+                # int(hexdigest[:15], 16).
+                buf = " ".join(toks).encode("utf-8")
+                lens = [len(t.encode("utf-8")) for t in toks]
+                ends = list(accumulate(l + 1 for l in lens))  # noqa: E741
+                view = memoryview(buf)
+                ids.extend([i] * n_win)
+                poss.extend(range(1, n_win + 1))
+                hs.extend(
+                    int.from_bytes(
+                        md5(
+                            view[0 if p == 0 else ends[p - 1] : ends[p + window - 1] - 1]
+                        ).digest()[:8],
+                        "big",
+                    )
+                    >> 4
+                    for p in range(n_win)
+                )
             yield pd.DataFrame({"id": ids, "pos": poss, "window_hash": hs})
 
     return src.mapInPandas(gen, out_schema)

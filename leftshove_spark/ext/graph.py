@@ -107,12 +107,33 @@ def connected_components(
             )
             .select("node", "__old", F.coalesce("ll", "label").alias("label"))
         )
+        # convergence count FUSED into the truncation job (r16): an
+        # observe() metric rides the localCheckpoint materialization,
+        # so no separate count job runs per round. Reliable checkpoints
+        # (checkpoint_dir set) keep the explicit count — the RDD
+        # checkpoint path does not report observed metrics.
+        obs = None
+        if checkpoint_dir is None:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            jumped = jumped.observe(
+                obs,
+                F.sum(
+                    (F.col("label") != F.col("__old")).cast("long")
+                ).alias("changed"),
+            )
         jumped = _truncate_lineage(jumped, checkpoint_dir)
         labels = jumped.select("node", "label")
         # round 0 always changes when any edge exists — skip its
-        # convergence job; check from round 1 on
+        # convergence check; check from round 1 on
         if it > 0:
-            changed = jumped.filter(F.col("label") != F.col("__old")).count()
+            if obs is not None:
+                changed = int(obs.get["changed"] or 0)
+            else:
+                changed = jumped.filter(
+                    F.col("label") != F.col("__old")
+                ).count()
             if changed == 0:
                 break
     return labels.select("node", F.col("label").alias("component"))
@@ -213,17 +234,21 @@ def pagerank_fixed(
     e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     e = _truncate_lineage(e, checkpoint_dir)
     deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # deg(u) is static: attach it to the EDGE list ONCE (r16, guide
+    # §2.4) so each power iteration is a single join (edges ⋈ ranks) +
+    # one map-side-combined sum — the former shape re-joined the rank
+    # table onto deg every step (two extra shuffled relations and a
+    # join stage per iteration). The int64 arithmetic — r DIV deg,
+    # order-free sums — is unchanged, so results stay bit-identical.
+    ed = _truncate_lineage(
+        e.join(deg, "a").select("a", "b", "deg"), checkpoint_dir
+    )
     r = deg.select(F.col("a").alias("node"), F.lit(PR_SCALE).cast("long").alias("r"))
     teleport = ((damp_den - damp_num) * PR_SCALE) // damp_den
     for _ in range(iters):
         contrib = (
-            e.join(
-                r.join(deg, r["node"] == deg["a"]).select(
-                    F.col("node").alias("a2"),
-                    F.expr("r DIV deg").alias("c"),
-                ),
-                F.col("a") == F.col("a2"),
-            )
+            ed.join(r.select(F.col("node").alias("a"), "r"), "a")
+            .select("b", F.expr("r DIV deg").alias("c"))
             .groupBy("b")
             .agg(F.sum("c").alias("s"))
         )

@@ -348,24 +348,43 @@ def ivf_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _quantized: DataFrame | None = None,
 ) -> list[list[int]]:
     """Deterministic IVF coarse quantizer: seeds = the ``n_centroids``
     vectors first in md5(salted id) order (no RNG — an unbiased uniform
     draw; VERDICT r11: the previous lowest-id seeds took every initial
     cell from the OLDEST shard of a source-sorted corpus, the exact
     ingestion-order bias r11 removed from the PQ/IVFADC trainers), then
-    ``iters`` Lloyd steps — assign by exact integer cosine (codegen, no
-    shuffle), re-center per cluster in one ``applyInPandas`` over k
-    groups, re-quantize means to ints so the next assignment is again
-    exact arithmetic. Each step is one corpus scan; the centroid table
-    itself is k×dim ints on the driver (bytes — the one sanctioned
-    driver-side collect). The seed order is a pure function of the id
-    (salt ``IVF_SEED_SALT``), so the SQL oracles replay it verbatim."""
+    ``iters`` Lloyd steps. Re-quantized means keep every assignment in
+    exact integer arithmetic; the seed order is a pure function of the
+    id (salt ``IVF_SEED_SALT``), so the SQL oracles replay it verbatim.
+
+    Each Lloyd step is ONE map-only job (r16, guide §2.3 taken to its
+    limit): a single Arrow pass assigns the batch AND emits per-task
+    partial (cell, count, exact int64 column sums) rows — ≤ k rows per
+    task — which a k-group combine reduces to the new means. The old
+    shape shuffled the ENTIRE quantized corpus into an applyInPandas
+    re-center per step; the partial-sum shuffle moves O(tasks·k) tiny
+    rows instead. Arithmetic is unchanged where it matters: integer
+    addition is order-free and exact, and the mean is the same
+    ``floor(sum/count + 0.5)`` with the division in IEEE doubles —
+    bit-identical to the previous np.mean form for any sum below 2^53
+    (the fixture and any quantized corpus this side of 10^12 rows per
+    cell), and exactly the convention DuckDB's avg-over-BIGINT replays.
+    The centroid table stays k×dim ints on the driver (bytes).
+
+    ``_quantized`` lets composed callers (semdedup, ivfadc_train) pass
+    an already-built — typically pinned — (id, qv) relation so the
+    corpus is scanned/quantized once per operator, not once per phase."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-    v = corpus.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
+    v = (
+        _quantized
+        if _quantized is not None
+        else corpus.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
+    )
     seed_order = [
         F.md5(F.concat(F.lit(IVF_SEED_SALT), F.col("id").cast("string"))),
         F.col("id"),
@@ -374,26 +393,68 @@ def ivf_centroids(
         r["qv"] for r in v.orderBy(*seed_order).limit(n_centroids).collect()
     ]
 
+    part_schema = StructType(
+        [
+            StructField("cl", LongType()),
+            StructField("cnt", LongType()),
+            StructField("s", ArrayType(LongType())),
+        ]
+    )
     out_schema = StructType(
         [StructField("cl", LongType()), StructField("cen", ArrayType(LongType()))]
     )
 
-    def mean_center(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        m = np.array(pdf["qv"].tolist(), dtype=np.int64)
+    def combine(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        cnt = int(pdf["cnt"].sum())
+        total = np.array(pdf["s"].tolist(), dtype=np.int64).sum(axis=0)
         # floor(x+0.5) — explicit half-UP rounding, identical in any
         # engine (np.round is half-EVEN, SQL round() half-away: both
         # diverge cross-engine on exact .5 means, which integer means
-        # hit constantly)
-        cen = np.floor(m.mean(axis=0) + 0.5).astype(np.int64)
+        # hit constantly); division of the EXACT integer sum in IEEE
+        # doubles — the same double DuckDB's avg over BIGINT produces
+        cen = np.floor(total.astype(np.float64) / float(cnt) + 0.5).astype(
+            np.int64
+        )
         return pd.DataFrame({"cl": [key[0]], "cen": [cen.tolist()]})
 
     for _ in range(iters):
-        # always the Arrow matmul: the literal path's HOF dots run
-        # interpreted per element (see CENTROID_LITERAL_MAX note)
-        assigned = _assign_cells_arrow(v, cents, qv_col="qv", out_col="cl")
+        C = np.array(cents, dtype=np.int64)
+        Cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+        k, dim = C.shape
+
+        def partials(batches):
+            acc_cnt = np.zeros(k, dtype=np.int64)
+            acc_sum = np.zeros((k, dim), dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                seen = True
+                Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+                cos = _centroid_cosines_np(Q, C, Cn)
+                best = cos.max(axis=1)
+                idx = np.where(
+                    cos == best[:, None], np.arange(k)[None, :], -1
+                ).max(axis=1)
+                np.add.at(acc_cnt, idx, 1)
+                np.add.at(acc_sum, idx, Q)
+            if seen:
+                nz = acc_cnt > 0
+                yield pd.DataFrame(
+                    {
+                        "cl": np.arange(k)[nz],
+                        "cnt": acc_cnt[nz],
+                        "s": [row.tolist() for row in acc_sum[nz]],
+                    }
+                )
+
         new = {
             r["cl"]: r["cen"]
-            for r in assigned.groupBy("cl").applyInPandas(mean_center, out_schema).collect()
+            for r in v.select("qv")
+            .mapInPandas(partials, part_schema)
+            .groupBy("cl")
+            .applyInPandas(combine, out_schema)
+            .collect()
         }
         # empty clusters keep their previous centroid
         cents = [list(new.get(i, cents[i])) for i in range(n_centroids)]
@@ -425,10 +486,22 @@ def knn_ivf(
     data-adaptive (Lloyd), so recall holds on clustered corpora where
     fixed hyperplanes under-split. Precision is absolute: reranks carry
     the same bit-exact cosine brute force computes (pytest-pinned)."""
-    cents = ivf_centroids(
-        corpus, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    from leftshove_spark.ext import cache as _cache
+
+    # one pinned quantized relation for the seed sort + both Lloyd
+    # passes + the corpus-side assignment (r16)
+    v = _cache.pin(
+        corpus.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv"))
+    cents = ivf_centroids(
+        corpus,
+        n_centroids=n_centroids,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        _quantized=v,
+    )
+    c = v.select(F.col("id").alias("neighbor_id"), F.col("qv").alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv"))
     # corpus assignment: always the Arrow matmul (the literal HOF dots
     # run interpreted per element — CENTROID_LITERAL_MAX note); the
@@ -566,7 +639,16 @@ def embedding_near_dup_lsh(
 
     pair_cosine = pandas_udf(_pair_cosine, "double")
 
-    v = df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
+    # ONE pinned quantized relation (r16, guide §5 reuse-then-release):
+    # the band-key stage and BOTH rerank vector joins read (id, qv);
+    # unpinned, each reference re-scans and re-quantizes the source —
+    # 3 full upstream passes per call. Released by the gate/bench
+    # release_pins convention, same as the staged-shingles pin.
+    from leftshove_spark.ext import cache as _cache
+
+    v = _cache.pin(
+        df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
+    )
     keyed = v.withColumn("bk", F.explode(band_keys(F.col("qv")))).select("id", "bk")
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
@@ -1091,6 +1173,7 @@ def ivfadc_train(
     sample_n: int = IVFADC_SAMPLE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _quantized: DataFrame | None = None,
 ) -> tuple[list[list[int]], list[list[list[int]]]]:
     """Train the IVFADC index pair: coarse centroids via
     :func:`ivf_centroids` (deterministic Lloyd over the corpus), then
@@ -1105,14 +1188,19 @@ def ivfadc_train(
     import numpy as np
 
     cents = ivf_centroids(
-        corpus, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+        corpus,
+        n_centroids=n_centroids,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        _quantized=_quantized,
     )
-    rows = (
-        corpus.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
-        .orderBy(*_sample_order("id"))
-        .limit(sample_n)
-        .collect()
+    v = (
+        _quantized
+        if _quantized is not None
+        else corpus.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
     )
+    rows = v.orderBy(*_sample_order("id")).limit(sample_n).collect()
     Q = np.array([list(r["qv"]) for r in rows], dtype=np.int64)
     cells = _assign_cells_np(Q, cents)
     resid = Q - np.array(cents, dtype=np.int64)[cells]
@@ -1130,6 +1218,7 @@ def ivfadc_encode(
     vec_col: str = "embedding",
     *,
     sub_dim: int = PQ_SUB,
+    _quantized: DataFrame | None = None,
 ) -> DataFrame:
     """The IVFADC index build: one Arrow ``mapInPandas`` pass tags each
     vector with its cell (matmul cosine argmax, ties → higher index)
@@ -1141,7 +1230,13 @@ def ivfadc_encode(
     import numpy as np
 
     m_sub = len(books)
-    src = corpus.select(F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv"))
+    src = (
+        _quantized.select(F.col("id").alias("vec_id"), "qv")
+        if _quantized is not None
+        else corpus.select(
+            F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")
+        )
+    )
     id_type = src.schema["vec_id"].dataType
     out_schema = T.StructType(
         [T.StructField("vec_id", id_type), T.StructField("cell", T.LongType())]
@@ -1179,15 +1274,19 @@ def _ivfadc_probe_tables(
     books: list[list[list[int]]],
     nprobe: int,
     sub_dim: int,
-) -> tuple[DataFrame, DataFrame]:
-    """Driver-side build of the two tiny scoring relations from the
-    bounded query set: ``probes`` (query_id, cell — the nprobe nearest
-    cells by cosine desc / index desc, the `_probe_cells_arrow` order)
-    and ``adc`` (query_id, cell, s, code, d — the exact integer L2
-    between the query's RESIDUAL subvector w.r.t. that cell and each
-    codebook centroid). n_queries·nprobe·(1 + m_sub·n_codes) rows
-    total — microscopic at any corpus size; it scales with the query
-    set, never the corpus."""
+) -> DataFrame:
+    """Driver-side build of ONE tiny scoring relation from the bounded
+    query set: per (query_id, probed cell) — the nprobe nearest cells
+    by cosine desc / index desc, the `_probe_cells_arrow` order — the
+    full per-subspace ADC lookup rides along as m_sub array columns
+    ``__d{s}`` (``__d{s}[code]`` = the exact integer L2 between the
+    query's RESIDUAL subvector w.r.t. that cell and codebook centroid
+    ``code``). n_queries·nprobe rows of m_sub·n_codes ints —
+    microscopic at any corpus size; it scales with the query set, never
+    the corpus. One relation instead of the former (probes, adc) pair
+    (r16): the scoring join collapses from 1+m_sub broadcast hash
+    joins to ONE broadcast join + m_sub O(1) element_at lookups —
+    bit-identical distances, 4 fewer BroadcastExchanges per search."""
     import numpy as np
 
     spark = queries.sparkSession
@@ -1198,40 +1297,32 @@ def _ivfadc_probe_tables(
     k_cells = C.shape[0]
     neg_idx = -np.arange(k_cells)
     B = [np.array(book, dtype=np.int64) for book in books]
-    probe_rows, adc_rows = [], []
+    recs = []
     for r in rows:
         q = np.array([int(x) for x in r["qqv"]], dtype=np.int64)
         cos = _centroid_cosines_np(q[None, :], C, Cn)[0]
         cells = np.lexsort((neg_idx, -cos))[:nprobe]
         for cell in cells:
-            probe_rows.append((r["query_id"], int(cell)))
             resid = q - C[cell]
+            ds = []
             for s, Bs in enumerate(B):
                 sub = resid[s * sub_dim : (s + 1) * sub_dim]
                 d = ((Bs - sub[None, :]) ** 2).sum(axis=1)
-                for ci in range(Bs.shape[0]):
-                    adc_rows.append(
-                        (r["query_id"], int(cell), s, ci, int(d[ci]))
-                    )
-    probes = spark.createDataFrame(
-        probe_rows,
-        T.StructType(
-            [T.StructField("query_id", id_type), T.StructField("cell", T.LongType())]
-        ),
-    )
-    adc = spark.createDataFrame(
-        adc_rows,
+                ds.append([int(x) for x in d])
+            recs.append((r["query_id"], int(cell), *ds))
+    return spark.createDataFrame(
+        recs,
         T.StructType(
             [
                 T.StructField("query_id", id_type),
                 T.StructField("cell", T.LongType()),
-                T.StructField("s", T.IntegerType()),
-                T.StructField("code", T.IntegerType()),
-                T.StructField("d", T.LongType()),
+            ]
+            + [
+                T.StructField(f"__d{s}", T.ArrayType(T.LongType()))
+                for s in range(len(B))
             ]
         ),
     )
-    return probes, adc
 
 
 def knn_ivfadc_codes(
@@ -1249,39 +1340,31 @@ def knn_ivfadc_codes(
     :func:`ivfadc_encode` or its streaming maintainer): the probe
     relation broadcast-joins the codes scan on ``cell`` — at scale,
     partition pruning of the cell-partitioned index to
-    nprobe/n_centroids of its bytes — then per subspace one broadcast
-    hash join onto the materialized ADC relation on
-    (query_id, cell, code); ``approx_l2`` is an m_sub-term integer sum.
+    nprobe/n_centroids of its bytes — and ``approx_l2`` is an
+    m_sub-term integer sum of O(1) ``element_at`` lookups into the
+    per-subspace distance arrays riding that ONE broadcast relation
+    (r16: the former shape ran 1+m_sub separate broadcast hash joins —
+    same distances bit-for-bit, m_sub fewer BroadcastExchanges).
     Everything whole-stage-codegen; the only per-corpus-row cost is
-    m_sub hash probes on microscopic broadcast tables. ``queries``
+    m_sub array probes on a microscopic broadcast relation. ``queries``
     carries (query_id, qqv) and must be bounded (collected to build the
     ADC relation). ``dedup`` guards replayed at-least-once index rows
     exactly as in :func:`knn_pq_adc_codes`."""
     if dedup:
         codes = codes.dropDuplicates(["vec_id"])
-    probes, adc = _ivfadc_probe_tables(queries, cents, books, nprobe, sub_dim)
+    probe_adc = _ivfadc_probe_tables(queries, cents, books, nprobe, sub_dim)
     scored = codes.withColumnRenamed("vec_id", "neighbor_id").join(
-        F.broadcast(probes), "cell"
+        F.broadcast(probe_adc), "cell"
     )
-    for s in range(len(books)):
-        adc_s = adc.filter(F.col("s") == s).select(
-            F.col("query_id").alias(f"__q{s}"),
-            F.col("cell").alias(f"__cl{s}"),
-            F.col("code").alias(f"__c{s}"),
-            F.col("d").alias(f"__d{s}"),
-        )
-        scored = scored.join(
-            F.broadcast(adc_s),
-            (F.col("query_id") == F.col(f"__q{s}"))
-            & (F.col("cell") == F.col(f"__cl{s}"))
-            & (F.col(f"code_{s}") == F.col(f"__c{s}")),
-        ).drop(f"__q{s}", f"__cl{s}", f"__c{s}")
-    approx = F.col("__d0")
+    # element_at is 1-based; code_{s} indexes the codebook 0-based
+    approx = F.element_at(F.col("__d0"), F.col("code_0") + 1)
     for s in range(1, len(books)):
-        approx = approx + F.col(f"__d{s}")
-    scored = scored.filter(
-        F.col("query_id") != F.col("neighbor_id")
-    ).withColumn("approx_l2", approx.cast("long"))
+        approx = approx + F.element_at(F.col(f"__d{s}"), F.col(f"code_{s}") + 1)
+    scored = (
+        scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("approx_l2", approx.cast("long"))
+        .drop(*[f"__d{s}" for s in range(len(books))])
+    )
     w = Window.partitionBy("query_id").orderBy("approx_l2", "neighbor_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -1301,12 +1384,28 @@ def knn_ivfadc(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sub_dim: int = PQ_SUB,
+    _quantized: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end IVFADC: train (coarse cells + residual codebooks),
     encode the corpus once, probe + ADC-rank. The candidate set per
     query is the union of its ``nprobe`` cells — unlike flat PQ the
     scan never touches the other ``n_centroids − nprobe`` cells'
-    codes."""
+    codes. The quantized corpus is built ONCE and pinned (r16): the
+    seed sort, each Lloyd pass, the training sample, and the encode all
+    read the same narrow (id, qv) relation instead of re-scanning and
+    re-quantizing the source per phase (owner-released via ext.cache,
+    the staged-shingles discipline)."""
+    from leftshove_spark.ext import cache as _cache
+
+    v = (
+        _quantized
+        if _quantized is not None
+        else _cache.pin(
+            corpus.select(
+                F.col(id_col).alias("id"), quantize(vec_col).alias("qv")
+            )
+        )
+    )
     cents, books = ivfadc_train(
         corpus,
         n_centroids=n_centroids,
@@ -1314,10 +1413,13 @@ def knn_ivfadc(
         id_col=id_col,
         vec_col=vec_col,
         sub_dim=sub_dim,
+        _quantized=v,
     )
-    enc = ivfadc_encode(corpus, cents, books, id_col, vec_col, sub_dim=sub_dim)
-    q = corpus.select(
-        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qqv")
+    enc = ivfadc_encode(
+        corpus, cents, books, id_col, vec_col, sub_dim=sub_dim, _quantized=v
+    )
+    q = v.select(
+        F.col("id").alias("query_id"), F.col("qv").alias("qqv")
     ).filter(F.col("query_id") < n_queries)
     return knn_ivfadc_codes(
         enc, q, cents, books, k=k, nprobe=nprobe, sub_dim=sub_dim, dedup=False
@@ -1340,7 +1442,14 @@ def knn_ivfadc_rerank(
     """IVFADC with exact refinement: ADC selects ``rerank`` candidates
     per query from the probed cells' codes, then the exact integer
     cosine reranks just those O(queries·rerank) rows — the full FAISS
-    search loop (probe → ADC → refine), end-to-end."""
+    search loop (probe → ADC → refine), end-to-end. One pinned
+    quantized (id, qv) relation feeds training, encode, AND the rerank
+    vector joins (r16) — the source is scanned and quantized once."""
+    from leftshove_spark.ext import cache as _cache
+
+    v = _cache.pin(
+        corpus.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
+    )
     cand = knn_ivfadc(
         corpus,
         n_queries=n_queries,
@@ -1351,12 +1460,11 @@ def knn_ivfadc_rerank(
         id_col=id_col,
         vec_col=vec_col,
         sub_dim=sub_dim,
+        _quantized=v,
     ).select("query_id", "neighbor_id")
-    vecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv")
-    )
-    qvecs = corpus.select(
-        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qqv")
+    vecs = v.select(F.col("id").alias("neighbor_id"), F.col("qv").alias("cv"))
+    qvecs = v.select(
+        F.col("id").alias("query_id"), F.col("qv").alias("qqv")
     ).filter(F.col("query_id") < n_queries)
     scored = (
         cand.join(vecs, "neighbor_id")
@@ -1419,14 +1527,22 @@ def semdedup(
     from .graph import connected_components
 
     spark = corpus.sparkSession
+    # ONE pinned quantized relation feeds the seed sort, both Lloyd
+    # passes, and the assignment below (r16) — the corpus is scanned
+    # and quantized once per semdedup call, not once per phase
+    from leftshove_spark.ext import cache as _cache
+
+    v = _cache.pin(
+        corpus.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
+    )
     cents = ivf_centroids(
         corpus,
         n_centroids=n_centroids,
         iters=iters,
         id_col=id_col,
         vec_col=vec_col,
+        _quantized=v,
     )
-    v = corpus.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
     # corpus-side assignment: always the Arrow matmul (the literal HOF
     # dots run interpreted — CENTROID_LITERAL_MAX note)
     assigned = _assign_cells_arrow(v, cents, qv_col="qv", out_col="cell")

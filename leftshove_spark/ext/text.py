@@ -243,6 +243,19 @@ def bpe_token_counts(
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
 
     def gen(batches: Iterator) -> Iterator:
+        # per-task memo over DISTINCT words (r16, guide §4.5): the
+        # greedy merge loop is a pure function of the word, and corpus
+        # words repeat massively — memoizing the symbol count amortizes
+        # the O(len²·lookups) loop to once per word TYPE per task
+        # instead of once per occurrence. Bit-identical output.
+        n_sym_of: dict[str, int] = {}
+
+        def syms(w: str) -> int:
+            n = n_sym_of.get(w)
+            if n is None:
+                n = n_sym_of[w] = len(bpe_tokenize_word_py(w, ranks))
+            return n
+
         for pdf in batches:
             ids, ntok, nmrg, nwrd = [], [], [], []
             for doc_id, text in zip(pdf["id"], pdf["__text"]):
@@ -251,7 +264,7 @@ def bpe_token_counts(
                 n_char = 0
                 for w in toks:
                     n_char += len(w)
-                    n_sym += len(bpe_tokenize_word_py(w, ranks))
+                    n_sym += syms(w)
                 ids.append(doc_id)
                 ntok.append(n_sym)
                 nmrg.append(n_char - n_sym)
@@ -325,14 +338,24 @@ def bpe_encode(
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
 
     def gen(batches: Iterator) -> Iterator:
+        # per-task memo over distinct words (r16, guide §4.5) — the
+        # id sequence of a word is a pure function of the word
+        ids_of: dict[str, list[int]] = {}
+
+        def word_ids(w: str) -> list[int]:
+            seq = ids_of.get(w)
+            if seq is None:
+                seq = ids_of[w] = [
+                    vocab[s] for s in bpe_tokenize_word_py(w, ranks)
+                ]
+            return seq
+
         for pdf in batches:
             ids, seqs, joined = [], [], []
             for doc_id, text in zip(pdf["id"], pdf["__text"]):
                 toks = []
                 for w in tokenize_py(text):
-                    toks.extend(
-                        vocab[s] for s in bpe_tokenize_word_py(w, ranks)
-                    )
+                    toks.extend(word_ids(w))
                 ids.append(doc_id)
                 seqs.append(toks)
                 joined.append("-".join(str(t) for t in toks))

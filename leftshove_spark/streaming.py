@@ -44,9 +44,15 @@ import os
 from collections.abc import Callable
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+# Executor-raised marker for the fused version-stamp conflict check in
+# _maintain_bucketed_state: the assert_true message leads with this so
+# the driver-side except arm can recognize the failure and re-raise it
+# as the contractual ValueError (tests match "version key").
+_VK_CONFLICT_MARK = "conflicting payloads share a version key"
 
 from .schema import SNAPSHOT_COL
 from .snapshot import rewrite_column
@@ -953,15 +959,6 @@ def _maintain_bucketed_state(
     else:
         merged = incoming
     value_cols = [c for c in merged.columns if c != "__bucket"]
-    # at-least-once delivery: a redelivered version must not create a
-    # duplicate (zero-length-interval) link in the chain. Dedup on ALL
-    # columns — only byte-identical redeliveries collapse; a genuine
-    # update that reuses the same (key, order, tiebreak) stamp with a
-    # DIFFERENT payload is not a redelivery and must not be silently
-    # resolved by an arbitrary row pick (nondeterministic state across
-    # runs, pre-r8 behavior). Such version-stamp conflicts are surfaced
-    # below instead; the previous state stays intact (nothing is
-    # written before the check).
     # Map-bearing columns (top-level or nested — Spark rejects both in
     # dropDuplicates, ADVICE r8) dedup through a to_json proxy: a
     # byte-identical redelivery serializes identically and collapses; a
@@ -979,29 +976,43 @@ def _maintain_bucketed_state(
     ]
     for c in map_cols:
         merged = merged.withColumn(f"__dd_{c}", F.to_json(F.col(c)))
-    # cached across the conflict check AND the history write — without
-    # it the touched buckets are read+merged twice per micro-batch
+    vkey = keys + [order_col] + list(tiebreak_cols or [])
+    # ONE exchange for the whole fold (r16 optimization, guide §2.4):
+    # pre-partition the merged rows by the fold keys — the redelivery
+    # dedup aggregation (grouping ⊇ keys), the conflict-count window
+    # (partition ⊇ keys), and the derive's per-key window (partition =
+    # keys) are all satisfied by this hash distribution, so the write
+    # plan shuffles once instead of three times.
+    merged = merged.repartition(*[F.col(k) for k in keys])
     merged = merged.dropDuplicates(dedup_cols).drop(
         *[f"__dd_{c}" for c in map_cols]
-    ).persist()
-    try:
-        vkey = keys + [order_col] + list(tiebreak_cols or [])
-        conflicts = (
-            merged.groupBy(*vkey)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(5)
-            .collect()
+    )
+    # At-least-once delivery: a redelivered version must not create a
+    # duplicate (zero-length-interval) link in the chain; the dedup
+    # above collapses byte-identical redeliveries only. A genuine
+    # update that reuses the same (key, order, tiebreak) stamp with a
+    # DIFFERENT payload is not a redelivery and must not be silently
+    # resolved by an arbitrary row pick — it surfaces as a
+    # version-stamp conflict. The check is FUSED into the write pass
+    # (r16, guide §1.2: one less full-pass action per micro-batch): a
+    # per-vkey count window + assert_true fails the write job before
+    # the manifest flips, so the previous state stays intact exactly as
+    # the old collect-then-raise form guaranteed; the except arm below
+    # re-raises it as the contractual ValueError.
+    wv = Window.partitionBy(*[F.col(c) for c in vkey])
+    sample = F.concat_ws(", ", *[F.col(c).cast("string") for c in vkey])
+    guarded = (
+        merged.withColumn("__vk_n", F.count(F.lit(1)).over(wv))
+        .filter(
+            F.assert_true(
+                F.col("__vk_n") <= 1,
+                F.concat(F.lit(f"{_VK_CONFLICT_MARK} {tuple(vkey)} — e.g. ("), sample, F.lit(")")),
+            ).isNull()
         )
-        if conflicts:
-            sample = [tuple(r[c] for c in vkey) for r in conflicts]
-            raise ValueError(
-                "conflicting payloads share a version key "
-                f"{tuple(vkey)} — e.g. {sample}; a version key must uniquely "
-                "identify its payload. Add a discriminating tiebreak column "
-                "(capture sequence) or repair the upstream duplicate."
-            )
-        out = derive(merged)
+        .drop("__vk_n")
+    )
+    try:
+        out = derive(guarded)
         if files_per_bucket is not None:
             # shape the write at the source (r15, K20's flip side): the
             # fold output otherwise arrives through the dedup/window
@@ -1040,8 +1051,23 @@ def _maintain_bucketed_state(
             keep_generations=keep_generations,
             retention_sec=retention_sec,
         )
-    finally:
-        merged.unpersist()
+    except ValueError:
+        raise
+    except Exception as e:  # noqa: BLE001 — surface the fused conflict check
+        # the assert_true above fired inside the write job (before the
+        # manifest flip — previous state intact, a failed scratch dir is
+        # swept by vacuum_orphans): re-raise as the contractual
+        # ValueError, with the executor's sample vkey preserved
+        msg = str(e)
+        if _VK_CONFLICT_MARK in msg:
+            start = msg.index(_VK_CONFLICT_MARK)
+            detail = msg[start:].splitlines()[0].strip()
+            raise ValueError(
+                f"{detail}; a version key must uniquely identify its "
+                "payload. Add a discriminating tiebreak column (capture "
+                "sequence) or repair the upstream duplicate."
+            ) from None
+        raise
 
 
 def start_near_dedup_stream(
