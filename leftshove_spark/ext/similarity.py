@@ -274,29 +274,53 @@ def _centroid_cosines_np(Q, C, Cn):
 
 
 def _assign_cells_arrow(
-    df: DataFrame, centroids: list[list[int]], qv_col: str = "qv", out_col: str = "cell"
+    df: DataFrame,
+    centroids: list[list[int]],
+    qv_col: str = "qv",
+    out_col: str = "cell",
+    cos_col: str | None = None,
 ) -> DataFrame:
     """Large-k cell assignment: one vectorized matmul per Arrow batch
     instead of k literal dot expressions per row. Ties break to the
-    higher index, matching :func:`_assign_cluster` exactly."""
+    higher index, matching :func:`_assign_cluster` exactly.
+
+    ``cos_col`` additionally emits the cosine TO THE ASSIGNED cell from
+    the same matmul (r16, guide §4.2): consumers that need it
+    (semdedup's cos_to_centroid) previously recomputed it as a
+    ``cosine_from_quantized`` expression — three interpreted
+    higher-order-function dots per row, measured ~3.5 s over the sf0.1
+    corpus. The emitted value is the pre-canonicalization quotient —
+    the exact IEEE sequence of the expression form — with zero-norm
+    rows NaN, which the Arrow boundary converts to NULL exactly as
+    ``try_divide`` does."""
     import numpy as np
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     C = np.array(centroids, dtype=np.int64)
     Cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
     k = C.shape[0]
-    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType())])
+    out_fields = list(df.schema.fields) + [StructField(out_col, LongType())]
+    if cos_col is not None:
+        out_fields.append(StructField(cos_col, DoubleType()))
+    out_schema = StructType(out_fields)
 
     def gen(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             Q = np.array(pdf[qv_col].tolist(), dtype=np.int64)
-            cos = _centroid_cosines_np(Q, C, Cn)
+            dots = Q @ C.T
+            qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                raw = dots.astype(np.float64) / (qn[:, None] * Cn[None, :])
+            cos = np.where(np.isnan(raw), -np.inf, raw)
             best = cos.max(axis=1)
             idx = np.where(cos == best[:, None], np.arange(k)[None, :], -1).max(axis=1)
             pdf = pdf.copy()
             pdf[out_col] = idx.astype("int64")
+            if cos_col is not None:
+                # NaN → NULL at the Arrow boundary (try_divide parity)
+                pdf[cos_col] = raw[np.arange(len(Q)), idx]
             yield pdf
 
     return df.mapInPandas(gen, out_schema)
@@ -1186,21 +1210,31 @@ def ivfadc_train(
     codebooks bit-for-bit (the x_knn_ivf + x_knn_pq disciplines
     composed)."""
     import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
 
-    cents = ivf_centroids(
-        corpus,
-        n_centroids=n_centroids,
-        iters=iters,
-        id_col=id_col,
-        vec_col=vec_col,
-        _quantized=_quantized,
-    )
     v = (
         _quantized
         if _quantized is not None
         else corpus.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
     )
-    rows = v.orderBy(*_sample_order("id")).limit(sample_n).collect()
+    # The PQ training sample depends only on the quantized corpus, not
+    # on the coarse centroids — overlap its TakeOrdered job with the
+    # Lloyd iterations from a driver thread (guide §2.6: actions are
+    # only sequential because the driver calls them sequentially).
+    # Deterministic: both read the same pinned/immutable relation.
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        sample_f = pool.submit(
+            lambda: v.orderBy(*_sample_order("id")).limit(sample_n).collect()
+        )
+        cents = ivf_centroids(
+            corpus,
+            n_centroids=n_centroids,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            _quantized=_quantized if _quantized is not None else v,
+        )
+        rows = sample_f.result()
     Q = np.array([list(r["qv"]) for r in rows], dtype=np.int64)
     cells = _assign_cells_np(Q, cents)
     resid = Q - np.array(cents, dtype=np.int64)[cells]
@@ -1544,29 +1578,15 @@ def semdedup(
         _quantized=v,
     )
     # corpus-side assignment: always the Arrow matmul (the literal HOF
-    # dots run interpreted — CENTROID_LITERAL_MAX note)
-    assigned = _assign_cells_arrow(v, cents, qv_col="qv", out_col="cell")
-    cent_df = spark.createDataFrame(
-        [(i, list(map(int, c))) for i, c in enumerate(cents)],
-        T.StructType(
-            [
-                T.StructField("cell", T.LongType()),
-                T.StructField("cen", T.ArrayType(T.LongType())),
-            ]
-        ),
-    )
+    # dots run interpreted — CENTROID_LITERAL_MAX note). cos_to_centroid
+    # rides the SAME matmul (r16): the former shape broadcast-joined the
+    # centroid table back just to recompute the assigned cell's cosine
+    # as a cosine_from_quantized expression — three interpreted HOF dots
+    # per row, ~3.5 s at sf0.1 — for a value the assignment pass already
+    # had. Bit-identical (same IEEE sequence; zero-norm → NULL).
     # pinned: feeds the pair join twice (both sides) and the final output
-    from leftshove_spark.ext import cache as _cache
-
     withc = _cache.pin(
-        assigned.join(F.broadcast(cent_df), "cell").select(
-            "id",
-            "cell",
-            "qv",
-            cosine_from_quantized(
-                F.col("qv"), F.col("cen"), dim=len(cents[0])
-            ).alias("c2c"),
-        )
+        _assign_cells_arrow(v, cents, qv_col="qv", out_col="cell", cos_col="c2c")
     )
     # within-cell pair mining as ONE Arrow matmul per cell
     # (applyInPandas keyed by cell — the same shuffle the pair join

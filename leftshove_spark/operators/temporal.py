@@ -273,8 +273,16 @@ def asof_join_bucketed(
         F.col("__b").alias("__cb"),
         *[F.col(f"__c_{c}") for c in value_cols],
     )
+    # Join strategy pinned (r16, guide §3.1): Spark's size estimate of
+    # the filtered window output undershoots (struct payload) and it
+    # BROADCASTS the big left side — driver-collecting the whole fact
+    # stream, the one shape this operator exists to avoid at scale. The
+    # SHUFFLE_HASH hint on the carry grid makes the O(key-buckets) side
+    # the per-partition build relation; the big side's (k, b) hash
+    # partitioning from the in-bucket window is reused, so it does not
+    # re-exchange, and nothing is ever driver-collected.
     out = local.filter(F.col("__side") == 1).join(
-        carry_r,
+        carry_r.hint("shuffle_hash"),
         F.col("__k").eqNullSafe(F.col("__ck"))
         & F.col("__b").eqNullSafe(F.col("__cb")),
     )

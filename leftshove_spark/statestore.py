@@ -831,37 +831,75 @@ def compact_partitions(
             generation=gen,
             _manifest=m,
         ).schema
-        parts, base = [], 0
-        for v in touched:
-            p = read_state(
+        # Partition identity discipline (ADVICE r15): never let discovery
+        # TYPE the partition column (p=01 alone infers int 1; rewriting
+        # through partitionBy would then re-render it canonically and
+        # silently re-key the partition). ADVICE's first remedy — read
+        # the column with an explicit STRING type — keeps the dir-name ↔
+        # value mapping bijective for every canonical (Spark-escaped)
+        # directory, so the whole selection can be ONE pruned read (r16,
+        # guide §1.2: the former per-partition literal loop built 16
+        # separate driver read plans, ~1.2 s of pure plan building at
+        # bench scale) with (base, n) routing attached by a null-safe
+        # broadcast join on the decoded key. NULL rides the sentinel dir
+        # → NULL string → eqNullSafe. Injectivity of the decode over the
+        # touched set is asserted in Python below; a NON-canonical
+        # hand-made dir pair that decodes to one string ('%3A' beside
+        # '%3a') falls back to the per-partition literal reads, which
+        # key rows by the pruned scan itself and cannot collide.
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        decoded = [_decode_partition_value(v) for v in touched]
+        if len(set(decoded)) == len(touched):
+            str_schema = StructType(
+                [f for f in sel_schema.fields if f.name != pcol]
+                + [StructField(pcol, StringType())]
+            )
+            df = read_state(
                 spark,
                 state_dir,
-                partition_values=[v],
+                partition_values=touched,
                 generation=gen,
                 _manifest=m,
-                _schema=sel_schema,
+                _schema=str_schema,
             )
-            # Carry the partition column as a LITERAL of the decoded
-            # manifest key, not the discovery-inferred column (ADVICE
-            # r15): discovery types the column by the SELECTION (p=01
-            # alone infers int 1), so re-writing through partitionBy
-            # would re-render it canonically and silently re-key the
-            # partition ('01' deleted, rows reappear under '1').
-            # Strings render verbatim and Spark's path-escape of the
-            # decoded value reproduces the directory name byte-exactly,
-            # so the manifest key round-trips through the rewrite.
-            p = p.drop(pcol).withColumn(
-                pcol, F.lit(_decode_partition_value(v)).cast("string")
+            route_rows, base = [], 0
+            for v, d in zip(touched, decoded):
+                route_rows.append((d, base, int(plan[v])))
+                base += plan[v]
+            rdf = spark.createDataFrame(
+                route_rows, "__cp_k string, __cp_base bigint, __cp_n bigint"
             )
-            parts.append(
-                p.withColumn(
-                    "__cp_base", F.lit(base).cast("bigint")
-                ).withColumn("__cp_n", F.lit(int(plan[v])).cast("bigint"))
+            df = df.join(
+                F.broadcast(rdf),
+                F.col(pcol).eqNullSafe(F.col("__cp_k")),
+                "inner",
+            ).drop("__cp_k")
+        else:
+            # fallback: per-partition pruned reads, partition key carried
+            # as a LITERAL of the decoded manifest key (r15 shape)
+            parts, base = [], 0
+            for v in touched:
+                p = read_state(
+                    spark,
+                    state_dir,
+                    partition_values=[v],
+                    generation=gen,
+                    _manifest=m,
+                    _schema=sel_schema,
+                )
+                p = p.drop(pcol).withColumn(
+                    pcol, F.lit(_decode_partition_value(v)).cast("string")
+                )
+                parts.append(
+                    p.withColumn(
+                        "__cp_base", F.lit(base).cast("bigint")
+                    ).withColumn("__cp_n", F.lit(int(plan[v])).cast("bigint"))
+                )
+                base += plan[v]
+            df = functools.reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
             )
-            base += plan[v]
-        df = functools.reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
-        )
         tids = _injective_task_ids(spark, total)
         odf = spark.createDataFrame(
             list(enumerate(tids)), "__cp_ord int, __cp_tid long"

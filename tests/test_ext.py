@@ -896,3 +896,48 @@ def test_bpe_50k_vocab_is_production_scale(spark):
         for i, t in [(0, "the quick brown fox"), (1, "pack my box with jugs")]
     }
     assert got == want
+
+
+def test_ivf_arrow_cos_col_matches_expression(spark):
+    """The fused cos_to_centroid emission (r16: `cos_col` rides the
+    assignment matmul instead of a cosine_from_quantized expression
+    recomputation) must be bit-identical to the expression form —
+    including the zero-norm row, where try_divide yields NULL and the
+    Arrow path's NaN crosses the boundary as NULL."""
+    cents = [[0, 0, 0, 0], [1, 2, 3, 4], [4, 3, 2, 1]]
+    rows = [
+        (0, [0, 0, 0, 0]),
+        (1, [1, 2, 3, 4]),
+        (2, [-1, -2, -3, -4]),
+        (3, [7, 1, 0, 2]),
+    ]
+    v = spark.createDataFrame(rows, "id bigint, qv array<bigint>")
+    arr = S._assign_cells_arrow(
+        v, cents, qv_col="qv", out_col="cell", cos_col="c2c"
+    ).collect()
+    got = {r["id"]: (r["cell"], r["c2c"]) for r in arr}
+    # expression twin: assign literally, then cosine_from_quantized
+    # against the assigned centroid (the pre-r16 semdedup shape)
+    cent_df = spark.createDataFrame(
+        [(i, list(map(int, c))) for i, c in enumerate(cents)],
+        "cell bigint, cen array<bigint>",
+    )
+    lit = (
+        v.withColumn("cell", S._assign_cluster(F.col("qv"), cents).cast("long"))
+        .join(F.broadcast(cent_df), "cell")
+        .withColumn(
+            "c2c",
+            S.cosine_from_quantized(F.col("qv"), F.col("cen"), dim=4),
+        )
+        .collect()
+    )
+    want = {r["id"]: (r["cell"], r["c2c"]) for r in lit}
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i][0] == want[i][0], i
+        if want[i][1] is None:
+            assert got[i][1] is None, i
+        else:
+            # bit-identical doubles, not approximate
+            assert got[i][1] == want[i][1], i
+    assert got[0][1] is None  # the zero-norm row emits NULL
