@@ -138,6 +138,62 @@ def _minhash_bands_np(sh_lists: list[list[int]]) -> list[list[str] | None]:
     return out
 
 
+def _shingles_py(
+    text: str | None,
+    n: int,
+    sh_memo: dict | None = None,
+    doc_memo: dict | None = None,
+    sh_cap: int = 1 << 20,
+    doc_cap: int = 4096,
+) -> list[int]:
+    """Distinct md5-prefix shingle hashes of one text — the SINGLE
+    source of truth for the Python shingle loop, shared by the Arrow
+    stage (:func:`_staged_shingles`) and driver-side bounded callers
+    (ext.pipeline.decontaminate's eval-set hashing), so the two can
+    never drift. Bit-identical to ``shingle_hashes_from_tokens``:
+    one encode of the space-joined token stream + byte-offset slicing
+    (identical bytes ⇒ identical md5), ``int.from_bytes(digest[:8])
+    >> 4`` IS ``int(hexdigest[:15], 16)``, and ``dict.fromkeys`` is
+    order-preserving distinct (array_distinct's first-occurrence
+    order).
+
+    ``sh_memo``/``doc_memo`` are optional caller-owned memos (r16,
+    guide §4.5): short n-grams repeat massively across documents, so a
+    per-task dict cuts md5 calls ~38% on the sf0.1 corpus with no
+    planted duplicates and far more on dedup corpora. Both are
+    insert-capped (lookups keep working past the cap), bounding worker
+    memory at any task size."""
+    import hashlib
+    from itertools import accumulate
+
+    if doc_memo is not None and text is not None:
+        cached = doc_memo.get(text)
+        if cached is not None:
+            return cached
+    toks = tokenize_py(text)
+    if len(toks) < n:
+        sh: list[int] = []
+    else:
+        md5 = hashlib.md5
+        buf = " ".join(toks).encode("utf-8")
+        ends = list(accumulate(len(t.encode("utf-8")) + 1 for t in toks))
+        raw = []
+        ap = raw.append
+        mg = sh_memo.get if sh_memo is not None else None
+        for i in range(len(toks) - n + 1):
+            key = buf[0 if i == 0 else ends[i - 1] : ends[i + n - 1] - 1]
+            h = mg(key) if mg is not None else None
+            if h is None:
+                h = int.from_bytes(md5(key).digest()[:8], "big") >> 4
+                if sh_memo is not None and len(sh_memo) < sh_cap:
+                    sh_memo[key] = h
+            ap(h)
+        sh = list(dict.fromkeys(raw))
+    if doc_memo is not None and text is not None and len(doc_memo) < doc_cap:
+        doc_memo[text] = sh
+    return sh
+
+
 def _staged_shingles(
     df: DataFrame,
     content_col: str,
@@ -195,67 +251,17 @@ def _staged_shingles(
     src = fanout_if_narrow(src, "id" if pin else None)
 
     def gen(batches: Iterator) -> Iterator:
-        import hashlib
-        from itertools import accumulate
-
-        md5 = hashlib.md5
-        # Per-task memos (r16 wave 5, guide §4.5 — amortize per-task
-        # work over the batch loop): short n-gram shingles repeat
-        # massively across documents (natural-language n-gram reuse —
-        # measured ~38% faster on the sf0.1 corpus with NO planted
-        # duplicates) and exactly in dedup corpora (the operators'
-        # reason to exist). The hash is a pure function of the shingle
-        # bytes, so a hit returns the IDENTICAL value md5 would —
-        # bit-parity pinned by the expression-twin tests, which execute
-        # this path. Both memos are insert-capped (lookups keep working
-        # past the cap) so per-worker memory stays bounded regardless
-        # of task size; the doc memo keys on the raw text (exact
-        # redeliveries/planted copies skip tokenize+hash outright).
+        # Per-task memos (r16 wave 5, guide §4.5) — see _shingles_py:
+        # the doc memo keys on the raw text (exact redeliveries /
+        # planted copies skip tokenize+hash outright), the shingle memo
+        # on the window bytes (natural n-gram reuse).
         sh_memo: dict[bytes, int] = {}
         doc_memo: dict[str, list[int]] = {}
-        _SH_CAP, _DOC_CAP = 1 << 20, 4096
         for pdf in batches:
-            shs = []
-            for text in pdf["__text"]:
-                sh = doc_memo.get(text) if text is not None else None
-                if sh is not None:
-                    shs.append(sh)
-                    continue
-                toks = tokenize_py(text)
-                if len(toks) < n:
-                    sh = []
-                else:
-                    # One encode of the space-joined stream + byte-offset
-                    # slicing replaces the per-shingle join (r16, guide
-                    # §4.2) — identical bytes ⇒ bit-identical md5-prefix
-                    # hash (int.from_bytes(digest[:8]) >> 4 IS
-                    # int(hexdigest[:15], 16), the hash60_py value).
-                    # dict.fromkeys = order-preserving distinct, matching
-                    # array_distinct's first-occurrence order
-                    buf = " ".join(toks).encode("utf-8")
-                    ends = list(
-                        accumulate(len(t.encode("utf-8")) + 1 for t in toks)
-                    )
-                    raw = []
-                    ap = raw.append
-                    mg = sh_memo.get
-                    for i in range(len(toks) - n + 1):
-                        key = buf[
-                            0 if i == 0 else ends[i - 1] : ends[i + n - 1] - 1
-                        ]
-                        h = mg(key)
-                        if h is None:
-                            h = (
-                                int.from_bytes(md5(key).digest()[:8], "big")
-                                >> 4
-                            )
-                            if len(sh_memo) < _SH_CAP:
-                                sh_memo[key] = h
-                        ap(h)
-                    sh = list(dict.fromkeys(raw))
-                if text is not None and len(doc_memo) < _DOC_CAP:
-                    doc_memo[text] = sh
-                shs.append(sh)
+            shs = [
+                _shingles_py(text, n, sh_memo, doc_memo)
+                for text in pdf["__text"]
+            ]
             out = pdf[["id", *extras]].copy()
             out["sh"] = shs
             if with_bands:

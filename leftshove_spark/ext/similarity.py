@@ -1308,6 +1308,7 @@ def _ivfadc_probe_tables(
     books: list[list[list[int]]],
     nprobe: int,
     sub_dim: int,
+    _query_rows: list | None = None,
 ) -> DataFrame:
     """Driver-side build of ONE tiny scoring relation from the bounded
     query set: per (query_id, probed cell) — the nprobe nearest cells
@@ -1325,7 +1326,11 @@ def _ivfadc_probe_tables(
 
     spark = queries.sparkSession
     id_type = queries.schema["query_id"].dataType
-    rows = _unique_query_rows(queries)
+    # ``_query_rows`` lets composed callers pre-collect the bounded
+    # query set CONCURRENTLY with the Lloyd training loop (r16 wave 5,
+    # guide §2.6) — the collect depends only on the quantized relation,
+    # not on the centroids this function scores against.
+    rows = _unique_query_rows(queries) if _query_rows is None else _query_rows
     C = np.array(cents, dtype=np.int64)
     Cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
     k_cells = C.shape[0]
@@ -1369,6 +1374,7 @@ def knn_ivfadc_codes(
     nprobe: int = 4,
     sub_dim: int = PQ_SUB,
     dedup: bool = True,
+    _query_rows: list | None = None,
 ) -> DataFrame:
     """IVFADC top-k over a PRE-BUILT codes index (from
     :func:`ivfadc_encode` or its streaming maintainer): the probe
@@ -1386,7 +1392,9 @@ def knn_ivfadc_codes(
     exactly as in :func:`knn_pq_adc_codes`."""
     if dedup:
         codes = codes.dropDuplicates(["vec_id"])
-    probe_adc = _ivfadc_probe_tables(queries, cents, books, nprobe, sub_dim)
+    probe_adc = _ivfadc_probe_tables(
+        queries, cents, books, nprobe, sub_dim, _query_rows=_query_rows
+    )
     scored = codes.withColumnRenamed("vec_id", "neighbor_id").join(
         F.broadcast(probe_adc), "cell"
     )
@@ -1431,6 +1439,8 @@ def knn_ivfadc(
     the staged-shingles discipline)."""
     from leftshove_spark.ext import cache as _cache
 
+    from concurrent.futures import ThreadPoolExecutor
+
     v = (
         _quantized
         if _quantized is not None
@@ -1440,23 +1450,32 @@ def knn_ivfadc(
             )
         )
     )
-    cents, books = ivfadc_train(
-        corpus,
-        n_centroids=n_centroids,
-        n_codes=n_codes,
-        id_col=id_col,
-        vec_col=vec_col,
-        sub_dim=sub_dim,
-        _quantized=v,
-    )
-    enc = ivfadc_encode(
-        corpus, cents, books, id_col, vec_col, sub_dim=sub_dim, _quantized=v
-    )
     q = v.select(
         F.col("id").alias("query_id"), F.col("qv").alias("qqv")
     ).filter(F.col("query_id") < n_queries)
+    # The bounded query-set collect depends only on the pinned quantized
+    # relation, never on the trained centroids — overlap it with the
+    # Lloyd loop from a driver thread (r16 wave 5, guide §2.6), exactly
+    # like the PQ training sample inside ivfadc_train. Deterministic:
+    # both read the same pinned/immutable relation.
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        qrows_f = pool.submit(_unique_query_rows, q)
+        cents, books = ivfadc_train(
+            corpus,
+            n_centroids=n_centroids,
+            n_codes=n_codes,
+            id_col=id_col,
+            vec_col=vec_col,
+            sub_dim=sub_dim,
+            _quantized=v,
+        )
+        qrows = qrows_f.result()
+    enc = ivfadc_encode(
+        corpus, cents, books, id_col, vec_col, sub_dim=sub_dim, _quantized=v
+    )
     return knn_ivfadc_codes(
-        enc, q, cents, books, k=k, nprobe=nprobe, sub_dim=sub_dim, dedup=False
+        enc, q, cents, books, k=k, nprobe=nprobe, sub_dim=sub_dim,
+        dedup=False, _query_rows=qrows,
     )
 
 

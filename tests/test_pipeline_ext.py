@@ -63,12 +63,23 @@ def test_decontaminate_flags_only_overlapping_docs(spark):
     assert abs(out[1]["contamination"] - 2 / 6) < 1e-12
 
 
-def test_decontaminate_broadcasts_benchmark_side(spark):
+def test_decontaminate_corpus_side_map_only(spark):
+    """r16: the non-attributed pass is fused map-only — the eval set's
+    hashes ride the task closure, so the plan has NO join and NO
+    aggregation; the corpus crosses one Arrow stage and a filter. (The
+    attributed variant keeps the broadcast-join shape — pinned below.)"""
     docs = _docs(spark)
     plan = P.decontaminate(
         docs.filter(F.col("doc_id") % 97 != 0), docs.filter(F.col("doc_id") % 97 == 0)
     )._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan  # corpus side never shuffles for the join
+    assert "Join" not in plan and "Aggregate" not in plan
+    assert "MapInPandas" in plan
+    plan_attr = P.decontaminate(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        attribute=True,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_attr  # corpus never shuffles for the join
 
 
 # ------------------------------------------------------------ hash split
