@@ -72,21 +72,22 @@ def connected_components(
     labels = e.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    for it in range(max_iters):
+
+    def _round(lbl: DataFrame) -> DataFrame:
         # min over neighbors' labels (one shuffle on b, agg on a)
         nb = (
             e.join(
-                labels.select(F.col("node").alias("b"), F.col("label").alias("lb")), "b"
+                lbl.select(F.col("node").alias("b"), F.col("label").alias("lb")), "b"
             )
             .groupBy("a")
             .agg(F.min("lb").alias("min_nb"))
             .select(F.col("a").alias("node"), "min_nb")
         )
         # the round's OLD label rides along as __old so the convergence
-        # check below is a narrow filter-count over the checkpointed
-        # blocks — no join back to the previous labeling, no extra
-        # shuffle job per round (VERDICT r8 #4)
-        stepped = labels.join(nb, "node", "left").select(
+        # check below is a narrow aggregate over the same job — no join
+        # back to the previous labeling, no extra shuffle job per round
+        # (VERDICT r8 #4)
+        stepped = lbl.join(nb, "node", "left").select(
             "node",
             F.col("label").alias("__old"),
             F.least(F.col("label"), F.coalesce(F.col("min_nb"), F.col("label"))).alias(
@@ -96,7 +97,7 @@ def connected_components(
         # pointer jumping: label := label(label). Labels are node ids and
         # only ever decrease, so label(label) is defined and ≤ label —
         # this halves chain depth every round, giving O(log diameter).
-        jumped = (
+        return (
             stepped.alias("x")
             .join(
                 stepped.select(
@@ -107,35 +108,64 @@ def connected_components(
             )
             .select("node", "__old", F.coalesce("ll", "label").alias("label"))
         )
-        # convergence count FUSED into the truncation job (r16): an
-        # observe() metric rides the localCheckpoint materialization,
-        # so no separate count job runs per round. Reliable checkpoints
-        # (checkpoint_dir set) keep the explicit count — the RDD
-        # checkpoint path does not report observed metrics.
-        obs = None
-        if checkpoint_dir is None:
-            from pyspark.sql import Observation
 
-            obs = Observation()
-            jumped = jumped.observe(
-                obs,
-                F.sum(
-                    (F.col("label") != F.col("__old")).cast("long")
-                ).alias("changed"),
-            )
-        jumped = _truncate_lineage(jumped, checkpoint_dir)
-        labels = jumped.select("node", "label")
-        # round 0 always changes when any edge exists — skip its
-        # convergence check; check from round 1 on
-        if it > 0:
-            if obs is not None:
-                changed = int(obs.get["changed"] or 0)
-            else:
+    if checkpoint_dir is not None:
+        # reliable-checkpoint mode: one round per checkpoint with an
+        # explicit convergence count (RDD checkpoints do not report
+        # observed metrics) — the preemptible-fleet recovery contract
+        # unchanged.
+        for it in range(max_iters):
+            jumped = _truncate_lineage(_round(labels), checkpoint_dir)
+            labels = jumped.select("node", "label")
+            # round 0 always changes when any edge exists — skip its
+            # convergence check; check from round 1 on
+            if it > 0:
                 changed = jumped.filter(
                     F.col("label") != F.col("__old")
                 ).count()
-            if changed == 0:
-                break
+                if changed == 0:
+                    break
+        return labels.select("node", F.col("label").alias("component"))
+
+    # localCheckpoint mode: TWO rounds per truncation job (r16, guide
+    # §1.2 — one action per pair of rounds instead of one per round).
+    # Converged labels are a FIXED POINT of the round map (min over
+    # neighbors == own label, pointer jump a no-op), so a round run
+    # past convergence is the identity and the batch's final labels are
+    # correct whichever round inside it converged. Each round's
+    # convergence count rides the SAME job as an observe() metric
+    # (observed metrics fire at their plan node wherever it sits, so
+    # the mid-batch round reports too); dedup graphs converge in 2-3
+    # rounds, so the typical call drops from 3 truncation jobs to 2.
+    from pyspark.sql import Observation
+
+    it = 0
+    while it < max_iters:
+        batch = min(2, max_iters - it)
+        cur = labels
+        obs_list: list[Observation | None] = []
+        for j in range(batch):
+            jumped = _round(cur)
+            rnd = it + j
+            # round 0 always changes when any edge exists — no metric
+            obs = None
+            if rnd > 0:
+                obs = Observation()
+                jumped = jumped.observe(
+                    obs,
+                    F.sum(
+                        (F.col("label") != F.col("__old")).cast("long")
+                    ).alias("changed"),
+                )
+            obs_list.append(obs)
+            cur = jumped.select("node", "label")
+        labels = _truncate_lineage(cur, checkpoint_dir)
+        it += batch
+        if any(
+            obs is not None and int(obs.get["changed"] or 0) == 0
+            for obs in obs_list
+        ):
+            break
     return labels.select("node", F.col("label").alias("component"))
 
 

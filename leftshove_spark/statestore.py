@@ -1103,6 +1103,14 @@ def commit_fold(
         "garbage": garbage,
         "committed_at": time.time(),
     }
+    # record the read schema in the commit pointer (r16, guide §6):
+    # read_state then skips its per-read footer-inference job entirely.
+    # out.schema is free (no job) and IS what these files read back as.
+    rec = _recorded_read_schema(
+        cur, out.schema, partition_col, any(new_files.values())
+    )
+    if rec is not None:
+        manifest["schema"] = rec.jsonValue()
     if _maintenance:
         manifest["maintenance"] = True
     # pre-flip orphan sweep: files a CRASHED commit moved into the
@@ -1267,6 +1275,84 @@ def maintain_store(
     return out
 
 
+def _nullable_tops(schema: StructType) -> StructType:
+    """Top-level fields forced nullable (metadata dropped) — the shape a
+    parquet READ reports regardless of what the writing DataFrame
+    declared (file-based relations surface every top-level column as
+    nullable; NESTED nullability round-trips through parquet exactly,
+    so it is left untouched)."""
+    from pyspark.sql.types import StructField
+
+    return StructType(
+        [StructField(f.name, f.dataType, True) for f in schema.fields]
+    )
+
+
+def _widen_structs(prev: StructType, new: StructType) -> StructType:
+    """Merge two recorded read schemas the way a mergeSchema read (or
+    its widening fallback) resolves them: matching columns keep the
+    WIDER type (schema.is_widening's lossless ladder), prev's column
+    order is preserved, new-only columns append. Raises ValueError on a
+    non-widening retype — callers fall back to recording no schema, so
+    reads of such stores keep today's footer-inference behavior."""
+    from pyspark.sql.types import StructField
+
+    from .schema import widen_types
+
+    by_name = {f.name: f for f in new.fields}
+    out = []
+    for f in prev.fields:
+        nf = by_name.pop(f.name, None)
+        if nf is None or nf.dataType == f.dataType:
+            out.append(f)
+        else:
+            out.append(StructField(f.name, widen_types(f.dataType, nf.dataType), True))
+    out.extend(by_name[f.name] for f in new.fields if f.name in by_name)
+    return StructType(out)
+
+
+def _recorded_read_schema(
+    cur: dict | None,
+    out_schema: StructType,
+    partition_col: str | None,
+    wrote_any: bool,
+) -> StructType | None:
+    """The DATA-column read schema (partition column excluded) to record
+    in the next manifest — the §6 manifest-metadata move: reads resolve
+    their schema from the commit pointer instead of paying a parquet
+    footer-inference job per :func:`read_state` (one job per fold read,
+    per consumer scan, per compaction selection — at 100 TB a footer
+    pass over every live file, per read). The recorded schema is
+    exactly what the mergeSchema read it replaces would resolve: this
+    commit's written schema (top-level nullable like any file read)
+    widened against the previous recorded schema. Returns None — and
+    the manifest then carries no schema, keeping footer-inference reads
+    — for legacy manifests that never recorded one (upgrading them
+    would need a full footer pass here) and for non-widening retypes
+    (where mergeSchema itself would raise; behavior preserved)."""
+    written = (
+        _nullable_tops(
+            StructType(
+                [f for f in out_schema.fields if f.name != partition_col]
+            )
+        )
+        if wrote_any
+        else None
+    )
+    if cur is None:
+        return written
+    prev_json = cur.get("schema")
+    if prev_json is None:
+        return None
+    prev = StructType.fromJson(prev_json)
+    if written is None:
+        return prev
+    try:
+        return _widen_structs(prev, written)
+    except ValueError:
+        return None
+
+
 def _widened_schema_of_files(paths: list[str]):
     """Widest Spark schema over the given parquet footers — the
     explicit-schema fallback when mergeSchema refuses a pre-/post-
@@ -1376,6 +1462,15 @@ def read_state(
     reader = spark.read
     if m["partition_col"]:
         reader = reader.option("basePath", data)
+    if _schema is None and merge_schema and m.get("schema") is not None:
+        # manifest-recorded schema (r16, guide §6): the commit pointer
+        # already carries exactly what a mergeSchema footer pass over
+        # this generation's live files resolves — data columns only,
+        # widened across evolutions at each commit; the partition
+        # column is appended by directory inference either way. Skips
+        # the per-read footer job (one Spark job per read_state call;
+        # at 100 TB, a footer pass over every live file, per read).
+        _schema = StructType.fromJson(m["schema"])
     if _schema is not None:
         # caller-supplied schema (r16 optimization): skips the driver's
         # per-reader footer inference entirely — per-partition callers
