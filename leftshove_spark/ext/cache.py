@@ -23,10 +23,27 @@ from pyspark.storagelevel import StorageLevel
 _PINNED: list[DataFrame] = []
 
 
-def pin(df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK) -> DataFrame:
-    """Persist ``df`` and register it for later :func:`release_pins`."""
+def pin(
+    df: DataFrame,
+    level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    eager: bool = False,
+) -> DataFrame:
+    """Persist ``df`` and register it for later :func:`release_pins`.
+
+    ``eager`` materializes the pin NOW with one count job. Use it when
+    the first consuming action fans out into SEVERAL concurrent plan
+    stages over the pin (AQE materializes independent exchanges as
+    parallel jobs): against a still-cold pin each of those stages
+    recomputes the pinned stage from scratch — measured 8 parallel
+    34-task recomputations of the Arrow shingle stage (~0.33 s each)
+    where the warm-cache read is 0.04 s. One eager pass turns that into
+    compute-once + cached reads. Leave False (lazy) when the first
+    consumer is a single serial stage (a seed sort, a lone aggregation)
+    — it materializes the pin on its own without the extra read-back."""
     df.persist(level)
     _PINNED.append(df)
+    if eager:
+        df.count()
     return df
 
 

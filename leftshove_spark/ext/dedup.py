@@ -269,7 +269,11 @@ def _staged_shingles(
             yield out
 
     out = src.mapInPandas(gen, out_schema).filter(F.size("sh") > 0)
-    return _cache.pin(out) if pin else out
+    # eager: every pinning caller is a pair miner whose first action
+    # fans out into concurrent AQE stages over this relation (band/posting
+    # self-join sides + per-id shingle fetches) — cold-pin concurrency
+    # would recompute this Arrow stage once PER stage (see cache.pin)
+    return _cache.pin(out, eager=True) if pin else out
 
 
 def minhash_signature(sh: Column) -> Column:
@@ -421,7 +425,9 @@ def _staged_simhash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
             out["sim"] = sims
             yield out
 
-    return _cache.pin(src.mapInPandas(gen, out_schema))
+    # eager for the same reason as _staged_shingles: the chunk self-join
+    # fans out into concurrent stages over a cold pin otherwise
+    return _cache.pin(src.mapInPandas(gen, out_schema), eager=True)
 
 
 def simhash_pairs(

@@ -424,22 +424,6 @@ def ivf_centroids(
             StructField("s", ArrayType(LongType())),
         ]
     )
-    out_schema = StructType(
-        [StructField("cl", LongType()), StructField("cen", ArrayType(LongType()))]
-    )
-
-    def combine(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        cnt = int(pdf["cnt"].sum())
-        total = np.array(pdf["s"].tolist(), dtype=np.int64).sum(axis=0)
-        # floor(x+0.5) — explicit half-UP rounding, identical in any
-        # engine (np.round is half-EVEN, SQL round() half-away: both
-        # diverge cross-engine on exact .5 means, which integer means
-        # hit constantly); division of the EXACT integer sum in IEEE
-        # doubles — the same double DuckDB's avg over BIGINT produces
-        cen = np.floor(total.astype(np.float64) / float(cnt) + 0.5).astype(
-            np.int64
-        )
-        return pd.DataFrame({"cl": [key[0]], "cen": [cen.tolist()]})
 
     for _ in range(iters):
         C = np.array(cents, dtype=np.int64)
@@ -472,14 +456,37 @@ def ivf_centroids(
                     }
                 )
 
-        new = {
-            r["cl"]: r["cen"]
-            for r in v.select("qv")
+        # combine = BUILT-IN aggregates (r16, guide §4.1): sum(cnt) +
+        # one element-wise long sum per dimension — partial/map-side
+        # aggregation in codegen, no second Python stage. The mean is
+        # computed driver-side from the k collected (cnt, sums) rows
+        # with the exact arithmetic of the former applyInPandas
+        # combine: integer sums are order-free and exact, and
+        # floor(sum/cnt + 0.5) divides the exact int64 total in IEEE
+        # doubles — explicit half-UP rounding, identical in any engine
+        # (np.round is half-EVEN, SQL round() half-away; both diverge
+        # cross-engine on exact .5 means, which integer means hit
+        # constantly) and exactly what DuckDB's avg-over-BIGINT
+        # convention replays.
+        rows = (
+            v.select("qv")
             .mapInPandas(partials, part_schema)
             .groupBy("cl")
-            .applyInPandas(combine, out_schema)
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                *[
+                    F.sum(F.element_at("s", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
             .collect()
-        }
+        )
+        new = {}
+        for r in rows:
+            total = np.array([r[f"s{i}"] for i in range(dim)], dtype=np.int64)
+            new[r["cl"]] = np.floor(
+                total.astype(np.float64) / float(r["cnt"]) + 0.5
+            ).astype(np.int64).tolist()
         # empty clusters keep their previous centroid
         cents = [list(new.get(i, cents[i])) for i in range(n_centroids)]
     return cents
@@ -670,8 +677,14 @@ def embedding_near_dup_lsh(
     # release_pins convention, same as the staged-shingles pin.
     from leftshove_spark.ext import cache as _cache
 
+    # eager (see cache.pin): the single consuming action fans out into
+    # concurrent AQE stages over this pin (both band-key self-join
+    # sides — each re-running the band_keys pandas_udf — plus the two
+    # rerank vector fetches); a cold pin would quantize the corpus once
+    # per concurrent stage.
     v = _cache.pin(
-        df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
+        df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv")),
+        eager=True,
     )
     keyed = v.withColumn("bk", F.explode(band_keys(F.col("qv")))).select("id", "bk")
     a, b = keyed.alias("a"), keyed.alias("b")

@@ -824,13 +824,27 @@ def compact_partitions(
         # schema out is value-identical (it IS the schema the union of
         # per-partition mergeSchema reads resolves to) and leaves one
         # footer pass regardless of selection width.
-        sel_schema = read_state(
-            spark,
-            state_dir,
-            partition_values=touched,
-            generation=gen,
-            _manifest=m,
-        ).schema
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        # The manifest-recorded schema (r16) IS the selection's resolved
+        # data-column schema — when present, building a read just to ask
+        # for .schema would pay a distributed leaf-file-listing job over
+        # the full selection (and, pre-recording, a footer pass too) for
+        # metadata the commit pointer already holds.
+        if m.get("schema") is not None:
+            sel_fields = list(StructType.fromJson(m["schema"]).fields)
+        else:
+            sel_fields = [
+                f
+                for f in read_state(
+                    spark,
+                    state_dir,
+                    partition_values=touched,
+                    generation=gen,
+                    _manifest=m,
+                ).schema.fields
+                if f.name != pcol
+            ]
         # Partition identity discipline (ADVICE r15): never let discovery
         # TYPE the partition column (p=01 alone infers int 1; rewriting
         # through partitionBy would then re-render it canonically and
@@ -847,13 +861,10 @@ def compact_partitions(
         # hand-made dir pair that decodes to one string ('%3A' beside
         # '%3a') falls back to the per-partition literal reads, which
         # key rows by the pruned scan itself and cannot collide.
-        from pyspark.sql.types import StringType, StructField, StructType
-
         decoded = [_decode_partition_value(v) for v in touched]
         if len(set(decoded)) == len(touched):
             str_schema = StructType(
-                [f for f in sel_schema.fields if f.name != pcol]
-                + [StructField(pcol, StringType())]
+                list(sel_fields) + [StructField(pcol, StringType())]
             )
             df = read_state(
                 spark,
@@ -886,7 +897,9 @@ def compact_partitions(
                     partition_values=[v],
                     generation=gen,
                     _manifest=m,
-                    _schema=sel_schema,
+                    # data columns only: the reader appends the inferred
+                    # partition column, which the next line drops anyway
+                    _schema=StructType(list(sel_fields)),
                 )
                 p = p.drop(pcol).withColumn(
                     pcol, F.lit(_decode_partition_value(v)).cast("string")
