@@ -691,6 +691,9 @@ def maintain_current_state(
         keep_generations=keep_generations,
         retention_sec=retention_sec,
         files_per_bucket=files_per_bucket,
+        # latest_per_key_window sorts (order, tiebreaks) DESC — align the
+        # conflict guard's window so the write plan sorts once
+        derive_order_desc=True,
     )
 
 
@@ -909,6 +912,7 @@ def _maintain_bucketed_state(
     keep_generations: int | None = None,
     retention_sec: float | None = None,
     files_per_bucket: int | None = None,
+    derive_order_desc: bool = False,
 ) -> None:
     """Shared W18/W25 maintenance core: crc32-bucket the batch, read
     ONLY the touched buckets' stored rows, collapse byte-identical
@@ -994,22 +998,39 @@ def _maintain_bucketed_state(
     # DIFFERENT payload is not a redelivery and must not be silently
     # resolved by an arbitrary row pick — it surfaces as a
     # version-stamp conflict. The check is FUSED into the write pass
-    # (r16, guide §1.2: one less full-pass action per micro-batch): a
-    # per-vkey count window + assert_true fails the write job before
-    # the manifest flips, so the previous state stays intact exactly as
-    # the old collect-then-raise form guaranteed; the except arm below
-    # re-raises it as the contractual ValueError.
-    wv = Window.partitionBy(*[F.col(c) for c in vkey])
+    # (r16, guide §1.2: one less full-pass action per micro-batch) and
+    # rides the DERIVE's own window spec (guide §2.4: the guard used to
+    # partition by the full vkey, forcing a second whole-partition sort
+    # in every fold write; under the derive's (keys, order, tiebreaks)
+    # sort — either direction — rows sharing a full vkey are ADJACENT,
+    # so a null-safe lag-equality over the sort columns detects exactly
+    # the rows a per-vkey count>1 would flag). assert_true fails the
+    # write job before the manifest flips, so the previous state stays
+    # intact exactly as the old collect-then-raise form guaranteed; the
+    # except arm below re-raises it as the contractual ValueError.
+    sort_cols = [order_col] + list(tiebreak_cols or [])
+    wv = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        *[
+            F.col(c).desc() if derive_order_desc else F.col(c)
+            for c in sort_cols
+        ]
+    )
+    # lag(lit(1)) is NULL exactly on each partition's first row — guards
+    # the all-NULL-sort-cols first row from eqNullSafe(NULL, NULL)=true
+    has_pred = F.lag(F.lit(1)).over(wv).isNotNull()
+    dup = has_pred
+    for c in sort_cols:
+        dup = dup & F.lag(F.col(c)).over(wv).eqNullSafe(F.col(c))
     sample = F.concat_ws(", ", *[F.col(c).cast("string") for c in vkey])
     guarded = (
-        merged.withColumn("__vk_n", F.count(F.lit(1)).over(wv))
+        merged.withColumn("__vk_dup", dup)
         .filter(
             F.assert_true(
-                F.col("__vk_n") <= 1,
+                ~F.col("__vk_dup"),
                 F.concat(F.lit(f"{_VK_CONFLICT_MARK} {tuple(vkey)} — e.g. ("), sample, F.lit(")")),
             ).isNull()
         )
-        .drop("__vk_n")
+        .drop("__vk_dup")
     )
     try:
         out = derive(guarded)
