@@ -1147,8 +1147,11 @@ def knn_pq_rerank(
     qvecs = corpus.select(
         F.col(id_col).alias("query_id"), quantize(vec_col).alias("qqv")
     ).filter(F.col("query_id") < n_queries)
+    # cand is bounded O(n_queries·rerank); vecs is the corpus — hint the
+    # bounded side so the vector fetch streams the corpus map-side at
+    # any scale (guide §3.1; see knn_ivfadc_rerank for the full note)
     scored = (
-        cand.join(vecs, "neighbor_id")
+        F.broadcast(cand).join(vecs, "neighbor_id")
         .join(F.broadcast(qvecs), "query_id")
         .withColumn(
             "cosine",
@@ -1532,8 +1535,15 @@ def knn_ivfadc_rerank(
     qvecs = v.select(
         F.col("id").alias("query_id"), F.col("qv").alias("qqv")
     ).filter(F.col("query_id") < n_queries)
+    # Broadcast the side that is BOUNDED BY CONSTRUCTION (guide §3.1):
+    # cand is O(n_queries·rerank) rows forever, while vecs is the
+    # corpus. Unhinted, local stats made Catalyst broadcast the
+    # corpus-sized pinned relation (fine at bench scale, and at real
+    # scale it degrades to shuffling the corpus AND the candidates);
+    # hinting cand keeps the vector fetch a map-side stream of the
+    # corpus at any scale — zero corpus shuffle, zero corpus broadcast.
     scored = (
-        cand.join(vecs, "neighbor_id")
+        F.broadcast(cand).join(vecs, "neighbor_id")
         .join(F.broadcast(qvecs), "query_id")
         .withColumn(
             "cosine",
@@ -1850,12 +1860,13 @@ def hard_negatives(
     Output: (query_id, neighbor_id, rank, cosine) — rank over the
     SURVIVING pool, deterministic (cosine desc, id).
 
-    Plan: the kNN pool is O(queries·pool) rows; the component labels
-    join twice on id (query side broadcast-small, neighbor side keyed)
-    — the expensive parts are the two certified sub-operators, both
-    already scale-shaped (see their docstrings); the composition adds
-    two equi-joins and a window over O(queries·pool) rows. At 100 TB
-    swap the brute-force pool for :func:`knn_ivfadc_rerank` — the
+    Plan: the kNN pool is O(queries·pool) rows and is the BROADCAST
+    side of both label joins — the corpus-sized component table streams
+    map-side, never shuffled, never broadcast. The expensive parts are
+    the two certified sub-operators, both already scale-shaped (see
+    their docstrings); the composition adds two broadcast equi-joins
+    and a window over O(queries·pool) rows. At 100 TB swap the
+    brute-force pool for :func:`knn_ivfadc_rerank` — the
     filter-and-rerank composition is unchanged."""
     comp = semdedup(
         corpus,
@@ -1872,8 +1883,17 @@ def hard_negatives(
     lab_n = comp.select(
         F.col("__cid").alias("neighbor_id"), F.col("component").alias("__comp_n")
     )
+    # Broadcast the BOUNDED side of each label join (guide §3.1): knn is
+    # O(queries·pool) rows by construction; lab_q/lab_n are the FULL
+    # per-id component table — corpus-sized. The former shape hinted
+    # F.broadcast(lab_q), shipping the whole component table to every
+    # executor (an explicit hint overrides stats, so unlike a
+    # stats-driven choice it would NOT back off at 100 TB — broadcast
+    # OOM). Both label joins now stream the component table map-side
+    # against a broadcast of the bounded pool.
+    pooled = F.broadcast(knn).join(lab_q, "query_id")
     kept = (
-        knn.join(F.broadcast(lab_q), "query_id")
+        F.broadcast(pooled)
         .join(lab_n, "neighbor_id")
         .filter(F.col("__comp_q") != F.col("__comp_n"))
     )
