@@ -86,6 +86,69 @@ def redact(text: Column | str) -> Column:
 
 
 # ------------------------------------------------- decontamination (n-gram)
+def _benchmark_hash_array(benchmark: DataFrame, text_col: str, n: int):
+    """DISTINCT benchmark shingle hashes as one sorted int64 array —
+    the driver-side half of the fused map-only decontamination (r16),
+    shared by :func:`decontaminate` and :func:`decontaminate_keep_col`
+    (r17) so the two passes can never drift. Eval sets are bounded by
+    contract (thousands of docs — the same bound the former broadcast
+    relied on), so the collect is O(eval set), corpus-independent."""
+    import numpy as np
+
+    from .dedup import _shingles_py
+
+    memo: dict[bytes, int] = {}
+    bset: set[int] = set()
+    for r in benchmark.select(text_col).collect():
+        bset.update(_shingles_py(r[0], n, memo))
+    return np.sort(np.fromiter(bset, dtype=np.int64, count=len(bset)))
+
+
+def decontaminate_keep_col(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+) -> Column:
+    """Boolean keep-column form of non-attributed :func:`decontaminate`
+    (r17, guide §2.4/§3.3): True exactly for documents the map-only
+    pass would NOT flag (zero shared n-grams with the eval set, or no
+    shingles at all). The pipeline runner's decontaminate stage used to
+    anti-join the flagged ids back against its own input frame — with
+    a lazy composed plan that recomputes the ENTIRE upstream (quality
+    gate + dedup window) on both join sides, plus a corpus-sized
+    anti-join exchange. As a filter column the pass is one Arrow
+    predicate over ``text`` wherever the frame already is: no join, no
+    upstream duplication, no shuffle, at any scale. Same survivors by
+    construction: both forms hash through ``_shingles_py`` against
+    :func:`_benchmark_hash_array`."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    from .dedup import _shingles_py
+
+    def _make(b_arr):
+        @pandas_udf("boolean")
+        def _keep(s: pd.Series) -> pd.Series:
+            sh_memo: dict[bytes, int] = {}
+            doc_memo: dict[str, list[int]] = {}
+            out = []
+            for text in s:
+                sh = _shingles_py(text, n, sh_memo, doc_memo)
+                out.append(
+                    not sh
+                    or not np.isin(
+                        np.array(sh, dtype=np.int64), b_arr
+                    ).any()
+                )
+            return pd.Series(out)
+
+        return _keep
+
+    keep = _make(_benchmark_hash_array(benchmark, text_col, n))
+    return keep(F.col(text_col))
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -147,11 +210,7 @@ def decontaminate(
         from .dedup import _shingles_py
         from .fanout import fanout_if_narrow
 
-        memo: dict[bytes, int] = {}
-        bset: set[int] = set()
-        for r in benchmark.select(text_col).collect():
-            bset.update(_shingles_py(r[0], n, memo))
-        b_arr = np.sort(np.fromiter(bset, dtype=np.int64, count=len(bset)))
+        b_arr = _benchmark_hash_array(benchmark, text_col, n)
 
         id_type = corpus.schema[id_col].dataType
         out_schema = StructType(

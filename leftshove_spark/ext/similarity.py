@@ -668,7 +668,13 @@ def embedding_near_dup_lsh(
         nb_n = np.sqrt((B * B).sum(axis=1).astype(np.float64))
         return pd.Series(dot.astype(np.float64) / (na * nb_n))
 
-    pair_cosine = pandas_udf(_pair_cosine, "double")
+    # asNondeterministic (r17, guide §4.4): the threshold filter on the
+    # UDF column otherwise evaluates the UDF TWICE — once pushed below
+    # the filter over ALL candidates, once again in the surviving
+    # project (two ArrowEvalPython nodes in the r16 plan). The function
+    # is pure; the marker only forbids the optimizer from duplicating
+    # it, so every candidate pays the rerank matmul exactly once.
+    pair_cosine = pandas_udf(_pair_cosine, "double").asNondeterministic()
 
     # ONE pinned quantized relation (r16, guide §5 reuse-then-release):
     # the band-key stage and BOTH rerank vector joins read (id, qv);
@@ -679,14 +685,20 @@ def embedding_near_dup_lsh(
 
     # eager (see cache.pin): the single consuming action fans out into
     # concurrent AQE stages over this pin (both band-key self-join
-    # sides — each re-running the band_keys pandas_udf — plus the two
-    # rerank vector fetches); a cold pin would quantize the corpus once
-    # per concurrent stage.
+    # sides plus the two rerank vector fetches); a cold pin would
+    # quantize the corpus once per concurrent stage. The band keys ride
+    # the pin (r17, guide §2.4/§4.1 — the minhash stage's with_bands
+    # design applied here): previously `keyed` re-ran the band_keys
+    # matmul on BOTH self-join sides (two ArrowEvalPython nodes over
+    # the same pin in the r16 plan); materializing bks once in the pin
+    # makes the SRP projection a single pass at any scale, and the
+    # self-join sides become pure cached reads.
     v = _cache.pin(
-        df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv")),
+        df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
+        .withColumn("bks", band_keys(F.col("qv"))),
         eager=True,
     )
-    keyed = v.withColumn("bk", F.explode(band_keys(F.col("qv")))).select("id", "bk")
+    keyed = v.select("id", F.explode(F.col("bks")).alias("bk"))
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
@@ -1133,7 +1145,15 @@ def knn_pq_rerank(
     top-``rerank``", which the rerank-vs-bruteforce pytest pins. On
     clustered real embeddings ADC's candidate recall is far higher
     than on the uniform-random fixture (PQ's worst case — no cluster
-    structure for the codebooks to exploit)."""
+    structure for the codebooks to exploit).
+
+    Broadcast contract (ADVICE r16): the candidate relation carries an
+    explicit ``F.broadcast`` hint, and explicit hints never back off to
+    a shuffle — callers must keep ``n_queries·rerank`` pairs (plus the
+    O(n_queries) quantized query vectors) within broadcast limits
+    (hard cap 8 GB / 512M rows; practically ≲ tens of millions of
+    pairs). Scale the query set by batching queries across calls, not
+    by raising ``n_queries`` past that bound."""
     cand = knn_pq_adc(
         corpus,
         books,
@@ -1513,7 +1533,15 @@ def knn_ivfadc_rerank(
     cosine reranks just those O(queries·rerank) rows — the full FAISS
     search loop (probe → ADC → refine), end-to-end. One pinned
     quantized (id, qv) relation feeds training, encode, AND the rerank
-    vector joins (r16) — the source is scanned and quantized once."""
+    vector joins (r16) — the source is scanned and quantized once.
+
+    Broadcast contract (ADVICE r16): the candidate relation carries an
+    explicit ``F.broadcast`` hint, and explicit hints never back off to
+    a shuffle — callers must keep ``n_queries·rerank`` pairs (plus the
+    O(n_queries) quantized query vectors) within broadcast limits
+    (hard cap 8 GB / 512M rows; practically ≲ tens of millions of
+    pairs). Scale the query set by batching queries across calls, not
+    by raising ``n_queries`` past that bound."""
     from leftshove_spark.ext import cache as _cache
 
     v = _cache.pin(
@@ -1867,7 +1895,16 @@ def hard_negatives(
     their docstrings); the composition adds two broadcast equi-joins
     and a window over O(queries·pool) rows. At 100 TB swap the
     brute-force pool for :func:`knn_ivfadc_rerank` — the
-    filter-and-rerank composition is unchanged."""
+    filter-and-rerank composition is unchanged.
+
+    Broadcast contract (ADVICE r16): both label joins hint
+    ``F.broadcast`` on the pool side, and explicit hints never back off
+    to a shuffle — callers must keep ``n_queries·pool`` rows (each
+    carrying cosine + component columns) within broadcast limits (hard
+    cap 8 GB / 512M rows; practically ≲ tens of millions of pairs).
+    Both knobs are caller-controlled public parameters; scale the query
+    set by batching queries across calls, not by raising ``n_queries``
+    past that bound."""
     comp = semdedup(
         corpus,
         threshold=threshold,

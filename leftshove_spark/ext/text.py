@@ -105,26 +105,84 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         for pdf in batches:
             rows = {k: [] for k in out_schema.fieldNames()}
             for doc_id, text in zip(pdf["id"], pdf["__text"]):
-                toks = tokenize_py(text)
-                n = len(toks)
-                if n == 0:
+                st = _doc_stats_py(text, stops)
+                if st is None:
                     continue  # filter(n > 0) of the expression form
-                uniq = len(set(toks))
-                stop = sum(1 for t in toks if t in stops)
-                sumlen = sum(len(t) for t in toks)
+                n, uniq_ratio, stop_ratio, avg_len, score = st
                 rows["id"].append(doc_id)
                 rows["n_tokens"].append(n)
-                rows["uniq_ratio"].append(uniq / n)
-                rows["stop_ratio"].append(stop / n)
-                rows["avg_token_len"].append(sumlen / n)
-                rows["quality_score"].append(
-                    (stop / n) * 0.4 + (uniq / n) * 0.3 + min(1.0, n / 100.0) * 0.3
-                )
+                rows["uniq_ratio"].append(uniq_ratio)
+                rows["stop_ratio"].append(stop_ratio)
+                rows["avg_token_len"].append(avg_len)
+                rows["quality_score"].append(score)
             import pandas as pd
 
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(gen, out_schema).withColumnRenamed("id", id_col)
+
+
+def _doc_stats_py(text, stops):
+    """Per-document stat tuple (n_tokens, uniq_ratio, stop_ratio,
+    avg_token_len, quality_score) — None for zero-token docs. The ONE
+    implementation behind :func:`text_stats` and
+    :func:`quality_keep_col` (r17): the runner's quality stage filters
+    with the same bits the stats operator emits, so the two can never
+    drift. The float expression order mirrors the SQL oracle exactly."""
+    toks = tokenize_py(text)
+    n = len(toks)
+    if n == 0:
+        return None
+    uniq = len(set(toks))
+    stop = sum(1 for t in toks if t in stops)
+    sumlen = sum(len(t) for t in toks)
+    un = uniq / n
+    sr = stop / n
+    return (
+        n,
+        un,
+        sr,
+        sumlen / n,
+        sr * 0.4 + un * 0.3 + min(1.0, n / 100.0) * 0.3,
+    )
+
+
+def quality_keep_col(
+    text_col: Column | str = "text",
+    *,
+    min_tokens: int = 20,
+    min_uniq_ratio: float = 0.5,
+    min_quality: float = 0.3,
+) -> Column:
+    """Boolean keep-column form of :func:`quality_filter` (r17, guide
+    §2.4/§3.3): the pipeline runner's quality stage used to compute
+    stats into a side relation and JOIN the kept ids back — two full
+    corpus scans (plan: scan ⋈ MapInPandas(scan)) and, mid-pipeline,
+    a duplicated upstream subtree. As a filter column the gate is ONE
+    pass over ``text`` wherever the frame already is: scan → Arrow
+    predicate → filter, zero joins, zero re-scans, at any scale.
+    Exact same survivors as quality_filter by construction — both
+    evaluate :func:`_doc_stats_py` (zero-token docs are dropped, as
+    the stats operator's inner-join form did)."""
+    from pyspark.sql.functions import pandas_udf
+
+    stops = set(STOPWORDS["en"])
+
+    @pandas_udf("boolean")
+    def _keep(s: pd.Series) -> pd.Series:
+        out = []
+        for text in s:
+            st = _doc_stats_py(text, stops)
+            out.append(
+                st is not None
+                and st[0] >= min_tokens
+                and st[1] >= min_uniq_ratio
+                and st[4] >= min_quality
+            )
+        return pd.Series(out)
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return _keep(c)
 
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -45,13 +45,20 @@ def _stage_quality_filter(
     spark, df, *, text_col="text", id_col="doc_id",
     min_tokens=20, min_uniq_ratio=0.5, min_quality=0.3,
 ):
-    from .ext.text import quality_filter
+    # Filter-in-place (r17, guide §2.4): the former kept-ids join-back
+    # scanned the corpus twice (plan: scan ⋈ MapInPandas(scan)) and,
+    # mid-pipeline, duplicated the whole upstream subtree on both join
+    # sides. quality_keep_col evaluates the SAME _doc_stats_py bits the
+    # stats operator emits, as one Arrow predicate on the frame itself:
+    # one pass, no join, identical survivors (pytest-pinned parity).
+    from .ext.text import quality_keep_col
 
-    kept = quality_filter(
-        df, text_col, id_col, min_tokens=min_tokens,
-        min_uniq_ratio=min_uniq_ratio, min_quality=min_quality,
-    ).select(id_col)
-    return df.join(kept, id_col)
+    return df.filter(
+        quality_keep_col(
+            text_col, min_tokens=min_tokens,
+            min_uniq_ratio=min_uniq_ratio, min_quality=min_quality,
+        )
+    )
 
 
 def _stage_exact_dedup(spark, df, *, content_col="text", id_col="doc_id"):
@@ -93,10 +100,16 @@ def _stage_near_dedup(
 def _stage_decontaminate(
     spark, df, *, benchmark, text_col="text", id_col="doc_id", n=3
 ):
-    from .ext.pipeline import decontaminate
+    # Filter-in-place (r17, guide §2.4): the former anti-join of the
+    # flagged ids back against the stage's own input recomputed the
+    # ENTIRE upstream plan (quality gate + dedup window) on both join
+    # sides and paid a corpus-sized anti-join exchange. The keep column
+    # runs the same map-only n-gram collision test (shared
+    # _benchmark_hash_array / _shingles_py) as one Arrow predicate on
+    # the frame itself: one pass, no join, no upstream duplication.
+    from .ext.pipeline import decontaminate_keep_col
 
-    hits = decontaminate(df, benchmark, text_col, id_col, n).select(id_col)
-    return df.join(hits, id_col, "left_anti")
+    return df.filter(decontaminate_keep_col(benchmark, text_col, n))
 
 
 def _stage_decontaminate_semantic(

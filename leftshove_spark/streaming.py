@@ -1008,7 +1008,12 @@ def _maintain_bucketed_state(
     # write job before the manifest flips, so the previous state stays
     # intact exactly as the old collect-then-raise form guaranteed; the
     # except arm below re-raises it as the contractual ValueError.
-    sort_cols = [order_col] + list(tiebreak_cols or [])
+    # ADVICE r16: the lag-equality guard's equivalence to a per-vkey
+    # count>1 check depends on sort_cols being EXACTLY the non-key tail
+    # of vkey (the derive window's order columns). Derive it from vkey
+    # so an edit to either can never desynchronize the two.
+    sort_cols = vkey[len(keys):]
+    assert sort_cols == [order_col] + list(tiebreak_cols or [])
     wv = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
         *[
             F.col(c).desc() if derive_order_desc else F.col(c)

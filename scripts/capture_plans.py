@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") for headline queries into plans/r16/.
+"""Capture .explain("formatted") for headline queries into plans/r17/ (PLANS_OUT overrides)..
 
 Usage: python scripts/capture_plans.py <suffix> [name_filter...]
   suffix: "before" or "after" — file name becomes plans/r16/<q>_<suffix>.txt
@@ -64,7 +64,7 @@ HEADLINE = [
 def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     filters = sys.argv[2:]
-    outdir = "/root/repo/plans/r16"
+    outdir = os.environ.get("PLANS_OUT", "/root/repo/plans/r17")
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark(app_name="leftshove-plan-capture")
     spark.sparkContext.setLogLevel("ERROR")

@@ -695,6 +695,69 @@ def test_weighted_grouped_id_unique_only_within_stratum(spark):
         weighted_systematic_sample_grouped(withnull, 2, "w", "g").collect()
 
 
+def test_stage_keep_cols_match_join_back_forms(spark):
+    """r17: the runner's quality/decontaminate stages filter IN PLACE
+    (one Arrow predicate, no join-back) — survivors must be exactly the
+    join-back forms', including the edge docs the join form decided
+    implicitly: a zero-token doc (dropped by quality: the stats pass
+    emits nothing, so the inner join dropped it; kept by decontaminate:
+    no shingles → never flagged → the anti-join kept it) and an
+    n-hit boundary doc. The composed runner plan must carry NO Join."""
+    from leftshove_spark.ext.pipeline import decontaminate
+    from leftshove_spark.ext.text import quality_filter
+    from leftshove_spark.pipeline_runner import run_pipeline
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the small "
+        "cat naps under a warm sun while birds sing of every good thing"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, good),                      # clean, passes quality
+            (2, ""),                        # zero tokens
+            (3, "   "),                     # zero tokens (whitespace)
+            (4, good + " extra words here to stay unique and long"),
+            (5, "short text"),              # fails min_tokens
+            (6, ("spam " * 40).strip()),    # fails uniq_ratio
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, good)], ["doc_id", "text"])
+
+    # quality: keep-col stage ≡ join-back form
+    q_stage = run_pipeline(
+        spark, corpus, [{"op": "quality_filter"}], count_stages=False
+    ).df
+    q_join = corpus.join(quality_filter(corpus).select("doc_id"), "doc_id")
+    assert sorted(r[0] for r in q_stage.select("doc_id").collect()) == sorted(
+        r[0] for r in q_join.select("doc_id").collect()
+    )
+
+    # decontaminate: keep-col stage ≡ anti-join form (zero-shingle docs
+    # survive BOTH — the map pass never emits them)
+    d_stage = run_pipeline(
+        spark, corpus, [{"op": "decontaminate", "benchmark": bench}],
+        count_stages=False,
+    ).df
+    d_join = corpus.join(
+        decontaminate(corpus, bench).select("doc_id"), "doc_id", "left_anti"
+    )
+    got = sorted(r[0] for r in d_stage.select("doc_id").collect())
+    assert got == sorted(r[0] for r in d_join.select("doc_id").collect())
+    assert 2 in got and 3 in got  # zero-shingle docs kept
+
+    # composed plan shape: both stages are joins no more
+    composed = run_pipeline(
+        spark,
+        corpus,
+        [{"op": "quality_filter"},
+         {"op": "decontaminate", "benchmark": bench}],
+        count_stages=False,
+    ).df
+    plan = composed._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
 def test_run_pipeline_config_equals_hand_composition(spark):
     """The declarative runner must produce exactly the frame the
     hand-composed operator chain produces, with per-stage accounting;
