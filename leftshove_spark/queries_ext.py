@@ -32,6 +32,27 @@ from .sources import load_table
 
 EMB_DIM = 64
 
+
+def _materialize_ctes(sql: str) -> str:
+    """Force every CTE in ``sql`` to ``AS MATERIALIZED`` — a pure
+    DuckDB planner directive (results are definitionally identical;
+    verified row-for-row against the unhinted form at sf0.001 AND
+    sf0.01 before landing, r17). The IVF/PQ replay oracles are deep
+    chains of cross-join+window CTEs, and DuckDB's default CTE
+    inlining re-derives the whole upstream chain per reference — the
+    x_knn_ivfadc_rerank oracle measured 90–480 s for a 500-row,
+    SF-INDEPENDENT input vs 0.8 s materialized (~116×). Applied only
+    to that family: every CTE there is O(corpus-sample) tiny, so
+    forced materialization cannot lose a pushdown that matters. NOT
+    applied to the big-table TPC-H/corpus oracles, where inlining's
+    filter pushdown is load-bearing. (Regex is safe here: the treated
+    SQL contains ``AS (`` only at CTE definitions — asserted below —
+    and the pattern skips already-MATERIALIZED CTEs.)"""
+    import re
+
+    return re.sub(r"(\b[A-Za-z_]\w*\s+AS)\s*\(", r"\1 MATERIALIZED (", sql)
+
+
 # ---------------------------------------------------------------- SQL twins
 _TOK = "list_filter(string_split_regex(lower({e}), '[^a-z0-9]+'), x -> x != '')"
 
@@ -3583,7 +3604,7 @@ def _knn_pq_oracle(rerank: int | None = None) -> str:
     """
 
 
-@_q("x_knn_pq", _knn_pq_oracle())
+@_q("x_knn_pq", _materialize_ctes(_knn_pq_oracle()))
 def x_knn_pq(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization ANN, the compressed-domain 100 TB layout:
     sample-trained per-subspace codebooks (deterministic Lloyd — the
@@ -3602,7 +3623,7 @@ def x_knn_pq(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@_q("x_knn_pq_rerank", _knn_pq_oracle(rerank=50))
+@_q("x_knn_pq_rerank", _materialize_ctes(_knn_pq_oracle(rerank=50)))
 def x_knn_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
     """The production IVFADC refinement, end-to-end hash-certified: ADC
     over the codes table selects 50 candidates per query, then the
@@ -3799,7 +3820,7 @@ def _knn_ivfadc_oracle(rerank: int | None = None) -> str:
     """
 
 
-@_q("x_knn_ivfadc", _knn_ivfadc_oracle())
+@_q("x_knn_ivfadc", _materialize_ctes(_knn_ivfadc_oracle()))
 def x_knn_ivfadc(spark: SparkSession, sf: str) -> DataFrame:
     """The production 100 TB ANN layout, end-to-end hash-certified:
     coarse IVF cells + PQ codebooks trained on RESIDUALS (64 codes per
@@ -3818,7 +3839,7 @@ def x_knn_ivfadc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@_q("x_knn_rotated_index", _knn_ivfadc_oracle())
+@_q("x_knn_rotated_index", _materialize_ctes(_knn_ivfadc_oracle()))
 def x_knn_rotated_index(spark: SparkSession, sf: str) -> DataFrame:
     """W31 driver-gradable: the ANN retrain CUTOVER
     (ext/annindex.rotate_index — generation-pointer CAS, the
@@ -3866,7 +3887,7 @@ def x_knn_rotated_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@_q("x_knn_ivfadc_rerank", _knn_ivfadc_oracle(rerank=50))
+@_q("x_knn_ivfadc_rerank", _materialize_ctes(_knn_ivfadc_oracle(rerank=50)))
 def x_knn_ivfadc_rerank(spark: SparkSession, sf: str) -> DataFrame:
     """The full FAISS search loop hash-certified end-to-end: IVFADC
     selects 50 candidates per query from the probed cells' codes, the
@@ -3881,7 +3902,8 @@ def x_knn_ivfadc_rerank(spark: SparkSession, sf: str) -> DataFrame:
 
 @_q(
     "x_ann_recall_ivfadc",
-    f"""
+    _materialize_ctes(
+        f"""
     WITH exact AS ({ORACLES["x_knn_bruteforce"]}),
          approx AS ({_knn_ivfadc_oracle(rerank=50)})
     SELECT count(*) AS n_hits,
@@ -3889,7 +3911,8 @@ def x_knn_ivfadc_rerank(spark: SparkSession, sf: str) -> DataFrame:
            CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM exact) AS recall_at_5
     FROM exact e JOIN approx a
       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-    """,
+    """
+    ),
 )
 def x_ann_recall_ivfadc(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@5 of the IVFADC scale path against the exact brute-force
@@ -4017,7 +4040,7 @@ def _semdedup_oracle(final_select: str | None = None) -> str:
     """
 
 
-@_q("x_semdedup", _semdedup_oracle())
+@_q("x_semdedup", _materialize_ctes(_semdedup_oracle()))
 def x_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup [Abbas et al. 2023] end-to-end hash-certified on the
     planted-near-dup embedding corpus: deterministic k-means clusters
@@ -4215,7 +4238,7 @@ def _hard_negatives_final() -> str:
     QUALIFY rank <= {k}"""
 
 
-@_q("x_hard_negatives", _semdedup_oracle(final_select=_hard_negatives_final()))
+@_q("x_hard_negatives", _materialize_ctes(_semdedup_oracle(final_select=_hard_negatives_final())))
 def x_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup-aware contrastive hard-negative mining on the planted
     corpus: each query's 20 exact nearest neighbors, MINUS every

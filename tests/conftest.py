@@ -25,3 +25,33 @@ def spark():
     spark.conf.set("spark.sql.codegen.fallback", "false")
     yield spark
     spark.stop()
+
+
+# Session-wide build cache for gate queries at SF0001 (r17, suite wall
+# time): FOUR parametrized sweeps (oracle parity, schema lint, and two
+# plan lints) each re-BUILT every registered query — and building is
+# the expensive half for the scenario/ANN rows, whose constructors run
+# real Spark actions (state folds, Lloyd/PQ training) before returning
+# the final frame. One build serves all four: the oracle sweep executes
+# the cached frame, the lint sweeps only read .schema / the physical
+# plan. Behavior per query is unchanged — the first build goes through
+# the same gate wrapper (which releases the previous query's pins at
+# entry) as before; later consumers just skip the redundant rebuild.
+_GATE_BUILD_CACHE: dict = {}
+
+
+@pytest.fixture(scope="session")
+def gate_build(spark):
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+
+    def build(name):
+        if name not in _GATE_BUILD_CACHE:
+            from leftshove_spark import queries as Q
+
+            fn = Q.QUERIES.get(name, queries.get(name))
+            _GATE_BUILD_CACHE[name] = fn(spark, SF0001)
+        return _GATE_BUILD_CACHE[name]
+
+    return build

@@ -15,7 +15,8 @@ def test_demo_pipeline_runs_end_to_end():
         cwd="/root/repo",
         capture_output=True,
         text=True,
-        timeout=420,
+        timeout=900,  # ~93 s standalone; headroom for host-noise bursts (r17:
+        # the 420 s cap flaked purely on neighbor steal, never on code)
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "PIPELINE DEMO OK" in res.stdout
@@ -44,7 +45,8 @@ def test_quickstart_curation_runs_end_to_end():
         cwd="/root/repo",
         capture_output=True,
         text=True,
-        timeout=420,
+        timeout=900,  # ~93 s standalone; headroom for host-noise bursts (r17:
+        # the 420 s cap flaked purely on neighbor steal, never on code)
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "QUICKSTART OK" in res.stdout

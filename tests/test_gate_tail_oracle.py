@@ -63,12 +63,14 @@ def _tail_names():
 
 
 @pytest.mark.parametrize("name", _tail_names())
-def test_gate_tail_query_matches_oracle(spark, ddb, name):
+def test_gate_tail_query_matches_oracle(spark, ddb, gate_build, name):
     # full registry, not the gate dict — GATE_EXCLUDE alternates are
-    # checked here even though the driver never sees them
+    # checked here even though the driver never sees them; built via
+    # the session cache (conftest.gate_build) shared with the lint
+    # sweeps so each query's constructor actions run once per suite
     from leftshove_spark import queries as Q
 
-    sdf = Q.QUERIES[name](spark, SF0001)
+    sdf = gate_build(name)
     scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
     ok, detail = gatecheck.compare(scols, srows, ddb, Q.oracle(name))
     assert ok, f"{name}: {detail}"

@@ -113,8 +113,10 @@ def _unsortable_fields(schema):
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
-def test_gate_spark_output_schema_is_driver_sortable(spark, name):
-    sdf = entrymod.queries()[name](spark, SF0001)
+def test_gate_spark_output_schema_is_driver_sortable(spark, gate_build, name):
+    # session-cached build (conftest.gate_build, r17): this sweep only
+    # reads .schema — it shares the one build the oracle/lint sweeps use
+    sdf = gate_build(name)
     flagged = _unsortable_fields(sdf.schema)
     assert not flagged, (
         f"{name}: Spark output columns {flagged} are ARRAY/MAP/STRUCT/"

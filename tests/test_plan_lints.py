@@ -99,13 +99,17 @@ _BNLJ_ALLOWED = {
 }
 
 
-def _plan(spark, name):
-    df = QUERIES[name](spark, SF0001)
+def _plan(gate_build, name):
+    # session-cached build (conftest.gate_build, r17): both lint
+    # sweeps and the oracle/schema sweeps read the SAME built frame —
+    # the constructor's Spark actions (folds, ANN training) run once
+    # per suite instead of once per sweep
+    df = gate_build(name)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_single_partition_exchanges_carry_partials_only(spark, name):
+def test_single_partition_exchanges_carry_partials_only(spark, gate_build, name):
     """Every ``Exchange SinglePartition`` in a gated plan must be fed by
     a PARTIAL aggregate — i.e. it moves O(partitions) pre-aggregated
     rows, never the data. A single-partition exchange over raw rows is
@@ -113,7 +117,7 @@ def test_single_partition_exchanges_carry_partials_only(spark, name):
     corpus); the engine's answer to those shapes is exact_global_rank /
     TakeOrderedAndProject. Audited round 7: 17 of 99 plans have such
     exchanges, all fed by partial_* aggregates."""
-    p = _plan(spark, name)
+    p = _plan(gate_build, name)
     lines = p.splitlines()
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" not in line:
@@ -127,8 +131,8 @@ def test_single_partition_exchanges_carry_partials_only(spark, name):
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_no_row_udf_and_no_all_pairs_join(spark, name):
-    p = _plan(spark, name)
+def test_no_row_udf_and_no_all_pairs_join(spark, gate_build, name):
+    p = _plan(gate_build, name)
     markers = _ROW_UDF_MARKERS + (
         ("CartesianProduct",)
         if name in _BNLJ_ALLOWED
